@@ -775,8 +775,9 @@ class IGeo7Grid:
         nb = self.neighbors(z7)
         pent = z7_is_pentagon(z7)
         m = np.where(pent, 5, 6)
-        verts = np.full((n, 7, 2), np.nan)
-        # decode all neighbor centers
+        # decode all neighbor centers (vectorized); missing -> synthesize a
+        # pseudo-neighbor at lattice distance in the probe direction so the
+        # Voronoi vertex stays finite
         flat = nb.reshape(-1)
         ok = flat != INVALID_ID
         centers = np.zeros((n * 6, 3))
@@ -784,28 +785,38 @@ class IGeo7Grid:
             p, _, _ = self.decode_state(flat[ok])
             centers[ok] = p
         centers = centers.reshape(n, 6, 3)
-        for i in range(n):
-            mi = m[i]
-            ring = []
-            for j in range(mi):
-                a = pos[i]
-                b = centers[i, j]
-                c = centers[i, (j + 1) % mi]
-                u = np.cross(b - a, c - a)
-                norm = np.linalg.norm(u)
-                if norm < 1e-15:
-                    u = (a + b + c)
-                    u = u / np.linalg.norm(u)
-                else:
-                    u = u / norm
-                    if np.dot(u, a) < 0:
-                        u = -u
-                ring.append(u)
-            lons, lats = unit_to_lonlat(np.array(ring))
-            verts[i, :mi, 0] = lons
-            verts[i, :mi, 1] = lats
-            verts[i, mi, 0] = lons[0]
-            verts[i, mi, 1] = lats[0]
+        if (~ok).any():
+            res = int(res_arr[0]) if res_arr.size else 0
+            d = _D[res] if res > 0 else D0
+            cx = np.cross(pos, ref)
+            step = np.where(pent, 72.0, 60.0)
+            for k in range(6):
+                miss = ~ok.reshape(n, 6)[:, k]
+                if miss.any():
+                    lam = np.deg2rad(step[miss] * k)
+                    dirs = ref[miss] * np.cos(lam)[:, None] + cx[miss] * np.sin(lam)[:, None]
+                    pm, _ = geodesic_step(pos[miss], dirs, d)
+                    centers[miss, k, :] = pm
+        # vertex k = spherical circumcenter of (cell, nb_k, nb_{(k+1) mod m})
+        idx_next = (np.arange(6)[None, :] + 1) % m[:, None]
+        b = centers
+        c = np.take_along_axis(centers, idx_next[..., None], axis=1)
+        a = pos[:, None, :]
+        u = np.cross(b - a, c - a)
+        norm = np.sqrt(np.sum(u * u, axis=-1, keepdims=True))
+        degen = norm[..., 0] < 1e-15
+        u = np.where(degen[..., None], a + b + c, u / np.where(norm == 0, 1.0, norm))
+        sign = np.sum(u * a, axis=-1, keepdims=True)
+        u = np.where(sign < 0, -u, u)
+        u = u / np.sqrt(np.sum(u * u, axis=-1, keepdims=True))
+        lons, lats = unit_to_lonlat(u)
+        verts = np.full((n, 7, 2), np.nan)
+        valid = np.arange(6)[None, :] < m[:, None]
+        verts[:, :6, 0] = np.where(valid, lons, np.nan)
+        verts[:, :6, 1] = np.where(valid, lats, np.nan)
+        ar = np.arange(n)
+        verts[ar, m, 0] = verts[ar, 0, 0]
+        verts[ar, m, 1] = verts[ar, 0, 1]
         return verts
 
     def cell_spacing_rad(self, res: int) -> float:

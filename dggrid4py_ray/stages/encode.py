@@ -1,0 +1,193 @@
+"""Ray Data stages for geo->cell encoding.
+
+The flagship kernel (reference `cells_for_geo_points` /
+TRANSFORM_POINTS with GEO input: dggrid_runner.py:1859-1959, :953-1022),
+expressed as callable classes for ``Dataset.map_batches(Cls, concurrency=N,
+batch_format="pyarrow")``: the anchor table (warm cell-index state) is built
+once per actor in ``__init__``, each ``__call__`` is pure vectorized numpy
+over zero-copy Arrow columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import Dggs
+from ..dggs.igeo7 import IGeo7Grid
+from ..dggs.codecs import AddressCodec
+from ..dggs.geodesy import geodetic_to_authalic
+
+
+def make_grid(dggs: Dggs) -> IGeo7Grid:
+    if dggs.topology != "HEXAGON" or dggs.aperture != 7:
+        raise NotImplementedError(
+            f"hex aperture-7 grids only in the IGeo7 engine (got {dggs.dggs_type}); "
+            "use dggrid4py_ray.dggs.isea4t for the triangle/diamond grids")
+    return IGeo7Grid(pole_lon=dggs.pole_lon_deg, pole_lat=dggs.pole_lat_deg,
+                     azimuth=dggs.azimuth_deg)
+
+
+class CellEncoder:
+    """map_batches actor: add a cell-id column from lon/lat columns.
+
+    Stateful setup (anchor table ~3 MB) happens once per actor; batches are
+    Arrow in / Arrow out (zero-copy reads of the lon/lat buffers).
+    """
+
+    def __init__(self, dggs: Dggs, lon_col: str = "lon", lat_col: str = "lat",
+                 out_col: str = "cell_id", output_address_type: str = "Z7",
+                 ellipsoid_input: bool = False):
+        self.dggs = dggs
+        self.grid = make_grid(dggs)
+        self.grid._ensure_anchor_table()  # warm state, once per actor
+        self.codec = AddressCodec(self.grid, dggs.resolution)
+        self.lon_col = lon_col
+        self.lat_col = lat_col
+        self.out_col = out_col
+        self.output_address_type = output_address_type.upper()
+        self.ellipsoid_input = ellipsoid_input
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch[self.lon_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        lat = batch[self.lat_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if self.ellipsoid_input:
+            lat = geodetic_to_authalic(lat)
+        z7 = self.grid.encode(lon, lat, self.dggs.resolution)
+        if self.output_address_type == "Z7":
+            col = pa.array(z7, type=pa.int64())
+        else:
+            col = self.codec._as_arrow(self.codec.emit(z7, self.output_address_type),
+                                       self.output_address_type)
+        return batch.append_column(self.out_col, col)
+
+
+class AddressTransformer:
+    """map_batches actor for codec->codec transforms (reference
+    address_transform, dggrid_runner.py:1962-2025)."""
+
+    def __init__(self, dggs: Dggs, input_address_type: str, output_address_type: str,
+                 in_col: str = "address", out_col: str | None = None):
+        self.grid = make_grid(dggs)
+        self.grid._ensure_anchor_table()
+        self.codec = AddressCodec(self.grid, dggs.resolution)
+        self.in_type = input_address_type.upper()
+        self.out_type = output_address_type.upper()
+        self.in_col = in_col
+        self.out_col = out_col or self.out_type.lower()
+
+    def _read_in(self, batch: pa.Table):
+        t = self.in_type
+        if t == "GEO":
+            s = batch[self.in_col]
+            arr = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+            return (np.asarray(arr.field("lon")), np.asarray(arr.field("lat")))
+        if t in ("Q2DI", "Q2DD"):
+            s = batch[self.in_col]
+            arr = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+            f = [np.asarray(arr.field(i)) for i in range(3)]
+            return tuple(f)
+        if t in ("Z7_STRING", "Z7_HEX"):
+            return batch[self.in_col].to_numpy(zero_copy_only=False)
+        return batch[self.in_col].to_numpy(zero_copy_only=False)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        z7 = self.codec.parse(self._read_in(batch), self.in_type)
+        out = self.codec.emit(z7, self.out_type)
+        return batch.append_column(self.out_col, self.codec._as_arrow(out, self.out_type))
+
+
+class CentroidDecoder:
+    """map_batches actor: cell_id -> centroid lon/lat columns (reference
+    grid_cell_centroids_from_cellids, dggrid_runner.py:1646-1772)."""
+
+    def __init__(self, dggs: Dggs, cell_col: str = "cell_id",
+                 lon_col: str = "lon", lat_col: str = "lat",
+                 ellipsoid_output: bool = False):
+        self.grid = make_grid(dggs)
+        self.cell_col = cell_col
+        self.lon_col = lon_col
+        self.lat_col = lat_col
+        self.ellipsoid_output = ellipsoid_output
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        z7 = batch[self.cell_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon, lat = self.grid.decode(z7)
+        if self.ellipsoid_output:
+            from ..dggs.geodesy import authalic_to_geodetic
+            lat = authalic_to_geodetic(lat)
+        return (batch.append_column(self.lon_col, pa.array(lon, type=pa.float64()))
+                     .append_column(self.lat_col, pa.array(lat, type=pa.float64())))
+
+
+class BoundaryKernel:
+    """map_batches actor: cell_id -> WKB polygon column (+ optional dateline
+    split flag).  Reference grid_cell_polygons_from_cellids
+    (dggrid_runner.py:1498-1643) + post_process_split_dateline (:1251-1274).
+    """
+
+    def __init__(self, dggs: Dggs, cell_col: str = "cell_id", wkb_col: str = "geometry",
+                 split_dateline: bool = False):
+        self.grid = make_grid(dggs)
+        self.grid._ensure_anchor_table()
+        self.cell_col = cell_col
+        self.wkb_col = wkb_col
+        self.split_dateline = split_dateline
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..geometry import wkb_polygon, split_ring_at_dateline, ring_crosses_dateline
+        z7 = batch[self.cell_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        verts = self.grid.boundary(z7)
+        n = len(z7)
+        if not self.split_dateline:
+            wkbs = _rings_to_wkb(verts)
+            return batch.append_column(self.wkb_col, pa.array(wkbs, type=pa.binary()))
+        # dateline split can 1->2 rows: rebuild the batch row-aligned
+        out_rows = []
+        out_wkbs = []
+        for i in range(n):
+            ring = verts[i][~np.isnan(verts[i, :, 0])]
+            if ring_crosses_dateline(ring):
+                for part in split_ring_at_dateline(ring):
+                    out_rows.append(i)
+                    out_wkbs.append(wkb_polygon([part]))
+            else:
+                out_rows.append(i)
+                out_wkbs.append(wkb_polygon([ring]))
+        taken = batch.take(pa.array(out_rows, type=pa.int64()))
+        return taken.append_column(self.wkb_col, pa.array(out_wkbs, type=pa.binary()))
+
+
+def _rings_to_wkb(verts: np.ndarray) -> list[bytes]:
+    """Vectorized-ish WKB Polygon assembly for (n, 7, 2) boundary output."""
+    from ..geometry import wkb_polygon
+    out = []
+    for i in range(verts.shape[0]):
+        ring = verts[i][~np.isnan(verts[i, :, 0])]
+        out.append(wkb_polygon([ring]))
+    return out
+
+
+class NeighborKernel:
+    """map_batches actor: cell_id -> list<int64> neighbor ids (k=1 ring,
+    reference z7_k1_ring_neighbours igeo7_ext.py:103-156) or k-ring."""
+
+    def __init__(self, dggs: Dggs, cell_col: str = "cell_id",
+                 out_col: str = "neighbors", k: int = 1):
+        self.grid = make_grid(dggs)
+        self.grid._ensure_anchor_table()
+        self.cell_col = cell_col
+        self.out_col = out_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..dggs.igeo7 import INVALID_ID
+        z7 = batch[self.cell_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if self.k == 1:
+            nb = self.grid.neighbors(z7)
+            vals = [row[row != INVALID_ID] for row in nb]
+        else:
+            rings = self.grid.k_ring(z7, self.k)
+            vals = [r[r != z] for r, z in zip(rings, z7)]
+        col = pa.array([v.tolist() for v in vals], type=pa.list_(pa.int64()))
+        return batch.append_column(self.out_col, col)
