@@ -1,0 +1,148 @@
+"""Point-value and presence binning (the two DGGRID binning operations).
+
+Reference: dgapi_point_value_binning (BIN_POINT_VALS,
+dggrid_runner.py:1025-1118 — per-cell arithmetic mean + optional count) and
+dgapi_pres_binning (BIN_POINT_PRESENCE, :1121-1202 — per-cell per-class
+presence + counts).
+
+Skew strategy (the north rule's explicit requirement): a *combiner* stage —
+within-batch partial aggregation in ``map_batches`` before the shuffle — so a
+hot cell (coastline/urban Zipf head) contributes at most one partial row per
+batch instead of millions of raw rows.  The final ``groupby(cell_id)`` then
+shuffles only O(num_batches x distinct_cells_per_batch) rows.  This
+dominates explicit key-salting for mean/count/presence (all partial-final
+decomposable); `salted_groupby_mean` below demonstrates the salting variant
+for aggregations that cannot pre-combine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ..config import dgselect
+from ..stages.encode import CellEncoder
+
+
+def _partial_mean_combiner(value_col: str):
+    def combine(batch: pa.Table) -> pa.Table:
+        cell = batch["cell_id"].to_numpy(zero_copy_only=False)
+        val = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        uniq, inv = np.unique(cell, return_inverse=True)
+        sums = np.zeros(len(uniq))
+        np.add.at(sums, inv, val)
+        counts = np.bincount(inv, minlength=len(uniq))
+        return pa.table({"cell_id": pa.array(uniq, type=pa.int64()),
+                         "psum": pa.array(sums), "pcount": pa.array(counts.astype(np.int64))})
+    return combine
+
+
+def bin_point_vals(ds: ray.data.Dataset, dggs_type: str = "IGEO7", resolution: int = 9,
+                   value_col: str = "value", lon_col: str = "lon", lat_col: str = "lat",
+                   output_count: bool = True,
+                   cell_output_control: str = "OUTPUT_OCCUPIED",
+                   concurrency: int | None = None, **kw) -> ray.data.Dataset:
+    """Per-cell mean of point values (+count).  OUTPUT_ALL joins the result
+    onto the full cell universe with nulls for empty cells (reference
+    cell_output_control semantics, dggrid_runner.py:189-190)."""
+    dggs = dgselect(dggs_type, resolution=resolution, **kw)
+    enc = ds.map_batches(CellEncoder(dggs, lon_col=lon_col, lat_col=lat_col),
+                         batch_format="pyarrow", concurrency=concurrency)
+    partial = enc.map_batches(_partial_mean_combiner(value_col), batch_format="pyarrow")
+    agg = partial.groupby("cell_id").aggregate(Sum("psum", alias_name="sum_value"),
+                                               Sum("pcount", alias_name="count_value"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        mean = pa.array(np.asarray(batch["sum_value"]) / np.asarray(batch["count_value"]))
+        out = batch.append_column("mean_value", mean)
+        cols = ["cell_id", "mean_value"] + (["count_value"] if output_count else [])
+        return out.select(cols)
+
+    out = agg.map_batches(finish, batch_format="pyarrow")
+    if cell_output_control.upper() == "OUTPUT_ALL":
+        from .highlevel import grid_cellids_for_extent
+        universe = grid_cellids_for_extent(dggs_type, resolution, **kw)
+        out = universe.join(out, join_type="left_outer", num_partitions=max(16, universe.num_blocks()),
+                            on=("cell_id",))
+    return out
+
+
+def salted_groupby_mean(ds: ray.data.Dataset, key_col: str, value_col: str,
+                        salt: int = 16) -> ray.data.Dataset:
+    """Two-phase salted aggregation: groupby (key, salt) then groupby key.
+
+    The explicit-salting pattern for hot keys when a within-batch combiner is
+    not applicable (kept as a first-class operator per the north rule)."""
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        s = np.arange(n, dtype=np.int64) % salt
+        return batch.append_column("_salt", pa.array(s))
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow")
+    phase1 = salted.groupby([key_col, "_salt"]).aggregate(
+        Sum(value_col, alias_name="psum"), Count(alias_name="pcount"))
+    phase2 = phase1.groupby(key_col).aggregate(
+        Sum("psum", alias_name="sum_value"), Sum("pcount", alias_name="count_value"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        mean = pa.array(np.asarray(batch["sum_value"]) / np.asarray(batch["count_value"]))
+        return batch.append_column("mean_value", mean).select([key_col, "mean_value", "count_value"])
+
+    return phase2.map_batches(finish, batch_format="pyarrow")
+
+
+def bin_point_presence(ds: ray.data.Dataset, dggs_type: str = "IGEO7", resolution: int = 9,
+                       class_col: str = "class_id", lon_col: str = "lon", lat_col: str = "lat",
+                       output_count: bool = True, output_num_classes: bool = True,
+                       concurrency: int | None = None, **kw) -> ray.data.Dataset:
+    """Per-cell class presence (reference BIN_POINT_PRESENCE,
+    dggrid_runner.py:1121-1202): distinct classes present per cell, their
+    count, and the total point count.
+
+    Combiner: within-batch distinct (cell, class) + counts, then a single
+    groupby(cell) with per-group merge."""
+    dggs = dgselect(dggs_type, resolution=resolution, **kw)
+    enc = ds.map_batches(CellEncoder(dggs, lon_col=lon_col, lat_col=lat_col),
+                         batch_format="pyarrow", concurrency=concurrency)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "cell_id": batch["cell_id"].to_numpy(zero_copy_only=False),
+            "cls": batch[class_col].to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["cell_id", "cls"], sort=False).size().reset_index(name="pcount")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    p = enc.map_batches(partial, batch_format="pyarrow")
+    agg = p.groupby(["cell_id", "cls"]).aggregate(Sum("pcount", alias_name="n"))
+
+    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cls")
+        out = {"cell_id": [g["cell_id"].iloc[0]],
+               "classes": [",".join(str(c) for c in g["cls"])]}
+        if output_num_classes:
+            out["num_classes"] = [len(g)]
+        if output_count:
+            out["count_value"] = [int(g["n"].sum())]
+        return pd.DataFrame(out)
+
+    return agg.groupby("cell_id").map_groups(per_cell, batch_format="pandas")
+
+
+def zonal_mean(ds: ray.data.Dataset, dggs_type: str = "IGEO7", resolution: int = 9,
+               value_col: str = "data", lon_col: str = "lon", lat_col: str = "lat",
+               drop_nodata: bool = True, **kw) -> ray.data.Dataset:
+    """Raster->vector zonal aggregation (reference pipeline: raster windows ->
+    pixel points -> BIN_POINT_VALS; igeo7_ext.py:357-408 + dggrid_runner.py:1025).
+    Nodata pixels (nulls) are dropped before encoding."""
+    if drop_nodata:
+        ds = ds.map_batches(lambda t: t.filter(t[value_col].combine_chunks().is_valid()
+                                               if isinstance(t[value_col], pa.ChunkedArray)
+                                               else t[value_col].is_valid()),
+                            batch_format="pyarrow")
+    return bin_point_vals(ds, dggs_type, resolution, value_col=value_col,
+                          lon_col=lon_col, lat_col=lat_col, **kw)

@@ -1,0 +1,151 @@
+"""Span-aware stages for the interleaved-documents table.
+
+The per-row invariant (driver input_hint / SURVEY.md §1.2): after any
+pipeline, the span sequence (kind, text, media_ref, order) of every doc_id is
+byte-equal to the input.  The default path therefore encodes geo spans
+**in place** — cell ids are emitted as an aligned side column
+``span_cell_ids: list<int64>`` (-1 for non-geo spans) without ever exploding
+media bytes through a shuffle.  An explode/reassemble pair is provided for
+pipelines that genuinely need span-level rows (and for invariant tests).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..config import Dggs, dgselect
+from ..dggs.igeo7 import INVALID_ID
+from ..stages.encode import make_grid
+
+
+def _spans_array(batch: pa.Table, col: str = "spans") -> pa.ListArray:
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr
+
+
+def _parse_lonlat(texts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    s = pd.Series(texts, dtype=object).str.split(" ", n=1, expand=True)
+    lon = pd.to_numeric(s[0], errors="coerce").to_numpy(dtype=np.float64)
+    lat = pd.to_numeric(s[1], errors="coerce").to_numpy(dtype=np.float64)
+    return lon, lat
+
+
+class SpanCellEncoder:
+    """map_batches actor: doc rows in -> doc rows out + span_cell_ids.
+
+    Never mutates `spans` (the invariant column); geo spans are parsed from
+    their "lon lat" text payload and encoded; non-geo spans get -1."""
+
+    def __init__(self, dggs: Dggs | None = None, resolution: int = 9,
+                 spans_col: str = "spans", out_col: str = "span_cell_ids"):
+        self.dggs = dggs or dgselect("IGEO7", resolution=resolution)
+        self.grid = make_grid(self.dggs)
+        self.grid._ensure_anchor_table()
+        self.spans_col = spans_col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        spans = _spans_array(batch, self.spans_col)
+        offsets = spans.offsets.to_numpy()
+        struct = spans.values.slice(offsets[0], offsets[-1] - offsets[0])
+        offsets = offsets - offsets[0]
+        kinds = struct.field("kind").to_numpy(zero_copy_only=False)
+        texts = struct.field("text").to_numpy(zero_copy_only=False)
+        cell = np.full(len(kinds), INVALID_ID, dtype=np.int64)
+        geo = kinds == "geo"
+        if geo.any():
+            lon, lat = _parse_lonlat(texts[geo])
+            ok = ~(np.isnan(lon) | np.isnan(lat))
+            z = np.full(geo.sum(), INVALID_ID, dtype=np.int64)
+            if ok.any():
+                z[ok] = self.grid.encode(lon[ok], lat[ok], self.dggs.resolution)
+            cell[geo] = z
+        out = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                       pa.array(cell, type=pa.int64()))
+        return batch.append_column(self.out_col, out)
+
+
+def explode_spans(ds: ray.data.Dataset, spans_col: str = "spans") -> ray.data.Dataset:
+    """Doc rows -> span rows (doc_id, span_idx, kind, text, media_ref, offset).
+
+    Projects media refs (strings), never media payloads, per SURVEY §7.4."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        spans = _spans_array(batch, spans_col)
+        offsets = spans.offsets.to_numpy()
+        struct = spans.values.slice(offsets[0], offsets[-1] - offsets[0])
+        offsets = offsets - offsets[0]
+        counts = np.diff(offsets)
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        doc_rep = np.repeat(doc, counts)
+        span_idx = (np.arange(len(struct), dtype=np.int64)
+                    - np.repeat(offsets[:-1], counts))
+        return pa.table({
+            "doc_id": pa.array(doc_rep, type=pa.string()),
+            "span_idx": pa.array(span_idx, type=pa.int32()),
+            "kind": struct.field("kind"),
+            "text": struct.field("text"),
+            "media_ref": struct.field("media_ref"),
+            "offset": struct.field("offset"),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def reassemble_spans(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Span rows -> doc rows, restoring the exact span order (groupby doc_id,
+    sort by span_idx).  The shuffle is keyed on doc_id (SURVEY §7.3)."""
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("span_idx")
+        spans = [{"kind": k, "text": t, "media_ref": m, "offset": int(o)}
+                 for k, t, m, o in zip(g["kind"], g["text"], g["media_ref"], g["offset"])]
+        return pd.DataFrame({"doc_id": [g["doc_id"].iloc[0]], "spans": [spans]})
+
+    return ds.groupby("doc_id").map_groups(rebuild, batch_format="pandas")
+
+
+def doc_cell_assignments(ds: ray.data.Dataset, resolution: int = 9,
+                         concurrency: int | None = None, **kw) -> ray.data.Dataset:
+    """THE flagship document pipeline (north star): every geometry-bearing
+    span of every document assigned to its grid cell, spans preserved
+    in place."""
+    dggs = dgselect(kw.pop("dggs_type", "IGEO7"), resolution=resolution, **kw)
+    return ds.map_batches(SpanCellEncoder(dggs), batch_format="pyarrow",
+                          concurrency=concurrency)
+
+
+def span_sequence_fingerprint(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-doc deterministic hash of the (kind, text, media_ref, order)
+    sequence — the invariant check column (cheap to compare before/after any
+    pipeline)."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        import hashlib
+        spans = _spans_array(batch)
+        offsets = spans.offsets.to_numpy()
+        struct = spans.values.slice(offsets[0], offsets[-1] - offsets[0])
+        offsets = offsets - offsets[0]
+        kinds = struct.field("kind").to_numpy(zero_copy_only=False)
+        texts = struct.field("text").to_numpy(zero_copy_only=False)
+        media = struct.field("media_ref").to_numpy(zero_copy_only=False)
+        out = []
+        for i in range(batch.num_rows):
+            h = hashlib.md5()
+            for j in range(offsets[i], offsets[i + 1]):
+                h.update(str(kinds[j]).encode())
+                h.update(b"\x00")
+                h.update(str(texts[j]).encode())
+                h.update(b"\x00")
+                h.update(str(media[j]).encode())
+                h.update(b"\x01")
+            out.append(h.hexdigest())
+        return pa.table({"doc_id": batch["doc_id"],
+                         "span_fp": pa.array(out, type=pa.string())})
+
+    return ds.map_batches(fp, batch_format="pyarrow")
