@@ -33,6 +33,20 @@ NOTE: ids are *not* bit-identical to the DGGRID binary's Z7 ids (the binary
 and its undocumented digit conventions are not available here); the layout,
 hierarchy algebra, cell-count law and topology are.  See tests/test_golden.py
 for the tracked deviations from the reference's golden literals.
+
+KNOWN LIMITATION (tracked for the projected-lattice redesign): the
+generative construction places pentagon ring children rigidly at 72-degree
+azimuths, so the five wedge sub-lattices around each pentagon meet at a
+12-degree orientation mismatch.  Cell POSITIONS in those seam bands drift
+from the ideal tiling by an absolute offset that is set at coarse levels —
+negligible relative to coarse cells (res <= ~4) but large relative to fine
+cells (at res 9, ~20% of random points land > 1 cell-spacing from their
+assigned center; p90 ~75 spacings inside seam bands).  Everything remains
+*self-consistent* (encode is exactly nearest-generated-center; decode,
+hierarchy, counts and round-trips are exact) — it is the *geometric
+regularity* of fine seam cells that is degraded.  The fix is to source
+positions from per-face Snyder-projected lattices (DGGRID's approach),
+which keeps this module's id algebra unchanged.
 """
 
 from __future__ import annotations
@@ -706,40 +720,189 @@ class IGeo7Grid:
 
     # -- topology ----------------------------------------------------------
 
-    def neighbors(self, z7: np.ndarray) -> np.ndarray:
-        """(n, 6) edge-neighbor ids (pentagon rows: 5 valid + -1).
+    MAX_NEIGHBORS = 12  # Voronoi edge count; hex 6, pentagon 5, seam cells up to ~8
 
-        Probe-encode at the 6 lattice-neighbor positions (distance d_r at
-        60-degree spacings in the cell frame).  Replaces the reference's
-        spatial self-join neighbor lookup (igeo7.py:125-162, igeo7_ext.py:103-156).
+    def _base_neighbors(self):
+        """(12, MAX_NEIGHBORS) res-0 adjacency (icosahedron edges, 5 each)."""
+        if getattr(self, "_base_nb", None) is None:
+            ids = (np.arange(12, dtype=np.uint64) << np.uint64(60)) | _PAD[0]
+            ids = ids.view(np.int64)
+            dots = self.base_centers @ self.base_centers.T
+            out = np.full((12, self.MAX_NEIGHBORS), INVALID_ID, dtype=np.int64)
+            for i in range(12):
+                nb = np.nonzero((dots[i] > 0.3) & (np.arange(12) != i))[0]
+                out[i, :len(nb)] = ids[nb]
+            self._base_nb = out
+        return self._base_nb
+
+    def local_voronoi(self, z7: np.ndarray):
+        """Exact Voronoi region of each cell: (neighbor_ids (n, MAX_NEIGHBORS)
+        INVALID_ID-padded, vertices (n, MAX_NEIGHBORS + 1, 2) NaN-padded
+        closed lon/lat rings).
+
+        Candidates = children of {parent} + neighbors(parent) (recursively
+        exact), clipped by vectorized half-plane intersection in the cell
+        tangent plane (see dggs/voronoi.py).  Correct and symmetric even in
+        pentagon-seam distorted zones.  Replaces the reference's spatial
+        self-join neighbor lookup (igeo7.py:125-162, igeo7_ext.py:103-156).
         """
+        from .voronoi import voronoi_cells, NO_LABEL
         z7 = np.asarray(z7, dtype=np.int64)
-        pos, ref, res_arr = self.decode_state(z7)
-        if z7.size == 0:
-            return np.zeros((0, 6), dtype=np.int64)
+        n = z7.shape[0]
+        M = self.MAX_NEIGHBORS
+        if n == 0:
+            return (np.full((0, M), INVALID_ID, dtype=np.int64), np.zeros((0, M + 1, 2)))
+        res_arr = z7_resolution(z7)
         res = int(res_arr[0])
         if not np.all(res_arr == res):
             raise ValueError("mixed resolutions in one neighbors batch")
-        pent = z7_is_pentagon(z7)
-        d = _D[res] if res > 0 else D0
+        if res == 0:
+            base = z7_base_cell(z7)
+            nb = self._base_neighbors()[base]
+            verts = self._verts_from_candidates(z7, nb)
+            return nb, verts
+        parents = z7_parent(z7)
+        uniq_par, inv = np.unique(parents, return_inverse=True)
+        par_nb, _ = self.local_voronoi(uniq_par)              # recursion
+        # ring-2 coarse cells too: in seam-distorted zones a Voronoi neighbor's
+        # parent can be two coarse hops away
+        flat_nb = par_nb.reshape(-1)
+        uniq_nb = np.unique(flat_nb[flat_nb != INVALID_ID])
+        extra = np.setdiff1d(uniq_nb, uniq_par, assume_unique=False)
+        M_ = self.MAX_NEIGHBORS
+        if len(extra):
+            ex_nb, _ = self.local_voronoi(extra)
+            lut = {int(v): ex_nb[i] for i, v in enumerate(extra)}
+            lut.update({int(v): par_nb[i] for i, v in enumerate(uniq_par)})
+            rows = []
+            for u in range(len(uniq_par)):
+                s = set()
+                for v in par_nb[u]:
+                    if v != INVALID_ID:
+                        s.add(int(v))
+                        for w in lut[int(v)]:
+                            if w != INVALID_ID:
+                                s.add(int(w))
+                s.discard(int(uniq_par[u]))
+                rows.append(np.fromiter(s, dtype=np.int64))
+            width = max(len(r) for r in rows)
+            ring12 = np.full((len(uniq_par), width), INVALID_ID, dtype=np.int64)
+            for u, r in enumerate(rows):
+                ring12[u, :len(r)] = r
+            coarse = np.concatenate([uniq_par[:, None], ring12], axis=1)
+        else:
+            coarse = np.concatenate([uniq_par[:, None], par_nb], axis=1)
+        # distance prefilter at the coarse level: only coarse cells within
+        # 3.2*d_{r-1} of the parent can own a Voronoi neighbor of the cell
+        ppos, _, _ = self.decode_state(uniq_par)
+        cflat = coarse.reshape(-1)
+        cok = cflat != INVALID_ID
+        cuniq, cuinv = np.unique(cflat[cok], return_inverse=True)
+        cup, _, _ = self.decode_state(cuniq)
+        cpos_coarse = np.zeros((cflat.shape[0], 3))
+        cpos_coarse[cok] = cup[cuinv]
+        cpos_coarse = cpos_coarse.reshape(coarse.shape + (3,))
+        dots = np.einsum("uwj,uj->uw", cpos_coarse, ppos)
+        dcoarse = _D[max(res - 1, 1)] if res > 1 else D0
+        near = (dots > np.cos(4.5 * dcoarse)) & (coarse != INVALID_ID)
+        keepw = int(near.sum(axis=1).max()) if near.size else 1
+        pruned = np.full((len(uniq_par), keepw), INVALID_ID, dtype=np.int64)
+        for u in range(len(uniq_par)):
+            vals = coarse[u][near[u]]
+            pruned[u, :len(vals)] = vals
+        coarse = pruned
+        flat_coarse = coarse.reshape(-1)
+        uc = np.unique(flat_coarse[flat_coarse != INVALID_ID])
+        ch = z7_children(uc)                                   # (K, 7)
+        # map: coarse id -> row in ch
+        order = np.argsort(uc)
+        def rows_of(ids):
+            pos = np.searchsorted(uc, ids, sorter=order)
+            pos = np.clip(pos, 0, len(uc) - 1)
+            r = order[pos]
+            r = np.where(uc[r] == ids, r, -1)
+            return r
+        crow = rows_of(np.where(coarse == INVALID_ID, uc[0], coarse))
+        crow = np.where(coarse == INVALID_ID, -1, crow)        # (U, 1+M)
+        cand_ids = np.where(crow[..., None] >= 0, ch[np.clip(crow, 0, None)], INVALID_ID)
+        cand_ids = cand_ids.reshape(len(uniq_par), -1)          # (U, (1+M)*7)
+        cand = cand_ids[inv]                                    # (n, C)
+        cand = np.where(cand == z7[:, None], INVALID_ID, cand)
+        nb, verts = self._voronoi_from_cand(z7, cand, res)
+        return nb, verts
+
+    def _voronoi_from_cand(self, z7, cand, res):
+        from .voronoi import voronoi_cells, NO_LABEL
         n = z7.shape[0]
-        out = np.full((n, 6), -1, dtype=np.int64)
-        step = np.where(pent, 72.0, 60.0)
-        cx = np.cross(pos, ref)
-        probes = np.zeros((n, 6, 3))
-        for k in range(6):
-            lam = np.deg2rad(step * k)
-            cl = np.cos(lam)[..., None]
-            sl = np.sin(lam)[..., None]
-            dirs = ref * cl + cx * sl
-            p, _ = geodesic_step(pos, dirs, d)
-            probes[:, k, :] = p
-        lon, lat = unit_to_lonlat(probes.reshape(-1, 3))
-        ids = self.encode(lon, lat, res).reshape(n, 6)
-        ids = np.where((np.arange(6)[None, :] == 5) & pent[:, None], -1, ids)
-        # drop accidental self-hits (possible in pentagon-distorted zones)
-        ids = np.where(ids == z7[:, None], -1, ids)
-        return ids
+        M = self.MAX_NEIGHBORS
+        d = _D[res] if res > 0 else D0
+        pos, ref, _ = self.decode_state(z7)
+        e2 = np.cross(pos, ref)
+        # decode unique candidate centers once
+        flat = cand.reshape(-1)
+        ok = flat != INVALID_ID
+        uniqc, cinv = np.unique(flat[ok], return_inverse=True)
+        up, _, _ = self.decode_state(uniqc)
+        cpos = np.zeros((flat.shape[0], 3))
+        cpos[ok] = up[cinv]
+        cpos = cpos.reshape(n, -1, 3)
+        valid = cand != INVALID_ID
+        # project into tangent plane (AEQD)
+        dotc = np.einsum("ncj,nj->nc", cpos, pos)
+        tx = np.einsum("ncj,nj->nc", cpos, ref)
+        ty = np.einsum("ncj,nj->nc", cpos, e2)
+        tn = np.sqrt(tx * tx + ty * ty)
+        ang = np.arctan2(tn, np.clip(dotc, -1, 1))
+        sc = np.where(tn > 1e-15, ang / np.where(tn > 1e-15, tn, 1.0), 0.0)
+        qx = np.where(valid, tx * sc, 1e9)
+        qy = np.where(valid, ty * sc, 1e9)
+        # drop candidates beyond Voronoi influence (> 3.5 d), keep nearest 32
+        far = (qx * qx + qy * qy) > (4.0 * d) ** 2
+        valid2 = valid & ~far
+        C = qx.shape[1]
+        if C > 48:
+            d2 = np.where(valid2, qx * qx + qy * qy, np.inf)
+            keep = np.argsort(d2, axis=1)[:, :48]
+            arr = np.arange(n)[:, None]
+            qx = qx[arr, keep]
+            qy = qy[arr, keep]
+            valid2 = valid2[arr, keep]
+            cand = cand[arr, keep]
+        verts2d, count, labels = voronoi_cells(qx, qy, valid2, span=1.5 * d)
+        # neighbors from surviving edge labels
+        nb = np.full((n, M), INVALID_ID, dtype=np.int64)
+        verts = np.full((n, M + 1, 2), np.nan)
+        ar = np.arange(n)
+        lab_ids = np.where(labels >= 0, cand[ar[:, None], np.clip(labels, 0, None)], INVALID_ID)
+        for i in range(n):
+            m = min(int(count[i]), M)
+            vs = verts2d[i, :m]
+            r = np.sqrt(vs[:, 0] ** 2 + vs[:, 1] ** 2)
+            ca = np.where(r > 1e-15, vs[:, 0] / np.where(r > 1e-15, r, 1), 1.0)
+            sa = np.where(r > 1e-15, vs[:, 1] / np.where(r > 1e-15, r, 1), 0.0)
+            dirv = ca[:, None] * ref[i] + sa[:, None] * e2[i]
+            pv = np.cos(r)[:, None] * pos[i] + np.sin(r)[:, None] * dirv
+            lo, la = unit_to_lonlat(pv)
+            verts[i, :m, 0] = lo
+            verts[i, :m, 1] = la
+            verts[i, m, 0] = lo[0]
+            verts[i, m, 1] = la[0]
+            ids = lab_ids[i, :m]
+            ids = np.unique(ids[ids != INVALID_ID])
+            nb[i, :min(len(ids), M)] = ids[:M]
+        return nb, verts
+
+    def _verts_from_candidates(self, z7, nb):
+        """Voronoi vertices for cells given an explicit neighbor candidate set
+        (res-0 path)."""
+        _, verts = self._voronoi_from_cand(z7, nb, int(z7_resolution(z7)[0]))
+        return verts
+
+    def neighbors(self, z7: np.ndarray) -> np.ndarray:
+        """(n, MAX_NEIGHBORS) edge-neighbor ids padded with INVALID_ID.
+        Hexagons have 6, pentagons 5; seam-distorted cells may have 7."""
+        nb, _ = self.local_voronoi(z7)
+        return nb
 
     def k_ring(self, z7: np.ndarray, k: int) -> list[np.ndarray]:
         """Per input id, all ids within k neighbor steps (incl. self)."""
@@ -763,60 +926,12 @@ class IGeo7Grid:
         return [np.array(sorted(r), dtype=np.int64) for r in rings]
 
     def boundary(self, z7: np.ndarray) -> np.ndarray:
-        """(n, 7, 2) lon/lat rings (6 vertices + closing copy; pentagons have
-        5 + closing copy and NaN in the unused slot).
+        """(n, MAX_NEIGHBORS + 1, 2) lon/lat closed rings (NaN-padded).
 
-        Vertices are the spherical Voronoi vertices: the point equidistant
-        from the cell center and two cyclically-adjacent neighbor centers.
+        Vertices are the exact local Voronoi vertices (see local_voronoi);
+        hexagons yield 6 + closing vertex, pentagons 5 + closing.
         """
-        z7 = np.asarray(z7, dtype=np.int64)
-        n = z7.shape[0]
-        pos, ref, res_arr = self.decode_state(z7)
-        nb = self.neighbors(z7)
-        pent = z7_is_pentagon(z7)
-        m = np.where(pent, 5, 6)
-        # decode all neighbor centers (vectorized); missing -> synthesize a
-        # pseudo-neighbor at lattice distance in the probe direction so the
-        # Voronoi vertex stays finite
-        flat = nb.reshape(-1)
-        ok = flat != INVALID_ID
-        centers = np.zeros((n * 6, 3))
-        if ok.any():
-            p, _, _ = self.decode_state(flat[ok])
-            centers[ok] = p
-        centers = centers.reshape(n, 6, 3)
-        if (~ok).any():
-            res = int(res_arr[0]) if res_arr.size else 0
-            d = _D[res] if res > 0 else D0
-            cx = np.cross(pos, ref)
-            step = np.where(pent, 72.0, 60.0)
-            for k in range(6):
-                miss = ~ok.reshape(n, 6)[:, k]
-                if miss.any():
-                    lam = np.deg2rad(step[miss] * k)
-                    dirs = ref[miss] * np.cos(lam)[:, None] + cx[miss] * np.sin(lam)[:, None]
-                    pm, _ = geodesic_step(pos[miss], dirs, d)
-                    centers[miss, k, :] = pm
-        # vertex k = spherical circumcenter of (cell, nb_k, nb_{(k+1) mod m})
-        idx_next = (np.arange(6)[None, :] + 1) % m[:, None]
-        b = centers
-        c = np.take_along_axis(centers, idx_next[..., None], axis=1)
-        a = pos[:, None, :]
-        u = np.cross(b - a, c - a)
-        norm = np.sqrt(np.sum(u * u, axis=-1, keepdims=True))
-        degen = norm[..., 0] < 1e-15
-        u = np.where(degen[..., None], a + b + c, u / np.where(norm == 0, 1.0, norm))
-        sign = np.sum(u * a, axis=-1, keepdims=True)
-        u = np.where(sign < 0, -u, u)
-        u = u / np.sqrt(np.sum(u * u, axis=-1, keepdims=True))
-        lons, lats = unit_to_lonlat(u)
-        verts = np.full((n, 7, 2), np.nan)
-        valid = np.arange(6)[None, :] < m[:, None]
-        verts[:, :6, 0] = np.where(valid, lons, np.nan)
-        verts[:, :6, 1] = np.where(valid, lats, np.nan)
-        ar = np.arange(n)
-        verts[ar, m, 0] = verts[ar, 0, 0]
-        verts[ar, m, 1] = verts[ar, 0, 1]
+        _, verts = self.local_voronoi(np.asarray(z7, dtype=np.int64))
         return verts
 
     def cell_spacing_rad(self, res: int) -> float:

@@ -1,0 +1,142 @@
+"""Similarity search over an embedding column (list<float>).
+
+* brute_force_topk — exact cosine top-k: the query matrix is broadcast once
+  via ray.put and every batch does one numpy matmul; a final small top-k
+  merge on the driver.  The baseline path.
+* ivf_topk — IVF-style scale path: k-means-ish centroids (sampled, trained
+  driver-side once), vectors bucketed by nearest centroid (groupby), queries
+  probe only the closest nprobe buckets.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _emb_matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
+    arr = batch[emb_col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = np.asarray(arr.flatten(), dtype=np.float32)
+    n = batch.num_rows
+    return flat.reshape(n, len(flat) // max(n, 1))
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(n == 0, 1.0, n)
+
+
+class BatchScorer:
+    """map_batches actor: per-batch top-k cosine scores against the broadcast
+    query matrix (ray.put once, NOT re-shipped per batch)."""
+
+    def __init__(self, queries_ref, k: int, emb_col: str, id_col: str):
+        self.q = _normalize(np.asarray(ray.get(queries_ref), dtype=np.float32))
+        self.k = k
+        self.emb_col = emb_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _normalize(_emb_matrix(batch, self.emb_col))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        sims = emb @ self.q.T                                  # (n, Q)
+        k = min(self.k, sims.shape[0])
+        top = np.argpartition(-sims, k - 1, axis=0)[:k]        # (k, Q)
+        Q = sims.shape[1]
+        qidx = np.repeat(np.arange(Q, dtype=np.int64), k)
+        vid = ids[top.T.reshape(-1)]
+        sc = sims[top.T.reshape(-1), qidx]
+        return pa.table({"query_idx": pa.array(qidx), self.id_col: pa.array(vid),
+                         "cosine": pa.array(sc.astype(np.float64))})
+
+
+def brute_force_topk(ds: ray.data.Dataset, queries: np.ndarray, k: int = 10,
+                     emb_col: str = "embedding", id_col: str = "vec_id",
+                     concurrency: int | None = None) -> pa.Table:
+    """Exact cosine top-k for each query row; result is a small
+    (num_queries*k) Arrow table sorted by (query_idx, -cosine, id)."""
+    qref = ray.put(np.asarray(queries, dtype=np.float32))
+    partial = ds.map_batches(BatchScorer, fn_constructor_args=(qref, k, emb_col, id_col),
+                             batch_format="pyarrow", concurrency=concurrency or 4)
+    # merge partial top-ks (small) on the driver
+    df = partial.to_pandas()
+    out = {"query_idx": [], id_col: [], "cosine": [], "rank": []}
+    for qi, g in df.groupby("query_idx"):
+        g = g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
+        out["query_idx"].extend([qi] * len(g))
+        out[id_col].extend(g[id_col].tolist())
+        out["cosine"].extend(g["cosine"].tolist())
+        out["rank"].extend(range(1, len(g) + 1))
+    return pa.table({k2: pa.array(v) for k2, v in out.items()})
+
+
+def train_centroids(ds: ray.data.Dataset, n_centroids: int = 64,
+                    emb_col: str = "embedding", sample: int = 4096,
+                    iters: int = 8, seed: int = 0) -> np.ndarray:
+    """Mini k-means on a driver-side sample (the IVF coarse quantizer)."""
+    samp = ds.limit(sample).to_pandas()
+    X = _normalize(np.stack([np.asarray(v, dtype=np.float32) for v in samp[emb_col]]))
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                v = X[m].mean(axis=0)
+                C[c] = v / max(np.linalg.norm(v), 1e-9)
+    return C
+
+
+def ivf_topk(ds: ray.data.Dataset, queries: np.ndarray, k: int = 10,
+             n_centroids: int = 64, nprobe: int = 8,
+             emb_col: str = "embedding", id_col: str = "vec_id") -> pa.Table:
+    """IVF approximate top-k: assign vectors to coarse centroids, score only
+    batches' vectors belonging to the nprobe closest centroids per query."""
+    C = train_centroids(ds, n_centroids, emb_col)
+    cref = ray.put(C)
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    probe = np.argsort(-(q @ C.T), axis=1)[:, :nprobe]          # (Q, nprobe)
+    probe_sets = [set(p.tolist()) for p in probe]
+    qref = ray.put(q)
+    pref = ray.put(probe_sets)
+
+    class Scorer:
+        def __init__(self):
+            self.C = ray.get(cref)
+            self.q = ray.get(qref)
+            self.probe = ray.get(pref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = _normalize(_emb_matrix(batch, emb_col))
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            assign = np.argmax(emb @ self.C.T, axis=1)
+            rows = {"query_idx": [], id_col: [], "cosine": []}
+            for qi, pset in enumerate(self.probe):
+                m = np.isin(assign, list(pset))
+                if not m.any():
+                    continue
+                sims = emb[m] @ self.q[qi]
+                kk = min(k, len(sims))
+                top = np.argpartition(-sims, kk - 1)[:kk]
+                rows["query_idx"].extend([qi] * kk)
+                rows[id_col].extend(ids[m][top].tolist())
+                rows["cosine"].extend(sims[top].astype(np.float64).tolist())
+            return pa.table({c: pa.array(v) for c, v in rows.items()})
+
+    partial = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=4)
+    df = partial.to_pandas()
+    out = {"query_idx": [], id_col: [], "cosine": [], "rank": []}
+    for qi, g in df.groupby("query_idx"):
+        g = g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
+        out["query_idx"].extend([int(qi)] * len(g))
+        out[id_col].extend(g[id_col].tolist())
+        out["cosine"].extend(g["cosine"].tolist())
+        out["rank"].extend(range(1, len(g) + 1))
+    return pa.table({k2: pa.array(v) for k2, v in out.items()})

@@ -1,0 +1,140 @@
+"""Ray Data pipelines: polyfill, from_cellids, flagship encode, binning,
+spans invariants."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from dggrid4py_ray.dggs import igeo7 as ig
+
+
+def test_polyfill_whole_earth(ray_session):
+    from dggrid4py_ray.pipelines import highlevel as hl
+    for res in [2, 4]:
+        ds = hl.grid_cellids_for_extent("IGEO7", res)
+        assert ds.count() == ig.num_cells(res)
+
+
+def test_polyfill_clip_box(ray_session, grid):
+    from dggrid4py_ray.pipelines import highlevel as hl
+    from dggrid4py_ray.geometry import box
+    bbox = (27.2, 57.5, 29.3, 59.2)  # reference conformance box
+    ds = hl.grid_cellids_for_extent("IGEO7", 5, clip_bbox=bbox)
+    ids = ds.to_pandas()["cell_id"].to_numpy()
+    assert len(ids) == len(np.unique(ids)) > 0
+    # every kept cell intersects; every dropped neighbor does not contain box pts
+    verts = grid.boundary(ids)
+    ps = box(*bbox)
+    for i in range(len(ids)):
+        ring = verts[i][~np.isnan(verts[i, :, 0])]
+        assert ps.intersects_ring(ring)
+    # completeness: encode a grid of probe points inside the box; all their
+    # cells must be in the result
+    gx, gy = np.meshgrid(np.linspace(27.21, 29.29, 25), np.linspace(57.51, 59.19, 25))
+    probe = grid.encode(gx.ravel(), gy.ravel(), 5)
+    assert set(np.unique(probe)) <= set(ids.tolist())
+
+
+def test_polygons_for_extent(ray_session):
+    from dggrid4py_ray.pipelines import highlevel as hl
+    from dggrid4py_ray.geometry import parse_wkb
+    df = hl.grid_cell_polygons_for_extent("IGEO7", 4, clip_bbox=(0, 0, 10, 10)).to_pandas()
+    assert {"cell_id", "geometry"} <= set(df.columns)
+    t, rings = parse_wkb(df["geometry"].iloc[0])
+    assert t == "Polygon" and len(rings[0]) in (6, 7)
+
+
+def test_coarse_cells_expansion(ray_session):
+    from dggrid4py_ray.pipelines import highlevel as hl
+    # children expansion (reference COARSE_CELLS mode, dggrid_runner.py:1547-1561)
+    seed = ig.seqnum_to_z7(np.array([1, 100], dtype=np.int64), 1)
+    ds = hl.grid_cell_centroids_from_cellids(seed, "IGEO7", resolution=3,
+                                             clip_subset_type="COARSE_CELLS",
+                                             clip_cell_res=1)
+    df = ds.to_pandas()
+    pent = ig.z7_is_pentagon(seed)
+    expect = sum((ig._p_sizes(2)[2] if p else 49) for p in pent)
+    assert len(df) == expect
+    par = ig.z7_parent(df["cell_id"].to_numpy(), 2)
+    assert set(np.unique(par)) == set(seed.tolist())
+
+
+def test_cells_for_geo_points_preserves_columns(ray_session):
+    import ray.data
+    from dggrid4py_ray.pipelines import highlevel as hl
+    tbl = pa.table({"lon": [20.5, 21.0], "lat": [57.5, 58.0],
+                    "name": ["A", "B"], "val": [1.5, 2.5]})
+    out = hl.cells_for_geo_points(ray.data.from_arrow(tbl), dggs_type="ISEA7H",
+                                  resolution=5, output_address_type="SEQNUM").to_pandas()
+    assert list(out["name"]) == ["A", "B"] and list(out["val"]) == [1.5, 2.5]
+    assert out["seqnum"].between(1, ig.num_cells(5)).all()
+
+
+def test_address_transform_table(ray_session):
+    from dggrid4py_ray.pipelines.highlevel import address_transform
+    t = address_transform([1, 2, 3432], "IGEO7", resolution=3,
+                          input_address_type="SEQNUM", output_address_type="Z7_STRING")
+    df = t.to_pandas()
+    assert list(df.columns) == ["seqnum", "z7_string"]
+    assert df["z7_string"].str.len().eq(5).all()
+
+
+def test_bin_point_vals_vs_pandas(ray_session, grid):
+    import ray.data
+    from dggrid4py_ray.pipelines import binning as bn
+    rng = np.random.default_rng(3)
+    n = 5000
+    lon = rng.uniform(-30, 30, n)
+    lat = rng.uniform(-20, 20, n)
+    val = rng.normal(10, 2, n)
+    ds = ray.data.from_arrow(pa.table({"lon": lon, "lat": lat, "value": val}))
+    got = bn.bin_point_vals(ds, resolution=4, value_col="value").to_pandas() \
+        .sort_values("cell_id").reset_index(drop=True)
+    import pandas as pd
+    cells = grid.encode(lon, lat, 4)
+    exp = pd.DataFrame({"cell_id": cells, "value": val}).groupby("cell_id") \
+        .agg(mean_value=("value", "mean"), count_value=("value", "size")) \
+        .reset_index().sort_values("cell_id").reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert np.allclose(got["mean_value"], exp["mean_value"])
+    assert (got["count_value"].to_numpy() == exp["count_value"].to_numpy()).all()
+
+
+def test_presence_binning(ray_session):
+    import ray.data
+    from dggrid4py_ray.pipelines import binning as bn
+    # two classes at the same location + one far away
+    tbl = pa.table({"lon": [10.0, 10.0, 10.001, -120.0], "lat": [50.0, 50.0, 50.0, 0.0],
+                    "class_id": ["a", "b", "a", "c"]})
+    df = bn.bin_point_presence(ray.data.from_arrow(tbl), resolution=3).to_pandas()
+    df = df.sort_values("count_value", ascending=False).reset_index(drop=True)
+    assert len(df) == 2
+    assert df.loc[0, "classes"] == "a,b" and df.loc[0, "num_classes"] == 2
+    assert df.loc[0, "count_value"] == 3
+
+
+def test_span_invariant_and_cells(ray_session):
+    from dggrid4py_ray.sources.spans_table import spans_dataset
+    from dggrid4py_ray.stages import spans as sp
+    ds = spans_dataset(300, batch_rows=100)
+    enc = sp.doc_cell_assignments(ds, resolution=6)
+    before = sp.span_sequence_fingerprint(ds).to_pandas().set_index("doc_id")["span_fp"]
+    after = sp.span_sequence_fingerprint(enc.drop_columns(["span_cell_ids"])) \
+        .to_pandas().set_index("doc_id")["span_fp"]
+    assert before.sort_index().equals(after.sort_index())
+    row = enc.take(1)[0]
+    kinds = [s["kind"] for s in row["spans"]]
+    cells = row["span_cell_ids"]
+    assert len(kinds) == len(cells)
+    for k, c in zip(kinds, cells):
+        assert (c != ig.INVALID_ID) == (k == "geo")
+
+
+def test_explode_reassemble_roundtrip(ray_session):
+    from dggrid4py_ray.sources.spans_table import spans_dataset
+    from dggrid4py_ray.stages import spans as sp
+    ds = spans_dataset(120, batch_rows=40)
+    fp0 = sp.span_sequence_fingerprint(ds).to_pandas().set_index("doc_id")["span_fp"]
+    re = sp.reassemble_spans(sp.explode_spans(ds))
+    fp1 = sp.span_sequence_fingerprint(re).to_pandas().set_index("doc_id")["span_fp"]
+    assert fp0.sort_index().equals(fp1.sort_index())
