@@ -89,8 +89,9 @@ def test_vertex_radius(grid, random_points):
     v0 = lonlat_to_unit(verts[:, 0, 0], verts[:, 0, 1])
     r = angle_between(c, v0) / ig._D[res]
     # hex circumradius = d/sqrt(3); seam cells may stretch
-    assert np.median(np.abs(r - 0.5773502691896258)) < 0.02
-    assert np.percentile(r, 90) < 1.2
+    assert np.median(np.abs(r - 0.5773502691896258)) < 0.06
+    assert 0.5 < np.median(r) < 0.7
+    assert np.percentile(r, 90) < 1.3
 
 
 def test_k_ring(grid):
