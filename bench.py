@@ -1,0 +1,183 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1)
+under ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS, default 32) and
+prints ONE JSON line:
+  {"metric": "cell_assignments_per_sec", "value": N, "unit": "sec",
+   "queries": {...per-pipeline seconds...}, "sf": ..., "num_cpus": N}
+
+--scaling: runs the flagship twice in fresh subprocesses (num_cpus=8 and 32)
+on identical input and reports throughputs + scaling efficiency
+(the sandbox stand-in for the N vs 4N cluster-size criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# flagship scale: number of synthetic interleaved documents (~3.5 spans each,
+# ~45% geo spans)
+N_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "300000"))
+RES = 9
+
+
+def _init_ray(num_cpus: int):
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    import ray.data
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    return ray
+
+
+def bench_flagship(num_cpus: int) -> dict:
+    """North-star pipeline: interleaved docs -> per-span IGEO7 res-9 cell
+    assignment -> per-cell counts (combiner + groupby).  Returns timings and
+    cell-assignments/sec."""
+    import numpy as np
+    import pyarrow as pa
+    from dggrid4py_ray.sources.spans_table import spans_dataset
+    from dggrid4py_ray.stages.spans import doc_cell_assignments
+
+    blocks = max(64, num_cpus * 8)
+    t0 = time.time()
+    ds = spans_dataset(N_DOCS, batch_rows=max(1000, N_DOCS // blocks),
+                       override_num_blocks=blocks)
+    out = doc_cell_assignments(ds, resolution=RES)
+
+    def count_geo(t: pa.Table) -> pa.Table:
+        arr = t["span_cell_ids"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        vals = np.asarray(arr.flatten())
+        return pa.table({"n": pa.array([int((vals != -1).sum())], type=pa.int64())})
+
+    total_assignments = sum(b["n"][0].as_py() for b in
+                            out.map_batches(count_geo, batch_format="pyarrow")
+                               .iter_batches(batch_format="pyarrow"))
+    dt = time.time() - t0
+    return {"seconds": dt, "assignments": int(total_assignments),
+            "assignments_per_sec": total_assignments / dt}
+
+
+def bench_binning(sf_dir: str) -> float:
+    """events -> derived coords -> IGEO7 res-9 encode -> per-cell mean/count."""
+    from dggrid4py_ray.pipelines.queries import igeo7_encode_events
+    t0 = time.time()
+    ds = igeo7_encode_events(sf_dir)
+    ds.count()
+    return time.time() - t0
+
+
+def bench_polyfill() -> float:
+    from dggrid4py_ray.pipelines.highlevel import grid_cellids_for_extent
+    t0 = time.time()
+    n = grid_cellids_for_extent("IGEO7", 5).count()
+    assert n == 10 * 7**5 + 2, n
+    return time.time() - t0
+
+
+def bench_zonal() -> float:
+    from dggrid4py_ray.pipelines.queries import zonal_synthetic
+    t0 = time.time()
+    zonal_synthetic(SF_DIR).count()
+    return time.time() - t0
+
+
+def bench_dedup(sf_dir: str) -> float:
+    from dggrid4py_ray.stages.dedup import minhash_lsh_dedup
+    import ray.data
+    t0 = time.time()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    minhash_lsh_dedup(ds, num_perm=32, bands=8, threshold=0.5).count()
+    return time.time() - t0
+
+
+def bench_ann(sf_dir: str) -> float:
+    import numpy as np
+    import ray.data
+    from dggrid4py_ray.stages.ann import brute_force_topk
+    t0 = time.time()
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    first = ds.take_batch(4, batch_format="pandas")
+    q = np.stack([np.asarray(v, dtype=np.float32) for v in first["embedding"]])
+    brute_force_topk(ds, q, k=10)
+    return time.time() - t0
+
+
+def run_all() -> dict:
+    _init_ray(NUM_CPUS)
+    queries = {}
+    flag = bench_flagship(NUM_CPUS)
+    queries["flagship_span_encode"] = round(flag["seconds"], 3)
+    queries["binning_res9"] = round(bench_binning(SF_DIR), 3)
+    queries["polyfill_res5"] = round(bench_polyfill(), 3)
+    queries["zonal_synthetic"] = round(bench_zonal(), 3)
+    queries["minhash_dedup"] = round(bench_dedup(SF_DIR), 3)
+    queries["ann_topk"] = round(bench_ann(SF_DIR), 3)
+    return {
+        "metric": "cell_assignments_per_sec",
+        "value": round(flag["assignments_per_sec"], 1),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "flagship_assignments": flag["assignments"],
+    }
+
+
+def run_single_flagship() -> dict:
+    _init_ray(NUM_CPUS)
+    return bench_flagship(NUM_CPUS)
+
+
+def run_scaling() -> dict:
+    """Same flagship job at two parallelism levels in fresh processes
+    (N=8 vs 4N=32 CPUs) on identical deterministic input."""
+    results = {}
+    for n in (8, 32):
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(n)
+        env["GRAFT_SF_DIR"] = SF_DIR
+        out = subprocess.run([sys.executable, os.path.abspath(__file__), "--single"],
+                             capture_output=True, text=True, env=env, timeout=3600)
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[n] = json.loads(line)
+    t8 = results[8]["assignments_per_sec"]
+    t32 = results[32]["assignments_per_sec"]
+    eff = (t32 / t8) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {"assignments_per_sec_cpus8": round(t8, 1),
+                    "assignments_per_sec_cpus32": round(t32, 1)},
+        "sf": SF_DIR,
+        "num_cpus": 32,
+    }
+
+
+if __name__ == "__main__":
+    import ray
+    try:
+        if "--scaling" in sys.argv:
+            print(json.dumps(run_scaling()))
+        elif "--single" in sys.argv:
+            r = run_single_flagship()
+            print(json.dumps(r))
+        else:
+            print(json.dumps(run_all()))
+    finally:
+        if ray.is_initialized():
+            ray.shutdown()

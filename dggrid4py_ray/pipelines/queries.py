@@ -1,0 +1,527 @@
+"""Driver-contract query suite: every entry has a Ray Data implementation
+here and (where SQL-expressible) a DuckDB oracle in ``oracle_sql()``.
+
+Column names match the oracle exactly; float aggregates are rounded on both
+sides to dodge summation-order ulps.  Grid queries that the oracle cannot
+compute (IGEO7 cell ids) use closed-form oracles over ``range()`` where the
+engine's algebra admits one (polyfill counts, children counts, codec
+round-trips) and rows-only checks otherwise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..dggs import igeo7 as ig
+
+ROUND = 4
+
+
+def _iscale(arr, scale: int):
+    """Exact cross-engine float compare: round(x*scale) as int64 (matches
+    DuckDB CAST(ROUND(x*scale) AS BIGINT) except for astronomically unlikely
+    exact .5 ties)."""
+    import pyarrow as _pa
+    vals = np.asarray(arr, dtype=np.float64)
+    return _pa.array(np.round(vals * scale).astype(np.int64))
+
+
+def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# relational
+# ---------------------------------------------------------------------------
+
+def q1_pricing(sf_dir: str):
+    """TPC-H Q1-style pricing summary over lineitem."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity",
+                                    "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        t = t.append_column("rev", rev)
+        df = t.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sum_qty=("l_quantity", "sum"), sum_rev=("rev", "sum"),
+            sum_disc=("l_discount", "sum"), n=("l_quantity", "size")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["l_returnflag", "l_linestatus"])
+             .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                        Sum("sum_rev", alias_name="sum_rev"),
+                        Sum("sum_disc", alias_name="sum_disc"),
+                        Sum("n", alias_name="n")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"], "l_linestatus": t["l_linestatus"],
+            "sum_qty": _iscale(t["sum_qty"], 10000),
+            "sum_revenue": _iscale(t["sum_rev"], 10000),
+            "avg_disc": _iscale(pc.divide(t["sum_disc"], pc.cast(t["n"], pa.float64())), 1000000),
+            "n": t["n"],
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q3_top_revenue(sf_dir: str):
+    """Top-10 orders by lineitem revenue (combiner + groupby + sort/limit)."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        df = pd.DataFrame({"l_orderkey": t["l_orderkey"].to_numpy(),
+                           "rev": rev.to_numpy(zero_copy_only=False)})
+        g = df.groupby("l_orderkey", sort=False)["rev"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("l_orderkey").aggregate(Sum("rev", alias_name="revenue")))
+    top = agg.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
+    return top.map_batches(
+        lambda t: pa.table({"l_orderkey": t["l_orderkey"],
+                            "revenue": _iscale(t["revenue"], 10000)}),
+        batch_format="pyarrow")
+
+
+def q5_nation_revenue(sf_dir: str):
+    """Revenue per nation via broadcast small-dim lookups (no big shuffle join):
+    customer/nation are read driver-side (small), broadcast into map_batches."""
+    import ray
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
+    cust_map = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    nat_map = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    order_to_nation = {ok: nat_map[cust_map[ck]] for ok, ck in
+                       zip(orders["o_orderkey"], orders["o_custkey"])}
+    ref = ray.put(order_to_nation)
+
+    class Joiner:
+        def __init__(self):
+            self.map = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            rev = pc.multiply(t["l_extendedprice"],
+                              pc.subtract(pa.scalar(1.0), t["l_discount"])).to_numpy(zero_copy_only=False)
+            ok = t["l_orderkey"].to_numpy()
+            names = np.array([self.map[k] for k in ok], dtype=object)
+            df = pd.DataFrame({"n_name": names, "rev": rev})
+            g = df.groupby("n_name", sort=False)["rev"].sum().reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    agg = (ds.map_batches(Joiner, batch_format="pyarrow", concurrency=2)
+             .groupby("n_name").aggregate(Sum("rev", alias_name="revenue")))
+    return agg.map_batches(
+        lambda t: pa.table({"n_name": t["n_name"],
+                            "revenue": _iscale(t["revenue"], 10000)}),
+        batch_format="pyarrow")
+
+
+def events_daily(sf_dir: str):
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        df = pd.DataFrame({"day": day.to_pandas(), "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                           "value": t["value"].to_numpy()})
+        g = df.groupby(["day", "event_type"], sort=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["day", "event_type"])
+             .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sv")))
+    return agg.map_batches(
+        lambda t: pa.table({"day": t["day"], "event_type": t["event_type"], "n": t["n"],
+                            "sum_value": _iscale(t["sv"], 10000)}),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# grid: SQL-checkable via integer-derived coordinates / closed forms
+# ---------------------------------------------------------------------------
+
+def latlon_bin_events(sf_dir: str):
+    """Deterministic integer-derived coords -> 1-degree grid binning with a
+    within-batch combiner (the bin_point_vals dataflow with a SQL-expressible
+    cell function)."""
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        lon_centi = (eid * 7919) % 36000
+        lat_centi = (eid * 104729) % 18000
+        cell = (lat_centi // 100) * 360 + (lon_centi // 100)
+        df = pd.DataFrame({"cell": cell, "value": t["value"].to_numpy()})
+        g = df.groupby("cell", sort=False).agg(psum=("value", "sum"),
+                                               pcount=("value", "size")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("cell").aggregate(Sum("psum", alias_name="s"),
+                                        Sum("pcount", alias_name="n_points")))
+    return agg.map_batches(
+        lambda t: pa.table({"cell": t["cell"], "n_points": t["n_points"],
+                            "avg_value": _iscale(pc.divide(t["s"],
+                                                           pc.cast(t["n_points"], pa.float64())),
+                                                 1000000)}),
+        batch_format="pyarrow")
+
+
+def presence_latlon_events(sf_dir: str):
+    """BIN_POINT_PRESENCE dataflow on the 1-degree grid: distinct event
+    types per cell + counts (SQL-checkable)."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        lon_centi = (eid * 7919) % 36000
+        lat_centi = (eid * 104729) % 18000
+        cell = (lat_centi // 100) * 360 + (lon_centi // 100)
+        df = pd.DataFrame({"cell": cell,
+                           "event_type": t["event_type"].to_numpy(zero_copy_only=False)})
+        g = df.groupby(["cell", "event_type"], sort=False).size().reset_index(name="pc")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["cell", "event_type"]).aggregate(Sum("pc", alias_name="n")))
+
+    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_type")
+        return pd.DataFrame({"cell": [g["cell"].iloc[0]],
+                             "classes": [",".join(g["event_type"])],
+                             "num_classes": [len(g)],
+                             "n_points": [int(g["n"].sum())]})
+
+    return agg.groupby("cell").map_groups(per_cell, batch_format="pandas")
+
+
+def zonal_synthetic(sf_dir: str):
+    """Raster zonal mean over a deterministic synthetic pixel grid with a
+    nodata mask (the raster->points->bin pipeline; SQL-checkable via range())."""
+    n = 120_000
+    ds = ray.data.range(n, override_num_blocks=16)
+
+    def pix(t: pa.Table) -> pa.Table:
+        i = t["id"].to_numpy()
+        lon_centi = (i % 400) * 5 + 1000
+        lat_centi = (i // 400) * 5 + 3000
+        value = ((i * 7919) % 10000).astype(np.float64) / 100.0
+        nodata = (i * 31) % 17 == 0
+        cell = (lat_centi // 100) * 360 + lon_centi // 100
+        df = pd.DataFrame({"cell": cell[~nodata], "value": value[~nodata]})
+        g = df.groupby("cell", sort=False).agg(psum=("value", "sum"),
+                                               pcount=("value", "size")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(pix, batch_format="pyarrow")
+             .groupby("cell").aggregate(Sum("psum", alias_name="s"),
+                                        Sum("pcount", alias_name="n_pixels")))
+    return agg.map_batches(
+        lambda t: pa.table({"cell": t["cell"], "n_pixels": t["n_pixels"],
+                            "mean_value": _iscale(pc.divide(t["s"],
+                                                            pc.cast(t["n_pixels"], pa.float64())),
+                                                  1000000)}),
+        batch_format="pyarrow")
+
+
+def polyfill_whole_earth(sf_dir: str):
+    """Whole-earth polyfill at res 3 -> SEQNUM ids; oracle = range(1, 3433).
+    End-to-end check of the descent generator + seqnum codec."""
+    from .highlevel import grid_cellids_for_extent
+    ds = grid_cellids_for_extent("IGEO7", 3, output_address_type="SEQNUM")
+    return ds.map_batches(lambda t: pa.table({"seqnum": t["seqnum"]}),
+                          batch_format="pyarrow")
+
+
+def children_counts(sf_dir: str):
+    """Children counts of every res-2 cell (pentagon 6, hexagon 7);
+    closed-form oracle via p(2)=41."""
+    n = ig.num_cells(2)
+    ds = ray.data.range(n, override_num_blocks=4)
+
+    def kids(t: pa.Table) -> pa.Table:
+        seq = t["id"].to_numpy() + 1
+        z = ig.seqnum_to_z7(seq, 2)
+        ch = ig.z7_children(z)
+        cnt = (ch != ig.INVALID_ID).sum(axis=1)
+        return pa.table({"seqnum": pa.array(seq, type=pa.int64()),
+                         "n_children": pa.array(cnt, type=pa.int64())})
+
+    return ds.map_batches(kids, batch_format="pyarrow")
+
+
+def codec_roundtrip(sf_dir: str):
+    """SEQNUM -> Z7 -> Z7_STRING -> Z7_HEX -> Q2DI -> SEQNUM identity at
+    res 3 (oracle = range); also emits the string-derived resolution."""
+    from ..dggs.codecs import AddressCodec
+    from ..stages.encode import make_grid
+    from ..config import dgselect
+    n = ig.num_cells(3)
+    ds = ray.data.range(n, override_num_blocks=4)
+    dggs = dgselect("IGEO7", resolution=3)
+
+    class RT:
+        def __init__(self):
+            self.codec = AddressCodec(make_grid(dggs), 3)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            seq = t["id"].to_numpy() + 1
+            c = self.codec
+            z = c.parse(seq, "SEQNUM")
+            s = c.emit(z, "Z7_STRING")
+            z2 = c.parse(s, "Z7_STRING")
+            h = c.emit(z2, "Z7_HEX")
+            z3 = c.parse(h, "Z7_HEX")
+            q, i, j = c.emit(z3, "Q2DI")
+            z4 = c.parse((q, i, j), "Q2DI")
+            back = c.emit(z4, "SEQNUM")
+            res = np.array([len(x) - 2 for x in s], dtype=np.int64)
+            return pa.table({"seqnum": pa.array(back, type=pa.int64()),
+                             "str_res": pa.array(res, type=pa.int64())})
+
+    return ds.map_batches(RT, batch_format="pyarrow", concurrency=2)
+
+
+# ---------------------------------------------------------------------------
+# training-data operators
+# ---------------------------------------------------------------------------
+
+def dedup_exact_docs(sf_dir: str):
+    from ..stages.dedup import exact_dedup
+    return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
+                       text_col="text", id_col="doc_id")
+
+
+def text_stats_by_lang(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_numpy(zero_copy_only=False)
+        chars = np.fromiter((len(x) for x in texts), dtype=np.int64, count=len(texts))
+        spaces = np.fromiter((x.count(" ") for x in texts), dtype=np.int64, count=len(texts))
+        df = pd.DataFrame({"lang": t["lang"].to_numpy(zero_copy_only=False),
+                           "chars": chars, "spaces": spaces})
+        g = df.groupby("lang", sort=False).agg(n_docs=("chars", "size"),
+                                               sum_chars=("chars", "sum"),
+                                               sum_spaces=("spaces", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("lang").aggregate(Sum("n_docs", alias_name="n_docs"),
+                                         Sum("sum_chars", alias_name="sum_chars"),
+                                         Sum("sum_spaces", alias_name="sum_spaces")))
+
+
+def ann_top10(sf_dir: str):
+    """Brute-force cosine top-10 vs the vec_id=0 embedding (float64 math to
+    match the DuckDB oracle)."""
+    import ray
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = None
+    for b in ds.iter_batches(batch_size=1024, batch_format="pyarrow"):
+        ids = b["vec_id"].to_numpy()
+        hit = np.nonzero(ids == 0)[0]
+        if len(hit):
+            arr = b["embedding"]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            flat = np.asarray(arr.flatten(), dtype=np.float64)
+            dim = len(flat) // b.num_rows
+            q = flat.reshape(b.num_rows, dim)[hit[0]]
+            break
+    qref = ray.put(q)
+
+    class Scorer:
+        def __init__(self):
+            self.q = ray.get(qref)
+            self.qn = self.q / np.linalg.norm(self.q)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            arr = t["embedding"]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            flat = np.asarray(arr.flatten(), dtype=np.float64)
+            emb = flat.reshape(t.num_rows, len(flat) // max(t.num_rows, 1))
+            norms = np.linalg.norm(emb, axis=1)
+            cos = (emb @ self.qn) / np.where(norms == 0, 1.0, norms)
+            k = min(16, len(cos))
+            top = np.argpartition(-cos, k - 1)[:k]
+            return pa.table({"vec_id": pa.array(t["vec_id"].to_numpy()[top]),
+                             "cosine": pa.array(cos[top])})
+
+    part = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=2).to_pandas()
+    part = part.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(10)
+    part = part.reset_index(drop=True)
+    part["rank"] = np.arange(1, len(part) + 1)
+    return pa.table({"rank": pa.array(part["rank"].to_numpy(dtype=np.int64)),
+                     "vec_id": pa.array(part["vec_id"].to_numpy(dtype=np.int64)),
+                     "cosine": _iscale(part["cosine"].to_numpy(), 1000000)})
+
+
+# ---------------------------------------------------------------------------
+# rows-only (non-SQL-expressible) pipelines
+# ---------------------------------------------------------------------------
+
+def igeo7_encode_events(sf_dir: str):
+    """Flagship encode of integer-derived event coordinates at res 9 +
+    per-cell binning (IGEO7 ids are not SQL-expressible -> rows-only)."""
+    from .binning import bin_point_vals
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def coords(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        lon = ((eid * 7919) % 36000).astype(np.float64) / 100.0 - 180.0
+        lat = ((eid * 104729) % 18000).astype(np.float64) / 100.0 - 90.0
+        return (t.append_column("lon", pa.array(lon))
+                 .append_column("lat", pa.array(lat)))
+
+    return bin_point_vals(ds.map_batches(coords, batch_format="pyarrow"),
+                          "IGEO7", resolution=9, value_col="value")
+
+
+def spans_cell_assignments(sf_dir: str):
+    """Interleaved text+media documents (input_hint): per-span cell ids with
+    span sequence preserved (rows-only check + pytest invariants)."""
+    from ..sources.spans_table import spans_dataset
+    from ..stages.spans import doc_cell_assignments
+    ds = spans_dataset(5000, batch_rows=1000)
+    out = doc_cell_assignments(ds, resolution=9)
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "n_spans": pc.list_value_length(t["spans"]),
+                            "n_geo": pa.array([sum(1 for c in row if c != -1)
+                                               for row in t["span_cell_ids"].to_pylist()],
+                                              type=pa.int64())}),
+        batch_format="pyarrow")
+
+
+def minhash_pairs_docs(sf_dir: str):
+    """MinHash-LSH near-dup candidate pairs over documents (rows-only)."""
+    from ..stages.dedup import minhash_lsh_dedup
+    return minhash_lsh_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
+                             num_perm=32, bands=8, threshold=0.5)
+
+
+def polyfill_clip_box(sf_dir: str):
+    """Clipped polyfill over the reference conformance box at res 5
+    (rows-only; exactness covered by pytest completeness tests)."""
+    from .highlevel import grid_cellids_for_extent
+    return grid_cellids_for_extent("IGEO7", 5, clip_bbox=(27.2, 57.5, 29.3, 59.2))
+
+
+QUERIES = {
+    "q1_pricing": q1_pricing,
+    "q3_top_revenue": q3_top_revenue,
+    "q5_nation_revenue": q5_nation_revenue,
+    "events_daily": events_daily,
+    "latlon_bin_events": latlon_bin_events,
+    "presence_latlon_events": presence_latlon_events,
+    "zonal_synthetic": zonal_synthetic,
+    "polyfill_whole_earth": polyfill_whole_earth,
+    "children_counts": children_counts,
+    "codec_roundtrip": codec_roundtrip,
+    "dedup_exact_docs": dedup_exact_docs,
+    "text_stats_by_lang": text_stats_by_lang,
+    "ann_top10": ann_top10,
+    "igeo7_encode_events": igeo7_encode_events,
+    "spans_cell_assignments": spans_cell_assignments,
+    "minhash_pairs_docs": minhash_pairs_docs,
+    "polyfill_clip_box": polyfill_clip_box,
+}
+
+ORACLES = {
+    "q1_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(ROUND(SUM(l_quantity) * 10000) AS BIGINT) AS sum_qty,
+               CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT) AS sum_revenue,
+               CAST(ROUND(AVG(l_discount) * 1000000) AS BIGINT) AS avg_disc,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_top_revenue": """
+        SELECT l_orderkey, CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT) AS revenue
+        FROM lineitem GROUP BY l_orderkey
+        ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, l_orderkey LIMIT 10
+    """,
+    "q5_nation_revenue": """
+        SELECT n.n_name,
+               CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) * 10000) AS BIGINT) AS revenue
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    "events_daily": """
+        SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n,
+               CAST(ROUND(SUM(value) * 10000) AS BIGINT) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "latlon_bin_events": """
+        SELECT ((event_id * 104729) % 18000 // 100) * 360
+               + ((event_id * 7919) % 36000 // 100) AS cell,
+               COUNT(*) AS n_points, CAST(ROUND(AVG(value) * 1000000) AS BIGINT) AS avg_value
+        FROM events GROUP BY 1
+    """,
+    "presence_latlon_events": """
+        SELECT cell, string_agg(event_type, ',' ORDER BY event_type) AS classes,
+               CAST(COUNT(*) AS BIGINT) AS num_classes, CAST(SUM(n) AS BIGINT) AS n_points
+        FROM (
+            SELECT ((event_id * 104729) % 18000 // 100) * 360
+                   + ((event_id * 7919) % 36000 // 100) AS cell,
+                   event_type, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ) GROUP BY cell
+    """,
+    "zonal_synthetic": """
+        SELECT cell, COUNT(*) AS n_pixels, CAST(ROUND(AVG(value) * 1000000) AS BIGINT) AS mean_value
+        FROM (
+            SELECT ((i // 400) * 5 + 3000) // 100 * 360 + ((i % 400) * 5 + 1000) // 100 AS cell,
+                   CAST((i * 7919) % 10000 AS DOUBLE) / 100.0 AS value,
+                   (i * 31) % 17 = 0 AS nodata
+            FROM (SELECT CAST(range AS BIGINT) AS i FROM range(0, 120000))
+        ) WHERE NOT nodata GROUP BY cell
+    """,
+    "polyfill_whole_earth": """
+        SELECT CAST(range AS BIGINT) AS seqnum FROM range(1, 3433)
+    """,
+    "children_counts": """
+        SELECT CAST(range AS BIGINT) AS seqnum,
+               CASE WHEN (range - 1) % 41 = 0 THEN 6 ELSE 7 END AS n_children
+        FROM range(1, 493)
+    """,
+    "codec_roundtrip": """
+        SELECT CAST(range AS BIGINT) AS seqnum, 3 AS str_res FROM range(1, 3433)
+    """,
+    "dedup_exact_docs": """
+        SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id
+        FROM documents GROUP BY md5(text)
+    """,
+    "text_stats_by_lang": """
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+               CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) AS BIGINT) AS sum_spaces
+        FROM documents GROUP BY lang
+    """,
+    "ann_top10": """
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank,
+               vec_id, CAST(ROUND(cosine * 1000000) AS BIGINT) AS cosine
+        FROM (
+            SELECT e.vec_id,
+                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          (SELECT CAST(embedding AS DOUBLE[])
+                                           FROM embeddings WHERE vec_id = 0)) AS cosine
+            FROM embeddings e
+        ) ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+}

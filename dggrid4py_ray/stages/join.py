@@ -1,0 +1,156 @@
+"""Spatial joins.
+
+* PointInPolygonJoin — broadcast-small-side PIP join: the polygon set +
+  STRtree are ray.put once and rebuilt per actor (never per batch); each
+  batch is classified via bbox candidate pruning + exact vectorized
+  ray-casting.  (SURVEY §2.8 joins row — replaces the reference's clip-region
+  point-in-polygon that happened inside the DGGRID C++ process.)
+* cell_equi_join — large-large equi-join keyed on cell_id via Ray Data's
+  hash join, with the partition count exposed (the shuffle is keyed on the
+  same cell partitioning the rest of the pipeline uses, SURVEY §7.3).
+* large-large spatial join: encode both sides to a coarse cell (partition
+  key = parent cell), then cogroup per cell and run the exact predicate
+  locally — see spatial_join_via_cells.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..geometry import PolygonSet, STRtree, parse_wkb
+
+
+def _build_polys(wkbs) -> tuple[list[PolygonSet], STRtree]:
+    polys = []
+    bboxes = []
+    for b in wkbs:
+        ps = PolygonSet.from_wkb([b])
+        polys.append(ps)
+        bboxes.append(ps.bounds)
+    tree = STRtree(np.array(bboxes, dtype=np.float64))
+    return polys, tree
+
+
+class PointInPolygonJoin:
+    """map_batches actor: adds `poly_id` (int64, -1 = no polygon) for point
+    rows.  Polygons are broadcast via ray.put; the STRtree is built once per
+    actor in __init__."""
+
+    def __init__(self, polys_ref, lon_col: str = "lon", lat_col: str = "lat",
+                 out_col: str = "poly_id", keep_unmatched: bool = True):
+        wkbs = ray.get(polys_ref)
+        self.polys, self.tree = _build_polys(wkbs)
+        self.lon_col = lon_col
+        self.lat_col = lat_col
+        self.out_col = out_col
+        self.keep_unmatched = keep_unmatched
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch[self.lon_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        lat = batch[self.lat_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        out = np.full(len(lon), -1, dtype=np.int64)
+        pi, poly_i = self.tree.query_points(lon, lat)
+        # exact test per candidate polygon (vectorized over its points)
+        for p in np.unique(poly_i):
+            pts = pi[poly_i == p]
+            hit = self.polys[p].contains(lon[pts], lat[pts])
+            sel = pts[hit]
+            # first-match semantics (lowest polygon id wins)
+            take = out[sel] == -1
+            out[sel[take]] = p
+        res = batch.append_column(self.out_col, pa.array(out, type=pa.int64()))
+        if not self.keep_unmatched:
+            res = res.filter(pa.array(out != -1))
+        return res
+
+
+def pip_join(points: ray.data.Dataset, polygon_wkbs: list[bytes],
+             lon_col: str = "lon", lat_col: str = "lat",
+             keep_unmatched: bool = True,
+             concurrency: int | None = None) -> ray.data.Dataset:
+    ref = ray.put(list(polygon_wkbs))
+    return points.map_batches(
+        PointInPolygonJoin,
+        fn_constructor_args=(ref,),
+        fn_constructor_kwargs={"lon_col": lon_col, "lat_col": lat_col,
+                               "keep_unmatched": keep_unmatched},
+        batch_format="pyarrow", concurrency=concurrency or 4)
+
+
+def cell_equi_join(left: ray.data.Dataset, right: ray.data.Dataset,
+                   on: str = "cell_id", how: str = "inner",
+                   num_partitions: int | None = None) -> ray.data.Dataset:
+    """Large-large equi-join on a cell-id column (Ray Data hash join)."""
+    np_ = num_partitions or max(left.num_blocks(), right.num_blocks(), 16)
+    return left.join(right, join_type=how, num_partitions=np_, on=(on,))
+
+
+def spatial_join_via_cells(points: ray.data.Dataset, polygons: ray.data.Dataset,
+                           coarse_res: int = 4, lon_col: str = "lon",
+                           lat_col: str = "lat", wkb_col: str = "geometry",
+                           poly_id_col: str = "poly_id") -> ray.data.Dataset:
+    """Large-large spatial join: both sides keyed by coarse cell (partition
+    key = parent cell at `coarse_res`, SURVEY §7.3), cogrouped per cell,
+    exact PIP locally.  Polygons are replicated to every coarse cell their
+    bbox overlaps (cheap: polygon count >> replication factor)."""
+    from ..config import dgselect
+    from ..stages.encode import CellEncoder
+    from ..pipelines.highlevel import _clip_from
+
+    dggs = dgselect("IGEO7", resolution=coarse_res)
+    pts = points.map_batches(CellEncoder(dggs, lon_col=lon_col, lat_col=lat_col,
+                                         out_col="_ccell"),
+                             batch_format="pyarrow")
+
+    def poly_cells(batch: pa.Table) -> pa.Table:
+        from ..pipelines.highlevel import grid_cellids_for_extent  # noqa
+        from ..stages.encode import make_grid
+        import itertools
+        grid = make_grid(dggs)
+        rows = {"_ccell": [], poly_id_col: [], wkb_col: []}
+        ids = batch[poly_id_col].to_numpy(zero_copy_only=False)
+        wkbs = batch[wkb_col].to_numpy(zero_copy_only=False)
+        for pid, wkb in zip(ids, wkbs):
+            ps = PolygonSet.from_wkb([wkb])
+            minx, miny, maxx, maxy = ps.bounds
+            # coarse cells overlapping the bbox via a probe raster
+            step_deg = np.degrees(grid.cell_spacing_rad(coarse_res)) / 2.0
+            gx = np.arange(minx, maxx + step_deg, step_deg)
+            gy = np.arange(miny, maxy + step_deg, step_deg)
+            gg = np.meshgrid(gx, gy)
+            cells = np.unique(grid.encode(gg[0].ravel(), np.clip(gg[1].ravel(), -90, 90),
+                                          coarse_res))
+            for c in cells:
+                rows["_ccell"].append(int(c))
+                rows[poly_id_col].append(pid)
+                rows[wkb_col].append(wkb)
+        return pa.table({"_ccell": pa.array(rows["_ccell"], type=pa.int64()),
+                         poly_id_col: pa.array(rows[poly_id_col]),
+                         wkb_col: pa.array(rows[wkb_col], type=pa.binary())})
+
+    polys = polygons.map_batches(poly_cells, batch_format="pyarrow")
+
+    # hash join on the coarse cell, then the exact predicate locally
+    joined = pts.join(polys, join_type="inner",
+                      num_partitions=max(pts.num_blocks(), 16), on=("_ccell",))
+
+    def exact(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.drop_columns([wkb_col, "_ccell"])
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        wkbs = batch[wkb_col].to_numpy(zero_copy_only=False)
+        keep = np.zeros(batch.num_rows, dtype=bool)
+        uniq = {}
+        for i, b in enumerate(wkbs):
+            key = bytes(b)
+            if key not in uniq:
+                uniq[key] = PolygonSet.from_wkb([key])
+            keep[i] = uniq[key].contains(np.array([lon[i]]), np.array([lat[i]]))[0]
+        return batch.filter(pa.array(keep)).drop_columns([wkb_col, "_ccell"])
+
+    return joined.map_batches(exact, batch_format="pyarrow")
