@@ -63,9 +63,10 @@ def bench_flagship(num_cpus: int) -> dict:
         vals = np.asarray(arr.flatten())
         return pa.table({"n": pa.array([int((vals != -1).sum())], type=pa.int64())})
 
-    total_assignments = sum(b["n"][0].as_py() for b in
+    total_assignments = sum(v.as_py() for b in
                             out.map_batches(count_geo, batch_format="pyarrow")
-                               .iter_batches(batch_format="pyarrow"))
+                               .iter_batches(batch_format="pyarrow")
+                            for v in b["n"])
     dt = time.time() - t0
     return {"seconds": dt, "assignments": int(total_assignments),
             "assignments_per_sec": total_assignments / dt}

@@ -137,7 +137,7 @@ class SnyderProjection:
         flip = az1 > DEG60
         az1 = np.where(flip, DEG120 - az1, az1)
         # Snyder 1992 eqs (triangle case)
-        q = np.arctan2(TAN_G, np.cos(az1) + np.sin(az1) * COT_G_ANG)
+        q = np.arctan2(TAN_G, np.cos(az1) + np.sin(az1) * COT_THETA)
         H = np.arccos(np.clip(np.sin(az1) * SIN_G_ANG * COS_G - np.cos(az1) * COS_G_ANG, -1, 1))
         AG = az1 + G_ANG + H - np.pi
         azp = np.arctan2(2.0 * AG, RPRIME**2 * TAN_G**2 - 2.0 * AG * COT_THETA)
@@ -181,7 +181,7 @@ class SnyderProjection:
             dH = -(cos_a * SIN_G_ANG * COS_G + sin_a * COS_G_ANG) / denom
             az1 = az1 - fval / (1.0 + dH)
         az1 = np.clip(az1, 0.0, DEG60)
-        q = np.arctan2(TAN_G, np.cos(az1) + np.sin(az1) * COT_G_ANG)
+        q = np.arctan2(TAN_G, np.cos(az1) + np.sin(az1) * COT_THETA)
         dp = RPRIME * TAN_G / (np.cos(azp1) + np.sin(azp1) * COT_THETA)
         f = dp / (2.0 * RPRIME * np.sin(q / 2.0))
         with np.errstate(invalid="ignore"):

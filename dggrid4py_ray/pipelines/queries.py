@@ -119,7 +119,7 @@ def q5_nation_revenue(sf_dir: str):
             return pa.Table.from_pandas(g, preserve_index=False)
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-    agg = (ds.map_batches(Joiner, batch_format="pyarrow", concurrency=2)
+    agg = (ds.map_batches(Joiner, batch_format="pyarrow", concurrency=(1, 2))
              .groupby("n_name").aggregate(Sum("rev", alias_name="revenue")))
     return agg.map_batches(
         lambda t: pa.table({"n_name": t["n_name"],
@@ -290,7 +290,7 @@ def codec_roundtrip(sf_dir: str):
             return pa.table({"seqnum": pa.array(back, type=pa.int64()),
                              "str_res": pa.array(res, type=pa.int64())})
 
-    return ds.map_batches(RT, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(RT, batch_format="pyarrow", concurrency=(1, 2))
 
 
 # ---------------------------------------------------------------------------
@@ -360,7 +360,7 @@ def ann_top10(sf_dir: str):
             return pa.table({"vec_id": pa.array(t["vec_id"].to_numpy()[top]),
                              "cosine": pa.array(cos[top])})
 
-    part = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=2).to_pandas()
+    part = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=(1, 2)).to_pandas()
     part = part.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(10)
     part = part.reset_index(drop=True)
     part["rank"] = np.arange(1, len(part) + 1)

@@ -63,7 +63,7 @@ def brute_force_topk(ds: ray.data.Dataset, queries: np.ndarray, k: int = 10,
     (num_queries*k) Arrow table sorted by (query_idx, -cosine, id)."""
     qref = ray.put(np.asarray(queries, dtype=np.float32))
     partial = ds.map_batches(BatchScorer, fn_constructor_args=(qref, k, emb_col, id_col),
-                             batch_format="pyarrow", concurrency=concurrency or 4)
+                             batch_format="pyarrow", concurrency=concurrency or (1, 4))
     # merge partial top-ks (small) on the driver
     df = partial.to_pandas()
     out = {"query_idx": [], id_col: [], "cosine": [], "rank": []}
@@ -130,7 +130,7 @@ def ivf_topk(ds: ray.data.Dataset, queries: np.ndarray, k: int = 10,
                 rows["cosine"].extend(sims[top].astype(np.float64).tolist())
             return pa.table({c: pa.array(v) for c, v in rows.items()})
 
-    partial = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=4)
+    partial = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=(1, 4))
     df = partial.to_pandas()
     out = {"query_idx": [], id_col: [], "cosine": [], "rank": []}
     for qi, g in df.groupby("query_idx"):

@@ -78,7 +78,7 @@ def pip_join(points: ray.data.Dataset, polygon_wkbs: list[bytes],
         fn_constructor_args=(ref,),
         fn_constructor_kwargs={"lon_col": lon_col, "lat_col": lat_col,
                                "keep_unmatched": keep_unmatched},
-        batch_format="pyarrow", concurrency=concurrency or 4)
+        batch_format="pyarrow", concurrency=concurrency or (1, 4))
 
 
 def cell_equi_join(left: ray.data.Dataset, right: ray.data.Dataset,
