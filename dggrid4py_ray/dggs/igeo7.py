@@ -472,7 +472,7 @@ class IGeo7Grid:
             return self.encode_sph(lon, lat, res, beam=beam)
         out = np.empty(lon.shape[0], dtype=np.int64)
         B = beam or self.beam
-        CH = 8192  # bounded temporaries: this sandbox page-faults slowly on fresh large allocations
+        CH = 2048  # cache-resident temporaries: ~65k pts/s/core AND parallel-scalable on this bandwidth-limited sandbox (8192 halves both)
         for s in range(0, lon.shape[0], CH):
             out[s:s + CH] = self._encode_planar(lon[s:s + CH], lat[s:s + CH], res, B)
         return out

@@ -1,0 +1,242 @@
+"""ISEA4H — aperture-4 hexagon grid from Snyder face-vertex lattices.
+
+Construction (projection-exact, no generative drift): cell centers at
+resolution r are the vertices of the 2^r-subdivided icosahedron faces,
+positioned by the Snyder equal-area inverse of the barycentric lattice
+points.  Face edges map exactly to plane chords (verified in snyder.py), so
+edge lattice points coincide between adjacent faces; the cell count is
+exactly 10*4^r + 2.
+
+Cell identity: (face, i, j) barycentric indices with i+j <= n, n = 2^r,
+canonicalized for shared edge/corner points to the owning face = the
+sharing face with the lowest index.  Packed id: face << 56 | i << 28 | j.
+
+A point's cell is its nearest center by true spherical distance; encode
+rounds in the containing face's plane and (near edges) also in the
+adjacent faces' planes, comparing candidates in 3D.
+
+Hierarchy note: aperture-4 hexagon grids have no clean 1:4 parent-child
+ownership (edge-midpoint children are shared) — the reference likewise only
+supports hierarchy ops on IGEO7 (reference README.md:106-111); `parent_of`
+here uses the deterministic nearest-coarse-center rule.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .snyder import SnyderProjection
+from .sphere import unit_to_lonlat, lonlat_to_unit
+
+_FMASK = (np.int64(1) << 28) - 1
+
+
+def pack(face, i, j):
+    return (np.asarray(face, np.int64) << 56) | (np.asarray(i, np.int64) << 28) | np.asarray(j, np.int64)
+
+
+def unpack(ids):
+    ids = np.asarray(ids, dtype=np.int64)
+    return ids >> 56, (ids >> 28) & _FMASK, ids & _FMASK
+
+
+class ISEA4HGrid:
+    def __init__(self, pole_lon: float = 11.25, pole_lat: float = 58.28252559,
+                 azimuth: float = 0.0):
+        self.proj = SnyderProjection(pole_lon=pole_lon, pole_lat=pole_lat,
+                                     azimuth=azimuth)
+        ic = self.proj.icosa
+        # plane corners in face_vertices slot order: slot s -> plane corner
+        # (slot order (v0, v1, v2) sits at plane corners (0, 2, 1))
+        from .snyder import R_VERTEX_PLANE
+        ang = np.array([np.pi / 2, np.pi / 2 + 4 * np.pi / 3, np.pi / 2 + 2 * np.pi / 3])
+        self.slot_corners = np.stack([R_VERTEX_PLANE * np.cos(ang),
+                                      R_VERTEX_PLANE * np.sin(ang)], axis=1)
+
+    # -- geometry -----------------------------------------------------------
+
+    def _bary(self, x, y):
+        a, b, c = self.slot_corners
+        det = (b[1] - c[1]) * (a[0] - c[0]) + (c[0] - b[0]) * (a[1] - c[1])
+        l0 = ((b[1] - c[1]) * (x - c[0]) + (c[0] - b[0]) * (y - c[1])) / det
+        l1 = ((c[1] - a[1]) * (x - c[0]) + (a[0] - c[0]) * (y - c[1])) / det
+        return l0, l1, 1.0 - l0 - l1
+
+    def _plane_of(self, i, j, n):
+        """Lattice (i, j) -> plane coords (i ~ slot0 weight, j ~ slot1)."""
+        a, b, c = self.slot_corners
+        w0 = i / n
+        w1 = j / n
+        w2 = 1.0 - w0 - w1
+        return (w0 * a[0] + w1 * b[0] + w2 * c[0],
+                w0 * a[1] + w1 * b[1] + w2 * c[1])
+
+    def center_unit(self, ids, res: int) -> np.ndarray:
+        face, i, j = unpack(ids)
+        n = 1 << res
+        x, y = self._plane_of(i.astype(np.float64), j.astype(np.float64), n)
+        return self.proj.inverse_unit(face, x, y)
+
+    def decode(self, ids, res: int):
+        return unit_to_lonlat(self.center_unit(ids, res))
+
+    # -- canonicalization ---------------------------------------------------
+
+    def canonicalize(self, face, i, j, res: int):
+        """Shared edge/corner lattice points -> owning (lowest) face."""
+        face = np.asarray(face, np.int64).copy()
+        i = np.asarray(i, np.int64).copy()
+        j = np.asarray(j, np.int64).copy()
+        n = 1 << res
+        boundary = (i == 0) | (j == 0) | (i + j == n)
+        if boundary.any():
+            pos = self.proj.inverse_unit(face[boundary],
+                                         *self._plane_of(i[boundary].astype(float),
+                                                         j[boundary].astype(float), n))
+            # owner = lowest face index among faces whose triangle contains pos
+            dots = pos @ self.proj.icosa.face_centers.T        # (m, 20)
+            best = dots.max(axis=1, keepdims=True)
+            shared = dots > best - 1e-9
+            owner = np.argmax(shared, axis=1).astype(np.int64)  # first True = lowest idx
+            # recompute (i, j) in the owner plane
+            fo, xo, yo = self._forward_on_face(pos, owner)
+            l0, l1, _ = self._bary(xo, yo)
+            io = np.clip(np.rint(l0 * n), 0, n).astype(np.int64)
+            jo = np.clip(np.rint(l1 * n), 0, n).astype(np.int64)
+            face[boundary] = owner
+            i[boundary] = io
+            j[boundary] = jo
+        return face, i, j
+
+    def _forward_on_face(self, p, face):
+        """Snyder forward constrained to a given face (for points on/near its
+        boundary)."""
+        ic = self.proj.icosa
+        # temporarily emulate forward_unit with chosen face
+        c = ic.face_centers[face]
+        tx = ic.tangent_x[face]
+        ty = ic.tangent_y[face]
+        import numpy as _np
+        from . import snyder as S
+        px = _np.sum(p * tx, axis=-1)
+        py = _np.sum(p * ty, axis=-1)
+        pz = _np.clip(_np.sum(p * c, axis=-1), -1.0, 1.0)
+        z = _np.arccos(pz)
+        az = _np.arctan2(px, py)
+        az = _np.where(az < 0, az + 2 * _np.pi, az)
+        sector = _np.floor(az / S.DEG120)
+        az1 = az - sector * S.DEG120
+        flip = az1 > S.DEG60
+        az1 = _np.where(flip, S.DEG120 - az1, az1)
+        q = _np.arctan2(S.TAN_G, _np.cos(az1) + _np.sin(az1) * S.COT_THETA)
+        H = _np.arccos(_np.clip(_np.sin(az1) * S.SIN_G_ANG * S.COS_G
+                                - _np.cos(az1) * S.COS_G_ANG, -1, 1))
+        AG = az1 + S.G_ANG + H - _np.pi
+        azp = _np.arctan2(2.0 * AG, S.RPRIME**2 * S.TAN_G**2 - 2.0 * AG * S.COT_THETA)
+        dp = S.RPRIME * S.TAN_G / (_np.cos(azp) + _np.sin(azp) * S.COT_THETA)
+        f = dp / (2.0 * S.RPRIME * _np.sin(q / 2.0))
+        rho = 2.0 * S.RPRIME * f * _np.sin(_np.clip(z, 0, q) / 2.0)
+        azp_full = _np.where(flip, S.DEG120 - azp, azp) + sector * S.DEG120
+        return face, rho * _np.sin(azp_full), rho * _np.cos(azp_full)
+
+    # -- encode -------------------------------------------------------------
+
+    def encode(self, lon, lat, res: int) -> np.ndarray:
+        """Nearest-center cell assignment (3D-exact across face boundaries)."""
+        p = lonlat_to_unit(np.asarray(lon, np.float64), np.asarray(lat, np.float64))
+        n = 1 << res
+        npts = p.shape[0]
+        ic = self.proj.icosa
+        dots = p @ ic.face_centers.T
+        order = np.argsort(-dots, axis=1)[:, :3]   # own face + 2 nearest others
+        best_score = np.full(npts, -2.0)
+        best_face = np.zeros(npts, dtype=np.int64)
+        best_i = np.zeros(npts, dtype=np.int64)
+        best_j = np.zeros(npts, dtype=np.int64)
+        margin = np.cos(1.5 * (np.arctan(2.0) / n))  # candidate faces within ~1.5 cells
+        cell_rad = np.arctan(2.0) / n
+        d0 = np.arccos(np.clip(dots[np.arange(npts), order[:, 0]], -1, 1))
+        for k in range(3):
+            face = order[:, k]
+            if k == 0:
+                active = np.ones(npts, dtype=bool)
+            else:
+                # only points near a face boundary need foreign candidates
+                dk = np.arccos(np.clip(dots[np.arange(npts), face], -1, 1))
+                active = dk < d0 + 1.6 * cell_rad
+            if not active.any():
+                continue
+            fa = face[active]
+            _, x, y = self._forward_on_face(p[active], fa)
+            l0, l1, l2 = self._bary(x, y)
+            # candidate lattice points: corners of the containing sub-triangle
+            f0 = np.floor(l0 * n)
+            f1 = np.floor(l1 * n)
+            for di, dj in ((0, 0), (1, 0), (0, 1), (1, 1)):
+                ci = np.clip(f0 + di, 0, n).astype(np.int64)
+                cj = np.clip(f1 + dj, 0, n).astype(np.int64)
+                ok = ci + cj <= n
+                if not ok.any():
+                    continue
+                cx, cy = self._plane_of(ci[ok].astype(float), cj[ok].astype(float), n)
+                cpos = self.proj.inverse_unit(fa[ok], cx, cy)
+                score = np.sum(cpos * p[active][ok], axis=-1)
+                idx = np.nonzero(active)[0][ok]
+                upd = score > best_score[idx]
+                ui = idx[upd]
+                best_score[ui] = score[upd]
+                best_face[ui] = fa[ok][upd]
+                best_i[ui] = ci[ok][upd]
+                best_j[ui] = cj[ok][upd]
+        face, i, j = self.canonicalize(best_face, best_i, best_j, res)
+        return pack(face, i, j)
+
+    # -- topology -----------------------------------------------------------
+
+    _NB_OFFS = np.array([(1, 0), (0, 1), (-1, 1), (-1, 0), (0, -1), (1, -1)])
+
+    def neighbors(self, ids, res: int) -> np.ndarray:
+        """(n, 6) neighbor ids (pentagon corners have 5; padded with -1).
+        Lattice steps, with cross-edge handling via probe-encode."""
+        ids = np.asarray(ids, dtype=np.int64)
+        face, i, j = unpack(ids)
+        n = 1 << res
+        out = np.full((len(ids), 6), -1, dtype=np.int64)
+        for k, (di, dj) in enumerate(self._NB_OFFS):
+            ni = i + di
+            nj = j + dj
+            inside = (ni >= 0) & (nj >= 0) & (ni + nj <= n)
+            if inside.any():
+                cf, ci, cj = self.canonicalize(face[inside], ni[inside], nj[inside], res)
+                out[inside, k] = pack(cf, ci, cj)
+            outside = ~inside
+            if outside.any():
+                # step across the face edge: probe just beyond the midpoint
+                x0, y0 = self._plane_of(i[outside].astype(float), j[outside].astype(float), n)
+                x1, y1 = self._plane_of(ni[outside].astype(float), nj[outside].astype(float), n)
+                px = x0 + 0.98 * (x1 - x0)
+                py = y0 + 0.98 * (y1 - y0)
+                pos = self.proj.inverse_unit(face[outside], px, py)
+                lo, la = unit_to_lonlat(pos)
+                out[outside, k] = self.encode(lo, la, res)
+        # pentagon corners: dedup slots
+        self_ids = ids[:, None]
+        out = np.where(out == self_ids, -1, out)
+        for r in range(len(ids)):
+            seen = set()
+            for k in range(6):
+                if out[r, k] in seen:
+                    out[r, k] = -1
+                else:
+                    seen.add(out[r, k])
+        return out
+
+    @staticmethod
+    def num_cells(res: int) -> int:
+        return 10 * 4**res + 2
+
+    def parent_of(self, ids, res: int) -> np.ndarray:
+        """Deterministic nearest-coarse-center parent (no exact 1:4 nesting
+        for aperture-4 hexagons)."""
+        lon, lat = self.decode(ids, res)
+        return self.encode(lon, lat, res - 1)

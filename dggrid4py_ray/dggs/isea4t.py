@@ -117,19 +117,105 @@ class ISEA4TGrid:
 
 
 class ISEA4DGrid:
-    """Diamond grid: each diamond = an (upper, lower) face pair subdivided
-    4-way; implemented as paired ISEA4T cells (10 * 4^res diamonds)."""
+    """Diamond grid: 10 rhombi (face pairs), each an exact (i, j) 2^r x 2^r
+    lattice in rhombus coordinates (reference ISEA4D, dggrid_runner.py:72).
 
-    # face pairing (upper-belt face, lower-belt face) per quad 0..9
+    Quad layout: top-cap face k pairs with upper-belt face k across the edge
+    (1+k, 1+(k+1)%5) -> quads 0-4; bottom-cap k with lower-belt k across
+    (6+k, 6+(k+1)%5) -> quads 5-9.  Rhombus frame: apex of the first face at
+    (0,0), shared-edge vertices V1=(1,0), V2=(0,1), second apex (1,1).
+
+    Cell id: quad << 56 | i << 28 | j   (res <= 27).
+    """
+
     def __init__(self, **orient):
         self.tri = ISEA4TGrid(**orient)
+        ic = self.tri.proj.icosa
+        fv = ic.face_vertices
+        # face -> (quad, apex_slot, v1_slot, v2_slot, is_second)
+        self.face_quad = np.zeros(20, dtype=np.int64)
+        self.face_apex = np.zeros(20, dtype=np.int64)
+        self.face_v1 = np.zeros(20, dtype=np.int64)
+        self.face_v2 = np.zeros(20, dtype=np.int64)
+        self.face_second = np.zeros(20, dtype=bool)
+
+        def slot(f, vid):
+            return int(np.nonzero(fv[f] == vid)[0][0])
+
+        for k in range(5):
+            v1, v2 = 1 + k, 1 + (k + 1) % 5
+            for f, second in ((k, False), (5 + k, True)):       # top cap + upper belt
+                self.face_quad[f] = k
+                self.face_v1[f] = slot(f, v1)
+                self.face_v2[f] = slot(f, v2)
+                self.face_apex[f] = 3 - self.face_v1[f] - self.face_v2[f]
+                self.face_second[f] = second
+            v1, v2 = 6 + k, 6 + (k + 1) % 5
+            for f, second in ((15 + k, False), (10 + k, True)):  # bottom cap + lower belt
+                self.face_quad[f] = 5 + k
+                self.face_v1[f] = slot(f, v1)
+                self.face_v2[f] = slot(f, v2)
+                self.face_apex[f] = 3 - self.face_v1[f] - self.face_v2[f]
+                self.face_second[f] = second
+
+    def _face_weights(self, face, x, y):
+        """Per-vertex-slot barycentric weights (slot order = face_vertices)."""
+        l1, l2, l3 = self.tri._bary(x, y)
+        # plane corner order is (vertex0, vertex2, vertex1) — see Icosahedron
+        # frame construction (vertex1 sits at azimuth +120 = plane corner 2)
+        w = np.stack([l1, l3, l2], axis=-1)
+        return w
 
     def encode(self, lon, lat, res: int) -> np.ndarray:
-        t = self.tri.encode(lon, lat, res)
-        face = t >> 58
-        # quads: faces (0..4 with 5..9) top pairs; (10..14 with 15..19) bottom
-        quad = np.where(face < 10, face % 5, 5 + face % 5)
-        return (quad.astype(np.int64) << 59) | (np.where(face < 10, face < 5, face < 15).astype(np.int64) << 58) | (t & ((np.int64(1) << 58) - 1))
+        face, x, y = self.tri.proj.forward(np.asarray(lon, np.float64),
+                                           np.asarray(lat, np.float64))
+        w = self._face_weights(face, x, y)
+        ar = np.arange(len(face))
+        w1 = w[ar, self.face_v1[face]]
+        w2 = w[ar, self.face_v2[face]]
+        u = np.where(self.face_second[face], 1.0 - w2, w1)
+        v = np.where(self.face_second[face], 1.0 - w1, w2)
+        size = 1 << res
+        i = np.clip((u * size).astype(np.int64), 0, size - 1)
+        j = np.clip((v * size).astype(np.int64), 0, size - 1)
+        return (self.face_quad[face] << 56) | (i << 28) | j
+
+    def decode(self, ids: np.ndarray, res: int):
+        ids = np.asarray(ids, dtype=np.int64)
+        quad = ids >> 56
+        i = (ids >> 28) & ((1 << 28) - 1)
+        j = ids & ((1 << 28) - 1)
+        size = 1 << res
+        u = (i + 0.5) / size
+        v = (j + 0.5) / size
+        second = (u + v) > 1.0
+        # face of this half of the quad
+        first_face = np.where(quad < 5, quad, 15 + (quad - 5))
+        second_face = np.where(quad < 5, 5 + quad, 10 + (quad - 5))
+        face = np.where(second, second_face, first_face)
+        w1 = np.where(second, 1.0 - v, u)
+        w2 = np.where(second, 1.0 - u, v)
+        wa = 1.0 - w1 - w2
+        # slot weights -> plane coords via canonical corners (slot order
+        # (v0, v1, v2) maps to plane corners (0, 2, 1))
+        ar = np.arange(len(ids))
+        wslot = np.zeros((len(ids), 3))
+        wslot[ar, self.face_apex[face]] = np.abs(wa)
+        wslot[ar, self.face_v1[face]] += w1
+        wslot[ar, self.face_v2[face]] += w2
+        corners = self.tri.corners  # plane corner c maps to vertex slot [0,2,1]
+        plane_w = np.stack([wslot[:, 0], wslot[:, 2], wslot[:, 1]], axis=-1)
+        x = plane_w @ corners[:, 0]
+        y = plane_w @ corners[:, 1]
+        return self.tri.proj.inverse(face, x, y)
+
+    @staticmethod
+    def parent(ids: np.ndarray) -> np.ndarray:
+        ids = np.asarray(ids, dtype=np.int64)
+        quad = ids >> 56
+        i = (ids >> 28) & ((1 << 28) - 1)
+        j = ids & ((1 << 28) - 1)
+        return (quad << 56) | ((i >> 1) << 28) | (j >> 1)
 
     @staticmethod
     def num_cells(res: int) -> int:

@@ -65,7 +65,11 @@ def bin_point_vals(ds: ray.data.Dataset, dggs_type: str = "IGEO7", resolution: i
     if cell_output_control.upper() == "OUTPUT_ALL":
         from .highlevel import grid_cellids_for_extent
         universe = grid_cellids_for_extent(dggs_type, resolution, **kw)
-        out = universe.join(out, join_type="left_outer", num_partitions=max(16, universe.num_blocks()),
+        try:
+            nb = max(16, universe.num_blocks())
+        except Exception:
+            nb = 32
+        out = universe.join(out, join_type="left_outer", num_partitions=nb,
                             on=("cell_id",))
     return out
 

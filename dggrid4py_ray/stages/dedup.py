@@ -23,6 +23,13 @@ import ray.data
 from ray.data.aggregate import Min
 
 
+def _nblocks(ds, default: int = 32) -> int:
+    try:
+        return max(ds.num_blocks(), default)
+    except Exception:
+        return default
+
+
 def _md5_int64(texts: np.ndarray) -> np.ndarray:
     out = np.empty(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
@@ -68,25 +75,37 @@ class MinHasher:
         self.shingle = shingle
 
     def signature(self, text: str) -> np.ndarray:
-        b = text.encode("utf-8", "ignore")
+        sigs = self.signatures(np.array([text], dtype=object))
+        return sigs[0]
+
+    def signatures(self, texts: np.ndarray) -> np.ndarray:
+        """Batched signatures: all documents' shingle hashes in one flat
+        array, per-doc mins via np.minimum.reduceat (no per-doc Python)."""
         k = self.shingle
-        if len(b) < k:
-            grams = np.array([hash(b) & 0x7FFFFFFFFFFFFFFF], dtype=np.uint64)
-        else:
-            arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
-            pw = (np.uint64(257) ** np.arange(k, dtype=np.uint64))
-            win = np.lib.stride_tricks.sliding_window_view(arr, k)
-            grams = np.unique((win * pw[None, :]).sum(axis=1))
-        # (a*x + b) mod mersenne, min over grams
-        x = grams[None, :]
-        h = (self.a[:, None] * x + self.b[:, None]) % np.uint64(_MERSENNE)
-        return h.min(axis=1)
+        bufs = [str(t).encode("utf-8", "ignore") for t in texts]
+        counts = np.array([max(len(b) - k + 1, 1) for b in bufs], dtype=np.int64)
+        flat = np.zeros(int(counts.sum()), dtype=np.uint64)
+        off = 0
+        pw = (np.uint64(257) ** np.arange(k, dtype=np.uint64))
+        for b, c in zip(bufs, counts):
+            if len(b) < k:
+                flat[off] = np.uint64(int.from_bytes(hashlib.md5(b).digest()[:8], "big"))
+            else:
+                arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+                win = np.lib.stride_tricks.sliding_window_view(arr, k)
+                flat[off:off + c] = (win * pw[None, :]).sum(axis=1)
+            off += c
+        starts = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        sigs = np.empty((len(texts), self.num_perm), dtype=np.uint64)
+        for p in range(self.num_perm):
+            h = (self.a[p] * flat + self.b[p]) % np.uint64(_MERSENNE)
+            sigs[:, p] = np.minimum.reduceat(h, starts)
+        return sigs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_numpy(zero_copy_only=False)
-        sigs = np.empty((len(texts), self.num_perm), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            sigs[i] = self.signature(str(t))
+        sigs = self.signatures(texts)
         col = pa.FixedSizeListArray.from_arrays(
             pa.array(sigs.reshape(-1).view(np.int64)), self.num_perm)
         return batch.append_column("minhash", col)
@@ -129,24 +148,51 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, text_col: str = "text",
                          id_col: pa.array(out_id), "sig": pa.array(sig_str, type=pa.binary())})
 
     buckets = sigged.map_batches(emit_buckets, batch_format="pyarrow")
+    # hot-bucket cap (explicit LSH skew handling): buckets larger than
+    # `max_bucket` are low-information band collisions whose self-join would
+    # explode quadratically — drop them (standard LSH practice); the
+    # remaining bands still catch true near-dups
+    max_bucket = 64
+    from ray.data.aggregate import Count
+    sizes = buckets.groupby(["band", "bucket"]).aggregate(Count(alias_name="bsz"))
+    small = sizes.map_batches(
+        lambda t: t.filter(pa.compute.less_equal(t["bsz"], pa.scalar(max_bucket))),
+        batch_format="pyarrow")
+    buckets = buckets.join(small, join_type="inner", num_partitions=16,
+                           on=("band", "bucket"))
+    # bucket self-join (hash-partitioned on (band, bucket)) instead of
+    # per-group map_groups: almost all buckets are singletons, and the join
+    # avoids the per-group task overhead entirely
+    right = buckets.map_batches(
+        lambda t: pa.table({"band": t["band"], "bucket": t["bucket"],
+                            "rid": t[id_col], "rsig": t["sig"]}),
+        batch_format="pyarrow")
+    joined = buckets.join(right, join_type="inner", num_partitions=16,
+                          on=("band", "bucket"))
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"left_id": [], "right_id": [], "est_jaccard": []})
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
-        L, R, J = [], [], []
-        for i in range(len(g)):
-            eq = (sigs[i + 1:] == sigs[i]).mean(axis=1)
-            hit = np.nonzero(eq >= threshold)[0]
-            for h in hit:
-                L.append(ids[i])
-                R.append(ids[i + 1 + h])
-                J.append(float(eq[h]))
-        return pd.DataFrame({"left_id": L, "right_id": R, "est_jaccard": J})
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"left_id": pa.array([], type=pa.int64()),
+                             "right_id": pa.array([], type=pa.int64()),
+                             "est_jaccard": pa.array([], type=pa.float64())})
+        lid = t[id_col].to_numpy(zero_copy_only=False)
+        rid = t["rid"].to_numpy(zero_copy_only=False)
+        keep = lid < rid
+        if not keep.any():
+            return pa.table({"left_id": pa.array([], type=pa.int64()),
+                             "right_id": pa.array([], type=pa.int64()),
+                             "est_jaccard": pa.array([], type=pa.float64())})
+        ls = t["sig"].to_numpy(zero_copy_only=False)[keep]
+        rs = t["rsig"].to_numpy(zero_copy_only=False)[keep]
+        lsig = np.stack([np.frombuffer(s, dtype=np.uint64) for s in ls])
+        rsig = np.stack([np.frombuffer(s, dtype=np.uint64) for s in rs])
+        eq = (lsig == rsig).mean(axis=1)
+        hit = eq >= threshold
+        return pa.table({"left_id": pa.array(lid[keep][hit]),
+                         "right_id": pa.array(rid[keep][hit]),
+                         "est_jaccard": pa.array(eq[hit].astype(np.float64))})
 
-    cand = buckets.groupby(["band", "bucket"]).map_groups(pairs, batch_format="pandas")
+    cand = joined.map_batches(score, batch_format="pyarrow")
     # dedup pairs discovered in multiple bands
     return cand.groupby(["left_id", "right_id"]).aggregate(Min("est_jaccard", alias_name="est_jaccard"))
 

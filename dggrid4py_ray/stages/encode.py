@@ -19,13 +19,49 @@ from ..dggs.codecs import AddressCodec
 from ..dggs.geodesy import geodetic_to_authalic
 
 
-def make_grid(dggs: Dggs) -> IGeo7Grid:
-    if dggs.topology != "HEXAGON" or dggs.aperture != 7:
-        raise NotImplementedError(
-            f"hex aperture-7 grids only in the IGeo7 engine (got {dggs.dggs_type}); "
-            "use dggrid4py_ray.dggs.isea4t for the triangle/diamond grids")
-    return IGeo7Grid(pole_lon=dggs.pole_lon_deg, pole_lat=dggs.pole_lat_deg,
-                     azimuth=dggs.azimuth_deg)
+class _ResBoundGrid:
+    """Adapter binding a fixed resolution for the res-carrying grid engines
+    (ISEA4H vertex lattice, ISEA4T triangles, ISEA4D diamonds) so they expose
+    the same encode/decode surface as IGeo7Grid."""
+
+    def __init__(self, inner, res: int):
+        self.inner = inner
+        self.res = res
+
+    def encode(self, lon, lat, res: int):
+        return self.inner.encode(lon, lat, res)
+
+    def decode(self, ids):
+        return self.inner.decode(ids, self.res)
+
+    def _ensure_anchor_table(self):
+        return None
+
+
+def make_grid(dggs: Dggs):
+    """Grid engine for a Dggs config.
+
+    IGEO7/ISEA7H -> the hierarchical IGeo7 engine (full surface: hierarchy,
+    neighbors, boundaries).  ISEA4H / ISEA4T / ISEA4D -> the
+    projection-exact Snyder engines (encode/decode surface).  Aperture-3 and
+    mixed-43 hexagon grids are not yet implemented.
+    """
+    orient = dict(pole_lon=dggs.pole_lon_deg, pole_lat=dggs.pole_lat_deg,
+                  azimuth=dggs.azimuth_deg)
+    if dggs.topology == "HEXAGON" and dggs.aperture == 7:
+        return IGeo7Grid(**orient)
+    if dggs.topology == "HEXAGON" and dggs.aperture == 4:
+        from ..dggs.isea4h import ISEA4HGrid
+        return _ResBoundGrid(ISEA4HGrid(**orient), dggs.resolution)
+    if dggs.topology == "TRIANGLE" and dggs.aperture == 4:
+        from ..dggs.isea4t import ISEA4TGrid
+        return _ResBoundGrid(ISEA4TGrid(**orient), dggs.resolution)
+    if dggs.topology == "DIAMOND" and dggs.aperture == 4:
+        from ..dggs.isea4t import ISEA4DGrid
+        return _ResBoundGrid(ISEA4DGrid(**orient), dggs.resolution)
+    raise NotImplementedError(
+        f"{dggs.dggs_type}: aperture-3 and mixed-aperture hexagon grids are "
+        "not implemented yet (IGEO7/ISEA7H, ISEA4H, ISEA4T, ISEA4D are)")
 
 
 class CellEncoder:
@@ -41,7 +77,13 @@ class CellEncoder:
         self.dggs = dggs
         self.grid = make_grid(dggs)
         self.grid._ensure_anchor_table()  # warm state, once per actor
-        self.codec = AddressCodec(self.grid, dggs.resolution)
+        if isinstance(self.grid, IGeo7Grid):
+            self.codec = AddressCodec(self.grid, dggs.resolution)
+        else:
+            self.codec = None
+            if output_address_type.upper() != "Z7":
+                raise NotImplementedError(
+                    "alternate address types are only available for IGEO7/ISEA7H")
         self.lon_col = lon_col
         self.lat_col = lat_col
         self.out_col = out_col

@@ -24,6 +24,13 @@ import ray.data
 from ..geometry import PolygonSet, STRtree, parse_wkb
 
 
+def _nblocks(ds, default: int = 32) -> int:
+    try:
+        return max(ds.num_blocks(), default)
+    except Exception:
+        return default
+
+
 def _build_polys(wkbs) -> tuple[list[PolygonSet], STRtree]:
     polys = []
     bboxes = []
@@ -85,7 +92,7 @@ def cell_equi_join(left: ray.data.Dataset, right: ray.data.Dataset,
                    on: str = "cell_id", how: str = "inner",
                    num_partitions: int | None = None) -> ray.data.Dataset:
     """Large-large equi-join on a cell-id column (Ray Data hash join)."""
-    np_ = num_partitions or max(left.num_blocks(), right.num_blocks(), 16)
+    np_ = num_partitions or _nblocks(left)
     return left.join(right, join_type=how, num_partitions=np_, on=(on,))
 
 
@@ -136,7 +143,7 @@ def spatial_join_via_cells(points: ray.data.Dataset, polygons: ray.data.Dataset,
 
     # hash join on the coarse cell, then the exact predicate locally
     joined = pts.join(polys, join_type="inner",
-                      num_partitions=max(pts.num_blocks(), 16), on=("_ccell",))
+                      num_partitions=_nblocks(pts), on=("_ccell",))
 
     def exact(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

@@ -1,0 +1,207 @@
+"""Dedup / text / ANN / media / join / checkpoint / raster operators."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_table():
+    rng = np.random.default_rng(5)
+    base = ["the quick brown fox jumps over the lazy dog",
+            "pack my box with five dozen liquor jugs",
+            "how vexingly quick daft zebras jump"]
+    texts, ids = [], []
+    for i in range(60):
+        t = base[i % 3]
+        if i % 5 == 0:
+            t = t + " extra"
+        texts.append(t)
+        ids.append(i)
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                     "text": pa.array(texts)})
+
+
+def test_exact_dedup(ray_session, docs_table):
+    import ray.data
+    from dggrid4py_ray.stages.dedup import exact_dedup
+    out = exact_dedup(ray.data.from_arrow(docs_table)).to_pandas()
+    # 6 distinct texts (3 bases x with/without suffix)
+    assert len(out) == 6
+    assert out["keep_id"].min() == 0
+
+
+def test_minhash_lsh(ray_session, docs_table):
+    import ray.data
+    from dggrid4py_ray.stages.dedup import minhash_lsh_dedup
+    pairs = minhash_lsh_dedup(ray.data.from_arrow(docs_table), num_perm=32,
+                              bands=8, threshold=0.9).to_pandas()
+    # identical texts must pair (est_jaccard 1.0); distinct bases must not
+    assert (pairs["est_jaccard"] >= 0.9).all()
+    ids = docs_table["doc_id"].to_numpy()
+    texts = docs_table["text"].to_numpy(zero_copy_only=False)
+    by_id = dict(zip(ids, texts))
+    same = [(l, r) for l, r in zip(pairs["left_id"], pairs["right_id"])
+            if by_id[l] == by_id[r]]
+    assert len(same) > 0.8 * len(pairs)
+    # each exact-duplicate pair of text 0 found
+    dup0 = [i for i in ids if by_id[i] == by_id[0]]
+    found = set(map(tuple, pairs[["left_id", "right_id"]].to_numpy()))
+    missing = [(a, b) for ai, a in enumerate(dup0) for b in dup0[ai + 1:]
+               if (a, b) not in found]
+    assert not missing
+
+
+def test_simhash(ray_session, docs_table):
+    import ray.data
+    from dggrid4py_ray.stages.dedup import simhash_dedup
+    pairs = simhash_dedup(ray.data.from_arrow(docs_table), max_hamming=3).to_pandas()
+    assert (pairs["hamming"] <= 3).all()
+    assert len(pairs) > 0
+
+
+def test_embedding_dedup(ray_session):
+    import ray.data
+    from dggrid4py_ray.stages.dedup import embedding_dedup
+    rng = np.random.default_rng(2)
+    base = rng.standard_normal((10, 16)).astype(np.float32)
+    rows = []
+    for i in range(10):
+        rows.append(base[i])
+        rows.append(base[i] + 0.001 * rng.standard_normal(16).astype(np.float32))
+    tbl = pa.table({"vec_id": pa.array(range(20), type=pa.int64()),
+                    "embedding": pa.array([list(map(float, r)) for r in rows],
+                                          type=pa.list_(pa.float32()))})
+    pairs = embedding_dedup(ray.data.from_arrow(tbl), threshold=0.99,
+                            nbits=4).to_pandas()
+    # every (2i, 2i+1) twin should be found
+    found = set(map(tuple, pairs[["left_id", "right_id"]].to_numpy()))
+    assert all((2 * i, 2 * i + 1) in found for i in range(10))
+
+
+def test_text_stages(ray_session, docs_table):
+    import ray.data
+    from dggrid4py_ray.stages.text import (Fingerprinter, LanguageId,
+                                           QualityScorer, TokenCounter)
+    ds = ray.data.from_arrow(docs_table)
+    out = (ds.map_batches(TokenCounter(), batch_format="pyarrow")
+             .map_batches(QualityScorer(), batch_format="pyarrow")
+             .map_batches(LanguageId(), batch_format="pyarrow")
+             .map_batches(Fingerprinter(), batch_format="pyarrow")).to_pandas()
+    assert (out["n_tokens_ws"] > 0).all()
+    assert (out["lang_pred"] == "en").all()
+    assert out["quality_score"].between(0, 1).all()
+    # identical texts -> identical fingerprints
+    g = out.groupby("text")["fingerprint"].nunique()
+    assert (g == 1).all()
+
+
+def test_ann_brute_force(ray_session):
+    import ray.data
+    from dggrid4py_ray.stages.ann import brute_force_topk, ivf_topk
+    rng = np.random.default_rng(3)
+    emb = rng.standard_normal((500, 32)).astype(np.float32)
+    tbl = pa.table({"vec_id": pa.array(range(500), type=pa.int64()),
+                    "embedding": pa.array([list(map(float, r)) for r in emb],
+                                          type=pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(tbl)
+    q = emb[[7, 123]]
+    res = brute_force_topk(ds, q, k=5).to_pandas()
+    top1 = res[res["rank"] == 1].sort_values("query_idx")["vec_id"].tolist()
+    assert top1 == [7, 123]  # a vector's nearest neighbour is itself
+    # exact numpy oracle for query 0
+    embn = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    sims = embn @ (q[0] / np.linalg.norm(q[0]))
+    exp = set(np.argsort(-sims)[:5].tolist())
+    got = set(res[res["query_idx"] == 0]["vec_id"].tolist())
+    assert got == exp
+    # IVF with generous probes matches brute force top-1
+    res2 = ivf_topk(ds, q, k=3, n_centroids=8, nprobe=8).to_pandas()
+    assert res2[res2["rank"] == 1].sort_values("query_idx")["vec_id"].tolist() == [7, 123]
+
+
+def test_media_stubs(ray_session):
+    import ray.data
+    from dggrid4py_ray.stages.media import (AudioFrameSampler, ImageDecoder,
+                                            MediaFetcher, fake_media_blob)
+    tbl = pa.table({"media_ref": [f"blob://image/{i:03d}" for i in range(20)],
+                    "kind": ["image"] * 20})
+    ds = ray.data.from_arrow(tbl)
+    out = (ds.map_batches(MediaFetcher(), batch_format="pyarrow", batch_size=8)
+             .map_batches(ImageDecoder(), batch_format="pyarrow", batch_size=8)
+             .map_batches(AudioFrameSampler(), batch_format="pyarrow", batch_size=8)
+           ).to_pandas()
+    assert (out["media_size"] > 0).all()
+    assert (out["img_width"] >= 32).all()
+    assert len(out["img_feature"].iloc[0]) == 64
+    assert len(out["audio_frames"].iloc[0]) == 16
+    # determinism
+    assert fake_media_blob("x") == fake_media_blob("x")
+    with pytest.raises(NotImplementedError):
+        ImageDecoder(decoder="pillow")
+
+
+def test_pip_join(ray_session):
+    import ray.data
+    from dggrid4py_ray.stages.join import pip_join
+    from dggrid4py_ray.geometry import wkb_polygon
+    rng = np.random.default_rng(8)
+    lon = rng.uniform(-10, 30, 2000)
+    lat = rng.uniform(-10, 30, 2000)
+    ds = ray.data.from_arrow(pa.table({"lon": lon, "lat": lat,
+                                       "pid": pa.array(range(2000), type=pa.int64())}))
+    polys = [wkb_polygon([np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)]),
+             wkb_polygon([np.array([[15, 15], [25, 15], [25, 25], [15, 25], [15, 15]], float)])]
+    out = pip_join(ds, polys).to_pandas().sort_values("pid")
+    exp = np.full(2000, -1, dtype=np.int64)
+    exp[(lon >= 0) & (lon <= 10) & (lat >= 0) & (lat <= 10)] = 0
+    exp[(lon >= 15) & (lon <= 25) & (lat >= 15) & (lat <= 25)] = 1
+    got = out.sort_values("pid")["poly_id"].to_numpy()
+    # boundary-exact differences only (points exactly on edges): none expected
+    assert np.array_equal(got, exp)
+
+
+def test_checkpoint_resume(ray_session, tmp_path):
+    from dggrid4py_ray.state.checkpoint import (partition_done, run_checkpointed,
+                                                write_partition)
+    calls = []
+
+    def make(pid):
+        calls.append(pid)
+        return pa.table({"x": pa.array([pid] * 10, type=pa.int64())})
+
+    out = str(tmp_path / "ckpt")
+    m1 = run_checkpointed(make, 4, out, parallel=False)
+    assert len(m1) == 4 and sorted(calls) == [0, 1, 2, 3]
+    assert all(partition_done(out, p) for p in range(4))
+    # resume: nothing recomputed
+    calls.clear()
+    m2 = run_checkpointed(make, 4, out, parallel=False)
+    assert calls == []
+    assert [m["checksum"] for m in m1] == [m["checksum"] for m in m2]
+    # partial resume: drop one partition's manifest
+    import os
+    os.remove(os.path.join(out, "part-00002", "manifest.json"))
+    run_checkpointed(make, 4, out, parallel=False)
+    assert calls == [2]
+
+
+def test_raster_zonal(ray_session):
+    from dggrid4py_ray.sources.raster import (RasterMeta, synthetic_raster,
+                                              windows_dataset, zonal_from_raster,
+                                              pixel_edge_len_m, suggest_windows)
+    meta = RasterMeta(width=120, height=80, lon0=10.0, lat0=55.0,
+                      px=0.01, py=0.01, nodata=-999.0)
+    rw = synthetic_raster(meta)
+    spans = suggest_windows(meta, max_mb=0.2)
+    assert sum(n for _, n in spans) == meta.height and len(spans) >= 1
+    ds = windows_dataset(meta, rw, max_mb=0.2)
+    df = ds.to_pandas()
+    n_nodata = sum((np.arange(r * 31, r * 31 + 1) * 0).size for r in [])  # noqa
+    assert len(df) < meta.width * meta.height  # nodata dropped
+    assert df["lon"].between(10.0, 11.2).all()
+    assert pixel_edge_len_m(meta) > 500
+    z = zonal_from_raster(meta, rw, resolution=5).to_pandas()
+    assert len(z) >= 1 and (z["count_value"] > 0).all()
+    # mass conservation: total pixels = sum of per-cell counts
+    assert z["count_value"].sum() == len(df)
