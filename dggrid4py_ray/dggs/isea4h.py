@@ -84,10 +84,12 @@ class ISEA4HGrid:
 
     def canonicalize(self, face, i, j, res: int):
         """Shared edge/corner lattice points -> owning (lowest) face."""
+        return self.canonicalize_n(face, i, j, 1 << res)
+
+    def canonicalize_n(self, face, i, j, n: int):
         face = np.asarray(face, np.int64).copy()
         i = np.asarray(i, np.int64).copy()
         j = np.asarray(j, np.int64).copy()
-        n = 1 << res
         boundary = (i == 0) | (j == 0) | (i + j == n)
         if boundary.any():
             pos = self.proj.inverse_unit(face[boundary],
@@ -240,3 +242,140 @@ class ISEA4HGrid:
         for aperture-4 hexagons)."""
         lon, lat = self.decode(ids, res)
         return self.encode(lon, lat, res - 1)
+
+
+class ISEA3HGrid:
+    """ISEA3H — aperture-3 hexagons from Snyder face lattices.
+
+    Centers at res r: vertices of the n-subdivided faces with
+    n = 3^(floor(r/2)); odd r additionally includes the centroid of every
+    small triangle (Class II "rotated" level).  Counts: even r -> 10*3^r+2
+    vertices; odd r -> 10*3^(r-1)+2 vertices + 20*3^(r-1) centroids
+    = 10*3^r + 2.  Exactly DGGRID's alternating aperture-3 structure
+    (reference ISEA3H, dggrid_runner.py:67).
+
+    Ids: vertices pack like ISEA4H ((face,i,j) canonical, lowest-face
+    ownership); centroids pack with a flag bit and their (up/down, i, j)
+    sub-triangle coords (strictly interior to a face, so no sharing).
+    """
+
+    _CENT_FLAG = np.int64(1) << 55
+
+    def __init__(self, **orient):
+        self.base = ISEA4HGrid(**orient)
+
+    def _n(self, res: int) -> int:
+        return 3 ** (res // 2)
+
+    @staticmethod
+    def num_cells(res: int) -> int:
+        return 10 * 3**res + 2
+
+    def _centroid_plane(self, i, j, up, n):
+        """Centroid of sub-triangle (i, j, up): up-triangle corners
+        (i,j),(i+1,j),(i,j+1); down-triangle corners (i+1,j),(i,j+1),(i+1,j+1)."""
+        ci = np.where(up, i + 1.0 / 3.0, i + 2.0 / 3.0)
+        cj = np.where(up, j + 1.0 / 3.0, j + 2.0 / 3.0)
+        return self.base._plane_of(ci, cj, n)
+
+    def decode(self, ids, res: int):
+        from .sphere import unit_to_lonlat
+        ids = np.asarray(ids, dtype=np.int64)
+        n = self._n(res)
+        is_cent = (ids & self._CENT_FLAG) != 0
+        out = np.zeros((len(ids), 3))
+        if (~is_cent).any():
+            out[~is_cent] = self.base.center_unit(ids[~is_cent], int(np.log2(n)) if False else 0) \
+                if False else self._vertex_unit(ids[~is_cent], n)
+        if is_cent.any():
+            v = ids[is_cent] & ~self._CENT_FLAG
+            face = v >> 56
+            up = ((v >> 54) & 1).astype(bool)
+            i = (v >> 27) & ((1 << 27) - 1)
+            j = v & ((1 << 27) - 1)
+            x, y = self._centroid_plane(i.astype(float), j.astype(float), up, n)
+            out[is_cent] = self.base.proj.inverse_unit(face, x, y)
+        return unit_to_lonlat(out)
+
+    def _vertex_unit(self, ids, n):
+        face, i, j = unpack(ids)
+        x, y = self.base._plane_of(i.astype(np.float64), j.astype(np.float64), n)
+        return self.base.proj.inverse_unit(face, x, y)
+
+    def _pack_centroid(self, face, i, j, up):
+        return ((np.asarray(face, np.int64) << 56) | self._CENT_FLAG
+                | (np.asarray(up, np.int64) << 54)
+                | (np.asarray(i, np.int64) << 27) | np.asarray(j, np.int64))
+
+    def encode(self, lon, lat, res: int) -> np.ndarray:
+        """Nearest-center assignment among vertices (and, at odd res,
+        centroids), 3D-exact across faces."""
+        p = lonlat_to_unit(np.asarray(lon, np.float64), np.asarray(lat, np.float64))
+        n = self._n(res)
+        odd = res % 2 == 1
+        npts = p.shape[0]
+        ic = self.base.proj.icosa
+        dots = p @ ic.face_centers.T
+        order = np.argsort(-dots, axis=1)[:, :3]
+        cell_rad = np.arctan(2.0) / n
+        d0 = np.arccos(np.clip(dots[np.arange(npts), order[:, 0]], -1, 1))
+        best_score = np.full(npts, -2.0)
+        best_id = np.zeros(npts, dtype=np.int64)
+        for k in range(3):
+            face = order[:, k]
+            if k == 0:
+                active = np.ones(npts, dtype=bool)
+            else:
+                dk = np.arccos(np.clip(dots[np.arange(npts), face], -1, 1))
+                active = dk < d0 + 1.6 * cell_rad
+            if not active.any():
+                continue
+            fa = face[active]
+            _, x, y = self.base._forward_on_face(p[active], fa)
+            l0, l1, _ = self.base._bary(x, y)
+            f0 = np.floor(l0 * n)
+            f1 = np.floor(l1 * n)
+            act_idx = np.nonzero(active)[0]
+            # vertex candidates: corners of the containing sub-cell
+            for di, dj in ((0, 0), (1, 0), (0, 1), (1, 1)):
+                ci = np.clip(f0 + di, 0, n).astype(np.int64)
+                cj = np.clip(f1 + dj, 0, n).astype(np.int64)
+                ok = ci + cj <= n
+                if not ok.any():
+                    continue
+                cx, cy = self.base._plane_of(ci[ok].astype(float), cj[ok].astype(float), n)
+                cpos = self.base.proj.inverse_unit(fa[ok], cx, cy)
+                score = np.sum(cpos * p[active][ok], axis=-1)
+                idx = act_idx[ok]
+                upd = score > best_score[idx]
+                ui = idx[upd]
+                best_score[ui] = score[upd]
+                bf, bi, bj = self.base.canonicalize_n(fa[ok][upd], ci[ok][upd],
+                                                      cj[ok][upd], n)
+                best_id[ui] = pack(bf, bi, bj)
+            if odd:
+                # centroid candidates: full 1-ring of sub-triangles around the
+                # containing cell (nearest centroid can be any of the ~6
+                # triangles around the nearest lattice vertex)
+                for di in (-1, 0, 1):
+                    for dj in (-1, 0, 1):
+                        for upv in (True, False):
+                            ti = (f0 + di).astype(np.int64)
+                            tj = (f1 + dj).astype(np.int64)
+                            up = np.full(len(ti), upv)
+                            ok = (ti >= 0) & (tj >= 0)
+                            ok &= np.where(up, ti + tj <= n - 1, ti + tj <= n - 2)
+                            if not ok.any():
+                                continue
+                            cx, cy = self._centroid_plane(ti[ok].astype(float),
+                                                          tj[ok].astype(float), up[ok], n)
+                            cpos = self.base.proj.inverse_unit(fa[ok], cx, cy)
+                            score = np.sum(cpos * p[active][ok], axis=-1)
+                            idx = act_idx[ok]
+                            upd = score > best_score[idx]
+                            ui = idx[upd]
+                            best_score[ui] = score[upd]
+                            best_id[ui] = self._pack_centroid(
+                                fa[ok][upd], ti[ok][upd], tj[ok][upd],
+                                up[ok][upd].astype(np.int64))
+        return best_id

@@ -336,6 +336,48 @@ def cells_for_geo_points(ds: ray.data.Dataset, cell_ids_only: bool = True,
     return out
 
 
+def post_process_split_dateline(ds: ray.data.Dataset,
+                                wkb_col: str = "geometry") -> ray.data.Dataset:
+    """Split antimeridian-crossing polygons into east+west parts, 1 -> 2 rows
+    (reference post_process_split_dateline dggrid_runner.py:1251-1274 +
+    interrupt.py).  Order-stable within each batch."""
+    from ..geometry import parse_wkb, ring_crosses_dateline, split_ring_at_dateline, wkb_polygon
+
+    def split(batch: pa.Table) -> pa.Table:
+        wkbs = batch[wkb_col].to_numpy(zero_copy_only=False)
+        rows, out = [], []
+        for i, b in enumerate(wkbs):
+            t, rings = parse_wkb(bytes(b))
+            ring = rings[0] if t == "Polygon" else rings[0][0]
+            if ring_crosses_dateline(ring):
+                for part in split_ring_at_dateline(ring):
+                    rows.append(i)
+                    out.append(wkb_polygon([part]))
+            else:
+                rows.append(i)
+                out.append(bytes(b))
+        taken = batch.take(pa.array(rows, type=pa.int64())).drop_columns([wkb_col])
+        return taken.append_column(wkb_col, pa.array(out, type=pa.binary()))
+
+    return ds.map_batches(split, batch_format="pyarrow")
+
+
+def run_flagship_checkpointed(in_path: str, out_dir: str, resolution: int = 9,
+                              lineage: dict | None = None) -> str:
+    """The north-star pipeline with resumable output: read interleaved docs
+    (parquet/Lance-shaped), per-span cell assignment, write partitioned
+    parquet with per-partition lineage manifests; re-running skips completed
+    partitions (state/checkpoint.py)."""
+    from ..stages.spans import doc_cell_assignments
+    from ..state.checkpoint import write_dataset_checkpointed
+
+    ds = ray.data.read_parquet(in_path)
+    out = doc_cell_assignments(ds, resolution=resolution)
+    return write_dataset_checkpointed(
+        out, out_dir, dict(lineage or {}, input=in_path, resolution=resolution,
+                           pipeline="span_cell_assignment"))
+
+
 def address_transform(cell_ids_or_values, dggs_type: str = "IGEO7", resolution: int = 9,
                       input_address_type: str = "Z7", output_address_type: str = "SEQNUM",
                       **kw) -> pa.Table:

@@ -42,9 +42,9 @@ def make_grid(dggs: Dggs):
     """Grid engine for a Dggs config.
 
     IGEO7/ISEA7H -> the hierarchical IGeo7 engine (full surface: hierarchy,
-    neighbors, boundaries).  ISEA4H / ISEA4T / ISEA4D -> the
-    projection-exact Snyder engines (encode/decode surface).  Aperture-3 and
-    mixed-43 hexagon grids are not yet implemented.
+    neighbors, boundaries).  ISEA4H / ISEA3H / ISEA4T / ISEA4D -> the
+    projection-exact Snyder engines (encode/decode surface).  Mixed-aperture
+    (43) grids and the Fuller projection are not yet implemented.
     """
     orient = dict(pole_lon=dggs.pole_lon_deg, pole_lat=dggs.pole_lat_deg,
                   azimuth=dggs.azimuth_deg)
@@ -53,6 +53,9 @@ def make_grid(dggs: Dggs):
     if dggs.topology == "HEXAGON" and dggs.aperture == 4:
         from ..dggs.isea4h import ISEA4HGrid
         return _ResBoundGrid(ISEA4HGrid(**orient), dggs.resolution)
+    if dggs.topology == "HEXAGON" and dggs.aperture == 3:
+        from ..dggs.isea4h import ISEA3HGrid
+        return _ResBoundGrid(ISEA3HGrid(**orient), dggs.resolution)
     if dggs.topology == "TRIANGLE" and dggs.aperture == 4:
         from ..dggs.isea4t import ISEA4TGrid
         return _ResBoundGrid(ISEA4TGrid(**orient), dggs.resolution)
@@ -60,8 +63,9 @@ def make_grid(dggs: Dggs):
         from ..dggs.isea4t import ISEA4DGrid
         return _ResBoundGrid(ISEA4DGrid(**orient), dggs.resolution)
     raise NotImplementedError(
-        f"{dggs.dggs_type}: aperture-3 and mixed-aperture hexagon grids are "
-        "not implemented yet (IGEO7/ISEA7H, ISEA4H, ISEA4T, ISEA4D are)")
+        f"{dggs.dggs_type}: mixed-aperture (43) hexagon grids and the Fuller "
+        "projection are not implemented yet "
+        "(IGEO7/ISEA7H, ISEA4H, ISEA3H, ISEA4T, ISEA4D are)")
 
 
 class CellEncoder:

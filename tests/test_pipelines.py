@@ -138,3 +138,35 @@ def test_explode_reassemble_roundtrip(ray_session):
     re = sp.reassemble_spans(sp.explode_spans(ds))
     fp1 = sp.span_sequence_fingerprint(re).to_pandas().set_index("doc_id")["span_fp"]
     assert fp0.sort_index().equals(fp1.sort_index())
+
+
+def test_post_process_split_dateline(ray_session):
+    import ray.data
+    from dggrid4py_ray.geometry import wkb_polygon, parse_wkb
+    from dggrid4py_ray.pipelines.highlevel import post_process_split_dateline
+    crossing = wkb_polygon([np.array([[179, 0], [-179, 0], [-179, 2], [179, 2], [179, 0]], float)])
+    normal = wkb_polygon([np.array([[10, 0], [11, 0], [11, 1], [10, 0]], float)])
+    ds = ray.data.from_arrow(pa.table({"cell_id": pa.array([1, 2], type=pa.int64()),
+                                       "geometry": pa.array([crossing, normal], type=pa.binary())}))
+    out = post_process_split_dateline(ds).to_pandas()
+    assert len(out) == 3  # crossing cell split into 2
+    assert sorted(out["cell_id"]) == [1, 1, 2]
+    for b in out["geometry"]:
+        t, rings = parse_wkb(bytes(b))
+        assert np.abs(np.diff(rings[0][:, 0])).max() <= 180
+
+
+def test_flagship_checkpointed(ray_session, tmp_path):
+    import os
+    from dggrid4py_ray.sources.spans_table import spans_batch
+    import pyarrow.parquet as pq
+    from dggrid4py_ray.pipelines.highlevel import run_flagship_checkpointed
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(spans_batch(0, 400), src)
+    out = str(tmp_path / "out")
+    run_flagship_checkpointed(src, out, resolution=6)
+    manifests = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert manifests
+    assert os.path.exists(os.path.join(out, manifests[0], "manifest.json"))
+    # resume: second run completes without error and keeps manifests
+    run_flagship_checkpointed(src, out, resolution=6)

@@ -107,3 +107,17 @@ def test_binning_all_grids(ray_session):
         out = bin_point_vals(ray.data.from_arrow(tbl), t, resolution=3,
                              value_col="value").to_pandas()
         assert out["count_value"].sum() == n, t
+
+
+def test_isea3h(pts):
+    from dggrid4py_ray.dggs.isea4h import ISEA3HGrid
+    lon, lat = pts
+    g = ISEA3HGrid()
+    for res in [0, 1, 2, 3, 4]:
+        ids = g.encode(lon, lat, res)
+        lo, la = g.decode(ids, res)
+        assert np.array_equal(g.encode(lo, la, res), ids), res
+    # exact aperture-3 cell-count law (alternating vertex/centroid lattices)
+    for res in [1, 2, 3]:
+        ids = g.encode(lon, lat, res)
+        assert len(np.unique(ids)) == ISEA3HGrid.num_cells(res) == 10 * 3**res + 2
