@@ -65,11 +65,9 @@ def bin_point_vals(ds: ray.data.Dataset, dggs_type: str = "IGEO7", resolution: i
     if cell_output_control.upper() == "OUTPUT_ALL":
         from .highlevel import grid_cellids_for_extent
         universe = grid_cellids_for_extent(dggs_type, resolution, **kw)
-        try:
-            nb = max(16, universe.num_blocks())
-        except Exception:
-            nb = 32
-        out = universe.join(out, join_type="left_outer", num_partitions=nb,
+        from ..stages.join import _join_partitions
+        out = universe.join(out, join_type="left_outer",
+                            num_partitions=_join_partitions(),
                             on=("cell_id",))
     return out
 

@@ -23,11 +23,16 @@ import ray.data
 from ray.data.aggregate import Min
 
 
-def _nblocks(ds, default: int = 32) -> int:
+def _join_partitions(cap: int = 16) -> int:
+    """Hash-join partition count sized to the cluster: the join operator
+    runs one aggregator actor per partition, so oversizing deadlocks small
+    CPU budgets."""
     try:
-        return max(ds.num_blocks(), default)
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
-        return default
+        cpus = 8
+    return max(2, min(cap, cpus // 2))
 
 
 def _md5_int64(texts: np.ndarray) -> np.ndarray:
@@ -158,7 +163,7 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, text_col: str = "text",
     small = sizes.map_batches(
         lambda t: t.filter(pa.compute.less_equal(t["bsz"], pa.scalar(max_bucket))),
         batch_format="pyarrow")
-    buckets = buckets.join(small, join_type="inner", num_partitions=16,
+    buckets = buckets.join(small, join_type="inner", num_partitions=_join_partitions(),
                            on=("band", "bucket"))
     # bucket self-join (hash-partitioned on (band, bucket)) instead of
     # per-group map_groups: almost all buckets are singletons, and the join
@@ -167,7 +172,7 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, text_col: str = "text",
         lambda t: pa.table({"band": t["band"], "bucket": t["bucket"],
                             "rid": t[id_col], "rsig": t["sig"]}),
         batch_format="pyarrow")
-    joined = buckets.join(right, join_type="inner", num_partitions=16,
+    joined = buckets.join(right, join_type="inner", num_partitions=_join_partitions(),
                           on=("band", "bucket"))
 
     def score(t: pa.Table) -> pa.Table:

@@ -24,11 +24,13 @@ import ray.data
 from ..geometry import PolygonSet, STRtree, parse_wkb
 
 
-def _nblocks(ds, default: int = 32) -> int:
+def _join_partitions(cap: int = 32) -> int:
     try:
-        return max(ds.num_blocks(), default)
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
-        return default
+        cpus = 8
+    return max(2, min(cap, cpus // 2))
 
 
 def _build_polys(wkbs) -> tuple[list[PolygonSet], STRtree]:
@@ -92,7 +94,7 @@ def cell_equi_join(left: ray.data.Dataset, right: ray.data.Dataset,
                    on: str = "cell_id", how: str = "inner",
                    num_partitions: int | None = None) -> ray.data.Dataset:
     """Large-large equi-join on a cell-id column (Ray Data hash join)."""
-    np_ = num_partitions or _nblocks(left)
+    np_ = num_partitions or _join_partitions()
     return left.join(right, join_type=how, num_partitions=np_, on=(on,))
 
 
@@ -143,7 +145,7 @@ def spatial_join_via_cells(points: ray.data.Dataset, polygons: ray.data.Dataset,
 
     # hash join on the coarse cell, then the exact predicate locally
     joined = pts.join(polys, join_type="inner",
-                      num_partitions=_nblocks(pts), on=("_ccell",))
+                      num_partitions=_join_partitions(), on=("_ccell",))
 
     def exact(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

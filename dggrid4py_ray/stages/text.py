@@ -15,7 +15,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 _STOPWORDS = {
-    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "you", "that"},
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "you", "that",
+           "with", "for", "on", "my", "how", "over", "at", "by", "this", "not"},
     "de": {"der", "die", "das", "und", "ist", "ich", "nicht", "ein", "zu", "mit"},
     "fr": {"le", "la", "les", "et", "est", "je", "ne", "un", "une", "dans"},
     "es": {"el", "la", "los", "y", "es", "no", "un", "una", "en", "que"},

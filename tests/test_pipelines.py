@@ -40,8 +40,15 @@ def test_polygons_for_extent(ray_session):
     from dggrid4py_ray.geometry import parse_wkb
     df = hl.grid_cell_polygons_for_extent("IGEO7", 4, clip_bbox=(0, 0, 10, 10)).to_pandas()
     assert {"cell_id", "geometry"} <= set(df.columns)
-    t, rings = parse_wkb(df["geometry"].iloc[0])
-    assert t == "Polygon" and len(rings[0]) in (6, 7)
+    sizes = []
+    for b in df["geometry"]:
+        t, rings = parse_wkb(bytes(b))
+        assert t == "Polygon"
+        sizes.append(len(rings[0]))
+    # hexagons (6 verts + closing = 7) dominate; seam cells may deviate
+    # (see the KNOWN LIMITATION note in dggs/igeo7.py)
+    assert np.mean(np.array(sizes) == 7) > 0.5
+    assert min(sizes) >= 4
 
 
 def test_coarse_cells_expansion(ray_session):
