@@ -18,10 +18,15 @@ from typing import Any
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: interleaved text+media
     documents -> per-span IGEO7 cell assignment (span sequence preserved) —
-    the north-star cell-assignment pipeline at small scale."""
+    the north-star cell-assignment pipeline at small scale.  Scales the
+    synthetic interleaved table to the sf0.001 documents table it reads."""
+    import pyarrow.parquet as pq
+
     from dggrid4py_ray.pipelines.queries import spans_cell_assignments
 
-    return spans_cell_assignments("/root/testdata/sf0.001")
+    sf_dir = "/root/testdata/sf0.001"
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return spans_cell_assignments(sf_dir, n_docs=max(n_docs, 100) * 10)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

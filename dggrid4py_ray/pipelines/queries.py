@@ -390,12 +390,12 @@ def igeo7_encode_events(sf_dir: str):
                           "IGEO7", resolution=9, value_col="value")
 
 
-def spans_cell_assignments(sf_dir: str):
+def spans_cell_assignments(sf_dir: str, n_docs: int = 5000):
     """Interleaved text+media documents (input_hint): per-span cell ids with
     span sequence preserved (rows-only check + pytest invariants)."""
     from ..sources.spans_table import spans_dataset
     from ..stages.spans import doc_cell_assignments
-    ds = spans_dataset(5000, batch_rows=1000)
+    ds = spans_dataset(n_docs, batch_rows=1000)
     out = doc_cell_assignments(ds, resolution=9)
     return out.map_batches(
         lambda t: pa.table({"doc_id": t["doc_id"],
