@@ -195,10 +195,57 @@ def run_scaling() -> dict:
     }
 
 
+def run_kernel_scaling() -> dict:
+    """Scaling of the cache-resident encode kernel itself (multiprocessing,
+    no Ray): isolates the engine's compute scaling from this sandbox's
+    shared-memory-bandwidth ceiling (see BASELINE.md)."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def worker(q, seed):
+        from dggrid4py_ray.dggs.igeo7 import IGeo7Grid
+        g = IGeo7Grid()
+        g._ensure_anchor_table()
+        rng = np.random.default_rng(seed)
+        n = 2048
+        lon = rng.uniform(-180, 180, n)
+        lat = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+        g.encode(lon[:64], lat[:64], RES)
+        t0 = time.time()
+        it = 0
+        while time.time() - t0 < 6.0:
+            g._encode_planar(lon, lat, RES, 4)
+            it += 1
+        q.put(it * n / (time.time() - t0))
+
+    rates = {}
+    for nproc in (1, 2, 8, 32):
+        q = mp.Queue()
+        ps = [mp.Process(target=worker, args=(q, i)) for i in range(nproc)]
+        [p.start() for p in ps]
+        [p.join() for p in ps]
+        rates[nproc] = sum(q.get() for _ in range(nproc))
+    eff_2_8 = (rates[8] / rates[2]) / 4.0
+    eff_8_32 = (rates[32] / rates[8]) / 4.0
+    return {
+        "metric": "kernel_scaling_efficiency_N_to_4N",
+        "value": round(eff_2_8, 3),
+        "unit": "ratio",
+        "queries": {f"encode_pts_per_sec_procs{k}": round(v, 1) for k, v in rates.items()}
+        | {"efficiency_2_to_8": round(eff_2_8, 3),
+           "efficiency_8_to_32": round(eff_8_32, 3)},
+        "sf": SF_DIR,
+        "num_cpus": 32,
+    }
+
+
 if __name__ == "__main__":
     import ray
     try:
-        if "--scaling" in sys.argv:
+        if "--kernel-scaling" in sys.argv:
+            print(json.dumps(run_kernel_scaling()))
+        elif "--scaling" in sys.argv:
             print(json.dumps(run_scaling()))
         elif "--single" in sys.argv:
             r = run_single_flagship()

@@ -413,6 +413,27 @@ def minhash_pairs_docs(sf_dir: str):
                              num_perm=32, bands=8, threshold=0.5)
 
 
+def kring_res2(sf_dir: str):
+    """k=1 neighbor rings for every res-2 cell via the NeighborKernel actor
+    (north-star kNN cell rings; rows-only — ring sizes vary in seam bands)."""
+    from ..config import dgselect
+    from ..stages.encode import NeighborKernel
+    n = ig.num_cells(2)
+    ds = ray.data.range(n, override_num_blocks=4)
+
+    def to_cells(t: pa.Table) -> pa.Table:
+        seq = t["id"].to_numpy() + 1
+        return pa.table({"cell_id": pa.array(ig.seqnum_to_z7(seq, 2), type=pa.int64())})
+
+    dggs = dgselect("IGEO7", resolution=2)
+    out = ds.map_batches(to_cells, batch_format="pyarrow") \
+            .map_batches(NeighborKernel(dggs), batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: pa.table({"cell_id": t["cell_id"],
+                            "n_neighbors": pc.list_value_length(t["neighbors"])}),
+        batch_format="pyarrow")
+
+
 def polyfill_clip_box(sf_dir: str):
     """Clipped polyfill over the reference conformance box at res 5
     (rows-only; exactness covered by pytest completeness tests)."""
@@ -438,6 +459,7 @@ QUERIES = {
     "spans_cell_assignments": spans_cell_assignments,
     "minhash_pairs_docs": minhash_pairs_docs,
     "polyfill_clip_box": polyfill_clip_box,
+    "kring_res2": kring_res2,
 }
 
 ORACLES = {

@@ -44,12 +44,17 @@ class SpanCellEncoder:
     def __init__(self, dggs: Dggs | None = None, resolution: int = 9,
                  spans_col: str = "spans", out_col: str = "span_cell_ids"):
         self.dggs = dggs or dgselect("IGEO7", resolution=resolution)
-        self.grid = make_grid(self.dggs)
-        self.grid._ensure_anchor_table()
+        self.grid = None  # built lazily per worker (Ray caches the
+        # deserialized UDF per worker process, so the anchor table is built
+        # once per worker from the /tmp cache, and the pickled payload the
+        # driver ships per task stays tiny)
         self.spans_col = spans_col
         self.out_col = out_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.grid is None:
+            self.grid = make_grid(self.dggs)
+            self.grid._ensure_anchor_table()
         spans = _spans_array(batch, self.spans_col)
         offsets = spans.offsets.to_numpy()
         struct = spans.values.slice(offsets[0], offsets[-1] - offsets[0])
@@ -111,10 +116,14 @@ def reassemble_spans(ds: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def doc_cell_assignments(ds: ray.data.Dataset, resolution: int = 9,
-                         concurrency: int | None = None, **kw) -> ray.data.Dataset:
+                         concurrency=None, **kw) -> ray.data.Dataset:
     """THE flagship document pipeline (north star): every geometry-bearing
     span of every document assigned to its grid cell, spans preserved
-    in place."""
+    in place.
+
+    Task-based with a lazily-built encoder: Ray caches the deserialized UDF
+    per worker process, so the anchor table is built once per worker (from
+    the /tmp cache) and the per-task pickle stays tiny."""
     dggs = dgselect(kw.pop("dggs_type", "IGEO7"), resolution=resolution, **kw)
     return ds.map_batches(SpanCellEncoder(dggs), batch_format="pyarrow",
                           concurrency=concurrency)
