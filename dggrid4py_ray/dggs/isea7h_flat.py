@@ -1,0 +1,173 @@
+"""ISEA7H (flat ids) — projection-exact aperture-7 hexagon grid.
+
+The geometry-sound aperture-7 construction (and the position model the
+IGEO7 tree engine will adopt): cell centers at resolution r are the points
+of the per-face planar lattice
+
+    L_r = { c_s + (a + b*omega) * m_r },   m_r = e1 / (2 + omega)^r
+
+(Eisenstein-integer aperture-7 substitution: |2+omega| = sqrt(7), arg =
+19.1066 deg) mapped to the sphere by the Snyder equal-area inverse.  Face
+corners are lattice points at every resolution (integer multiplication maps
+L_0 into itself); with the cumulative rotation no other lattice point ever
+lies on a face edge, so the cell count is exactly
+
+    20 * (7^r - 1)/2  interior  +  12 corners  =  10*7^r + 2.
+
+Ids are flat (face, a, b) with a/b offset-packed (no Z7 digit hierarchy —
+that is what the IGEO7 tree engine provides); corners canonicalize to the
+lowest sharing face.  encode = nearest center in true 3D, via per-face
+lattice rounding + cross-face candidates near edges — same machinery as
+ISEA4H, validated there against brute force.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .snyder import SnyderProjection, R_VERTEX_PLANE
+from .sphere import lonlat_to_unit, unit_to_lonlat
+
+_OFF = np.int64(1 << 26)  # a/b offset so packed values stay positive
+_MASK = (np.int64(1) << 27) - 1
+
+# omega = e^{i pi/3}
+_OMEGA = complex(0.5, np.sqrt(3.0) / 2.0)
+_M7 = 2.0 + _OMEGA  # |.|^2 = 7
+
+
+def pack(face, a, b):
+    return ((np.asarray(face, np.int64) << 54)
+            | ((np.asarray(a, np.int64) + _OFF) << 27)
+            | (np.asarray(b, np.int64) + _OFF))
+
+
+def unpack(ids):
+    ids = np.asarray(ids, dtype=np.int64)
+    return ids >> 54, ((ids >> 27) & _MASK) - _OFF, (ids & _MASK) - _OFF
+
+
+class ISEA7HFlatGrid:
+    def __init__(self, pole_lon: float = 11.25, pole_lat: float = 58.28252559,
+                 azimuth: float = 0.0):
+        self.proj = SnyderProjection(pole_lon=pole_lon, pole_lat=pole_lat,
+                                     azimuth=azimuth)
+        # plane corners (complex) in face-slot order (slots (0,1,2) sit at
+        # plane angles (90, 330, 210) deg — see Icosahedron frame notes)
+        ang = np.array([np.pi / 2, np.pi / 2 + 4 * np.pi / 3, np.pi / 2 + 2 * np.pi / 3])
+        self.c = R_VERTEX_PLANE * np.exp(1j * ang)  # slot corners as complex
+        self._m = {}
+
+    def m_r(self, res: int) -> complex:
+        if res not in self._m:
+            self._m[res] = (self.c[1] - self.c[0]) / (_M7 ** res)
+        return self._m[res]
+
+    @staticmethod
+    def num_cells(res: int) -> int:
+        return 10 * 7**res + 2
+
+    # -- id <-> plane -------------------------------------------------------
+
+    def _plane_of(self, a, b, res: int):
+        z = self.c[0] + (a + b * _OMEGA) * self.m_r(res)
+        return np.real(z), np.imag(z)
+
+    def decode(self, ids, res: int):
+        face, a, b = unpack(ids)
+        x, y = self._plane_of(a.astype(np.float64), b.astype(np.float64), res)
+        return unit_to_lonlat(self.proj.inverse_unit(face, x, y))
+
+    def _bary(self, x, y):
+        ax, ay = np.real(self.c[0]), np.imag(self.c[0])
+        bx, by = np.real(self.c[1]), np.imag(self.c[1])
+        cx, cy = np.real(self.c[2]), np.imag(self.c[2])
+        det = (by - cy) * (ax - cx) + (cx - bx) * (ay - cy)
+        l0 = ((by - cy) * (x - cx) + (cx - bx) * (y - cy)) / det
+        l1 = ((cy - ay) * (x - cx) + (ax - cx) * (y - cy)) / det
+        return l0, l1, 1.0 - l0 - l1
+
+    def _axial_of_plane(self, x, y, res: int):
+        w = (x + 1j * y - self.c[0]) / self.m_r(res)
+        b = np.imag(w) / (np.sqrt(3.0) / 2.0)
+        a = np.real(w) - 0.5 * b
+        return a, b
+
+    # -- encode -------------------------------------------------------------
+
+    def encode(self, lon, lat, res: int) -> np.ndarray:
+        p = lonlat_to_unit(np.asarray(lon, np.float64), np.asarray(lat, np.float64))
+        npts = p.shape[0]
+        ic = self.proj.icosa
+        dots = p @ ic.face_centers.T
+        order = np.argsort(-dots, axis=1)[:, :3]
+        cell_rad = np.arctan(2.0) / (7.0 ** (res / 2.0))
+        d0 = np.arccos(np.clip(dots[np.arange(npts), order[:, 0]], -1, 1))
+        best_score = np.full(npts, -2.0)
+        best_id = np.zeros(npts, dtype=np.int64)
+        eps = 1e-9
+        for k in range(3):
+            face = order[:, k]
+            if k == 0:
+                active = np.ones(npts, dtype=bool)
+            else:
+                dk = np.arccos(np.clip(dots[np.arange(npts), face], -1, 1))
+                active = dk < d0 + 1.8 * cell_rad
+            if not active.any():
+                continue
+            fa = face[active]
+            _, x, y = self._forward_on_face(p[active], fa)
+            a, b = self._axial_of_plane(x, y, res)
+            fa0 = np.floor(a)
+            fb0 = np.floor(b)
+            act_idx = np.nonzero(active)[0]
+            for da in (0, 1, -1):
+                for db in (0, 1, -1):
+                    if abs(da) + abs(db) > 2:
+                        continue
+                    ca = (fa0 + da).astype(np.int64)
+                    cb = (fb0 + db).astype(np.int64)
+                    cx, cy = self._plane_of(ca.astype(float), cb.astype(float), res)
+                    l0, l1, l2 = self._bary(cx, cy)
+                    ok = (l0 >= -eps) & (l1 >= -eps) & (l2 >= -eps)
+                    if not ok.any():
+                        continue
+                    cpos = self.proj.inverse_unit(fa[ok], cx[ok], cy[ok])
+                    score = np.sum(cpos * p[active][ok], axis=-1)
+                    idx = act_idx[ok]
+                    upd = score > best_score[idx]
+                    ui = idx[upd]
+                    best_score[ui] = score[upd]
+                    # canonicalize corners (the only shared lattice points)
+                    caf, cai, cab = self._canonical(fa[ok][upd], ca[ok][upd],
+                                                    cb[ok][upd], l0[ok][upd],
+                                                    l1[ok][upd], l2[ok][upd], res)
+                    best_id[ui] = pack(caf, cai, cab)
+        return best_id
+
+    def _canonical(self, face, a, b, l0, l1, l2, res: int):
+        """Corner lattice points (bary ~ a unit vector) -> lowest sharing
+        face, expressed in that face's axial coords."""
+        face = np.asarray(face, np.int64).copy()
+        a = np.asarray(a, np.int64).copy()
+        b = np.asarray(b, np.int64).copy()
+        tol = 1e-9
+        corner = ((np.abs(l0 - 1) < tol) | (np.abs(l1 - 1) < tol)
+                  | (np.abs(l2 - 1) < tol))
+        if corner.any():
+            cx, cy = self._plane_of(a[corner].astype(float), b[corner].astype(float), res)
+            pos = self.proj.inverse_unit(face[corner], cx, cy)
+            dots = pos @ self.proj.icosa.face_centers.T
+            best = dots.max(axis=1, keepdims=True)
+            owner = np.argmax(dots > best - 1e-9, axis=1).astype(np.int64)
+            # recompute axial in the owner plane
+            _, xo, yo = self._forward_on_face(pos, owner)
+            ao, bo = self._axial_of_plane(xo, yo, res)
+            face[corner] = owner
+            a[corner] = np.rint(ao).astype(np.int64)
+            b[corner] = np.rint(bo).astype(np.int64)
+        return face, a, b
+
+    def _forward_on_face(self, p, face):
+        from .isea4h import ISEA4HGrid
+        return ISEA4HGrid._forward_on_face(self, p, face)

@@ -121,3 +121,24 @@ def test_isea3h(pts):
     for res in [1, 2, 3]:
         ids = g.encode(lon, lat, res)
         assert len(np.unique(ids)) == ISEA3HGrid.num_cells(res) == 10 * 3**res + 2
+
+
+def test_isea7h_flat(pts):
+    """Projection-exact aperture-7 grid (the position model the IGEO7 tree
+    engine adopts next round): exact counts, exact roundtrip, regular
+    geometry (no seam drift)."""
+    from dggrid4py_ray.dggs.isea7h_flat import ISEA7HFlatGrid
+    from dggrid4py_ray.dggs.sphere import lonlat_to_unit, angle_between
+    lon, lat = pts
+    g = ISEA7HFlatGrid()
+    for res in [0, 1, 2, 3]:
+        ids = g.encode(lon, lat, res)
+        assert len(np.unique(ids)) == ISEA7HFlatGrid.num_cells(res) == 10 * 7**res + 2
+        lo, la = g.decode(ids, res)
+        assert np.array_equal(g.encode(lo, la, res), ids)
+    # geometric regularity: every point within one nominal spacing of its center
+    res = 5
+    ids = g.encode(lon, lat, res)
+    lo, la = g.decode(ids, res)
+    d = angle_between(lonlat_to_unit(lon, lat), lonlat_to_unit(lo, la))
+    assert (d < 1.1071 / 7.0 ** (res / 2)).all()
