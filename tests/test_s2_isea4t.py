@@ -131,9 +131,11 @@ def test_isea7h_flat(pts):
     from dggrid4py_ray.dggs.sphere import lonlat_to_unit, angle_between
     lon, lat = pts
     g = ISEA7HFlatGrid()
-    for res in [0, 1, 2, 3]:
+    for res in [0, 1, 2]:   # 5000 sample points saturate <= 492 cells
         ids = g.encode(lon, lat, res)
         assert len(np.unique(ids)) == ISEA7HFlatGrid.num_cells(res) == 10 * 7**res + 2
+    for res in [0, 2, 3, 5]:
+        ids = g.encode(lon, lat, res)
         lo, la = g.decode(ids, res)
         assert np.array_equal(g.encode(lo, la, res), ids)
     # geometric regularity: every point within one nominal spacing of its center
