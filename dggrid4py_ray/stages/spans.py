@@ -44,17 +44,16 @@ class SpanCellEncoder:
     def __init__(self, dggs: Dggs | None = None, resolution: int = 9,
                  spans_col: str = "spans", out_col: str = "span_cell_ids"):
         self.dggs = dggs or dgselect("IGEO7", resolution=resolution)
-        self.grid = None  # built lazily per worker (Ray caches the
-        # deserialized UDF per worker process, so the anchor table is built
-        # once per worker from the /tmp cache, and the pickled payload the
-        # driver ships per task stays tiny)
+        # Build the encoder + anchor table HERE (driver side, once): the
+        # pickled instance (~4 MB) deserializes in ~tens of ms per task,
+        # whereas a lazy rebuild happens once per TASK (Ray deserializes the
+        # UDF per task), costing seconds each — measured 18x slower.
+        self.grid = make_grid(self.dggs)
+        self.grid._ensure_anchor_table()
         self.spans_col = spans_col
         self.out_col = out_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.grid is None:
-            self.grid = make_grid(self.dggs)
-            self.grid._ensure_anchor_table()
         spans = _spans_array(batch, self.spans_col)
         offsets = spans.offsets.to_numpy()
         struct = spans.values.slice(offsets[0], offsets[-1] - offsets[0])
@@ -121,9 +120,8 @@ def doc_cell_assignments(ds: ray.data.Dataset, resolution: int = 9,
     span of every document assigned to its grid cell, spans preserved
     in place.
 
-    Task-based with a lazily-built encoder: Ray caches the deserialized UDF
-    per worker process, so the anchor table is built once per worker (from
-    the /tmp cache) and the per-task pickle stays tiny."""
+    Task-based with the encoder state prebuilt into the UDF instance (fast
+    per-task deserialization; see SpanCellEncoder.__init__ note)."""
     dggs = dgselect(kw.pop("dggs_type", "IGEO7"), resolution=resolution, **kw)
     return ds.map_batches(SpanCellEncoder(dggs), batch_format="pyarrow",
                           concurrency=concurrency)
