@@ -24,3 +24,26 @@ def test_flat_lattice_z7_bijection():
         # exactly 12 pentagon parents with 6 children; all others 7
         assert counts[6] == 12
         assert set(counts) <= {6, 7}
+
+
+def test_z7_bridge_bijection():
+    """Flat cells -> Z7 ids: perfect bijection with per-base subtree sizes
+    matching the pentagon law p(res) (the seqnum codec's assumption)."""
+    import collections
+    from experiments.z7_bijection_check import enumerate_cells
+    from dggrid4py_ray.dggs.isea7h_z7bridge import Z7Bridge
+    from dggrid4py_ray.dggs import igeo7 as ig
+
+    br = Z7Bridge()
+    for res in [1, 2]:
+        ids = enumerate_cells(br.g, res)
+        z7 = br.z7_of_flat(ids, res)
+        assert len(np.unique(z7)) == len(ids) == ig.num_cells(res)
+        bases = collections.Counter(ig.z7_base_cell(z7).tolist())
+        p = ig._p_sizes(res)[res]
+        assert all(bases[b] == p for b in range(12))
+        assert ig.z7_is_pentagon(z7).sum() == 12
+        # seqnum codec works unchanged on bridge ids
+        seq = ig.z7_to_seqnum(z7)
+        assert len(np.unique(seq)) == len(ids)
+        assert seq.min() == 1 and seq.max() == ig.num_cells(res)
