@@ -84,6 +84,19 @@ class Z7Bridge:
             for k2 in range(k + 1, 6):
                 same = (out[:, k2] == out[:, k]) & (out[:, k] != -1)
                 out[same, k2] = -1
+        # keep only TRUE children: a snap near a pentagon can land on a cell
+        # owned by a neighboring parent (which would inflate a pentagon to 6
+        # ring members and emit the forbidden digit 2)
+        flat = out.reshape(-1)
+        ok = flat != -1
+        if ok.any():
+            uniqc, inv = np.unique(flat[ok], return_inverse=True)
+            par_u = self.parent_of(uniqc, child_res)
+            par_flat = np.full(len(flat), -1, dtype=np.int64)
+            par_flat[ok] = par_u[inv]
+            want = np.repeat(parent_ids, 6)
+            flat = np.where(par_flat == want, flat, -1)
+            out = flat.reshape(n, 6)
         return center_child, out, ang
 
     def digits_of(self, ids: np.ndarray, res: int):
