@@ -12,18 +12,21 @@ published aperture-7 design):
 * 12 base cells at the icosahedron vertices (orientation from the DGGRID
   default pole: lon 11.25, lat 58.28252559, azimuth 0 — reference defaults at
   dggrid_runner.py:530-532). All 12 base cells are pentagons.
-* Each cell at resolution r has children at r+1: the *center* child (digit 0)
-  at the same point, plus a ring of 6 (pentagon: 5) children at geodesic
-  distance d_{r+1} = atan(2) / sqrt(7)^(r+1), at 60-degree (pentagon:
-  72-degree) azimuth spacings in the cell's local frame.  The local frame
-  rotates by the aperture-7 substitution angle alpha = atan(sqrt(3)/5)
-  (= 19.1066 deg) per level, exactly as in the planar aperture-7 hex
-  substitution (Eisenstein integer 2+omega, norm 7).
+* Cell POSITIONS are the projection-exact per-face Snyder lattice
+  (dggs/isea7h_flat.py): centers at resolution r are the points of the
+  per-face Eisenstein lattice L_r = L_0 * (2+omega)^-r (|2+omega|^2 = 7, the
+  aperture-7 substitution) mapped to the sphere by the Snyder equal-area
+  inverse — the same construction family DGGRID uses, so there is no
+  pentagon-seam drift and cell geometry is regular at every resolution.
+* Cell IDS keep the Z7 digit hierarchy: parent = nearest coarse center,
+  digit = angular rank in the parent's child ring (center child -> 0);
+  the flat<->Z7 bijection is provided by dggs/isea7h_z7bridge.py (exact,
+  validated exhaustively at low res, Eisenstein-residue fast path).
 * Pentagon children use digits {0,1,3,4,5,6} — digit 2 is skipped, mirroring
   DGGRID's Z7 pentagon convention (reference igeo7_ext.py:112-115).
-* A point's cell at res r is the generated res-r center nearest to it
-  (spherical Voronoi of generated centers); found by vectorized beam descent
-  through the hierarchy (beam width configurable, default 4).
+* A point's cell at res r is the nearest res-r center (spherical Voronoi of
+  lattice centers), computed by per-face lattice rounding with cross-face
+  candidates (exact; see isea7h_flat.py).
 
 Cell ids use the reference's Z7 64-bit layout (reference igeo7.py:16-45):
 4-bit base cell (0-11) then twenty 3-bit digits, digit 7 = "beyond
@@ -33,20 +36,6 @@ NOTE: ids are *not* bit-identical to the DGGRID binary's Z7 ids (the binary
 and its undocumented digit conventions are not available here); the layout,
 hierarchy algebra, cell-count law and topology are.  See tests/test_golden.py
 for the tracked deviations from the reference's golden literals.
-
-KNOWN LIMITATION (tracked for the projected-lattice redesign): the
-generative construction places pentagon ring children rigidly at 72-degree
-azimuths, so the five wedge sub-lattices around each pentagon meet at a
-12-degree orientation mismatch.  Cell POSITIONS in those seam bands drift
-from the ideal tiling by an absolute offset that is set at coarse levels —
-negligible relative to coarse cells (res <= ~4) but large relative to fine
-cells (at res 9, ~20% of random points land > 1 cell-spacing from their
-assigned center; p90 ~75 spacings inside seam bands).  Everything remains
-*self-consistent* (encode is exactly nearest-generated-center; decode,
-hierarchy, counts and round-trips are exact) — it is the *geometric
-regularity* of fine seam cells that is degraded.  The fix is to source
-positions from per-face Snyder-projected lattices (DGGRID's approach),
-which keeps this module's id algebra unchanged.
 """
 
 from __future__ import annotations
@@ -74,43 +63,6 @@ _HEX_DIGITS = np.array([0, 1, 2, 3, 4, 5, 6], dtype=np.uint64)
 
 # per-level child-ring distance d_r (r = child resolution, 1-indexed)
 _D = np.array([D0 * 7.0 ** (-(r) / 2.0) for r in range(0, MAX_RES + 2)])
-
-# slot tables for the exact-state beam encode, indexed [pent(0/1), slot(0..6)]:
-# child direction angle (incl. the per-level frame rotation alpha) and the
-# back-rotation (lambda only) that restores the lattice frame at the child.
-_DIR_COS = np.zeros((2, 7))
-_DIR_SIN = np.zeros((2, 7))
-_BACK_COS = np.ones((2, 7))
-_BACK_SIN = np.zeros((2, 7))
-_OFF_X = np.zeros((2, 7))
-_OFF_Y = np.zeros((2, 7))
-for _s in range(7):
-    for _pent in (0, 1):
-        if _s == 0:
-            lam = 0.0
-        elif _pent:
-            lam = np.deg2rad(72.0 * (_s - 1)) if _s <= 5 else 0.0
-        else:
-            lam = np.deg2rad(60.0 * (_s - 1))
-        th = ROT_SIGN * ALPHA + lam
-        _DIR_COS[_pent, _s] = np.cos(th)
-        _DIR_SIN[_pent, _s] = np.sin(th)
-        _BACK_COS[_pent, _s] = np.cos(lam)
-        _BACK_SIN[_pent, _s] = np.sin(lam)
-        if _s > 0:
-            _OFF_X[_pent, _s] = np.cos(th)
-            _OFF_Y[_pent, _s] = np.sin(th)
-
-# digit -> (cos, sin) of ring azimuth offset, per pentagon-ness; used by decode
-_DEC_COS = np.zeros((2, 8))
-_DEC_SIN = np.zeros((2, 8))
-for _d in range(1, 7):
-    _DEC_COS[0, _d] = np.cos(_HEX_LAM[_d])
-    _DEC_SIN[0, _d] = np.sin(_HEX_LAM[_d])
-_PENT_RING = [1, 3, 4, 5, 6]
-for _i, _d in enumerate(_PENT_RING):
-    _DEC_COS[1, _d] = np.cos(np.deg2rad(72.0 * _i))
-    _DEC_SIN[1, _d] = np.sin(np.deg2rad(72.0 * _i))
 
 # Z7 int64 packing helpers -------------------------------------------------
 
@@ -342,16 +294,25 @@ def num_cells(res: int, aperture: int = 7) -> int:
 class IGeo7Grid:
     """Vectorized encode/decode/topology engine for the IGEO7/ISEA7H grid.
 
-    Stateless after construction (a few hundred bytes of constants): cheap to
-    hold inside Ray map_batches actors, or to rebuild per task.
+    Positions come from the projection-exact Snyder flat lattice
+    (isea7h_flat.py); ids keep the Z7 hierarchy via the flat<->Z7 bridge
+    (isea7h_z7bridge.py).  Construction is cheap; the bridge's level tables
+    (~4 MB) are built lazily once per process (``_ensure_anchor_table``) and
+    /tmp-cached per orientation, so Ray map_batches actors pay the build at
+    most once per node.
     """
 
     def __init__(self, pole_lon: float = 11.25, pole_lat: float = 58.28252559,
                  azimuth: float = 0.0, beam: int = 4):
+        from .isea7h_flat import ISEA7HFlatGrid
+        from .isea7h_z7bridge import Z7Bridge
         self.pole_lon = float(pole_lon)
         self.pole_lat = float(pole_lat)
         self.azimuth = float(azimuth)
-        self.beam = int(beam)
+        self.beam = int(beam)  # kept for API compatibility (unused)
+        self.flat = ISEA7HFlatGrid(pole_lon=self.pole_lon, pole_lat=self.pole_lat,
+                                   azimuth=self.azimuth)
+        self.bridge = Z7Bridge(self.flat)
         self._build_base()
 
     def _build_base(self):
@@ -382,335 +343,83 @@ class IGeo7Grid:
 
     # -- encode ------------------------------------------------------------
 
-    ANCHOR_RES = 3
-    TABLE_STEP_DEG = 1.0
-    TABLE_K = 6
-    REANCHOR_EVERY = 3  # planar levels between exp-map re-anchoring
-
     def _ensure_anchor_table(self):
-        """Lazy one-time state (built once per process / Ray actor): all res-3
-        cells + a lon/lat raster mapping to the TABLE_K nearest res-3 anchors.
+        """Warm-state hook (name kept from round 1): build the bridge's
+        exhaustive low-res conversion tables once per process.  Called in Ray
+        actor __init__ so batches never pay the build."""
+        return self.bridge.ensure_tables()
 
-        This is exactly the 'actor pools holding warm cell-index state' of the
-        north star: encode actors pay this once in __init__/first batch.  The
-        table is cached under /tmp keyed by orientation so sibling actors on
-        the same node reuse it.
-        """
-        if getattr(self, "_tbl", None) is not None:
-            return self._tbl
-        import os
-        a = self.ANCHOR_RES
-        key = f"{self.pole_lon:.9f}_{self.pole_lat:.9f}_{self.azimuth:.9f}_{a}_{self.TABLE_STEP_DEG}_{self.TABLE_K}_v2"
-        cache = f"/tmp/igeo7_anchors_{abs(hash(key))}.npz"
-        if os.path.exists(cache):
-            try:
-                z = np.load(cache)
-                self._tbl = {k2: z[k2] for k2 in z.files}
-                self._tbl["step"] = float(self._tbl["step"])
-                return self._tbl
-            except Exception:
-                pass
-        n_anchor = num_cells(a)
-        ids = seqnum_to_z7(np.arange(1, n_anchor + 1, dtype=np.int64), a)
-        pos, ref, _ = self.decode_state(ids)
-        e2 = np.cross(pos, ref)
-        pent = z7_is_pentagon(ids)
-        acc = ids.view(np.uint64) & ~_PAD[a]  # digit path, no tail padding
-        id_to_idx = {int(v): i for i, v in enumerate(ids)}
-        # distance-based candidate lists per anchor: every anchor within
-        # 2.8*d_3 — complete by construction (a point's ~6 nearest anchors are
-        # within ~2.1*d_3 of the nearest anchor of its raster-bin center)
-        # NOTE: 5.5*d_3, not the ~1.3*d_3 regular-lattice bound: cells along
-        # pentagon seams are metrically stretched (5 children span 6-child
-        # space, compounding over levels), so a deep cell's res-3 ancestor can
-        # sit ~4.3*d_3 from the point's nearest anchor (measured empirically).
-        dots = np.clip(pos @ pos.T, -1.0, 1.0).astype(np.float32)
-        radius = np.float32(np.cos(5.5 * _D[a]))
-        cand_sets = [np.nonzero(dots[i] > radius)[0].astype(np.int16) for i in range(n_anchor)]
-        max_c = max(len(s) for s in cand_sets)
-        cand = np.full((n_anchor, max_c), -1, dtype=np.int16)
-        for i, s in enumerate(cand_sets):
-            cand[i, : len(s)] = s
-        # raster bin -> nearest anchor of the bin center (per-point top-B is
-        # then computed exactly against that anchor's candidate list)
-        step = self.TABLE_STEP_DEG
-        lons = -180.0 + step * (np.arange(int(round(360 / step))) + 0.5)
-        lats = -90.0 + step * (np.arange(int(round(180 / step))) + 0.5)
-        glon, glat = np.meshgrid(lons, lats, indexing="ij")
-        gshape = glon.shape
-        gl = glon.ravel()
-        gb = glat.ravel()
-        near = np.empty(gl.shape[0], dtype=np.int16)
-        for s in range(0, gl.shape[0], 16384):
-            zz = self.encode_sph(gl[s:s + 16384], gb[s:s + 16384], a)
-            near[s:s + 16384] = np.array([id_to_idx[int(v)] for v in zz], dtype=np.int16)
-        self._tbl = {
-            "ids": ids, "pos": pos, "ref": ref, "e2": e2, "pent": pent, "acc": acc,
-            "cand": cand, "near": near.reshape(gshape), "step": step,
-        }
-        try:
-            tmp = cache + f".tmp{os.getpid()}.npz"
-            np.savez(tmp, **self._tbl)
-            os.replace(tmp, cache)
-        except Exception:
-            pass
-        return self._tbl
+    _CHUNK = 8192  # keep per-chunk temporaries cache-resident (see BASELINE.md)
 
     def encode(self, lon, lat, res: int, beam: int | None = None) -> np.ndarray:
-        """Vectorized geo -> Z7 int64 at resolution `res`.
-
-        Fast path: res-3 anchors from the precomputed raster table, then
-        planar aperture-7 lattice descent in the anchor tangent plane
-        (re-anchored every few levels), with an exact spherical fallback for
-        the tiny fraction of points whose nearest-center decision margin is
-        below the curvature error bound.  Result is identical to
-        ``encode_sph`` (the generative-tree nearest-center definition).
-        """
+        """Vectorized geo -> Z7 int64 at resolution `res` (exact nearest
+        lattice center; replaces TRANSFORM_POINTS with GEO input, reference
+        dggrid_runner.py:953-1022 / cells_for_geo_points :1859-1959)."""
+        if res < 0 or res > MAX_RES:
+            raise ValueError(f"res must be in 0..{MAX_RES}")
         lon = np.asarray(lon, dtype=np.float64)
         lat = np.asarray(lat, dtype=np.float64)
-        if res <= self.ANCHOR_RES + 1:
-            return self.encode_sph(lon, lat, res, beam=beam)
-        out = np.empty(lon.shape[0], dtype=np.int64)
-        B = beam or self.beam
-        CH = 2048  # cache-resident temporaries: ~65k pts/s/core AND parallel-scalable on this bandwidth-limited sandbox (8192 halves both)
-        for s in range(0, lon.shape[0], CH):
-            out[s:s + CH] = self._encode_planar(lon[s:s + CH], lat[s:s + CH], res, B)
-        return out
-
-    def _reproject(self, A, E1, E2, p):
-        """AEQD coordinates of target p (n,3) in each candidate plane (n,B,3)."""
-        dotc = np.einsum("nkj,nj->nk", A, p)
-        tx = np.einsum("nkj,nj->nk", E1, p)
-        ty = np.einsum("nkj,nj->nk", E2, p)
-        tn = np.sqrt(tx * tx + ty * ty)
-        ang = np.arctan2(tn, dotc)
-        scale = np.where(tn > 1e-15, ang / np.where(tn > 1e-15, tn, 1.0), 0.0)
-        return tx * scale, ty * scale
-
-    def _expmap(self, A, E1, E2, curx, cury):
-        """Exp-map planar points back to 3D plus transported frame."""
-        r2 = np.sqrt(curx * curx + cury * cury)
-        close = r2 <= 1e-15
-        safe = np.where(close, 1.0, r2)
-        dirv = (curx[..., None] * E1 + cury[..., None] * E2) / safe[..., None]
-        newA = np.cos(r2)[..., None] * A + np.sin(r2)[..., None] * dirv
-        tangent = -np.sin(r2)[..., None] * A + np.cos(r2)[..., None] * dirv
-        newA = np.where(close[..., None], A, newA)
-        ca = np.where(close, 1.0, curx / safe)
-        sa = np.where(close, 0.0, cury / safe)
-        E2n = np.cross(newA, tangent)
-        E1n = tangent * ca[..., None] - E2n * sa[..., None]
-        E1n = np.where(close[..., None], E1, E1n)
-        E2n = np.cross(newA, E1n)
-        return newA, E1n, E2n
-
-    def _encode_planar(self, lon, lat, res: int, B: int) -> np.ndarray:
-        """Exact-state beam descent.
-
-        Each beam candidate carries its TRUE spherical center+frame (updated
-        incrementally with the chosen digit — exact tree geometry).  The only
-        approximation is scoring the 7 children of each candidate in the
-        candidate's own tangent plane, whose differential error is O(d^3)
-        (negligible vs the decision margin; a final-margin fallback to
-        ``encode_sph`` guards the residual sliver).
-        """
-        tbl = self._ensure_anchor_table()
-        a = self.ANCHOR_RES
-        p = lonlat_to_unit(lon, lat)
-        n = p.shape[0]
-        step = float(tbl["step"])
-        ilon = np.clip(((lon + 180.0) / step).astype(np.int64), 0, tbl["near"].shape[0] - 1)
-        ilat = np.clip(((lat + 90.0) / step).astype(np.int64), 0, tbl["near"].shape[1] - 1)
-        cidx = tbl["cand"][tbl["near"][ilon, ilat].astype(np.int64)].astype(np.int64)  # (n,C)
-        valid = cidx >= 0                      # int16 table indices (not cell ids)
-        cpos = tbl["pos"][np.where(valid, cidx, 0)].astype(np.float32)
-        sc = np.einsum("ncj,nj->nc", cpos, p.astype(np.float32))
-        sc[~valid] = -np.inf
-        # wider initial beam: the true ancestor of the final cell can rank
-        # 5th-6th by raw distance in seam-distorted regions
-        K0 = min(max(B + 3, 7), cidx.shape[1])
-        top = np.argpartition(-sc, K0 - 1, axis=1)[:, :K0]
-        sub = np.take_along_axis(sc, top, axis=1)
-        order = np.argsort(-sub, axis=1)
-        top = np.take_along_axis(top, order, axis=1)
-        sel_idx = np.take_along_axis(cidx, top, axis=1)               # (n,B) anchor rows
-        pos = tbl["pos"][sel_idx]                                      # exact centers
-        ref = tbl["ref"][sel_idx]
-        pent = tbl["pent"][sel_idx].copy()
-        acc = tbl["acc"][sel_idx].copy()
-        ar = np.arange(n)[:, None]
-        need_fb = np.zeros(n, dtype=bool)
-        for level in range(a, res):
-            d = _D[level + 1]
-            e2 = np.cross(pos, ref)
-            # target in each candidate's tangent plane (AEQD)
-            dotc = np.einsum("nkj,nj->nk", pos, p)
-            tx = np.einsum("nkj,nj->nk", ref, p)
-            ty = np.einsum("nkj,nj->nk", e2, p)
-            tn = np.sqrt(tx * tx + ty * ty)
-            ang = np.arctan2(tn, dotc)
-            s_ = np.where(tn > 1e-15, ang / np.where(tn > 1e-15, tn, 1.0), 0.0)
-            px = tx * s_
-            py = ty * s_
-            ox = d * _OFF_X[pent.astype(np.int64)]                     # (n,K,7)
-            oy = d * _OFF_Y[pent.astype(np.int64)]
-            d2 = (ox - px[..., None]) ** 2 + (oy - py[..., None]) ** 2
-            d2[..., 6] = np.where(pent, np.inf, d2[..., 6])
-            K = d2.shape[1]
-            d2f = d2.reshape(n, K * 7)
-            k_keep = B if level + 1 < res else 1
-            if k_keep < K * 7:
-                sel = np.argpartition(d2f, k_keep - 1, axis=1)[:, :k_keep]
-                subd = np.take_along_axis(d2f, sel, axis=1)
-                order = np.argsort(subd, axis=1)
-                sel = np.take_along_axis(sel, order, axis=1)
-            else:
-                sel = np.argsort(d2f, axis=1)
-            if level + 1 == res:
-                part = np.partition(d2f, 1, axis=1)
-                errb = 4.0 * (2.0 * d) ** 3 / 6.0
-                need_fb |= (np.sqrt(part[:, 1]) - np.sqrt(part[:, 0])) < 2.0 * errb
-            parent = sel // 7
-            slot = sel % 7
-            pent_par = pent[ar, parent]
-            digit = np.where(pent_par, _PENT_DIGITS[np.minimum(slot, 6)], slot.astype(np.uint64))
-            acc = acc[ar, parent] | (digit.astype(np.uint64) << np.uint64(57 - 3 * level))
-            # exact spherical child step for the selected children only
-            pos_p = pos[ar, parent]
-            ref_p = ref[ar, parent]
-            e2_p = e2[ar, parent]
-            pi = pent_par.astype(np.int64)
-            dc = _DIR_COS[pi, slot][..., None]
-            dsn = _DIR_SIN[pi, slot][..., None]
-            bc = _BACK_COS[pi, slot][..., None]
-            bs = _BACK_SIN[pi, slot][..., None]
-            dirv = ref_p * dc + e2_p * dsn
-            cd, sd = np.cos(d), np.sin(d)
-            ch_pos = cd * pos_p + sd * dirv
-            ch_tan = -sd * pos_p + cd * dirv
-            ch_ref = ch_tan * bc - np.cross(ch_pos, ch_tan) * bs
-            is_center = (slot == 0)[..., None]
-            pos = np.where(is_center, pos_p, ch_pos)
-            ref = np.where(is_center, dirv, ch_ref)
-            pent = pent_par & (slot == 0)
-        out = (acc[:, 0] | _PAD[res]).view(np.int64)
-        if np.any(need_fb):
-            ii = np.nonzero(need_fb)[0]
-            out[ii] = self.encode_sph(lon[ii], lat[ii], res)
+        n = lon.shape[0]
+        out = np.empty(n, dtype=np.int64)
+        for s in range(0, n, self._CHUNK):
+            flat = self.flat.encode(lon[s:s + self._CHUNK], lat[s:s + self._CHUNK], res)
+            out[s:s + self._CHUNK] = self.bridge.z7_of_flat(flat, res)
         return out
 
     def encode_sph(self, lon, lat, res: int, beam: int | None = None) -> np.ndarray:
-        """Reference spherical beam-descent encode (exact by construction).
-
-        Replaces TRANSFORM_POINTS with input GEO (reference
-        dggrid_runner.py:953-1022 / cells_for_geo_points :1859-1959).
-        """
-        if res < 0 or res > MAX_RES:
-            raise ValueError(f"res must be in 0..{MAX_RES}")
-        K = beam or self.beam
-        tgt = lonlat_to_unit(np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64))
-        n = tgt.shape[0]
-        if res == 0:
-            score = tgt @ self.base_centers.T
-            b = np.argmax(score, axis=1).astype(np.uint64)
-            return ((b << np.uint64(60)) | _PAD[0]).view(np.int64)
-        # initial candidates: all 12 base cells
-        pos = np.broadcast_to(self.base_centers, (n, 12, 3)).copy()
-        ref = np.broadcast_to(self.base_refs, (n, 12, 3)).copy()
-        acc = np.broadcast_to((np.arange(12, dtype=np.uint64) << np.uint64(60)), (n, 12)).copy()
-        pent = np.ones((n, 12), dtype=bool)
-        valid = np.ones((n, 12), dtype=bool)
-        # prune to top-K base cells immediately
-        pos, ref, acc, pent, valid = self._select(tgt, pos, ref, acc, pent, valid, min(K, 12))
-        for level in range(res):
-            pos, ref, acc, pent, valid = self._expand(pos, ref, acc, pent, valid, level)
-            k_here = K if level < res - 1 else 1
-            pos, ref, acc, pent, valid = self._select(tgt, pos, ref, acc, pent, valid, k_here)
-        z = acc[:, 0] | _PAD[res]
-        return z.view(np.int64)
-
-    def _expand(self, pos, ref, acc, pent, valid, level):
-        """All candidates -> their 7 children. Shapes (n, K, ...) -> (n, K*7, ...)."""
-        n, K, _ = pos.shape
-        d = _D[level + 1]
-        alpha = ROT_SIGN * ALPHA
-        ca, sa = np.cos(alpha), np.sin(alpha)
-        cxr = np.cross(pos, ref)
-        tprime = ref * ca + cxr * sa  # child-level frame at parent point
-        lam = np.where(pent[..., None], _PENT_LAM[None, None, :], _HEX_LAM[None, None, :])  # (n,K,7)
-        cl = np.cos(lam)
-        sl = np.sin(lam)
-        cxt = np.cross(pos, tprime)
-        # ring directions for slots 1..6: rotate tprime by lam about pos
-        dirs = tprime[:, :, None, :] * cl[..., None] + cxt[:, :, None, :] * sl[..., None]  # (n,K,7,3)
-        cd, sd = np.cos(d), np.sin(d)
-        ch_pos = cd * pos[:, :, None, :] + sd * dirs
-        ch_tan = -sd * pos[:, :, None, :] + cd * dirs
-        # child ref = continuation rotated by -lam about child pos
-        ch_cx = np.cross(ch_pos, ch_tan)
-        ch_ref = ch_tan * cl[..., None] - ch_cx * sl[..., None]
-        # slot 0 = center child: same pos, frame = tprime
-        ch_pos[:, :, 0, :] = pos
-        ch_ref[:, :, 0, :] = tprime
-        digit = np.where(pent[..., None], _PENT_DIGITS[None, None, :], _HEX_DIGITS[None, None, :])
-        shift = np.uint64(57 - 3 * level)
-        ch_acc = acc[:, :, None] | (digit << shift)
-        ch_pent = np.zeros((n, K, 7), dtype=bool)
-        ch_pent[:, :, 0] = pent
-        ch_valid = np.repeat(valid[:, :, None], 7, axis=2)
-        ch_valid[:, :, 6] &= ~pent  # pentagon has no slot 6
-        return (ch_pos.reshape(n, K * 7, 3), ch_ref.reshape(n, K * 7, 3),
-                ch_acc.reshape(n, K * 7), ch_pent.reshape(n, K * 7), ch_valid.reshape(n, K * 7))
-
-    def _select(self, tgt, pos, ref, acc, pent, valid, k):
-        n, K, _ = pos.shape
-        score = np.einsum("nkj,nj->nk", pos, tgt)
-        score[~valid] = -np.inf
-        if k >= K:
-            return pos, ref, acc, pent, valid
-        idx = np.argpartition(-score, k - 1, axis=1)[:, :k]
-        # order best-first so [:, 0] is the answer at the last level
-        sub = np.take_along_axis(score, idx, axis=1)
-        order = np.argsort(-sub, axis=1)
-        idx = np.take_along_axis(idx, order, axis=1)
-        ar = np.arange(n)[:, None]
-        return pos[ar, idx], ref[ar, idx], acc[ar, idx], pent[ar, idx], valid[ar, idx]
+        """Reference-exact encode: scores lattice candidates on ALL 20 faces
+        (no face pre-screening).  Slower; used by tests to certify that the
+        fast 3-face path picks the globally nearest center."""
+        lon = np.asarray(lon, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        flat = self.flat.encode(lon, lat, res, k_faces=20)
+        return self.bridge.z7_of_flat(flat, res)
 
     # -- decode ------------------------------------------------------------
 
-    def decode_state(self, z7: np.ndarray):
-        """Z7 ids -> (center unit vec (n,3), local frame ref (n,3), res array)."""
+    def _flat_ids(self, z7: np.ndarray) -> np.ndarray:
+        """Z7 ids (mixed resolutions allowed) -> flat lattice ids."""
         z7 = np.asarray(z7, dtype=np.int64)
         res_arr = z7_resolution(z7)
-        maxr = int(res_arr.max()) if res_arr.size else 0
-        base = z7_base_cell(z7)
-        digs = z7_digits(z7, maxr) if maxr else np.zeros(z7.shape + (0,), dtype=np.int64)
-        pos = self.base_centers[base]
-        ref = self.base_refs[base]
-        pent = np.ones(z7.shape, dtype=bool)
-        alpha = ROT_SIGN * ALPHA
-        ca, sa = np.cos(alpha), np.sin(alpha)
-        for level in range(maxr):
-            active = level < res_arr
-            d = _D[level + 1]
-            dig = digs[..., level]
-            cxr = np.cross(pos, ref)
-            tprime = ref * ca + cxr * sa
-            cl = _DEC_COS[pent.astype(np.int64), dig][..., None]
-            sl = _DEC_SIN[pent.astype(np.int64), dig][..., None]
-            cxt = np.cross(pos, tprime)
-            dirs = tprime * cl + cxt * sl
-            cd, sd = np.cos(d), np.sin(d)
-            npos = cd * pos + sd * dirs
-            ntan = -sd * pos + cd * dirs
-            ncx = np.cross(npos, ntan)
-            nref = ntan * cl - ncx * sl
-            is_center = dig == 0
-            npos = np.where(is_center[..., None], pos, npos)
-            nref = np.where(is_center[..., None], tprime, nref)
-            pos = np.where(active[..., None], npos, pos)
-            ref = np.where(active[..., None], nref, ref)
-            pent = pent & (is_center | ~active)
+        out = np.empty(z7.shape, dtype=np.int64)
+        for r in np.unique(res_arr):
+            m = res_arr == r
+            out[m] = self.bridge.flat_of_z7(z7[m], int(r))
+        return out
+
+    def decode_state(self, z7: np.ndarray):
+        """Z7 ids -> (center unit vec (n,3), tangent frame ref (n,3), res).
+
+        The frame is an arbitrary-but-deterministic orthonormal tangent basis
+        per cell (toward the owner face's reference corner) — sufficient for
+        the Voronoi/boundary machinery, which is basis-invariant.
+        """
+        from .isea7h_flat import unpack as _unpack
+        z7 = np.asarray(z7, dtype=np.int64)
+        res_arr = z7_resolution(z7)
+        flat = self._flat_ids(z7)
+        f, a, b = _unpack(flat)
+        x = np.empty(z7.shape, dtype=np.float64)
+        y = np.empty(z7.shape, dtype=np.float64)
+        for r in np.unique(res_arr):
+            m = res_arr == r
+            xr, yr = self.flat._plane_of(a[m].astype(np.float64),
+                                         b[m].astype(np.float64), int(r))
+            x[m] = xr
+            y[m] = yr
+        pos = self.flat.proj.inverse_unit(f, x, y)
+        ic = self.flat.proj.icosa
+        ref = None
+        for corner in (0, 1):
+            c = ic.vertices[ic.face_vertices[f, corner]]
+            t = c - pos * np.sum(pos * c, axis=-1, keepdims=True)
+            nrm = np.sqrt(np.sum(t * t, axis=-1, keepdims=True))
+            t = np.where(nrm > 1e-9, t / np.where(nrm > 0, nrm, 1.0), 0.0)
+            if ref is None:
+                ref = t
+                ok = nrm[..., 0] > 1e-9
+            else:
+                ref = np.where(ok[..., None], ref, t)
         return pos, ref, res_arr
 
     def decode(self, z7: np.ndarray):

@@ -95,20 +95,27 @@ class ISEA7HFlatGrid:
 
     # -- encode -------------------------------------------------------------
 
-    def encode(self, lon, lat, res: int) -> np.ndarray:
+    def encode(self, lon, lat, res: int, k_faces: int = 3) -> np.ndarray:
+        """Exact nearest-center encode.  ``k_faces=3`` (default) screens to
+        the 3 nearest faces (sufficient: cross-face competition only occurs
+        within ~1 cell of an edge/vertex, always among the top faces);
+        ``k_faces=20`` is the exhaustive no-screening reference used by tests.
+        """
         p = lonlat_to_unit(np.asarray(lon, np.float64), np.asarray(lat, np.float64))
         npts = p.shape[0]
         ic = self.proj.icosa
         dots = p @ ic.face_centers.T
-        order = np.argsort(-dots, axis=1)[:, :3]
+        order = np.argsort(-dots, axis=1)[:, :k_faces]
         cell_rad = np.arctan(2.0) / (7.0 ** (res / 2.0))
         d0 = np.arccos(np.clip(dots[np.arange(npts), order[:, 0]], -1, 1))
         best_score = np.full(npts, -2.0)
         best_id = np.zeros(npts, dtype=np.int64)
         eps = 1e-9
-        for k in range(3):
+        for k in range(k_faces):
             face = order[:, k]
             if k == 0:
+                active = np.ones(npts, dtype=bool)
+            elif k_faces > 3:
                 active = np.ones(npts, dtype=bool)
             else:
                 dk = np.arccos(np.clip(dots[np.arange(npts), face], -1, 1))

@@ -52,6 +52,12 @@ def clip_convex_batch(poly: np.ndarray, count: np.ndarray, labels: np.ndarray,
     n_emit = emit_v.astype(np.int64) + emit_x.astype(np.int64)
     offs = np.cumsum(n_emit, axis=1) - n_emit          # start slot per edge
     new_count = n_emit.sum(axis=1)
+    if new_count.size and int(new_count.max()) > P:
+        # pathological candidate geometry would otherwise scatter out of
+        # bounds and corrupt vertices/labels silently
+        raise AssertionError(
+            f"clipped polygon exceeded MAX_VERTS={P} "
+            f"(max count {int(new_count.max())})")
     out = np.zeros_like(poly)
     out_lab = np.full_like(labels, NO_LABEL)
     # scatter v_i

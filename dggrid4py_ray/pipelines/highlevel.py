@@ -31,15 +31,28 @@ from ..geometry import PolygonSet, box
 from ..stages.encode import (CellEncoder, BoundaryKernel, CentroidDecoder,
                              AddressTransformer, make_grid)
 
-_STATE_COLS = ["cell_id", "px", "py", "pz", "rx", "ry", "rz", "pent"]
+_STATE_COLS = ["cell_id", "flat_id", "px", "py", "pz"]
+
+_GRID_CACHE: dict = {}
 
 
-def _state_table(z7, pos, ref, pent) -> pa.Table:
+def _grid_for(dggs: Dggs):
+    """Per-process grid engine cache (descent stages are pickled per task;
+    the engine + bridge tables are rebuilt/loaded at most once per worker)."""
+    key = (dggs.dggs_type, dggs.pole_lon_deg, dggs.pole_lat_deg, dggs.azimuth_deg)
+    g = _GRID_CACHE.get(key)
+    if g is None:
+        g = make_grid(dggs)
+        g._ensure_anchor_table()
+        _GRID_CACHE[key] = g
+    return g
+
+
+def _state_table(z7, flat, pos) -> pa.Table:
     return pa.table({
         "cell_id": pa.array(z7, type=pa.int64()),
+        "flat_id": pa.array(flat, type=pa.int64()),
         "px": pa.array(pos[:, 0]), "py": pa.array(pos[:, 1]), "pz": pa.array(pos[:, 2]),
-        "rx": pa.array(ref[:, 0]), "ry": pa.array(ref[:, 1]), "rz": pa.array(ref[:, 2]),
-        "pent": pa.array(pent),
     })
 
 
@@ -48,12 +61,12 @@ def _seed_table(grid: IGeo7Grid, res: int, clip: PolygonSet | None) -> pa.Table:
     s = min(res, 3)
     n = ig.num_cells(s)
     z = ig.seqnum_to_z7(np.arange(1, n + 1, dtype=np.int64), s)
-    pos, ref, _ = grid.decode_state(z)
-    pent = ig.z7_is_pentagon(z)
+    flat = grid._flat_ids(z)
+    pos, _, _ = grid.decode_state(z)
     if clip is not None and s > 0:
         keep = _bbox_prune(pos, clip, margin_rad=2.5 * ig._D[s])
-        z, pos, ref, pent = z[keep], pos[keep], ref[keep], pent[keep]
-    return _state_table(z, pos, ref, pent)
+        z, flat, pos = z[keep], flat[keep], pos[keep]
+    return _state_table(z, flat, pos)
 
 
 def _bbox_prune(pos: np.ndarray, clip: PolygonSet, margin_rad: float) -> np.ndarray:
@@ -75,55 +88,48 @@ def _bbox_prune(pos: np.ndarray, clip: PolygonSet, margin_rad: float) -> np.ndar
 
 class _Descend:
     """map_batches stage: expand every cell to its children (one level),
-    optionally pruning children outside the clip bbox."""
+    optionally pruning children outside the clip bbox.
 
-    def __init__(self, level: int, clip: PolygonSet | None):
+    Children ids are pure Z7 algebra; child lattice positions come from the
+    bridge's per-level child step (Eisenstein fast path away from face
+    edges) + one batched Snyder inverse — no per-level tree walk."""
+
+    def __init__(self, dggs: Dggs, level: int, clip: PolygonSet | None):
+        self.dggs = dggs
         self.level = level    # parent resolution; children at level+1
         self.clip = clip
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..dggs.isea7h_flat import unpack as _unpack
         n = batch.num_rows
         if n == 0:
             return batch
-        pos = np.column_stack([batch["px"].to_numpy(), batch["py"].to_numpy(),
-                               batch["pz"].to_numpy()])
-        ref = np.column_stack([batch["rx"].to_numpy(), batch["ry"].to_numpy(),
-                               batch["rz"].to_numpy()])
-        pent = batch["pent"].to_numpy(zero_copy_only=False)
+        grid = _grid_for(self.dggs)
         z = batch["cell_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = batch["flat_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         level = self.level
-        d = ig._D[level + 1]
-        pi = pent.astype(np.int64)
-        e2 = np.cross(pos, ref)
-        # all 7 child slots at once (slot 0 = center)
-        dc = ig._DIR_COS[pi][:, :, None]
-        dsn = ig._DIR_SIN[pi][:, :, None]
-        bc = ig._BACK_COS[pi][:, :, None]
-        bs = ig._BACK_SIN[pi][:, :, None]
-        dirs = ref[:, None, :] * dc + e2[:, None, :] * dsn           # (n,7,3)
-        cd, sd = np.cos(d), np.sin(d)
-        ch_pos = cd * pos[:, None, :] + sd * dirs
-        ch_tan = -sd * pos[:, None, :] + cd * dirs
-        ch_ref = ch_tan * bc - np.cross(ch_pos, ch_tan) * bs
-        ch_pos[:, 0, :] = pos
-        ch_ref[:, 0, :] = dirs[:, 0, :]
+        pent = ig.z7_is_pentagon(z)
         digit = np.where(pent[:, None], ig._PENT_DIGITS[None, :], ig._HEX_DIGITS[None, :])
         # strip the parent's pad digits, add the child digit, re-pad
         zc = ((z.view(np.uint64) & ~ig._PAD[level])[:, None]
               | (digit << np.uint64(57 - 3 * level)) | ig._PAD[level + 1])
-        ch_pent = np.zeros((n, 7), dtype=bool)
-        ch_pent[:, 0] = pent
         valid = np.ones((n, 7), dtype=bool)
         valid[:, 6] = ~pent
-        fp = ch_pos.reshape(-1, 3)
-        fr = ch_ref.reshape(-1, 3)
         fz = zc.reshape(-1).view(np.int64)
-        fpent = ch_pent.reshape(-1)
         fvalid = valid.reshape(-1)
-        if self.clip is not None:
-            fvalid = fvalid & _bbox_prune(fp, self.clip, margin_rad=2.0 * d)
         keep = np.nonzero(fvalid)[0]
-        return _state_table(fz[keep], fp[keep], fr[keep], fpent[keep])
+        fz = fz[keep]
+        ch_flat = grid.bridge.level_children(
+            np.repeat(flat, 7)[keep], digit.reshape(-1)[keep].astype(np.int64),
+            level + 1)
+        f, a, b = _unpack(ch_flat)
+        x, y = grid.flat._plane_of(a.astype(np.float64), b.astype(np.float64),
+                                   level + 1)
+        fp = grid.flat.proj.inverse_unit(f, x, y)
+        if self.clip is not None:
+            m = _bbox_prune(fp, self.clip, margin_rad=2.0 * ig._D[level + 1])
+            fz, ch_flat, fp = fz[m], ch_flat[m], fp[m]
+        return _state_table(fz, ch_flat, fp)
 
 
 class _ExactClip:
@@ -141,8 +147,7 @@ class _ExactClip:
         if batch.num_rows == 0:
             return batch
         if self._grid is None:
-            self._grid = make_grid(self.dggs)
-            self._grid._ensure_anchor_table()
+            self._grid = _grid_for(self.dggs)
         pos = np.column_stack([batch["px"].to_numpy(), batch["py"].to_numpy(),
                                batch["pz"].to_numpy()])
         lon, lat = unit_to_lonlat(pos)
@@ -191,7 +196,7 @@ def _id_cols(output_address_type: str) -> list[str]:
 
 def _polyfill(dggs: Dggs, clip: PolygonSet | None, output_address_type: str = "Z7",
               keep_state: bool = False) -> ray.data.Dataset:
-    grid = make_grid(dggs)
+    grid = _grid_for(dggs)
     res = dggs.resolution
     seed = _seed_table(grid, res, clip)
     ds = ray.data.from_arrow(seed)
@@ -200,7 +205,7 @@ def _polyfill(dggs: Dggs, clip: PolygonSet | None, output_address_type: str = "Z
         # keep block counts healthy as the fan-out grows 7x per level
         ds = ds.repartition(max(2, min(64, seed.num_rows // 8 or 2)))
     for level in range(start, res):
-        ds = ds.map_batches(_Descend(level, clip), batch_format="pyarrow")
+        ds = ds.map_batches(_Descend(dggs, level, clip), batch_format="pyarrow")
     if clip is not None:
         ds = ds.map_batches(_ExactClip(dggs, clip), batch_format="pyarrow")
     if output_address_type.upper() != "Z7":

@@ -44,14 +44,10 @@ def test_neighbors_symmetric(grid):
     nb = grid.neighbors(z)
     counts = (nb != ig.INVALID_ID).sum(axis=1)
     pent = ig.z7_is_pentagon(z)
-    # invariants: pentagons have exactly 5 neighbors; the bulk of the grid is
-    # hexagonal with exactly 6; only the pentagon-seam bands (a O(7^{-r/2})
-    # fraction, where the generative construction concentrates icosahedral
-    # distortion — documented deviation from DGGRID's projected layout) may
-    # deviate
+    # projection-exact lattice: pentagons have exactly 5 neighbors, every
+    # hexagon exactly 6, adjacency perfectly symmetric
     assert np.all(counts[pent] == 5)
-    assert (counts == 6).mean() > 0.6
-    # symmetry: asymmetric adjacency only on seam micro-edges, < 0.5% of pairs
+    assert np.all(counts[~pent] == 6)
     idx = {int(v): i for i, v in enumerate(z)}
     total = bad = 0
     for i in range(len(z)):
@@ -60,7 +56,7 @@ def test_neighbors_symmetric(grid):
                 total += 1
                 if int(z[i]) not in nb[idx[int(v)]].tolist():
                     bad += 1
-    assert bad / total < 0.005, f"{bad}/{total}"
+    assert bad == 0, f"{bad}/{total} asymmetric adjacencies"
 
 
 def test_boundary_contains_center(grid, random_points):
@@ -78,20 +74,32 @@ def test_boundary_contains_center(grid, random_points):
 
 
 def test_vertex_radius(grid, random_points):
-    # res 3: below the pentagon-seam distortion scale (see the KNOWN
-    # LIMITATION note in dggs/igeo7.py — seam bands at fine resolutions are
-    # geometrically distorted pending the projected-lattice position model)
+    # projection-exact lattice: cell circumradius is tightly bounded at every
+    # resolution (no pentagon-seam stretch), incl. fine res
     lon, lat = random_points
-    res = 3
-    z = np.unique(grid.encode(lon[:800], lat[:800], res))
-    verts = grid.boundary(z)
-    c = lonlat_to_unit(*grid.decode(z))
-    v0 = lonlat_to_unit(verts[:, 0, 0], verts[:, 0, 1])
-    r = angle_between(c, v0) / ig._D[res]
-    # hex circumradius = d/sqrt(3); seam cells may stretch
-    assert np.median(np.abs(r - 0.5773502691896258)) < 0.06
-    assert 0.5 < np.median(r) < 0.7
-    assert np.percentile(r, 90) < 1.3
+    for res in [3, 6]:
+        z = np.unique(grid.encode(lon[:800], lat[:800], res))
+        verts = grid.boundary(z)
+        c = lonlat_to_unit(*grid.decode(z))
+        v0 = lonlat_to_unit(verts[:, 0, 0], verts[:, 0, 1])
+        r = angle_between(c, v0) / ig._D[res]
+        # regular hex circumradius = d/sqrt(3) ~ 0.577; Snyder area-preserving
+        # distortion stretches it to <= ~0.70
+        assert 0.5 < np.median(r) < 0.7
+        assert r.max() < 0.75, f"res {res}: max vertex radius {r.max():.3f}"
+
+
+def test_encode_distance_bound(grid, random_points):
+    """Every point lands within one cell spacing of its assigned center —
+    the geometric-regularity property the round-1 tree model violated in
+    pentagon-seam bands (p90 ~75 spacings at res 9)."""
+    lon, lat = random_points
+    for res in [6, 9]:
+        z = grid.encode(lon, lat, res)
+        clon, clat = grid.decode(z)
+        d = angle_between(lonlat_to_unit(lon, lat),
+                          lonlat_to_unit(clon, clat)) / ig._D[res]
+        assert d.max() < 0.75, f"res {res}: max dist {d.max():.3f} spacings"
 
 
 def test_k_ring(grid):
