@@ -57,7 +57,9 @@ class AddressCodec:
         if t == "Z7_HEX":
             return ig.z7_from_hex(values)
         if t == "SEQNUM":
-            return ig.seqnum_to_z7(np.asarray(values, dtype=np.int64), self.res)
+            pd = getattr(self.grid, "pent_digits", None)
+            return ig.seqnum_to_z7(np.asarray(values, dtype=np.int64), self.res,
+                                   pent_digits=pd)
         if t == "ZORDER":
             return self._zorder_to_z7(np.asarray(values, dtype=np.int64))
         if t == "GEO":
@@ -90,7 +92,8 @@ class AddressCodec:
         if t == "Z7_HEX":
             return ig.z7_to_hex(z7)
         if t == "SEQNUM":
-            return ig.z7_to_seqnum(z7)
+            return ig.z7_to_seqnum(z7, pent_digits=getattr(self.grid,
+                                                           "pent_digits", None))
         if t == "ZORDER":
             return self._z7_to_zorder(z7)
         if t == "GEO":

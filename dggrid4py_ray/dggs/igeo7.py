@@ -32,10 +32,20 @@ Cell ids use the reference's Z7 64-bit layout (reference igeo7.py:16-45):
 4-bit base cell (0-11) then twenty 3-bit digits, digit 7 = "beyond
 resolution" padding.  cells(r) = 10*7^r + 2 exactly.
 
-NOTE: ids are *not* bit-identical to the DGGRID binary's Z7 ids (the binary
-and its undocumented digit conventions are not available here); the layout,
-hierarchy algebra, cell-count law and topology are.  See tests/test_golden.py
-for the tracked deviations from the reference's golden literals.
+Z7 ids are BIT-IDENTICAL to the DGGRID binary's for every DGGRID output
+available in the reference (the golden literals in tests/test_dggrid.py and
+all 551 res-9 ids in examples/igeo7_res_9.gpkg) — the lattice chirality,
+digit convention (CPI inherited frames) and base numbering are calibrated
+against them; see isea7h_z7bridge.py.  Residual parity caveats: the digit
+frames of base subtrees 3-11 have no DGGRID sample to calibrate against
+(documented in the bridge), and SEQNUM uses our canonical (base, digit-path)
+order rather than DGGRID's quad-ij order (tests/test_golden.py tracks that
+as the remaining xfail).
+
+A consequence of the DGGRID convention: a pentagon's ring-children digit
+set varies per (base, res) — use IGeo7Grid.children / to_seqnum /
+from_seqnum (grid-aware) instead of the bare module functions whenever the
+ids refer to real cells.
 """
 
 from __future__ import annotations
@@ -134,10 +144,17 @@ def z7_is_pentagon(z7: np.ndarray) -> np.ndarray:
     return pent
 
 
-def z7_children(z7: np.ndarray) -> np.ndarray:
+def z7_children(z7: np.ndarray, pent_digits=None) -> np.ndarray:
     """(N, 7) children ids at res+1; pentagon rows have 6 valid + last = -1.
 
     Child digit order: 0 (center) then ring digits ascending.
+
+    ``pent_digits``: optional callable ``level -> (12, 5)`` giving each
+    DGGRID base's pentagon ring digits at that digit level (the
+    DGGRID-conformant sets vary per base/res — see isea7h_z7bridge).
+    Default None uses the legacy {1,3,4,5,6} skip-2 convention; pass the
+    grid engine's table (IGeo7Grid.children does) when the ids refer to
+    real cells.
     """
     z = z7.view(np.uint64)
     res = z7_resolution(z7)
@@ -147,7 +164,14 @@ def z7_children(z7: np.ndarray) -> np.ndarray:
     cleared = z & ~(np.uint64(7) << shift)
     cleared = cleared & ~_PAD_LOOKUP(res) | _PAD_LOOKUP(res + 1)
     out = np.full(z.shape + (7,), -1, dtype=np.int64)
-    digit_sets = np.where(pent[..., None], _PENT_DIGITS[None, :], _HEX_DIGITS[None, :])
+    digit_sets = np.where(pent[..., None], _PENT_DIGITS[None, :],
+                          _HEX_DIGITS[None, :]).astype(np.uint64)
+    if pent_digits is not None and np.any(pent):
+        base = z7_base_cell(z7)
+        for lvl in np.unique(res[pent]):
+            rows = pent & (res == lvl)
+            tbl = np.asarray(pent_digits(int(lvl) + 1))     # (12, 5)
+            digit_sets[rows, 1:6] = tbl[base[rows]].astype(np.uint64)
     for j in range(7):
         d = digit_sets[..., j]
         child = cleared | (d.astype(np.uint64) << shift)
@@ -225,10 +249,22 @@ def _h_sizes(res: int) -> np.ndarray:
     return (7.0 ** np.arange(res + 1)).astype(np.int64)
 
 
-_PENT_RANK = np.array([0, 0, 0, 1, 2, 3, 4], dtype=np.int64)  # digit -> rank among {1,3,4,5,6}
+_PENT_RING_LEGACY = np.array([1, 3, 4, 5, 6], dtype=np.int64)
 
 
-def z7_to_seqnum(z7: np.ndarray) -> np.ndarray:
+def _pent_ring_table(pent_digits, level: int) -> np.ndarray:
+    """(12, 5) sorted pentagon ring digits at `level` (legacy skip-2 rows
+    when no table is provided)."""
+    if pent_digits is None:
+        return np.broadcast_to(_PENT_RING_LEGACY, (12, 5))
+    return np.asarray(pent_digits(level))
+
+
+def z7_to_seqnum(z7: np.ndarray, pent_digits=None) -> np.ndarray:
+    """Canonical linear order: by (base, digit path), pentagon subtrees
+    first-child-first.  A bijection onto 1..10*7^r+2 for the actual cell
+    universe when ``pent_digits`` matches the grid's pentagon digit sets
+    (see z7_children); IGeo7Grid.to_seqnum passes its own."""
     res_arr = z7_resolution(z7)
     if res_arr.size == 0:
         return np.zeros(0, dtype=np.int64)
@@ -244,14 +280,16 @@ def z7_to_seqnum(z7: np.ndarray) -> np.ndarray:
     for k in range(res):
         d = digs[..., k]
         rem = res - k - 1
-        off_pent = np.where(d > 0, p[rem] + _PENT_RANK[d] * h[rem], 0)
+        ring = _pent_ring_table(pent_digits, k + 1)        # (12, 5) sorted
+        rank = (ring[base] < d[..., None]).sum(axis=-1)    # rank among ring
+        off_pent = np.where(d > 0, p[rem] + rank * h[rem], 0)
         off_hex = d * h[rem]
         seq = seq + np.where(in_pent, off_pent, off_hex)
         in_pent &= d == 0
     return seq
 
 
-def seqnum_to_z7(seq: np.ndarray, res: int) -> np.ndarray:
+def seqnum_to_z7(seq: np.ndarray, res: int, pent_digits=None) -> np.ndarray:
     seq = np.asarray(seq, dtype=np.int64)
     p = _p_sizes(res)
     h = _h_sizes(res)
@@ -261,14 +299,11 @@ def seqnum_to_z7(seq: np.ndarray, res: int) -> np.ndarray:
     in_pent = np.ones(seq.shape, dtype=bool)
     for k in range(res):
         r2 = res - k - 1
-        # pentagon node: child blocks [p(r2)] + 5*[h(r2)] for digits 0,1,3,4,5,6
-        pd = np.zeros(seq.shape, dtype=np.int64)
-        prem = rem.copy()
-        inpent_next = np.zeros(seq.shape, dtype=bool)
+        ring_tbl = _pent_ring_table(pent_digits, k + 1)    # (12, 5) sorted
+        # pentagon node: child blocks [p(r2)] + 5*[h(r2)] for digit 0 + ring
         is0 = rem < p[r2]
-        inpent_next = is0
         idx = np.clip((rem - p[r2]) // h[r2], 0, 4)
-        ring = np.array([1, 3, 4, 5, 6], dtype=np.int64)[idx]
+        ring = ring_tbl[np.clip(base, 0, 11), idx]
         pd = np.where(is0, 0, ring)
         prem = np.where(is0, rem, rem - p[r2] - idx * h[r2])
         # hexagon node: 7 equal blocks
@@ -276,7 +311,7 @@ def seqnum_to_z7(seq: np.ndarray, res: int) -> np.ndarray:
         hrem = rem - hd * h[r2]
         d = np.where(in_pent, pd, hd)
         rem = np.where(in_pent, prem, hrem)
-        nxt_pent = in_pent & inpent_next
+        nxt_pent = in_pent & is0
         z = z | (d.astype(np.uint64) << np.uint64(57 - 3 * k))
         in_pent = nxt_pent
     z = z | _PAD[res]
@@ -427,6 +462,27 @@ class IGeo7Grid:
         pos, _, _ = self.decode_state(z7)
         return unit_to_lonlat(pos)
 
+    # -- grid-aware algebra (pentagon digit sets vary per base/res) ----------
+
+    def pent_digits(self, level: int) -> np.ndarray:
+        """(12, 5) pentagon ring digits at digit level `level` (DGGRID
+        convention; see isea7h_z7bridge.pentagon_ring_digits)."""
+        return self.bridge.pentagon_ring_digits(level)
+
+    def children(self, z7: np.ndarray) -> np.ndarray:
+        """Grid-correct z7_children (every returned id is a real cell)."""
+        return z7_children(np.asarray(z7, dtype=np.int64),
+                           pent_digits=self.pent_digits)
+
+    def to_seqnum(self, z7: np.ndarray) -> np.ndarray:
+        """Grid-correct canonical seqnum (bijection onto 1..10*7^r+2)."""
+        return z7_to_seqnum(np.asarray(z7, dtype=np.int64),
+                            pent_digits=self.pent_digits)
+
+    def from_seqnum(self, seq: np.ndarray, res: int) -> np.ndarray:
+        return seqnum_to_z7(np.asarray(seq, dtype=np.int64), res,
+                            pent_digits=self.pent_digits)
+
     # -- topology ----------------------------------------------------------
 
     MAX_NEIGHBORS = 12  # Voronoi edge count; hex 6, pentagon 5, seam cells up to ~8
@@ -522,7 +578,7 @@ class IGeo7Grid:
         coarse = pruned
         flat_coarse = coarse.reshape(-1)
         uc = np.unique(flat_coarse[flat_coarse != INVALID_ID])
-        ch = z7_children(uc)                                   # (K, 7)
+        ch = self.children(uc)                                 # (K, 7)
         # map: coarse id -> row in ch
         order = np.argsort(uc)
         def rows_of(ids):

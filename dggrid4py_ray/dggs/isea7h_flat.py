@@ -33,7 +33,14 @@ _MASK = (np.int64(1) << 27) - 1
 
 # omega = e^{i pi/3}
 _OMEGA = complex(0.5, np.sqrt(3.0) / 2.0)
-_M7 = 2.0 + _OMEGA  # |.|^2 = 7
+_M7 = 2.0 + _OMEGA        # odd-level substitution, arg +19.1066 deg, |.|^2 = 7
+_M7C = 3.0 - _OMEGA       # even-level substitution (= 2 + conj(omega)), arg -19.1066
+# DGGRID's aperture-7 alternates the substitution chirality per level
+# (Class I/II), so the net lattice rotation is -19.1066 deg at odd res and 0
+# at even res — measured exactly from the reference's golden ISEA7H res-5
+# cell rings (/root/reference/tests/test_dggrid.py:496-527: two independent
+# cells fit a corner-anchored lattice at theta = -43.53 deg relative to the
+# uniform (2+omega)^-r lattice, i.e. net -19.06 deg mod 60, to 0.01 deg).
 
 
 def pack(face, a, b):
@@ -60,7 +67,10 @@ class ISEA7HFlatGrid:
 
     def m_r(self, res: int) -> complex:
         if res not in self._m:
-            self._m[res] = (self.c[1] - self.c[0]) / (_M7 ** res)
+            prod = complex(1.0, 0.0)
+            for k in range(1, res + 1):
+                prod *= _M7 if k % 2 == 1 else _M7C
+            self._m[res] = (self.c[1] - self.c[0]) / prod
         return self._m[res]
 
     @staticmethod
@@ -153,14 +163,22 @@ class ISEA7HFlatGrid:
         return best_id
 
     def _canonical(self, face, a, b, l0, l1, l2, res: int):
-        """Corner lattice points (bary ~ a unit vector) -> lowest sharing
-        face, expressed in that face's axial coords."""
+        """Shared lattice points -> one canonical owner.
+
+        Corners (bary ~ unit vector, 5 sharing faces) -> lowest face index.
+        Edge points (one bary ~ 0; occur at even res, where the alternating
+        substitution leaves the lattice edge-aligned — DGGRID Class I) ->
+        the lower of the two faces sharing that edge.  Axial coords are
+        recomputed in the owner's chart.
+        """
         face = np.asarray(face, np.int64).copy()
         a = np.asarray(a, np.int64).copy()
         b = np.asarray(b, np.int64).copy()
         tol = 1e-9
         corner = ((np.abs(l0 - 1) < tol) | (np.abs(l1 - 1) < tol)
                   | (np.abs(l2 - 1) < tol))
+        onedge = ((np.abs(l0) < tol) | (np.abs(l1) < tol)
+                  | (np.abs(l2) < tol)) & ~corner
         if corner.any():
             cx, cy = self._plane_of(a[corner].astype(float), b[corner].astype(float), res)
             pos = self.proj.inverse_unit(face[corner], cx, cy)
@@ -173,6 +191,26 @@ class ISEA7HFlatGrid:
             face[corner] = owner
             a[corner] = np.rint(ao).astype(np.int64)
             b[corner] = np.rint(bo).astype(np.int64)
+        if onedge.any():
+            ic = self.proj.icosa
+            fe = face[onedge]
+            # slot opposite the zero bary = the edge's slot
+            ls = np.column_stack([np.abs(l0[onedge]), np.abs(l1[onedge]),
+                                  np.abs(l2[onedge])])
+            slot = np.argmin(ls, axis=1)
+            other = ic.face_neighbors[fe, slot]
+            owner = np.minimum(fe, other)
+            need = owner != fe
+            if need.any():
+                idx = np.nonzero(onedge)[0][need]
+                cx, cy = self._plane_of(a[idx].astype(float), b[idx].astype(float), res)
+                pos = self.proj.inverse_unit(face[idx], cx, cy)
+                own = owner[need]
+                _, xo, yo = self._forward_on_face(pos, own)
+                ao, bo = self._axial_of_plane(xo, yo, res)
+                face[idx] = own
+                a[idx] = np.rint(ao).astype(np.int64)
+                b[idx] = np.rint(bo).astype(np.int64)
         return face, a, b
 
     def _forward_on_face(self, p, face):

@@ -1,41 +1,48 @@
-"""Bridge: projection-exact flat aperture-7 cells <-> Z7 digit paths.
+"""Bridge: projection-exact flat aperture-7 cells <-> DGGRID-conformant Z7 ids.
 
-This is the position model the IGEO7 engine uses (round-2 swap, recipe
-validated by experiments/z7_bijection_check.py): cell POSITIONS come from
-the per-face Snyder lattice (isea7h_flat.py — projection-exact, no
-pentagon-seam drift), while cell IDS keep the reference's Z7 64-bit digit
-hierarchy (reference /root/reference/dggrid4py/igeo7.py:16-45).
+POSITIONS come from the per-face Snyder lattice (isea7h_flat.py — the
+alternating Class I/II aperture-7 substitution, exactly DGGRID's ISEA7H
+geometry: verified vertex-for-vertex at 0.00 m against the reference's golden
+cell rings, /root/reference/tests/test_dggrid.py:496-527).
 
-Authoritative hierarchy definition (geometric, validated exhaustively at
-res 1..4: exactly 7 children per hexagon / 6 per pentagon, zero duplicate
-(parent, digit) pairs):
+IDS are the DGGRID Z7 digit hierarchy, reproduced by a CPI-style
+inherited-frame rule (Sahr's Central Place Indexing, public knowledge),
+calibrated bit-exact against every DGGRID output available in the reference:
+  * the 3 golden Z7 strings of the Oregon presence test
+    (tests/test_dggrid.py:177-182: 021114 / 021116 / 014626), and
+  * all 551 real DGGRID IGEO7 res-9 ids in examples/igeo7_res_9.gpkg.
 
-  parent(cell)     = flat-encode of the cell center at res-1
-                     (exact nearest coarse center, cross-face canonical)
-  ring(parent)     = the 6 ideal unit-offset lattice positions around the
-                     parent in its owner-face plane, snapped by flat-encode
-                     and filtered to true children (cross-parent filter)
-  digit(child)     = angular rank among the parent's ring members: center
-                     child -> 0; ring sorted by offset angle in the parent
-                     plane, rotated so the member nearest angle 0 gets the
-                     first label; hexagons label [1..6], pentagons
-                     [1, 3, 4, 5, 6] (the Z7 digit-2 skip)
-  base(res-0 cell) = icosahedron vertex index (orientation-fixed order)
+The rule:
 
-Fast path (exact, no geometry): away from face edges the flat lattice is a
-pure Eisenstein-integer structure, and Z[w]/(2+w) ~ F_7 gives each cell a
-residue class (a - 2b) mod 7 that IS its digit's unit offset:
+  parent(cell)  = flat-encode of the cell center at res-1 (exact nearest
+                  coarse center, cross-face canonical)
+  digit(child)  = A[(q + s(parent)) mod 6] where q is the angular position
+                  of the child's offset from the parent measured in the
+                  PARENT's canonical face chart (cross-face children are
+                  carried in by plane unfolding across the shared edge or
+                  vertex fan), A = [1, 3, 2, 6, 4, 5] (the F7 residue of the
+                  unit (ua + 3*ub) mod 7), and center children get digit 0
+  s(cell)       = the inherited frame shift (in 60-degree steps) relative to
+                  the cell's canonical chart: s(child) = s(parent) -
+                  delta(parent_face -> child_face), where delta is the
+                  unfold rotation between the two charts; roots start at
+                  s = ROOT_S[base]  (bases 0, 1, 2 calibrated from the
+                  golden data; the other bases are *uncalibrated against
+                  DGGRID* — any fixed value is self-consistent — and set
+                  to 0, documented parity risk only inside those subtrees)
+  base(root)    = DGGRID base numbering of the nearest icosahedron vertex
+                  (_BASE_MAP: DGGRID counts the vertex rings the other way)
 
-  child (a, b) = parent*(2+w) + u,  u in {0} + 6 units,
-  parent = ((3(a-ua)+(b-ub))/7, (-(a-ua)+2(b-ub))/7)   (exact integers)
+A consequence of the inherited frame: a pentagon's 5 children do NOT always
+use digits {1,3,4,5,6} — the digit set depends on (base, res) and is exposed
+via ``pentagon_ring_digits`` for the children/seqnum algebra.
 
-and the angular-rank labeling reduces to a fixed unit->digit table.  The
-fast path provably equals the geometric rule whenever the child sits
->= ~2.5 lattice units inside its face (snaps are then identity and the ring
-is the ideal hexagon); we use margin 4.5 for safety and fall back to the
-vectorized geometric rule near edges/corners.  Levels <= CACHE_RES are
-resolved through exhaustive per-level tables (built once per process,
-/tmp-cached keyed by a stable md5 of the orientation).
+Fast path: away from face edges everything is pure Eisenstein-integer
+arithmetic per level parity (odd steps multiply axial coords by (2+w), even
+steps by (3-w)); cross-face/corner cells take a vectorized geometric slow
+path, memoized across batches.  Levels <= CACHE_RES resolve through
+exhaustive per-level tables (built once per process, /tmp-cached under a
+stable md5 key).
 """
 
 from __future__ import annotations
@@ -50,22 +57,35 @@ from .sphere import lonlat_to_unit, unit_to_lonlat
 
 _SQRT3_2 = np.sqrt(3.0) / 2.0
 
-# residue rho = (a - 2b) mod 7  ->  unit offset (ua, ub) and Z7 digit
-_RES_UA = np.array([0, 1, 0, 1, -1, 0, -1], dtype=np.int64)
-_RES_UB = np.array([0, 0, -1, -1, 1, 1, 0], dtype=np.int64)
-_RES_DIGIT = np.array([0, 1, 5, 6, 3, 2, 4], dtype=np.int64)
-# digit -> unit offset
-_DIG_UA = np.array([0, 1, 0, -1, -1, 0, 1], dtype=np.int64)
-_DIG_UB = np.array([0, 0, 1, 1, 0, -1, -1], dtype=np.int64)
+# residue tables per level parity (Z[w]/(M) ~ F7):
+#   odd:  rho = (a - 2b) mod 7   (omega ==  -2 mod 2+omega)
+#   even: rho = (a + 3b) mod 7   (omega ==   3 mod 3-omega)
+_RES_UA_O = np.array([0, 1, 0, 1, -1, 0, -1], dtype=np.int64)
+_RES_UB_O = np.array([0, 0, -1, -1, 1, 1, 0], dtype=np.int64)
+_RES_UA_E = np.array([0, 1, -1, 0, 0, 1, -1], dtype=np.int64)
+_RES_UB_E = np.array([0, 0, 1, 1, -1, -1, 0], dtype=np.int64)
 
-# circular ring labels by member count (hexagon 6, pentagon 5 w/ digit-2 skip)
-_LAB6 = np.array([1, 2, 3, 4, 5, 6], dtype=np.int64)
-_LAB5 = np.array([1, 3, 4, 5, 6], dtype=np.int64)
-# digit -> circular position (inverse of the above)
-_POS6 = np.full(7, -1, dtype=np.int64)
-_POS6[_LAB6] = np.arange(6)
-_POS5 = np.full(7, -1, dtype=np.int64)
-_POS5[_LAB5] = np.arange(5)
+# angular position q (0..5) of the 6 ring units and the digit arrangement
+_UNIT_QA = np.array([1, 0, -1, -1, 0, 1], dtype=np.int64)   # q -> unit
+_UNIT_QB = np.array([0, 1, 1, 0, -1, -1], dtype=np.int64)
+_Q_DIGIT = np.array([1, 3, 2, 6, 4, 5], dtype=np.int64)     # q -> digit
+_DIGIT_Q = np.full(7, -1, dtype=np.int64)                   # digit -> q
+_DIGIT_Q[_Q_DIGIT] = np.arange(6)
+# unit (ua+1, ub+1) -> q  (3x3 lookup, center invalid)
+_UQ = np.full((3, 3), -1, dtype=np.int64)
+for _q in range(6):
+    _UQ[_UNIT_QA[_q] + 1, _UNIT_QB[_q] + 1] = _q
+
+# DGGRID base-cell numbering: our icosahedron vertex order counts ring-1/2
+# clockwise; DGGRID counterclockwise (calibrated: golden bases 01/02).
+_BASE_MAP = np.array([0, 1, 5, 4, 3, 2, 10, 9, 8, 7, 6, 11], dtype=np.int64)
+
+# root inherited-frame shift per DGGRID base (relative to the base cell's
+# canonical chart).  Bases 0/1/2 calibrated against the golden data (Estonia
+# gpkg pins base 0; Oregon pins 1 and 2); the rest are unconstrained by any
+# available DGGRID output and fixed at 0.
+_ROOT_S = np.zeros(12, dtype=np.int64)
+_ROOT_S[2] = 4
 
 _FAST_MARGIN = 4.5  # lattice units from the face edge above which the
                     # Eisenstein fast path provably equals the geometric rule
@@ -85,6 +105,20 @@ def _pad_tail(res: int) -> np.uint64:
 _PAD = np.array([_pad_tail(r) for r in range(21)], dtype=np.uint64)
 
 
+def _child_axial(pa, pb, res: int):
+    """Axial coords of a res-(res-1) lattice point expressed at res."""
+    if res % 2 == 1:
+        return 2 * pa - pb, pa + 3 * pb
+    return 3 * pa + pb, -pa + 2 * pb
+
+
+def _parent_axial(A, B, res: int):
+    """Exact inverse of _child_axial (requires divisibility)."""
+    if res % 2 == 1:
+        return (3 * A + B) // 7, (-A + 2 * B) // 7
+    return (2 * A - B) // 7, (A + 3 * B) // 7
+
+
 def _axial_to_xy(a, b):
     """Eisenstein axial -> plane units (basis 1, omega)."""
     return a + 0.5 * b, _SQRT3_2 * b
@@ -92,174 +126,98 @@ def _axial_to_xy(a, b):
 
 class Z7Bridge:
     """Vectorized bidirectional converter between canonical flat lattice ids
-    (face, a, b) and Z7 hierarchical ids, for one grid orientation."""
+    (face, a, b) and DGGRID-conformant Z7 ids, for one grid orientation."""
 
     def __init__(self, grid: ISEA7HFlatGrid | None = None):
         self.g = grid or ISEA7HFlatGrid()
         ic = self.g.proj.icosa
-        self._base_pos = ic.vertices  # (12, 3): base-cell numbering order
+        self._base_pos = ic.vertices  # (12, 3): vertex order (pre-_BASE_MAP)
         self._tables = None
-        # per-res memo of slow-path (edge-band) results, grown across batches:
-        # res -> (sorted keys, values...) — edge cells repeat heavily between
-        # batches, so steady-state batches take the pure-integer path + lookup
-        self._memo_up: dict[int, tuple] = {}
-        self._memo_down: dict[int, tuple] = {}
+        self._delta = None
+        self._unfolds = None
+        self._pent_digits: dict = {}
+        # per-res memo of slow-path (edge-band) results, grown across batches
+        self._memo_parent: dict[int, tuple] = {}   # cell -> (parent, q)
+        self._memo_child: dict[int, tuple] = {}    # parent|q<<59 -> child
 
-    # -- geometric (authoritative) ops --------------------------------------
+    # -- chart unfolding -----------------------------------------------------
+
+    def _unfold_maps(self) -> dict:
+        """(g, f) -> (alpha, beta): plane transform carrying face g's chart
+        into face f's chart by unfolding across their shared edge."""
+        if self._unfolds is not None:
+            return self._unfolds
+        ic = self.g.proj.icosa
+        c = self.g.c
+        maps = {}
+        for f in range(20):
+            for s in range(3):
+                gf = int(ic.face_neighbors[f, s])
+                v1 = int(ic.face_vertices[f, (s + 1) % 3])
+                v2 = int(ic.face_vertices[f, (s + 2) % 3])
+                p1f, p2f = c[(s + 1) % 3], c[(s + 2) % 3]
+                gs = list(ic.face_vertices[gf])
+                p1g, p2g = c[gs.index(v1)], c[gs.index(v2)]
+                alpha = (p2f - p1f) / (p2g - p1g)
+                beta = p1f - alpha * p1g
+                zc = alpha * c.mean() + beta
+                l0, l1, l2 = self.g._bary(np.array([zc.real]), np.array([zc.imag]))
+                assert min(l0[0], l1[0], l2[0]) < -1e-6, (f, gf)
+                maps[(gf, f)] = (alpha, beta)
+        self._unfolds = maps
+        return maps
+
+    def _chart_transform(self, gface: int, f: int):
+        """(alpha, beta) mapping gface's chart into f's chart: one unfold for
+        edge-adjacent faces, two (via the unique shared-vertex intermediate)
+        otherwise.  Deterministic; the digit convention is defined ON these
+        paths."""
+        if gface == f:
+            return complex(1.0, 0.0), complex(0.0, 0.0)
+        maps = self._unfold_maps()
+        hit = maps.get((gface, f))
+        if hit is not None:
+            return hit
+        ic = self.g.proj.icosa
+        shared = set(ic.face_vertices[gface]) & set(ic.face_vertices[f])
+        if not shared:
+            raise AssertionError(f"faces {gface},{f} share no vertex")
+        for mid in ic.face_neighbors[f]:
+            mid = int(mid)
+            if (gface, mid) in maps and shared & set(ic.face_vertices[mid]):
+                a1, b1 = maps[(gface, mid)]
+                a2, b2 = maps[(mid, f)]
+                return a2 * a1, a2 * b1 + b2
+        raise AssertionError(f"no unfold path {gface}->{f}")
+
+    def _delta_table(self) -> np.ndarray:
+        """(20, 20) int: rotation steps of _chart_transform(g, f); -100 for
+        pairs sharing no vertex (never needed)."""
+        if self._delta is not None:
+            return self._delta
+        ic = self.g.proj.icosa
+        d = np.full((20, 20), -100, dtype=np.int64)
+        for gf in range(20):
+            for f in range(20):
+                if gf == f:
+                    d[gf, f] = 0
+                    continue
+                if not (set(ic.face_vertices[gf]) & set(ic.face_vertices[f])):
+                    continue
+                a, _ = self._chart_transform(gf, f)
+                ang = np.degrees(np.angle(a))
+                s = int(round(ang / 60.0)) % 6
+                assert abs(ang - round(ang / 60.0) * 60.0) < 1e-6
+                d[gf, f] = s
+        self._delta = d
+        return d
+
+    # -- geometric ops -------------------------------------------------------
 
     def parent_of(self, ids: np.ndarray, res: int) -> np.ndarray:
         """Exact geometric parent: flat-encode of the center at res-1."""
         lon, lat = self.g.decode(ids, res)
         return self.g.encode(lon, lat, res - 1)
-
-    # angle of each ideal ring slot's unit offset (slot k = digit k+1)
-    _SLOT_ANG = np.array([np.arctan2(_SQRT3_2 * _DIG_UB[k + 1],
-                                     _DIG_UA[k + 1] + 0.5 * _DIG_UB[k + 1])
-                          for k in range(6)])
-
-    def ring_children(self, parent_ids: np.ndarray, child_res: int):
-        """(center_child (n,), ring (n, 6) flat ids -1-padded, ang (n, 6))
-        — each parent's true ring children and their offset angles in the
-        parent's owner-face plane.
-
-        Everything is batched: ideal ring positions that land strictly inside
-        the parent's face ARE canonical lattice cells (snap = identity, angle
-        = the fixed unit angle); only out-of-face/corner slots go through one
-        batched spherical snap, and only edge-risky candidates go through one
-        batched geometric parent check.
-        """
-        g = self.g
-        pf, pa, pb = unpack(parent_ids)
-        pra = 2 * pa - pb      # parent axial at child_res
-        prb = pa + 3 * pb
-        n = len(parent_ids)
-        center_child = pack(pf, pra, prb)
-        ca = (pra[:, None] + _DIG_UA[None, 1:]).reshape(-1)
-        cb = (prb[:, None] + _DIG_UB[None, 1:]).reshape(-1)
-        faces = np.repeat(pf, 6)
-        m_ideal = self._edge_margin(ca, cb, child_res)
-        ideal_in = m_ideal > 1e-7          # strictly inside, not a corner
-        out = np.where(ideal_in, pack(faces, ca, cb), np.int64(-1))
-        ang = np.tile(self._SLOT_ANG, n)
-        moved = ~ideal_in
-        if moved.any():
-            x, y = g._plane_of(ca[moved].astype(np.float64),
-                               cb[moved].astype(np.float64), child_res)
-            pos = g.proj.inverse_unit(faces[moved], x, y)
-            lo, la = unit_to_lonlat(pos)
-            snapped = g.encode(lo, la, child_res)
-            out[moved] = snapped
-            # offset angle of the SNAPPED child in the parent plane
-            spos = lonlat_to_unit(*g.decode(snapped, child_res))
-            _, sx, sy = g._forward_on_face(spos, faces[moved])
-            sa, sb = g._axial_of_plane(sx, sy, child_res)
-            ox, oy = _axial_to_xy(sa - pra.repeat(6)[moved].astype(np.float64),
-                                  sb - prb.repeat(6)[moved].astype(np.float64))
-            ang[moved] = np.arctan2(oy, ox)
-        out = out.reshape(n, 6)
-        ang = ang.reshape(n, 6)
-        # drop duplicates of the center child and cross-slot duplicates
-        for k in range(6):
-            dup = out[:, k] == center_child
-            out[:, k] = np.where(dup, -1, out[:, k])
-        for k in range(6):
-            for k2 in range(k + 1, 6):
-                same = (out[:, k2] == out[:, k]) & (out[:, k] != -1)
-                out[same, k2] = -1
-        # keep only TRUE children (a snap near a corner can land on a cell
-        # owned by a neighboring parent).  Deep-interior candidates have their
-        # residue parent (fast, exact there); only edge-risky candidates need
-        # the geometric nearest-coarse-center check.
-        flat = out.reshape(-1)
-        ok = flat != -1
-        if ok.any():
-            uniqc, inv = np.unique(flat[ok], return_inverse=True)
-            cf2, ca2, cb2 = unpack(uniqc)
-            m2 = self._edge_margin(ca2, cb2, child_res)
-            rho = (ca2 - 2 * cb2) % 7
-            ua = _RES_UA[rho]
-            ub = _RES_UB[rho]
-            par_u = pack(cf2, (3 * (ca2 - ua) + (cb2 - ub)) // 7,
-                         (-(ca2 - ua) + 2 * (cb2 - ub)) // 7)
-            risky = m2 < _FAST_MARGIN
-            if risky.any():
-                par_u[risky] = self.parent_of(uniqc[risky], child_res)
-            par_flat = np.full(len(flat), -1, dtype=np.int64)
-            par_flat[ok] = par_u[inv]
-            want = np.repeat(parent_ids, 6)
-            flat = np.where(par_flat == want, flat, -1)
-            out = flat.reshape(n, 6)
-        ang = np.where(out == -1, np.inf, ang.reshape(n, 6))
-        return center_child, out, ang
-
-    @staticmethod
-    def _ring_order(ring: np.ndarray, ang: np.ndarray):
-        """Canonical circular labeling state per parent row.
-
-        Returns (sorted_ids (n, 6) — ring ids ascending by angle, -1-padded
-        at the tail; start (n,) — circular start index (member nearest angle
-        0); nval (n,) member count).  Shared by both conversion directions so
-        the labeling is deterministic by construction.
-        """
-        valid = ring != -1
-        ang_m = np.where(valid, ang, np.inf)
-        order = np.argsort(ang_m, axis=1, kind="stable")
-        sorted_ids = np.take_along_axis(np.where(valid, ring, -1), order, axis=1)
-        sorted_ang = np.take_along_axis(ang_m, order, axis=1)
-        start = np.argmin(np.abs(sorted_ang), axis=1)
-        nval = valid.sum(axis=1)
-        return sorted_ids, start, nval
-
-    def _slow_digits(self, ids: np.ndarray, res: int):
-        """Geometric (parents, digits) for cells at `res` — vectorized."""
-        parents = self.parent_of(ids, res)
-        uniq_p, pinv = np.unique(parents, return_inverse=True)
-        center_child, ring, ang = self.ring_children(uniq_p, res)
-        sorted_ids, start, nval = self._ring_order(ring, ang)
-        digits = np.full(len(ids), -1, dtype=np.int64)
-        is_center = ids == center_child[pinv]
-        digits[is_center] = 0
-        rest = ~is_center
-        if rest.any():
-            rows = pinv[rest]
-            match = sorted_ids[rows] == ids[rest, None]     # (m, 6)
-            found = match.any(axis=1)
-            if not found.all():
-                bad = ids[rest][~found]
-                raise AssertionError(
-                    f"{(~found).sum()} cells at res {res} are not children of "
-                    f"their nearest coarse center (first flat ids: {bad[:5]})")
-            slot = np.argmax(match, axis=1)
-            pos = (slot - start[rows]) % np.maximum(nval[rows], 1)
-            lab = np.where(nval[rows] == 6, _LAB6[np.minimum(pos, 5)],
-                           _LAB5[np.minimum(pos, 4)])
-            digits[rest] = lab
-        return parents, digits
-
-    def _slow_children(self, parent_ids: np.ndarray, digits: np.ndarray,
-                       res: int) -> np.ndarray:
-        """Geometric child selection: parent + digit -> child flat id."""
-        uniq_p, pinv = np.unique(parent_ids, return_inverse=True)
-        center_child, ring, ang = self.ring_children(uniq_p, res)
-        sorted_ids, start, nval = self._ring_order(ring, ang)
-        out = np.empty(len(parent_ids), dtype=np.int64)
-        is_center = digits == 0
-        out[is_center] = center_child[pinv[is_center]]
-        rest = ~is_center
-        if rest.any():
-            rows = pinv[rest]
-            nv = nval[rows]
-            pos = np.where(nv == 6, _POS6[digits[rest]], _POS5[digits[rest]])
-            if (pos < 0).any():
-                bad = digits[rest][pos < 0]
-                raise AssertionError(f"invalid digit(s) for pentagon parent: {bad[:5]}")
-            slot = (start[rows] + pos) % np.maximum(nv, 1)
-            out[rest] = sorted_ids[rows, slot]
-            if (out[rest] == -1).any():
-                raise AssertionError("digit selected an empty ring slot")
-        return out
-
-    # -- fast/slow dispatch per level ----------------------------------------
 
     def _edge_margin(self, a, b, res: int) -> np.ndarray:
         """Distance (in res-r lattice units) from lattice point (a, b) to the
@@ -270,16 +228,102 @@ class Z7Bridge:
         side = 7.0 ** (res / 2.0)
         return minl * side * _SQRT3_2
 
+    def ring_children(self, parent_ids: np.ndarray, child_res: int):
+        """(center_child (n,), ring (n, 6) flat ids -1-padded) — each
+        parent's true ring children, batched (identity snap for strictly
+        in-face ideal positions; one spherical snap for the rest; residue or
+        geometric cross-parent filter)."""
+        g = self.g
+        pf, pa, pb = unpack(parent_ids)
+        pra, prb = _child_axial(pa, pb, child_res)
+        n = len(parent_ids)
+        center_child = pack(pf, pra, prb)
+        ca = (pra[:, None] + _UNIT_QA[None, :]).reshape(-1)
+        cb = (prb[:, None] + _UNIT_QB[None, :]).reshape(-1)
+        faces = np.repeat(pf, 6)
+        ideal_in = self._edge_margin(ca, cb, child_res) > 1e-7
+        out = np.where(ideal_in, pack(faces, ca, cb), np.int64(-1))
+        moved = ~ideal_in
+        if moved.any():
+            x, y = g._plane_of(ca[moved].astype(np.float64),
+                               cb[moved].astype(np.float64), child_res)
+            pos = g.proj.inverse_unit(faces[moved], x, y)
+            lo, la = unit_to_lonlat(pos)
+            out[moved] = g.encode(lo, la, child_res)
+        out = out.reshape(n, 6)
+        for k in range(6):
+            dup = out[:, k] == center_child
+            out[:, k] = np.where(dup, -1, out[:, k])
+        for k in range(6):
+            for k2 in range(k + 1, 6):
+                same = (out[:, k2] == out[:, k]) & (out[:, k] != -1)
+                out[same, k2] = -1
+        # keep only TRUE children (a snap near a corner can land on a cell
+        # owned by a neighboring parent)
+        flat = out.reshape(-1)
+        ok = flat != -1
+        if ok.any():
+            uniqc, inv = np.unique(flat[ok], return_inverse=True)
+            cf2, ca2, cb2 = unpack(uniqc)
+            m2 = self._edge_margin(ca2, cb2, child_res)
+            if child_res % 2 == 1:
+                rho = (ca2 - 2 * cb2) % 7
+                ua, ub = _RES_UA_O[rho], _RES_UB_O[rho]
+            else:
+                rho = (ca2 + 3 * cb2) % 7
+                ua, ub = _RES_UA_E[rho], _RES_UB_E[rho]
+            par_u = pack(cf2, *_parent_axial(ca2 - ua, cb2 - ub, child_res))
+            risky = m2 < _FAST_MARGIN
+            if risky.any():
+                par_u[risky] = self.parent_of(uniqc[risky], child_res)
+            par_flat = np.full(len(flat), -1, dtype=np.int64)
+            par_flat[ok] = par_u[inv]
+            want = np.repeat(parent_ids, 6)
+            flat = np.where(par_flat == want, flat, -1)
+            out = flat.reshape(n, 6)
+        return center_child, out
+
+    def _q_in_parent_chart(self, ids: np.ndarray, parents: np.ndarray,
+                           res: int) -> np.ndarray:
+        """Angular position q (0..5; center = -1) of each cell's offset from
+        its parent, measured in the PARENT's canonical chart (cross-face
+        cells unfolded in)."""
+        g = self.g
+        cf, ca, cb = unpack(ids)
+        pf, pa, pb = unpack(parents)
+        cx, cy = g._plane_of(ca.astype(np.float64), cb.astype(np.float64), res)
+        z = cx + 1j * cy
+        cross = cf != pf
+        if cross.any():
+            pairs = np.unique(np.column_stack([cf[cross], pf[cross]]), axis=0)
+            for gf, ff in pairs:
+                alpha, beta = self._chart_transform(int(gf), int(ff))
+                m = cross & (cf == gf) & (pf == ff)
+                z[m] = alpha * z[m] + beta
+        az, bz = g._axial_of_plane(np.real(z), np.imag(z), res)
+        pra, prb = _child_axial(pa, pb, res)
+        ox, oy = _axial_to_xy(az - pra, bz - prb)
+        r = np.hypot(ox, oy)
+        is_center = r < 0.35
+        bad = (~is_center) & ((r < 0.6) | (r > 1.55))
+        if bad.any():
+            raise AssertionError(
+                f"{bad.sum()} ring offsets at res {res} are not ~1 lattice "
+                f"unit (r={r[bad][:5]}, flat ids {ids[bad][:5]})")
+        q = np.rint(np.arctan2(oy, ox) / (np.pi / 3.0)).astype(np.int64) % 6
+        return np.where(is_center, -1, q)
+
+    # -- per-level fast/slow steps -------------------------------------------
+
     @staticmethod
     def _memo_get(memo: dict, res: int, keys: np.ndarray):
         entry = memo.get(res)
         if entry is None:
-            miss = np.ones(len(keys), dtype=bool)
-            return miss, None
+            return np.ones(len(keys), dtype=bool), None
         mk = entry[0]
-        pos = np.clip(np.searchsorted(mk, keys), 0, len(mk) - 1)
-        hit = mk[pos] == keys
-        return ~hit, tuple(v[pos] for v in entry[1:])
+        p = np.clip(np.searchsorted(mk, keys), 0, len(mk) - 1)
+        hit = mk[p] == keys
+        return ~hit, tuple(v[p] for v in entry[1:])
 
     @staticmethod
     def _memo_put(memo: dict, res: int, keys: np.ndarray, *values):
@@ -294,63 +338,172 @@ class Z7Bridge:
             np.concatenate([entry[1 + i], values[i]])[order]
             for i in range(len(values)))
 
-    def level_digits(self, ids: np.ndarray, res: int):
-        """(parents at res-1, digits) for UNIQUE cells at `res`."""
+    def level_parent_q(self, ids: np.ndarray, res: int):
+        """(parents at res-1, q) for UNIQUE cells at `res` — q is the ring
+        position in the parent chart (-1 for center children)."""
         f, a, b = unpack(ids)
-        rho = (a - 2 * b) % 7
-        ua = _RES_UA[rho]
-        ub = _RES_UB[rho]
-        pa = (3 * (a - ua) + (b - ub)) // 7
-        pb = (-(a - ua) + 2 * (b - ub)) // 7
+        if res % 2 == 1:
+            rho = (a - 2 * b) % 7
+            ua, ub = _RES_UA_O[rho], _RES_UB_O[rho]
+        else:
+            rho = (a + 3 * b) % 7
+            ua, ub = _RES_UA_E[rho], _RES_UB_E[rho]
+        pa, pb = _parent_axial(a - ua, b - ub, res)
         parents = pack(f, pa, pb)
-        digits = _RES_DIGIT[rho]
+        q = _UQ[ua + 1, ub + 1]          # -1 for the (0,0) center residue
         risky = self._edge_margin(a, b, res) < _FAST_MARGIN
         if risky.any():
             ridx = np.nonzero(risky)[0]
             rids = ids[ridx]
-            miss, cached = self._memo_get(self._memo_up, res, rids)
+            miss, cached = self._memo_get(self._memo_parent, res, rids)
             if cached is not None and (~miss).any():
-                hidx = ridx[~miss]
-                parents[hidx] = cached[0][~miss]
-                digits[hidx] = cached[1][~miss]
+                parents[ridx[~miss]] = cached[0][~miss]
+                q[ridx[~miss]] = cached[1][~miss]
             if miss.any():
-                sp, sd = self._slow_digits(rids[miss], res)
+                sp = self.parent_of(rids[miss], res)
+                sq = self._q_in_parent_chart(rids[miss], sp, res)
                 parents[ridx[miss]] = sp
-                digits[ridx[miss]] = sd
-                self._memo_put(self._memo_up, res, rids[miss], sp, sd)
-        return parents, digits
+                q[ridx[miss]] = sq
+                self._memo_put(self._memo_parent, res, rids[miss], sp, sq)
+        return parents, q
 
-    def level_children(self, parent_ids: np.ndarray, digits: np.ndarray,
-                       res: int) -> np.ndarray:
-        """Child flat ids at `res` for per-row (parent at res-1, digit)."""
+    def level_child_at_q(self, parent_ids: np.ndarray, q: np.ndarray,
+                         res: int) -> np.ndarray:
+        """Child flat ids at `res` for per-row (parent at res-1, ring
+        position q in the parent chart; q = -1 for the center child)."""
         f, pa, pb = unpack(parent_ids)
-        pra = 2 * pa - pb
-        prb = pa + 3 * pb
-        child = pack(f, pra + _DIG_UA[digits], prb + _DIG_UB[digits])
-        risky = self._edge_margin(pra, prb, res) < _FAST_MARGIN
+        pra, prb = _child_axial(pa, pb, res)
+        qq = np.clip(q, 0, 5)
+        child = np.where(q < 0, pack(f, pra, prb),
+                         pack(f, pra + _UNIT_QA[qq], prb + _UNIT_QB[qq]))
+        risky = (q >= 0) & (self._edge_margin(pra, prb, res) < _FAST_MARGIN)
         if risky.any():
             ridx = np.nonzero(risky)[0]
-            # memo key: parent id (bits 0..58) + digit (bits 59..61)
-            keys = parent_ids[ridx] | (digits[ridx] << np.int64(59))
-            miss, cached = self._memo_get(self._memo_down, res, keys)
+            keys = parent_ids[ridx] | (q[ridx].astype(np.int64) << np.int64(59))
+            miss, cached = self._memo_get(self._memo_child, res, keys)
             if cached is not None and (~miss).any():
                 child[ridx[~miss]] = cached[0][~miss]
             if miss.any():
-                sc = self._slow_children(parent_ids[ridx[miss]],
-                                         digits[ridx[miss]], res)
+                sc = self._slow_child_at_q(parent_ids[ridx[miss]],
+                                           q[ridx[miss]], res)
                 child[ridx[miss]] = sc
-                self._memo_put(self._memo_down, res, keys[miss], sc)
+                self._memo_put(self._memo_child, res, keys[miss], sc)
         return child
+
+    def _slow_child_at_q(self, parent_ids: np.ndarray, q: np.ndarray,
+                         res: int) -> np.ndarray:
+        uniq_p, pinv = np.unique(parent_ids, return_inverse=True)
+        center, ring = self.ring_children(uniq_p, res)
+        flat = ring.reshape(-1)
+        ok = flat != -1
+        mem_q = np.full(len(flat), -9, dtype=np.int64)
+        if ok.any():
+            mem_q[ok] = self._q_in_parent_chart(flat[ok],
+                                                np.repeat(uniq_p, 6)[ok], res)
+        mem_q = mem_q.reshape(-1, 6)
+        match = mem_q[pinv] == q[:, None]
+        nm = match.sum(axis=1)
+        if not (nm == 1).all():
+            bad = np.nonzero(nm != 1)[0]
+            raise AssertionError(
+                f"ring position not unique at res {res}: parent "
+                f"{parent_ids[bad[:3]]} q {q[bad[:3]]} matched {nm[bad[:3]]}")
+        slot = np.argmax(match, axis=1)
+        return ring[pinv, slot]
+
+    # -- conversions (chain walk with inherited frame) -----------------------
+
+    def z7_of_flat(self, ids: np.ndarray, res: int) -> np.ndarray:
+        return self._z7_s_of_flat(np.asarray(ids, dtype=np.int64), res)[0]
+
+    def _z7_s_of_flat(self, ids: np.ndarray, res: int):
+        """(z7, s) for flat ids at `res` (s = inherited frame shift)."""
+        if res <= CACHE_RES:
+            t = self.ensure_tables()[res]
+            i = self._lookup_idx(t["flat"], ids)
+            return t["z7_by_flat"][i], t["s_by_flat"][i]
+        uniq, inv = np.unique(ids, return_inverse=True)
+        parents, q = self.level_parent_q(uniq, res)
+        up, upinv = np.unique(parents, return_inverse=True)
+        pz7_u, ps_u = self._z7_s_of_flat(up, res - 1)
+        pz7 = pz7_u[upinv].view(np.uint64)
+        ps = ps_u[upinv]
+        digits = np.where(q < 0, 0, _Q_DIGIT[np.clip((q + ps) % 6, 0, 5)])
+        shift = _PAD_SHIFTS[res - 1]
+        z = ((pz7 & ~(np.uint64(7) << shift))
+             | (digits.astype(np.uint64) << shift)).view(np.int64)
+        cf, _, _ = unpack(uniq)
+        pf, _, _ = unpack(parents)
+        s = (ps - self._delta_table()[pf, cf]) % 6
+        return z[inv], s[inv]
+
+    def flat_of_z7(self, z7: np.ndarray, res: int) -> np.ndarray:
+        return self._flat_s_of_z7(np.asarray(z7, dtype=np.int64), res)[0]
+
+    def _flat_s_of_z7(self, z7: np.ndarray, res: int):
+        if res <= CACHE_RES:
+            t = self.ensure_tables()[res]
+            i = self._lookup_idx(t["z7"], z7)
+            return t["flat_by_z7"][i], t["s_by_z7"][i]
+        uniq, inv = np.unique(z7, return_inverse=True)
+        shift = _PAD_SHIFTS[res - 1]
+        u = uniq.view(np.uint64)
+        digits = ((u >> shift) & np.uint64(7)).astype(np.int64)
+        parent_z = (u | (np.uint64(7) << shift)).view(np.int64)
+        up, upinv = np.unique(parent_z, return_inverse=True)
+        pflat_u, ps_u = self._flat_s_of_z7(up, res - 1)
+        pflat = pflat_u[upinv]
+        ps = ps_u[upinv]
+        q = np.where(digits == 0, -1, (_DIGIT_Q[digits] - ps) % 6)
+        child = self.level_child_at_q(pflat, q, res)
+        cf, _, _ = unpack(child)
+        pf, _, _ = unpack(pflat)
+        s = (ps - self._delta_table()[pf, cf]) % 6
+        return child[inv], s[inv]
+
+    # -- pentagon digit sets (depend on base and res) ------------------------
+
+    def pentagon_ring_digits(self, res: int) -> np.ndarray:
+        """(12, 5) ring digits of each DGGRID base's pentagon at `res`
+        (children of the res-(res-1) pentagon; i.e. valid non-zero digits at
+        digit level res).  Row index = DGGRID base number."""
+        if res in self._pent_digits:
+            return self._pent_digits[res]
+        if res < 1:
+            raise ValueError(res)
+        # pentagon flat cell of each base at res-1 = the corner cell
+        # (order rows by BASE NUMBER — int64 z7 sign-sorts bases 8-11 first)
+        t0 = self.ensure_tables()[0]
+        from .igeo7 import z7_base_cell
+        base_order = np.argsort(z7_base_cell(t0["z7_by_flat"]))
+        corner0 = t0["flat"][base_order]
+        cur = corner0
+        for r in range(1, res):
+            f, a, b = unpack(cur)
+            cur = pack(f, *_child_axial(a, b, r))
+        center, ring = self.ring_children(cur, res)
+        out = np.full((12, 5), -1, dtype=np.int64)
+        # root s values in canonical charts; the pentagon chain keeps s
+        s = _ROOT_S
+        for i in range(12):
+            mem = ring[i][ring[i] != -1]
+            if len(mem) != 5:
+                raise AssertionError(f"pentagon base {i} at res {res}: "
+                                     f"{len(mem)} ring children")
+            qv = self._q_in_parent_chart(mem, np.repeat(cur[i:i + 1], 5), res)
+            d = _Q_DIGIT[(qv + s[i]) % 6]
+            out[i] = np.sort(d)
+        self._pent_digits[res] = out
+        return out
 
     # -- exhaustive level tables (res <= CACHE_RES) --------------------------
 
     def enumerate_cells(self, res: int) -> np.ndarray:
         """All canonical flat cell ids at `res` (exactly 10*7^res + 2)."""
         g = self.g
-        # triangle corners in axial: (0,0), E, E*(1-omega) where E = (2+w)^res
         ea, eb = 1, 0
-        for _ in range(res):
-            ea, eb = 2 * ea - eb, ea + 3 * eb
+        for r in range(1, res + 1):
+            ea, eb = _child_axial(ea, eb, r)
         c1 = (ea, eb)
         c2 = (ea + eb, -ea)
         amin = min(0, c1[0], c2[0]) - 1
@@ -375,15 +528,14 @@ class Z7Bridge:
         return np.unique(np.concatenate(all_ids))
 
     def _cache_path(self) -> str:
-        g = self.g
-        p = g.proj.icosa
-        key = (f"z7bridge_v1_{CACHE_RES}_{p.vertices[0, 0]:.12f}_"
+        p = self.g.proj.icosa
+        key = (f"z7bridge_v4_{CACHE_RES}_{p.vertices[0, 0]:.12f}_"
                f"{p.vertices[0, 1]:.12f}_{p.vertices[0, 2]:.12f}_"
                f"{p.vertices[1, 0]:.12f}")
         return "/tmp/igeo7_z7bridge_" + hashlib.md5(key.encode()).hexdigest() + ".npz"
 
     def ensure_tables(self):
-        """Build (or load) the per-level exhaustive flat<->z7 tables for
+        """Build (or load) the per-level exhaustive flat<->z7(+s) tables for
         res 0..CACHE_RES.  Once per process; /tmp-cached per orientation."""
         if self._tables is not None:
             return self._tables
@@ -393,29 +545,41 @@ class Z7Bridge:
                 z = np.load(path)
                 self._tables = [
                     {"flat": z[f"flat{r}"], "z7_by_flat": z[f"zf{r}"],
-                     "z7": z[f"z7{r}"], "flat_by_z7": z[f"fz{r}"]}
+                     "s_by_flat": z[f"sf{r}"], "z7": z[f"z7{r}"],
+                     "flat_by_z7": z[f"fz{r}"], "s_by_z7": z[f"sz{r}"]}
                     for r in range(CACHE_RES + 1)
                 ]
                 return self._tables
             except Exception:
                 pass
         tables = []
-        # res 0: the 12 corners; base = nearest icosahedron vertex
         ids0 = self.enumerate_cells(0)
         lon, lat = self.g.decode(ids0, 0)
         pos = lonlat_to_unit(lon, lat)
-        base = np.argmax(pos @ self._base_pos.T, axis=1).astype(np.uint64)
-        z0 = ((base << np.uint64(60)) | _PAD[0]).view(np.int64)
-        tables.append(self._sorted_pair(ids0, z0))
+        vidx = np.argmax(pos @ self._base_pos.T, axis=1)
+        base = _BASE_MAP[vidx]
+        z0 = ((base.astype(np.uint64) << np.uint64(60)) | _PAD[0]).view(np.int64)
+        s0 = _ROOT_S[base]
+        tables.append(self._sorted_pair(ids0, z0, s0))
+        dt = self._delta_table()
         for r in range(1, CACHE_RES + 1):
+            self._tables = tables  # allow _z7_s recursion on prior levels
             ids = self.enumerate_cells(r)
-            parents, digits = self.level_digits(ids, r)
-            pz7 = self._lookup(tables[r - 1]["flat"], tables[r - 1]["z7_by_flat"],
-                               parents).view(np.uint64)
+            parents, q = self.level_parent_q(ids, r)
+            prev = tables[r - 1]
+            pi = self._lookup_idx(prev["flat"], parents)
+            pz7 = prev["z7_by_flat"][pi].view(np.uint64)
+            ps = prev["s_by_flat"][pi]
+            digits = np.where(q < 0, 0, _Q_DIGIT[np.clip((q + ps) % 6, 0, 5)])
             shift = _PAD_SHIFTS[r - 1]
             z = ((pz7 & ~(np.uint64(7) << shift))
                  | (digits.astype(np.uint64) << shift)).view(np.int64)
-            tables.append(self._sorted_pair(ids, z))
+            if len(np.unique(z)) != len(ids):
+                raise AssertionError(f"digit rule collided at res {r}")
+            cf, _, _ = unpack(ids)
+            pf, _, _ = unpack(parents)
+            s = (ps - dt[pf, cf]) % 6
+            tables.append(self._sorted_pair(ids, z, s))
         self._tables = tables
         try:
             tmp = path + f".tmp{os.getpid()}"
@@ -423,8 +587,10 @@ class Z7Bridge:
             for r, t in enumerate(tables):
                 save[f"flat{r}"] = t["flat"]
                 save[f"zf{r}"] = t["z7_by_flat"]
+                save[f"sf{r}"] = t["s_by_flat"]
                 save[f"z7{r}"] = t["z7"]
                 save[f"fz{r}"] = t["flat_by_z7"]
+                save[f"sz{r}"] = t["s_by_z7"]
             np.savez(tmp, **save)
             os.replace(tmp + ".npz", path)
         except Exception:
@@ -432,50 +598,20 @@ class Z7Bridge:
         return tables
 
     @staticmethod
-    def _sorted_pair(flat_ids: np.ndarray, z7_ids: np.ndarray) -> dict:
+    def _sorted_pair(flat_ids: np.ndarray, z7_ids: np.ndarray,
+                     s: np.ndarray) -> dict:
         of = np.argsort(flat_ids)
         oz = np.argsort(z7_ids)
         return {"flat": flat_ids[of], "z7_by_flat": z7_ids[of],
-                "z7": z7_ids[oz], "flat_by_z7": flat_ids[oz]}
+                "s_by_flat": s[of], "z7": z7_ids[oz],
+                "flat_by_z7": flat_ids[oz], "s_by_z7": s[oz]}
 
     @staticmethod
-    def _lookup(sorted_keys: np.ndarray, values: np.ndarray,
-                queries: np.ndarray) -> np.ndarray:
-        pos = np.searchsorted(sorted_keys, queries)
-        pos = np.clip(pos, 0, len(sorted_keys) - 1)
-        if not np.array_equal(sorted_keys[pos], queries):
-            bad = queries[sorted_keys[pos] != queries]
+    def _lookup_idx(sorted_keys: np.ndarray, queries: np.ndarray) -> np.ndarray:
+        p = np.clip(np.searchsorted(sorted_keys, queries), 0,
+                    len(sorted_keys) - 1)
+        if not np.array_equal(sorted_keys[p], queries):
+            bad = queries[sorted_keys[p] != queries]
             raise KeyError(f"{len(bad)} ids not in bridge table "
                            f"(first: {bad[:5]})")
-        return values[pos]
-
-    # -- public conversions ---------------------------------------------------
-
-    def z7_of_flat(self, ids: np.ndarray, res: int) -> np.ndarray:
-        """Canonical flat cell ids at `res` -> Z7 int64 ids."""
-        ids = np.asarray(ids, dtype=np.int64)
-        if res <= CACHE_RES:
-            t = self.ensure_tables()[res]
-            return self._lookup(t["flat"], t["z7_by_flat"], ids)
-        uniq, inv = np.unique(ids, return_inverse=True)
-        parents, digits = self.level_digits(uniq, res)
-        pz7 = self.z7_of_flat(parents, res - 1).view(np.uint64)
-        shift = _PAD_SHIFTS[res - 1]
-        z = ((pz7 & ~(np.uint64(7) << shift))
-             | (digits.astype(np.uint64) << shift)).view(np.int64)
-        return z[inv]
-
-    def flat_of_z7(self, z7: np.ndarray, res: int) -> np.ndarray:
-        """Z7 int64 ids at `res` -> canonical flat cell ids."""
-        z7 = np.asarray(z7, dtype=np.int64)
-        if res <= CACHE_RES:
-            t = self.ensure_tables()[res]
-            return self._lookup(t["z7"], t["flat_by_z7"], z7)
-        uniq, inv = np.unique(z7, return_inverse=True)
-        shift = _PAD_SHIFTS[res - 1]
-        u = uniq.view(np.uint64)
-        digits = ((u >> shift) & np.uint64(7)).astype(np.int64)
-        parent_z = (u | (np.uint64(7) << shift)).view(np.int64)
-        pflat = self.flat_of_z7(parent_z, res - 1)
-        child = self.level_children(pflat, digits, res)
-        return child[inv]
+        return p

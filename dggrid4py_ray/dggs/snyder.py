@@ -102,6 +102,23 @@ class Icosahedron:
         self.tangent_x = t_x
         self.tangent_y = t_y
 
+        # face adjacency: face_neighbors[f, i] = the face sharing the edge
+        # OPPOSITE vertex slot i of face f (i.e. the edge between the other
+        # two vertex slots)
+        edge_owner: dict = {}
+        nbr = np.full((20, 3), -1, dtype=np.int64)
+        for f in range(20):
+            vs = self.face_vertices[f]
+            for i in range(3):
+                e = tuple(sorted((int(vs[(i + 1) % 3]), int(vs[(i + 2) % 3]))))
+                if e in edge_owner:
+                    g2, i2 = edge_owner[e]
+                    nbr[f, i] = g2
+                    nbr[g2, i2] = f
+                else:
+                    edge_owner[e] = (f, i)
+        self.face_neighbors = nbr
+
     def find_face(self, p: np.ndarray) -> np.ndarray:
         """Containing face = nearest face center (Voronoi of face centers
         on an icosahedron is exactly the face triangles)."""

@@ -31,7 +31,7 @@ from ..geometry import PolygonSet, box
 from ..stages.encode import (CellEncoder, BoundaryKernel, CentroidDecoder,
                              AddressTransformer, make_grid)
 
-_STATE_COLS = ["cell_id", "flat_id", "px", "py", "pz"]
+_STATE_COLS = ["cell_id", "flat_id", "s", "px", "py", "pz"]
 
 _GRID_CACHE: dict = {}
 
@@ -48,25 +48,26 @@ def _grid_for(dggs: Dggs):
     return g
 
 
-def _state_table(z7, flat, pos) -> pa.Table:
+def _state_table(z7, flat, s, pos) -> pa.Table:
     return pa.table({
         "cell_id": pa.array(z7, type=pa.int64()),
         "flat_id": pa.array(flat, type=pa.int64()),
+        "s": pa.array(s, type=pa.int64()),
         "px": pa.array(pos[:, 0]), "py": pa.array(pos[:, 1]), "pz": pa.array(pos[:, 2]),
     })
 
 
 def _seed_table(grid: IGeo7Grid, res: int, clip: PolygonSet | None) -> pa.Table:
     """Driver-side seed: all cells at min(res, 3), bbox-pruned against clip."""
-    s = min(res, 3)
-    n = ig.num_cells(s)
-    z = ig.seqnum_to_z7(np.arange(1, n + 1, dtype=np.int64), s)
-    flat = grid._flat_ids(z)
+    sres = min(res, 3)
+    n = ig.num_cells(sres)
+    z = grid.from_seqnum(np.arange(1, n + 1, dtype=np.int64), sres)
+    flat, s = grid.bridge._flat_s_of_z7(z, sres)
     pos, _, _ = grid.decode_state(z)
-    if clip is not None and s > 0:
-        keep = _bbox_prune(pos, clip, margin_rad=2.5 * ig._D[s])
-        z, flat, pos = z[keep], flat[keep], pos[keep]
-    return _state_table(z, flat, pos)
+    if clip is not None and sres > 0:
+        keep = _bbox_prune(pos, clip, margin_rad=2.5 * ig._D[sres])
+        z, flat, s, pos = z[keep], flat[keep], s[keep], pos[keep]
+    return _state_table(z, flat, s, pos)
 
 
 def _bbox_prune(pos: np.ndarray, clip: PolygonSet, margin_rad: float) -> np.ndarray:
@@ -104,32 +105,33 @@ class _Descend:
         n = batch.num_rows
         if n == 0:
             return batch
+        from ..dggs.isea7h_z7bridge import _DIGIT_Q
         grid = _grid_for(self.dggs)
         z = batch["cell_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         flat = batch["flat_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ps = batch["s"].to_numpy(zero_copy_only=False).astype(np.int64)
         level = self.level
-        pent = ig.z7_is_pentagon(z)
-        digit = np.where(pent[:, None], ig._PENT_DIGITS[None, :], ig._HEX_DIGITS[None, :])
-        # strip the parent's pad digits, add the child digit, re-pad
-        zc = ((z.view(np.uint64) & ~ig._PAD[level])[:, None]
-              | (digit << np.uint64(57 - 3 * level)) | ig._PAD[level + 1])
-        valid = np.ones((n, 7), dtype=bool)
-        valid[:, 6] = ~pent
-        fz = zc.reshape(-1).view(np.int64)
-        fvalid = valid.reshape(-1)
-        keep = np.nonzero(fvalid)[0]
+        ch_z = grid.children(z)                 # (n, 7), -1 for pent slot 6
+        fz = ch_z.reshape(-1)
+        keep = np.nonzero(fz != ig.INVALID_ID)[0]
         fz = fz[keep]
-        ch_flat = grid.bridge.level_children(
-            np.repeat(flat, 7)[keep], digit.reshape(-1)[keep].astype(np.int64),
-            level + 1)
+        # one bridge level step per child (fast integer path away from seams)
+        shift = np.uint64(57 - 3 * level)
+        digit = ((fz.view(np.uint64) >> shift) & np.uint64(7)).astype(np.int64)
+        prep = np.repeat(flat, 7)[keep]
+        srep = np.repeat(ps, 7)[keep]
+        q = np.where(digit == 0, -1, (_DIGIT_Q[digit] - srep) % 6)
+        ch_flat = grid.bridge.level_child_at_q(prep, q, level + 1)
         f, a, b = _unpack(ch_flat)
+        pf, _, _ = _unpack(prep)
+        cs = (srep - grid.bridge._delta_table()[pf, f]) % 6
         x, y = grid.flat._plane_of(a.astype(np.float64), b.astype(np.float64),
                                    level + 1)
         fp = grid.flat.proj.inverse_unit(f, x, y)
         if self.clip is not None:
             m = _bbox_prune(fp, self.clip, margin_rad=2.0 * ig._D[level + 1])
-            fz, ch_flat, fp = fz[m], ch_flat[m], fp[m]
-        return _state_table(fz, ch_flat, fp)
+            fz, ch_flat, cs, fp = fz[m], ch_flat[m], cs[m], fp[m]
+        return _state_table(fz, ch_flat, cs, fp)
 
 
 class _ExactClip:
@@ -306,10 +308,11 @@ def _cells_maybe_expand(cell_ids, dggs: Dggs, clip_subset_type: str,
         ds = _ids_to_dataset(cell_ids, coarse, input_address_type)
 
         def expand(batch: pa.Table) -> pa.Table:
+            grid = _grid_for(dggs)
             z = batch["cell_id"].to_numpy(zero_copy_only=False).astype(np.int64)
             cur = z
             for _ in range(dggs.resolution - clip_cell_res):
-                ch = ig.z7_children(cur)
+                ch = grid.children(cur)
                 cur = ch[ch != ig.INVALID_ID]
             return pa.table({"cell_id": pa.array(cur, type=pa.int64())})
 

@@ -421,11 +421,13 @@ def kring_res2(sf_dir: str):
     n = ig.num_cells(2)
     ds = ray.data.range(n, override_num_blocks=4)
 
-    def to_cells(t: pa.Table) -> pa.Table:
-        seq = t["id"].to_numpy() + 1
-        return pa.table({"cell_id": pa.array(ig.seqnum_to_z7(seq, 2), type=pa.int64())})
-
     dggs = dgselect("IGEO7", resolution=2)
+
+    def to_cells(t: pa.Table) -> pa.Table:
+        from .highlevel import _grid_for
+        seq = t["id"].to_numpy() + 1
+        return pa.table({"cell_id": pa.array(_grid_for(dggs).from_seqnum(seq, 2),
+                                             type=pa.int64())})
     out = ds.map_batches(to_cells, batch_format="pyarrow") \
             .map_batches(NeighborKernel(dggs), batch_format="pyarrow")
     return out.map_batches(

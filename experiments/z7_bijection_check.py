@@ -28,10 +28,12 @@ UNIT_DIGIT = {(1, 0): 1, (0, 1): 2, (-1, 1): 3, (-1, 0): 4, (0, -1): 5, (1, -1):
 
 
 def eis_pow(r):
-    """(2+omega)^r as integer Eisenstein (a, b): mult by (2+w): (a,b) -> (2a-b, a+3b)."""
+    """Integer product of the per-level substitutions (alternating parity,
+    matching isea7h_flat's DGGRID Class I/II lattice)."""
+    from dggrid4py_ray.dggs.isea7h_z7bridge import _child_axial
     a, b = 1, 0
-    for _ in range(r):
-        a, b = 2 * a - b, a + 3 * b
+    for k in range(1, r + 1):
+        a, b = _child_axial(a, b, k)
     return a, b
 
 

@@ -44,6 +44,6 @@ def test_z7_bridge_bijection():
         assert all(bases[b] == p for b in range(12))
         assert ig.z7_is_pentagon(z7).sum() == 12
         # seqnum codec works unchanged on bridge ids
-        seq = ig.z7_to_seqnum(z7)
+        seq = ig.z7_to_seqnum(z7, pent_digits=br.pentagon_ring_digits)
         assert len(np.unique(seq)) == len(ids)
         assert seq.min() == 1 and seq.max() == ig.num_cells(res)

@@ -61,10 +61,11 @@ def test_oregon_semantic(oregon_grid):
     assert d.max() < 1.6 * cls_km(4)
 
 
-@pytest.mark.xfail(reason="Z7 digit conventions differ from the DGGRID binary "
-                          "(from-scratch grid; layout and algebra match, bit "
-                          "values do not) — tracked parity gap", strict=False)
 def test_oregon_golden_literals(oregon_grid):
+    """Bit-exact DGGRID Z7 parity: the reference's golden presence-binning
+    cells (tests/test_dggrid.py:177-182) — the lattice (alternating Class
+    I/II substitution), digit convention (CPI inherited frames) and base
+    numbering are all calibrated to the DGGRID binary's output."""
     lon = np.array([r[0] for r in OREGON])
     lat = np.array([r[1] for r in OREGON])
     s = set(ig.z7_to_string(oregon_grid.encode(lon, lat, 4)).tolist())

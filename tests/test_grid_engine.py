@@ -30,7 +30,7 @@ def test_encode_matches_bruteforce_res3(grid, random_points):
     lon, lat = random_points
     res = 3
     n = ig.num_cells(res)
-    allz = ig.seqnum_to_z7(np.arange(1, n + 1, dtype=np.int64), res)
+    allz = grid.from_seqnum(np.arange(1, n + 1, dtype=np.int64), res)
     centers, _, _ = grid.decode_state(allz)
     pts = lonlat_to_unit(lon, lat)
     bf = allz[np.argmax(pts @ centers.T, axis=1)]
@@ -40,7 +40,7 @@ def test_encode_matches_bruteforce_res3(grid, random_points):
 
 def test_neighbors_symmetric(grid):
     res = 3
-    z = ig.seqnum_to_z7(np.arange(1, ig.num_cells(res) + 1, dtype=np.int64), res)
+    z = grid.from_seqnum(np.arange(1, ig.num_cells(res) + 1, dtype=np.int64), res)
     nb = grid.neighbors(z)
     counts = (nb != ig.INVALID_ID).sum(axis=1)
     pent = ig.z7_is_pentagon(z)

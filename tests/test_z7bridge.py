@@ -25,8 +25,10 @@ def test_tables_bijection(bridge):
         n = 10 * 7**res + 2
         assert len(t["flat"]) == n
         assert len(np.unique(t["z7"])) == n
-        seq = ig.z7_to_seqnum(t["z7"])
+        seq = ig.z7_to_seqnum(t["z7"], pent_digits=bridge.pentagon_ring_digits)
         assert seq.min() == 1 and seq.max() == n and len(np.unique(seq)) == n
+        back = ig.seqnum_to_z7(seq, res, pent_digits=bridge.pentagon_ring_digits)
+        assert np.array_equal(back, t["z7"])
 
 
 def test_fast_path_equals_geometric(bridge):
@@ -36,12 +38,15 @@ def test_fast_path_equals_geometric(bridge):
     lat = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
     for res in [6, 8]:
         uniq = np.unique(bridge.g.encode(lon, lat, res))
-        pf, df = bridge.level_digits(uniq, res)
-        ps, ds = bridge._slow_digits(uniq, res)
+        pf, qf = bridge.level_parent_q(uniq, res)
+        # geometric reference: exact parent + parent-chart ring position
+        ps = bridge.parent_of(uniq, res)
+        qs = bridge._q_in_parent_chart(uniq, ps, res)
+        qs = np.where(qs < 0, -1, qs)
         assert np.array_equal(pf, ps)
-        assert np.array_equal(df, ds)
+        assert np.array_equal(qf, qs)
         # top-down inverse of bottom-up
-        back = bridge.level_children(pf, df, res)
+        back = bridge.level_child_at_q(pf, qf, res)
         assert np.array_equal(back, uniq)
 
 
@@ -63,7 +68,34 @@ def test_children_complete(bridge):
     from dggrid4py_ray.dggs import igeo7 as ig
     t2 = bridge._tables[2]
     z = t2["z7"]
-    ch = ig.z7_children(z)
+    ch = ig.z7_children(z, pent_digits=bridge.pentagon_ring_digits)
     ch = ch[ch != ig.INVALID_ID]
     t3 = bridge._tables[3]
     assert np.array_equal(np.sort(ch), np.sort(t3["z7"]))
+
+
+def test_dggrid_golden_gpkg(bridge):
+    """All 551 real DGGRID IGEO7 res-9 ids from the reference's example
+    GeoPackage (examples/igeo7_res_9.gpkg) must match bit-for-bit."""
+    import sqlite3
+    import struct
+    con = sqlite3.connect("/root/reference/examples/igeo7_res_9.gpkg")
+    rows = con.execute("SELECT name, geom FROM alutag_igeo7_res_9").fetchall()
+    con.close()
+
+    def centroid(blob):
+        flags = blob[3]
+        env = (flags >> 1) & 7
+        envlen = {0: 0, 1: 32, 2: 48, 3: 48, 4: 64}[env]
+        wkb = blob[8 + envlen:]
+        npts = struct.unpack("<I", wkb[9:13])[0]
+        pts = np.frombuffer(wkb[13:13 + 16 * npts], dtype="<f8").reshape(-1, 2)
+        return pts[:-1].mean(axis=0)
+
+    from dggrid4py_ray.dggs import igeo7 as ig
+    names = [r[0] for r in rows]
+    cent = np.array([centroid(b) for _, b in rows])
+    flat = bridge.g.encode(cent[:, 0], cent[:, 1], 9)
+    ours = ig.z7_to_hex(bridge.z7_of_flat(flat, 9))
+    mism = [i for i, (a, b) in enumerate(zip(ours, names)) if a != b]
+    assert not mism, f"{len(mism)}/551 DGGRID ids mismatch (first {mism[:5]})"
