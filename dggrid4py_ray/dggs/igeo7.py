@@ -693,10 +693,46 @@ class IGeo7Grid:
     def boundary(self, z7: np.ndarray) -> np.ndarray:
         """(n, MAX_NEIGHBORS + 1, 2) lon/lat closed rings (NaN-padded).
 
-        Vertices are the exact local Voronoi vertices (see local_voronoi);
-        hexagons yield 6 + closing vertex, pentagons 5 + closing.
+        Face-interior hexagons use DGGRID's construction — the planar
+        hexagon dual of the lattice (circumradius m_r/sqrt(3)) inverse-
+        projected through Snyder; verified 0.00 m against the reference's
+        golden rings (tests/test_dggrid.py:496-527).  Pentagon and
+        face-edge-straddling cells (whose shape spans charts) fall back to
+        the exact local spherical Voronoi (local_voronoi).
         """
-        _, verts = self.local_voronoi(np.asarray(z7, dtype=np.int64))
+        from .isea7h_flat import unpack as _unpack, _OMEGA
+        z7 = np.asarray(z7, dtype=np.int64)
+        n = z7.shape[0]
+        M = self.MAX_NEIGHBORS
+        verts = np.full((n, M + 1, 2), np.nan)
+        if n == 0:
+            return verts
+        res_arr = z7_resolution(z7)
+        flat = self._flat_ids(z7)
+        f, a, b = _unpack(flat)
+        hexv = np.exp(1j * (np.pi / 6.0 + np.arange(6) * np.pi / 3.0)) / np.sqrt(3.0)
+        for r in np.unique(res_arr):
+            m = np.nonzero(res_arr == r)[0]
+            margin = self.bridge._edge_margin(a[m], b[m], int(r))
+            interior = margin > 1.0   # full hex dual stays inside the face
+            im = m[interior]
+            if len(im):
+                mr = self.flat.m_r(int(r))
+                z0 = self.flat.c[0] + (a[im] + b[im] * _OMEGA) * mr
+                vz = z0[:, None] + mr * hexv[None, :]
+                pos = self.flat.proj.inverse_unit(
+                    np.repeat(f[im], 6), np.real(vz).ravel(), np.imag(vz).ravel())
+                lo, la = unit_to_lonlat(pos)
+                lo = lo.reshape(-1, 6)
+                la = la.reshape(-1, 6)
+                verts[im, :6, 0] = lo
+                verts[im, :6, 1] = la
+                verts[im, 6, 0] = lo[:, 0]
+                verts[im, 6, 1] = la[:, 0]
+            sm = m[~interior]
+            if len(sm):
+                _, vv = self.local_voronoi(z7[sm])
+                verts[sm] = vv
         return verts
 
     def cell_spacing_rad(self, res: int) -> float:

@@ -443,6 +443,57 @@ def polyfill_clip_box(sf_dir: str):
     return grid_cellids_for_extent("IGEO7", 5, clip_bbox=(27.2, 57.5, 29.3, 59.2))
 
 
+def dggrid_golden_literals(sf_dir: str):
+    """Pin the DGGRID binary's golden outputs as a driver-checked query
+    (reference tests/test_dggrid.py:159-212 and :496-527): the 3 Z7 strings
+    of the Oregon presence test (IGEO7 res 4) and the 12 ring-vertex
+    coordinates of the two ISEA7H res-5 cells, all bit/coordinate-exact.
+    Oracle = a VALUES list of the literals."""
+    from ..config import dgselect
+    from ..stages.encode import CellEncoder, BoundaryKernel
+    from ..geometry import parse_wkb
+
+    OREGON = [(-123.28, 44.57), (-122.87, 45.49), (-122.77, 45.43),
+              (-123.09, 44.62), (-122.70, 45.41), (-123.02, 45.00),
+              (-123.19, 45.21), (-122.60, 45.34), (-123.32, 42.44),
+              (-122.77, 45.38), (-122.64, 45.37), (-122.62, 45.44),
+              (-121.17, 45.60), (-122.86, 45.15), (-123.36, 43.22)]
+    orient = dict(pole_lon_deg=11.20, pole_lat_deg=58.282525588538994675786,
+                  azimuth_deg=0.0)
+    dggs4 = dgselect("IGEO7", resolution=4, **orient)
+    pts = pa.table({"lon": pa.array([p[0] for p in OREGON]),
+                    "lat": pa.array([p[1] for p in OREGON])})
+    ds = ray.data.from_arrow(pts).map_batches(
+        CellEncoder(dggs4, output_address_type="Z7_STRING", out_col="cell"),
+        batch_format="pyarrow")
+
+    def to_rows(t: pa.Table) -> pa.Table:
+        vals = sorted(set(t["cell"].to_pylist()))
+        return pa.table({"kind": pa.array(["oregon_cell"] * len(vals)),
+                         "value": pa.array(vals, type=pa.string())})
+
+    oregon = ds.map_batches(lambda t: t.select(["cell"]), batch_format="pyarrow") \
+               .map_batches(to_rows, batch_format="pyarrow")
+
+    dggs5 = dgselect("ISEA7H", resolution=5, **orient)
+    two = pa.table({"lon": pa.array([20.5, 21.0]), "lat": pa.array([57.5, 58.0])})
+    cells = ray.data.from_arrow(two).map_batches(
+        CellEncoder(dggs5), batch_format="pyarrow").map_batches(
+        BoundaryKernel(dggs5), batch_format="pyarrow")
+
+    def vert_rows(t: pa.Table) -> pa.Table:
+        out = []
+        for wkb in t["geometry"].to_pylist():
+            _, rings = parse_wkb(bytes(wkb))
+            ring = rings[0]
+            for lon, lat in ring[:-1]:
+                out.append(f"{round(lon * 10000):d},{round(lat * 10000):d}")
+        return pa.table({"kind": pa.array(["vertex"] * len(out)),
+                         "value": pa.array(sorted(out), type=pa.string())})
+
+    return oregon.union(cells.map_batches(vert_rows, batch_format="pyarrow"))
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -462,6 +513,7 @@ QUERIES = {
     "minhash_pairs_docs": minhash_pairs_docs,
     "polyfill_clip_box": polyfill_clip_box,
     "kring_res2": kring_res2,
+    "dggrid_golden_literals": dggrid_golden_literals,
 }
 
 ORACLES = {
@@ -547,5 +599,27 @@ ORACLES = {
                                            FROM embeddings WHERE vec_id = 0)) AS cosine
             FROM embeddings e
         ) ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+    # the DGGRID binary's golden literals (reference tests/test_dggrid.py:
+    # :177-182 Z7 strings at IGEO7 res 4; :496-527 ISEA7H res-5 ring vertex
+    # coordinates, x1e4 rounded) — pure VALUES oracle
+    "dggrid_golden_literals": """
+        SELECT * FROM (VALUES
+            ('oregon_cell', '014626'),
+            ('oregon_cell', '021114'),
+            ('oregon_cell', '021116'),
+            ('vertex', '204301,580182'),
+            ('vertex', '202025,577280'),
+            ('vertex', '204913,574218'),
+            ('vertex', '210013,574050'),
+            ('vertex', '212330,576944'),
+            ('vertex', '209506,580014'),
+            ('vertex', '211895,582894'),
+            ('vertex', '209506,580014'),
+            ('vertex', '212330,576944'),
+            ('vertex', '217478,576746'),
+            ('vertex', '219908,579616'),
+            ('vertex', '217149,582694')
+        ) AS t(kind, value)
     """,
 }
