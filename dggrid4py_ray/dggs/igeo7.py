@@ -14,19 +14,17 @@ published aperture-7 design):
   dggrid_runner.py:530-532). All 12 base cells are pentagons.
 * Cell POSITIONS are the projection-exact per-face Snyder lattice
   (dggs/isea7h_flat.py): centers at resolution r are the points of the
-  per-face Eisenstein lattice L_r = L_0 * (2+omega)^-r (|2+omega|^2 = 7, the
-  aperture-7 substitution) mapped to the sphere by the Snyder equal-area
-  inverse — the same construction family DGGRID uses, so there is no
-  pentagon-seam drift and cell geometry is regular at every resolution.
-* Cell IDS keep the Z7 digit hierarchy: parent = nearest coarse center,
-  digit = angular rank in the parent's child ring (center child -> 0);
-  the flat<->Z7 bijection is provided by dggs/isea7h_z7bridge.py (exact,
-  validated exhaustively at low res, Eisenstein-residue fast path).
-* Pentagon children use digits {0,1,3,4,5,6} — digit 2 is skipped, mirroring
-  DGGRID's Z7 pentagon convention (reference igeo7_ext.py:112-115).
-* A point's cell at res r is the nearest res-r center (spherical Voronoi of
-  lattice centers), computed by per-face lattice rounding with cross-face
-  candidates (exact; see isea7h_flat.py).
+  per-face Eisenstein lattice under DGGRID's ALTERNATING Class I/II
+  aperture-7 substitution (odd res x(2+omega), even res x(3-omega)) mapped
+  to the sphere by the Snyder equal-area inverse — bit-for-bit DGGRID's
+  ISEA7H geometry; no pentagon-seam drift at any resolution.
+* Cell IDS keep the Z7 digit hierarchy via the CPI inherited-frame digit
+  rule (dggs/isea7h_z7bridge.py): parent = nearest coarse center, digit =
+  F7 residue of the ring position in the parent's chart corrected by the
+  frame shift inherited down the ancestor chain.
+* A point's cell at res r is assigned DGGRID-style: PLANAR rounding in the
+  containing face's Snyder chart (not a spherical Voronoi — see
+  isea7h_flat.ISEA7HFlatGrid.encode).
 
 Cell ids use the reference's Z7 64-bit layout (reference igeo7.py:16-45):
 4-bit base cell (0-11) then twenty 3-bit digits, digit 7 = "beyond
@@ -402,12 +400,11 @@ class IGeo7Grid:
         return out
 
     def encode_sph(self, lon, lat, res: int, beam: int | None = None) -> np.ndarray:
-        """Reference-exact encode: scores lattice candidates on ALL 20 faces
-        (no face pre-screening).  Slower; used by tests to certify that the
-        fast 3-face path picks the globally nearest center."""
+        """Reference encode with a widened cross-chart competition window —
+        used by tests to certify that the default window loses no candidate."""
         lon = np.asarray(lon, dtype=np.float64)
         lat = np.asarray(lat, dtype=np.float64)
-        flat = self.flat.encode(lon, lat, res, k_faces=20)
+        flat = self.flat.encode(lon, lat, res, risk_margin=5.0)
         return self.bridge.z7_of_flat(flat, res)
 
     # -- decode ------------------------------------------------------------

@@ -1,24 +1,22 @@
-"""ISEA7H (flat ids) — projection-exact aperture-7 hexagon grid.
+"""ISEA7H (flat ids) — projection-exact aperture-7 hexagon grid, DGGRID
+geometry.
 
-The geometry-sound aperture-7 construction (and the position model the
-IGEO7 tree engine will adopt): cell centers at resolution r are the points
-of the per-face planar lattice
+Cell centers at resolution r are the points of the per-face planar lattice
 
-    L_r = { c_s + (a + b*omega) * m_r },   m_r = e1 / (2 + omega)^r
+    L_r = { c_s + (a + b*omega) * m_r },   m_r = e1 / prod_k M_k
 
-(Eisenstein-integer aperture-7 substitution: |2+omega| = sqrt(7), arg =
-19.1066 deg) mapped to the sphere by the Snyder equal-area inverse.  Face
-corners are lattice points at every resolution (integer multiplication maps
-L_0 into itself); with the cumulative rotation no other lattice point ever
-lies on a face edge, so the cell count is exactly
-
-    20 * (7^r - 1)/2  interior  +  12 corners  =  10*7^r + 2.
+with the ALTERNATING aperture-7 substitution M_k = (2+omega) for odd k and
+(3-omega) = 2+conj(omega) for even k (DGGRID Class I/II; see the note at
+_M7 below), mapped to the sphere by the Snyder equal-area inverse.  Face
+corners are lattice points at every resolution; at EVEN resolutions the
+lattice is edge-aligned, so lattice points lie ON face edges and are
+canonicalized to the lower sharing face (corners to the lowest of the five).
+The cell count is exactly 10*7^r + 2.
 
 Ids are flat (face, a, b) with a/b offset-packed (no Z7 digit hierarchy —
-that is what the IGEO7 tree engine provides); corners canonicalize to the
-lowest sharing face.  encode = nearest center in true 3D, via per-face
-lattice rounding + cross-face candidates near edges — same machinery as
-ISEA4H, validated there against brute force.
+that is what isea7h_z7bridge provides).  encode = DGGRID-style planar
+rounding in the containing face's chart (see its docstring);
+encode_nearest3d keeps the spherical nearest-center rule.
 """
 
 from __future__ import annotations
@@ -105,11 +103,130 @@ class ISEA7HFlatGrid:
 
     # -- encode -------------------------------------------------------------
 
-    def encode(self, lon, lat, res: int, k_faces: int = 3) -> np.ndarray:
-        """Exact nearest-center encode.  ``k_faces=3`` (default) screens to
-        the 3 nearest faces (sufficient: cross-face competition only occurs
-        within ~1 cell of an edge/vertex, always among the top faces);
-        ``k_faces=20`` is the exhaustive no-screening reference used by tests.
+    def encode(self, lon, lat, res: int, k_faces: int | None = None,
+               risk_margin: float = 2.0) -> np.ndarray:
+        """Point -> cell assignment, DGGRID-style PLANAR rounding: project
+        the point into its containing face's Snyder chart and take the
+        planar-nearest lattice point; near face edges/corners, competing
+        charts' candidates are compared by their own in-chart planar
+        distances (the point carried across by the exact unfold maps).
+
+        This is how the DGGRID binary quantizes points (quad-plane ij
+        rounding), NOT a spherical Voronoi of the centers — the two differ
+        for ~3% of random points (the planar hex boundary vs the spherical
+        bisector).  Verified against the reference's golden point
+        assignments.  ``encode_nearest3d`` keeps the spherical rule.
+        """
+        if k_faces is not None:
+            return self.encode_nearest3d(lon, lat, res, k_faces=k_faces)
+        p = lonlat_to_unit(np.asarray(lon, np.float64), np.asarray(lat, np.float64))
+        ic = self.proj.icosa
+        face = ic.find_face(p)
+        _, x, y = self._forward_on_face(p, face)
+        return self.planar_assign(face, x, y, res, risk_margin=risk_margin)
+
+    def _fan_maps(self):
+        """face -> [(neighbor_face, alpha, beta)]: unfold transforms to every
+        edge- or vertex-sharing chart (built once)."""
+        fans = getattr(self, "_fans", None)
+        if fans is not None:
+            return fans
+        from .isea7h_z7bridge import Z7Bridge  # unfold maps live there
+        br = Z7Bridge.__new__(Z7Bridge)
+        br.g = self
+        br._unfolds = None
+        ic = self.proj.icosa
+        fans = {}
+        for f in range(20):
+            vs = set(ic.face_vertices[f])
+            lst = []
+            for f2 in range(20):
+                if f2 != f and vs & set(ic.face_vertices[f2]):
+                    alpha, beta = br._chart_transform(f, f2)
+                    lst.append((f2, alpha, beta))
+            fans[f] = lst
+        self._fans = fans
+        return fans
+
+    def planar_assign(self, face: np.ndarray, x: np.ndarray, y: np.ndarray,
+                      res: int, risk_margin: float = 2.0) -> np.ndarray:
+        """Planar-nearest canonical cell for plane points given in chart
+        `face`; near edges/corners, candidates from every fan chart compete
+        by their own in-chart planar distance (points carried across by the
+        exact unfold maps)."""
+        best_id, best_d2 = self._round_in_chart(face, x, y, res)
+        l0, l1, l2 = self._bary(x, y)
+        side = 7.0 ** (res / 2.0)
+        margin_units = np.minimum(np.minimum(l0, l1), l2) * side * (np.sqrt(3.0) / 2.0)
+        risky = margin_units < risk_margin
+        if risky.any():
+            fans = self._fan_maps()
+            ridx = np.nonzero(risky)[0]
+            z = x[ridx] + 1j * y[ridx]
+            fr = face[ridx]
+            for fa in np.unique(fr):
+                m = fr == fa
+                gi = ridx[m]
+                zm = z[m]
+                for fb, alpha, beta in fans[int(fa)]:
+                    zz = alpha * zm + beta
+                    ids2, d2 = self._round_in_chart(
+                        np.full(len(zm), fb, dtype=np.int64),
+                        np.real(zz), np.imag(zz), res)
+                    upd = (d2 < best_d2[gi] - 1e-12) | (
+                        (np.abs(d2 - best_d2[gi]) <= 1e-12) & (ids2 < best_id[gi]))
+                    ui = gi[upd]
+                    best_d2[ui] = d2[upd]
+                    best_id[ui] = ids2[upd]
+        return best_id
+
+    def parent_cell(self, ids: np.ndarray, res: int) -> np.ndarray:
+        """Planar-nearest res-(res-1) cell of each cell's center — the
+        hierarchy's geometric parent, computed entirely in the charts (cell
+        centers have exact in-chart plane coordinates; no round trip through
+        the sphere)."""
+        f, a, b = unpack(ids)
+        x, y = self._plane_of(a.astype(np.float64), b.astype(np.float64), res)
+        return self.planar_assign(f, x, y, res - 1)
+
+    def _round_in_chart(self, face: np.ndarray, x, y, res: int):
+        """Planar-nearest canonical lattice cell of chart `face` for plane
+        points (x, y): hex rounding over the containing unit rhombus,
+        restricted to in-triangle (canonical) candidates."""
+        a, b = self._axial_of_plane(x, y, res)
+        fa0 = np.floor(a)
+        fb0 = np.floor(b)
+        n = len(a)
+        best_id = np.full(n, -1, dtype=np.int64)
+        best_d2 = np.full(n, np.inf)
+        eps = 1e-9
+        for da in (0, 1):
+            for db in (0, 1):
+                ca = (fa0 + da).astype(np.int64)
+                cb = (fb0 + db).astype(np.int64)
+                cx, cy = self._plane_of(ca.astype(float), cb.astype(float), res)
+                l0, l1, l2 = self._bary(cx, cy)
+                ok = (l0 >= -eps) & (l1 >= -eps) & (l2 >= -eps)
+                if not ok.any():
+                    continue
+                dx = x - cx
+                dy = y - cy
+                d2 = dx * dx + dy * dy
+                caf, cai, cab = self._canonical(face[ok], ca[ok], cb[ok],
+                                                l0[ok], l1[ok], l2[ok], res)
+                ids = pack(caf, cai, cab)
+                idx = np.nonzero(ok)[0]
+                upd = (d2[ok] < best_d2[idx] - 1e-12) | (
+                    (np.abs(d2[ok] - best_d2[idx]) <= 1e-12) & (ids < best_id[idx]))
+                ui = idx[upd]
+                best_d2[ui] = d2[ok][upd]
+                best_id[ui] = ids[upd]
+        return best_id, best_d2
+
+    def encode_nearest3d(self, lon, lat, res: int, k_faces: int = 3) -> np.ndarray:
+        """Spherical nearest-center encode (exact 3D Voronoi of the lattice
+        centers).  ``k_faces=3`` (default) screens to the 3 nearest faces;
+        ``k_faces=20`` is the exhaustive no-screening reference.
         """
         p = lonlat_to_unit(np.asarray(lon, np.float64), np.asarray(lat, np.float64))
         npts = p.shape[0]

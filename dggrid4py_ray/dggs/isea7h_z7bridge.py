@@ -215,9 +215,10 @@ class Z7Bridge:
     # -- geometric ops -------------------------------------------------------
 
     def parent_of(self, ids: np.ndarray, res: int) -> np.ndarray:
-        """Exact geometric parent: flat-encode of the center at res-1."""
-        lon, lat = self.g.decode(ids, res)
-        return self.g.encode(lon, lat, res - 1)
+        """Exact geometric parent: planar-nearest coarse cell of the center
+        (equivalent to flat-encode(decode(center), res-1), computed without
+        the sphere round trip)."""
+        return self.g.parent_cell(ids, res)
 
     def _edge_margin(self, a, b, res: int) -> np.ndarray:
         """Distance (in res-r lattice units) from lattice point (a, b) to the

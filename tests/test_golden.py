@@ -72,8 +72,8 @@ def test_oregon_golden_literals(oregon_grid):
     assert s == GOLDEN_PRESENCE
 
 
-def test_two_points_semantic():
-    g = IGeo7Grid()  # default orientation = reference default (11.25, 58.28252559)
+def test_two_points_semantic(oregon_grid):
+    g = oregon_grid  # golden orientation (11.20, 58.2825255885…)
     lon = np.array([p[0] for p in TWO_POINTS])
     lat = np.array([p[1] for p in TWO_POINTS])
     z = g.encode(lon, lat, 5)
@@ -95,10 +95,13 @@ def test_two_points_semantic():
 
 
 @pytest.mark.xfail(reason="SEQNUM ordering differs from the DGGRID binary "
-                          "(our canonical order is (base, digit-path)) — "
-                          "tracked parity gap", strict=False)
-def test_two_points_golden_literals():
-    g = IGeo7Grid()
+                          "(ours is canonical (base, digit-path) order; "
+                          "DGGRID's is quad-ij order) — tracked parity gap; "
+                          "cell GEOMETRY for these points is pinned exactly "
+                          "by the dggrid_golden_literals driver query",
+                   strict=False)
+def test_two_points_golden_literals(oregon_grid):
     lon = np.array([p[0] for p in TWO_POINTS])
     lat = np.array([p[1] for p in TWO_POINTS])
-    assert set(ig.z7_to_seqnum(g.encode(lon, lat, 5)).tolist()) == GOLDEN_ZONES
+    z = oregon_grid.encode(lon, lat, 5)
+    assert set(oregon_grid.to_seqnum(z).tolist()) == GOLDEN_ZONES

