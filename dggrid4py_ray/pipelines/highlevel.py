@@ -374,15 +374,41 @@ def run_flagship_checkpointed(in_path: str, out_dir: str, resolution: int = 9,
                               lineage: dict | None = None) -> str:
     """The north-star pipeline with resumable output: read interleaved docs
     (parquet/Lance-shaped), per-span cell assignment, write partitioned
-    parquet with per-partition lineage manifests; re-running skips completed
-    partitions (state/checkpoint.py)."""
-    from ..stages.spans import doc_cell_assignments
-    from ..state.checkpoint import write_dataset_checkpointed
+    parquet with per-partition lineage manifests.
 
-    ds = ray.data.read_parquet(in_path)
-    out = doc_cell_assignments(ds, resolution=resolution)
+    Partitions are keyed on the DETERMINISTIC input file index (not Ray
+    block boundaries): a resume lists completed partitions and drops their
+    input files from the read — finished work is skipped at the source and
+    the streaming sink (state/checkpoint.py) overlaps writing with
+    execution, never materializing the dataset."""
+    import glob
+    import os as _os
+    from ..stages.spans import doc_cell_assignments
+    from ..state.checkpoint import write_dataset_checkpointed, completed_partitions
+
+    if _os.path.isdir(in_path):
+        files = sorted(glob.glob(_os.path.join(in_path, "*.parquet")))
+    else:
+        files = [in_path]
+    part_of_path = {f: i for i, f in enumerate(files)}
+    done = completed_partitions(out_dir)
+    todo = [f for f, i in part_of_path.items() if i not in done]
+    if not todo:
+        return out_dir
+    ds = ray.data.read_parquet(todo, include_paths=True)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        paths = batch["path"].to_pylist()
+        pid = [part_of_path[p] if p in part_of_path
+               else part_of_path.get("/" + p.lstrip("/"), 0) for p in paths]
+        return (batch.drop_columns(["path"])
+                     .append_column("part_id", pa.array(pid, type=pa.int64())))
+
+    out = doc_cell_assignments(ds.map_batches(add_part, batch_format="pyarrow"),
+                               resolution=resolution)
     return write_dataset_checkpointed(
         out, out_dir, dict(lineage or {}, input=in_path, resolution=resolution,
+                           n_input_files=len(files),
                            pipeline="span_cell_assignment"))
 
 

@@ -93,34 +93,50 @@ def q3_top_revenue(sf_dir: str):
 
 
 def q5_nation_revenue(sf_dir: str):
-    """Revenue per nation via broadcast small-dim lookups (no big shuffle join):
-    customer/nation are read driver-side (small), broadcast into map_batches."""
+    """Revenue per nation: broadcast only the TRUE small dims (customer ->
+    nation name via ray.put, read once per actor), resolve lineitem ->
+    orders via a distributed hash join, pre-aggregate per nation inside
+    each post-join batch, and finish with a 25-row groupby.  Orders (fact-
+    sized) is never materialized on the driver."""
     import ray
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
-    cust_map = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
     nat_map = dict(zip(nation["n_nationkey"], nation["n_name"]))
-    order_to_nation = {ok: nat_map[cust_map[ck]] for ok, ck in
-                       zip(orders["o_orderkey"], orders["o_custkey"])}
-    ref = ray.put(order_to_nation)
+    cust_to_nation = pd.Series(
+        [nat_map[n] for n in cust["c_nationkey"]],
+        index=cust["c_custkey"].to_numpy())
+    ref = ray.put(cust_to_nation)
 
-    class Joiner:
+    class OrderNation:
         def __init__(self):
-            self.map = ray.get(ref)
+            self.lut = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            rev = pc.multiply(t["l_extendedprice"],
-                              pc.subtract(pa.scalar(1.0), t["l_discount"])).to_numpy(zero_copy_only=False)
-            ok = t["l_orderkey"].to_numpy()
-            names = np.array([self.map[k] for k in ok], dtype=object)
-            df = pd.DataFrame({"n_name": names, "rev": rev})
-            g = df.groupby("n_name", sort=False)["rev"].sum().reset_index()
-            return pa.Table.from_pandas(g, preserve_index=False)
+            names = self.lut.reindex(t["o_custkey"].to_numpy()).to_numpy()
+            return pa.table({"l_orderkey": t["o_orderkey"],
+                             "n_name": pa.array(names, type=pa.string())})
 
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-    agg = (ds.map_batches(Joiner, batch_format="pyarrow", concurrency=(1, 2))
-             .groupby("n_name").aggregate(Sum("rev", alias_name="revenue")))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
+        .map_batches(OrderNation, batch_format="pyarrow", concurrency=(1, 4))
+
+    def li_rev(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(li_rev, batch_format="pyarrow")
+    joined = li.join(orders, join_type="inner", num_partitions=8,
+                     on=("l_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"n_name": t["n_name"].to_numpy(zero_copy_only=False),
+                           "rev": t["rev"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("n_name", sort=False)["rev"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (joined.map_batches(partial, batch_format="pyarrow")
+                 .groupby("n_name").aggregate(Sum("rev", alias_name="revenue")))
     return agg.map_batches(
         lambda t: pa.table({"n_name": t["n_name"],
                             "revenue": _iscale(t["revenue"], 10000)}),

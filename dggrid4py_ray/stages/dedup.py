@@ -118,121 +118,158 @@ class MinHasher:
 
 def minhash_lsh_dedup(ds: ray.data.Dataset, text_col: str = "text",
                       id_col: str = "doc_id", num_perm: int = 64, bands: int = 16,
-                      threshold: float = 0.7,
+                      threshold: float = 0.7, max_bucket: int = 128,
                       concurrency: int | None = None) -> ray.data.Dataset:
-    """Near-dup detection: minhash signatures -> LSH band buckets (groupby) ->
-    exact signature-similarity check inside each bucket -> candidate pairs
-    with estimated Jaccard >= threshold.
+    """Near-dup detection: minhash signatures -> LSH band buckets -> exact
+    signature-similarity check inside each bucket -> candidate pairs with
+    estimated Jaccard >= threshold.
 
     Returns Dataset[(left_id, right_id, est_jaccard)] with left < right.
-    Shuffle key = (band, bucket_hash); the heavy text column never shuffles."""
+
+    ONE wide operation total (the groupby under map_groups; its sort is
+    cheap — Ray's hash AGGREGATE on high-cardinality keys is what must be
+    avoided): rows (bucket_key, id, sig) shuffle once, keyed on the bucket
+    hash with the band index packed into the top bits.  Pairs are generated
+    AND verified inside each bucket group, and each pair is emitted ONLY
+    from its first matching band — computable locally from the two
+    signatures in hand — so the output needs no global dedup at all.
+    Buckets larger than ``max_bucket`` are low-information band collisions
+    and are dropped (standard LSH skew practice); a pair whose FIRST
+    matching band fell into such a bucket is missed even if later bands
+    survive — near-identical mass duplicates belong to exact_dedup first,
+    which catches them exactly.  The heavy text column never shuffles."""
     rows_per_band = num_perm // bands
+    assert bands <= 32
     sigged = ds.map_batches(MinHasher(text_col, num_perm), batch_format="pyarrow",
                             concurrency=concurrency)
 
     def emit_buckets(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
         arr = batch["minhash"]
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
+        n = batch.num_rows
         sigs = np.asarray(arr.flatten()).reshape(n, num_perm).view(np.uint64)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        out_band = np.repeat(np.arange(bands, dtype=np.int64), n)
-        out_id = np.tile(ids, bands)
         bh = np.empty(bands * n, dtype=np.int64)
-        sig_str = np.empty(bands * n, dtype=object)
+        mask = np.uint64((1 << 56) - 1)
         for bidx in range(bands):
             seg = sigs[:, bidx * rows_per_band:(bidx + 1) * rows_per_band]
             h = np.zeros(n, dtype=np.uint64)
             for c in range(rows_per_band):
                 h = h * np.uint64(1099511628211) + seg[:, c]
-            bh[bidx * n:(bidx + 1) * n] = h.view(np.int64)
-            for i in range(n):
-                sig_str[bidx * n + i] = sigs[i].tobytes()
-        return pa.table({"band": pa.array(out_band), "bucket": pa.array(bh),
-                         id_col: pa.array(out_id), "sig": pa.array(sig_str, type=pa.binary())})
+            bh[bidx * n:(bidx + 1) * n] = ((h & mask)
+                                           | (np.uint64(bidx) << np.uint64(56))).view(np.int64)
+        sig_bytes = [s.tobytes() for s in sigs]
+        return pa.table({"bkey": pa.array(bh),
+                         id_col: pa.array(np.tile(ids, bands)),
+                         "sig": pa.array(sig_bytes * bands, type=pa.binary())})
 
-    buckets = sigged.map_batches(emit_buckets, batch_format="pyarrow")
-    # hot-bucket cap (explicit LSH skew handling): buckets larger than
-    # `max_bucket` are low-information band collisions whose self-join would
-    # explode quadratically — drop them (standard LSH practice); the
-    # remaining bands still catch true near-dups
-    max_bucket = 64
-    from ray.data.aggregate import Count
-    sizes = buckets.groupby(["band", "bucket"]).aggregate(Count(alias_name="bsz"))
-    small = sizes.map_batches(
-        lambda t: t.filter(pa.compute.less_equal(t["bsz"], pa.scalar(max_bucket))),
-        batch_format="pyarrow")
-    buckets = buckets.join(small, join_type="inner", num_partitions=_join_partitions(),
-                           on=("band", "bucket"))
-    # bucket self-join (hash-partitioned on (band, bucket)) instead of
-    # per-group map_groups: almost all buckets are singletons, and the join
-    # avoids the per-group task overhead entirely
-    right = buckets.map_batches(
-        lambda t: pa.table({"band": t["band"], "bucket": t["bucket"],
-                            "rid": t[id_col], "rsig": t["sig"]}),
-        batch_format="pyarrow")
-    joined = buckets.join(right, join_type="inner", num_partitions=_join_partitions(),
-                          on=("band", "bucket"))
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = len(g)
+        empty = pd.DataFrame({"left_id": pd.Series([], dtype=g[id_col].dtype),
+                              "right_id": pd.Series([], dtype=g[id_col].dtype),
+                              "est_jaccard": pd.Series([], dtype=np.float64)})
+        if m < 2 or m > max_bucket:
+            return empty
+        band = int(g["bkey"].iloc[0]) >> 56 & 0xFF
+        ids = g[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        sigs = np.stack([np.frombuffer(b, dtype=np.uint64)
+                         for b in g["sig"].to_numpy()[order]])
+        iu, ju = np.triu_indices(m, 1)
+        eqm = sigs[iu] == sigs[ju]                       # (npairs, num_perm)
+        eq = eqm.mean(axis=1)
+        # emit each pair only from its FIRST matching band (global dedup
+        # without any further shuffle: band equality is a pure function of
+        # the two signatures)
+        band_eq = eqm.reshape(-1, bands, rows_per_band).all(axis=2)
+        first_band = np.argmax(band_eq, axis=1)
+        hit = (eq >= threshold) & (first_band == band)
+        if not hit.any():
+            return empty
+        return pd.DataFrame({"left_id": ids[iu[hit]], "right_id": ids[ju[hit]],
+                             "est_jaccard": eq[hit].astype(np.float64)})
 
-    def score(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"left_id": pa.array([], type=pa.int64()),
-                             "right_id": pa.array([], type=pa.int64()),
-                             "est_jaccard": pa.array([], type=pa.float64())})
-        lid = t[id_col].to_numpy(zero_copy_only=False)
-        rid = t["rid"].to_numpy(zero_copy_only=False)
-        keep = lid < rid
-        if not keep.any():
-            return pa.table({"left_id": pa.array([], type=pa.int64()),
-                             "right_id": pa.array([], type=pa.int64()),
-                             "est_jaccard": pa.array([], type=pa.float64())})
-        ls = t["sig"].to_numpy(zero_copy_only=False)[keep]
-        rs = t["rsig"].to_numpy(zero_copy_only=False)[keep]
-        lsig = np.stack([np.frombuffer(s, dtype=np.uint64) for s in ls])
-        rsig = np.stack([np.frombuffer(s, dtype=np.uint64) for s in rs])
-        eq = (lsig == rsig).mean(axis=1)
-        hit = eq >= threshold
-        return pa.table({"left_id": pa.array(lid[keep][hit]),
-                         "right_id": pa.array(rid[keep][hit]),
-                         "est_jaccard": pa.array(eq[hit].astype(np.float64))})
-
-    cand = joined.map_batches(score, batch_format="pyarrow")
-    # dedup pairs discovered in multiple bands
-    return cand.groupby(["left_id", "right_id"]).aggregate(Min("est_jaccard", alias_name="est_jaccard"))
+    return (sigged.map_batches(emit_buckets, batch_format="pyarrow")
+                  .groupby("bkey").map_groups(pairs, batch_format="pandas"))
 
 
 # -- SimHash ----------------------------------------------------------------
 
 class SimHasher:
-    """map_batches actor: 64-bit simhash over word 3-grams."""
+    """map_batches actor: 64-bit simhash over word 3-grams — fully
+    vectorized: per-word polynomial hashes from the flat word-character
+    buffer (reduceat), 3-gram hashes by combining consecutive word hashes,
+    per-document ±1 bit votes via a (grams, 64) bit matrix + segment sums."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
 
     @staticmethod
-    def _h64(s: str) -> int:
-        return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
-
-    def simhash(self, text: str) -> int:
-        words = text.split()
-        if not words:
-            return 0
-        grams = [" ".join(words[i:i + 3]) for i in range(max(1, len(words) - 2))]
-        acc = np.zeros(64, dtype=np.int64)
-        for gtext in grams:
-            h = self._h64(gtext)
-            bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-            acc += np.where(bits.astype(bool), 1, -1)
-        out = 0
-        for bit in np.nonzero(acc > 0)[0]:
-            out |= 1 << int(bit)
-        return out - (1 << 64) if out >= (1 << 63) else out
+    def _word_hashes(texts: np.ndarray):
+        """(flat word hashes (uint64), per-doc word-count offsets)."""
+        split = [str(t).split() for t in texts]
+        counts = np.fromiter((len(w) for w in split), dtype=np.int64,
+                             count=len(split))
+        words = [w for ws in split for w in ws]
+        bufs = [w.encode("utf-8", "ignore") for w in words]
+        wl = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=len(bufs))
+        flat = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.uint64)
+        # polynomial hash per word: sum b_i * 131^i via reduceat with a
+        # per-word restart of the power sequence
+        pos = np.arange(len(flat), dtype=np.int64)
+        starts = np.concatenate([[0], np.cumsum(wl)[:-1]]) if len(bufs) else \
+            np.zeros(0, dtype=np.int64)
+        rel = pos - np.repeat(starts, wl) if len(bufs) else pos
+        with np.errstate(over="ignore"):
+            pw = np.uint64(0x9E3779B97F4A7C15) ** (rel.astype(np.uint64) % np.uint64(31))
+            terms = flat * pw
+        wh = np.add.reduceat(terms, np.clip(starts, 0, max(len(terms) - 1, 0))) \
+            if len(bufs) else np.zeros(0, dtype=np.uint64)
+        wh[wl == 0] = 0
+        # final mix so short words spread over 64 bits
+        with np.errstate(over="ignore"):
+            wh = (wh ^ (wh >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+            wh = wh ^ (wh >> np.uint64(33))
+        woff = np.concatenate([[0], np.cumsum(counts)])
+        return wh, woff
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_numpy(zero_copy_only=False)
-        out = np.array([self.simhash(str(t)) for t in texts], dtype=np.int64)
-        return batch.append_column("simhash", pa.array(out))
+        n = len(texts)
+        wh, woff = self._word_hashes(texts)
+        counts = np.diff(woff)
+        # 3-gram hashes: combine consecutive word hashes; docs with < 3
+        # words use the single gram of all their words
+        ng = np.maximum(counts - 2, np.minimum(counts, 1))
+        goff = np.concatenate([[0], np.cumsum(ng)])
+        total_g = int(goff[-1])
+        gh = np.zeros(total_g, dtype=np.uint64)
+        P = np.uint64(1099511628211)
+        with np.errstate(over="ignore"):
+            for d in range(3):  # d-th word of each gram
+                gi = np.arange(total_g, dtype=np.int64)
+                doc = np.repeat(np.arange(n), ng)
+                widx = gi - np.repeat(goff[:-1], ng) + d
+                ok = widx < np.repeat(counts, ng)
+                src = np.repeat(woff[:-1], ng) + np.minimum(
+                    widx, np.maximum(np.repeat(counts, ng) - 1, 0))
+                gh = gh * P + np.where(ok, wh[np.clip(src, 0, max(len(wh) - 1, 0))]
+                                       if len(wh) else 0, np.uint64(0))
+        shifts = np.arange(64, dtype=np.uint64)
+        acc = np.zeros((n, 64), dtype=np.int32)
+        doc_of_g = np.repeat(np.arange(n), ng)
+        CH = 4096  # gram chunk: the (CH, 64) vote matrix stays cache-resident
+        for s in range(0, total_g, CH):
+            sub = gh[s:s + CH]
+            bits = ((sub[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+            np.add.at(acc, doc_of_g[s:s + CH], bits * 2 - 1)
+        has = counts > 0
+        bitset = (acc > 0).astype(np.uint64)
+        out = (bitset << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+        out[~has] = 0
+        return batch.append_column("simhash", pa.array(out.view(np.int64)))
 
 
 def simhash_dedup(ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id",

@@ -1,16 +1,16 @@
 """Text-analysis stages for large-scale training-data pipelines.
 
-Each is a vectorized map_batches stage over the `documents` table
-(driver testdata: doc_id, text, lang, source, n_chars).  Stateful pieces
-(compiled regexes, stopword sets) live in actor __init__.
+Each is a map_batches stage over the `documents` table (driver testdata:
+doc_id, text, lang, source, n_chars).  All kernels are vectorized across the
+batch — pyarrow.compute string kernels for counting/splitting, flat-buffer
+numpy with reduceat for per-document aggregation, column-wise Horner for the
+byte-sequential FNV hash — no per-row Python in the hot path.  Stateful
+pieces (compiled patterns, stopword sets) live in actor __init__.
 """
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -22,50 +22,78 @@ _STOPWORDS = {
     "es": {"el", "la", "los", "y", "es", "no", "un", "una", "en", "que"},
 }
 
+_WORD_SPLIT = r"[^a-zA-ZÀ-ÿ]+"
+
+
+def _str_array(batch: pa.Table, col: str) -> pa.Array:
+    arr = batch[col]
+    return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+
+def _word_lists(arr: pa.Array):
+    """(flat lowercase words (pa.Array), doc offsets (np.ndarray)) — empty
+    split artifacts removed."""
+    words = pc.split_pattern_regex(pc.utf8_lower(arr), _WORD_SPLIT)
+    words = pa.ListArray.from_arrays(words.offsets, words.values)
+    nonempty = pc.utf8_length(words.values)
+    keep = pc.greater(nonempty, 0)
+    # per-doc counts of non-empty words
+    off = words.offsets.to_numpy()
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    csum = np.concatenate([[0], np.cumsum(keep_np)])
+    new_off = csum[off]
+    flat = words.values.filter(keep)
+    return flat, new_off
+
+
+def _segment_sum(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Sum of values[offsets[i]:offsets[i+1]] per segment (0 for empty)."""
+    n = len(offsets) - 1
+    csum = np.concatenate([[0], np.cumsum(values, dtype=np.float64)])
+    return csum[offsets[1:]] - csum[offsets[:-1]]
+
 
 class TokenCounter:
-    """Whitespace tokens + a BPE-ish regex token count + char count."""
+    """Whitespace tokens + a BPE-ish regex token count + char count, all via
+    pyarrow.compute count kernels."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
         # GPT-2-style pretokenizer shape (public pattern family)
-        self.bpe = re.compile(r"\w+|[^\w\s]")
+        self.bpe_pattern = r"\w+|[^\w\s]"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_numpy(zero_copy_only=False)
-        ws = np.fromiter((len(t.split()) for t in texts), dtype=np.int64, count=len(texts))
-        bpe = np.fromiter((len(self.bpe.findall(t)) for t in texts), dtype=np.int64, count=len(texts))
-        chars = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
-        return (batch.append_column("n_tokens_ws", pa.array(ws))
-                     .append_column("n_tokens_re", pa.array(bpe))
-                     .append_column("n_chars_computed", pa.array(chars)))
+        arr = _str_array(batch, self.text_col)
+        ws = pc.count_substring_regex(arr, r"\S+")
+        bpe = pc.count_substring_regex(arr, self.bpe_pattern)
+        chars = pc.utf8_length(arr)
+        return (batch.append_column("n_tokens_ws", pc.cast(ws, pa.int64()))
+                     .append_column("n_tokens_re", pc.cast(bpe, pa.int64()))
+                     .append_column("n_chars_computed", pc.cast(chars, pa.int64())))
 
 
 class QualityScorer:
     """Heuristic quality features: length, punctuation ratio, stopword ratio,
-    mean word length, uppercase ratio."""
+    mean word length, uppercase ratio — flat-word-array + segment sums."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.punct = re.compile(r"[^\w\s]")
-        self.word = re.compile(r"[a-zA-Z]+")
-        self.stop = set().union(*_STOPWORDS.values())
+        self.stop = pa.array(sorted(set().union(*_STOPWORDS.values())))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_numpy(zero_copy_only=False)
-        n = len(texts)
-        punct_ratio = np.zeros(n)
-        stop_ratio = np.zeros(n)
-        mean_wlen = np.zeros(n)
-        upper_ratio = np.zeros(n)
-        for i, t in enumerate(texts):
-            L = max(len(t), 1)
-            punct_ratio[i] = len(self.punct.findall(t)) / L
-            words = self.word.findall(t.lower())
-            if words:
-                stop_ratio[i] = sum(w in self.stop for w in words) / len(words)
-                mean_wlen[i] = sum(len(w) for w in words) / len(words)
-            upper_ratio[i] = sum(c.isupper() for c in t) / L
+        arr = _str_array(batch, self.text_col)
+        n = batch.num_rows
+        length = np.maximum(pc.utf8_length(arr).to_numpy(zero_copy_only=False), 1)
+        punct = pc.count_substring_regex(arr, r"[^\w\s]").to_numpy(zero_copy_only=False)
+        upper = pc.count_substring_regex(arr, r"[A-Z]").to_numpy(zero_copy_only=False)
+        flat, off = _word_lists(arr)
+        wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        is_stop = pc.is_in(flat, value_set=self.stop).to_numpy(zero_copy_only=False)
+        nw = np.maximum(off[1:] - off[:-1], 1)
+        stop_ratio = _segment_sum(is_stop.astype(np.int64), off) / nw
+        mean_wlen = _segment_sum(wlen, off) / nw
+        punct_ratio = punct / length
+        upper_ratio = upper / length
         score = (np.clip(stop_ratio * 3, 0, 1) * 0.4
                  + np.clip(mean_wlen / 8.0, 0, 1) * 0.3
                  + (1.0 - np.clip(punct_ratio * 4, 0, 1)) * 0.2
@@ -76,58 +104,96 @@ class QualityScorer:
 
 
 class LanguageId:
-    """Tiny n-gram/stopword language heuristic over {en,de,fr,es} + 'other'."""
+    """Tiny stopword-count language heuristic over {en,de,fr,es} + 'other':
+    one is_in membership pass per language over the flat word array."""
 
     def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
         self.text_col = text_col
         self.out_col = out_col
-        self.word = re.compile(r"[a-zA-ZÀ-ÿ]+")
+        self.langs = sorted(_STOPWORDS)
+        self.sets = {k: pa.array(sorted(v)) for k, v in _STOPWORDS.items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_numpy(zero_copy_only=False)
-        out = np.empty(len(texts), dtype=object)
-        for i, t in enumerate(texts):
-            words = set(self.word.findall(t.lower())[:200])
-            best, bestn = "other", 0
-            for lang, sw in _STOPWORDS.items():
-                k = len(words & sw)
-                if k > bestn:
-                    best, bestn = lang, k
-            out[i] = best
+        arr = _str_array(batch, self.text_col)
+        n = batch.num_rows
+        flat, off = _word_lists(arr)
+        scores = np.zeros((n, len(self.langs)), dtype=np.int64)
+        for j, lang in enumerate(self.langs):
+            hit = pc.is_in(flat, value_set=self.sets[lang]) \
+                    .to_numpy(zero_copy_only=False).astype(np.int64)
+            scores[:, j] = _segment_sum(hit, off)
+        best = np.argmax(scores, axis=1)
+        has = scores.max(axis=1) > 0
+        langs = np.array(self.langs, dtype=object)
+        out = np.where(has, langs[best], "other")
         return batch.append_column(self.out_col, pa.array(out, type=pa.string()))
 
 
 class Fingerprinter:
     """Deterministic 64-bit document fingerprint (FNV-1a over bytes) and a
-    rolling-hash shingle min (cheap near-dup signal)."""
+    rolling-hash shingle min (cheap near-dup signal).
 
-    def __init__(self, text_col: str = "text", shingle: int = 8):
+    FNV-1a is byte-sequential, so it is vectorized ACROSS documents:
+    right-aligned padded byte matrix + column-wise Horner (pad positions
+    masked), exactly reproducing the per-document scalar FNV-1a.  Documents
+    longer than ``max_bytes`` hash their first ``max_bytes`` bytes."""
+
+    _FNV_OFF = np.uint64(0xCBF29CE484222325)
+    _FNV_PRIME = np.uint64(0x100000001B3)
+
+    def __init__(self, text_col: str = "text", shingle: int = 8,
+                 max_bytes: int = 65536):
         self.text_col = text_col
         self.shingle = shingle
+        self.max_bytes = max_bytes
 
-    @staticmethod
-    def _fnv1a(data: bytes) -> int:
-        h = 0xCBF29CE484222325
-        for b in data:
-            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        return h
+    _CHUNK = 256  # docs per chunk: keeps the byte matrix cache-resident
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_numpy(zero_copy_only=False)
-        fp = np.empty(len(texts), dtype=np.uint64)
-        rmin = np.empty(len(texts), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            b = t.encode("utf-8", "ignore")
-            fp[i] = self._fnv1a(b)
-            k = self.shingle
-            if len(b) < k:
-                rmin[i] = fp[i]
-            else:
-                arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
-                # polynomial rolling hash of all k-grams, vectorized
-                pw = np.power(np.uint64(257), np.arange(k, dtype=np.uint64).astype(object)).astype(np.uint64)
-                windows = np.lib.stride_tricks.sliding_window_view(arr, k)
-                hashes = (windows * pw[None, :]).sum(axis=1)
-                rmin[i] = hashes.min()
-        return (batch.append_column("fingerprint", pa.array(fp.view(np.int64)))
+        n = len(texts)
+        h = np.full(n, self._FNV_OFF)
+        rmin = np.full(n, self._FNV_OFF)
+        k = self.shingle
+        pw = np.uint64(257) ** np.arange(k, dtype=np.uint64)
+        for s in range(0, n, self._CHUNK):
+            sub = texts[s:s + self._CHUNK]
+            m = len(sub)
+            bufs = [str(t).encode("utf-8", "ignore")[:self.max_bytes] for t in sub]
+            lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=m)
+            total = int(lens.sum())
+            flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            maxlen = int(lens.max()) if m else 0
+            # FNV-1a: right-aligned (maxlen, m) matrix -> row-contiguous
+            # Horner over byte positions with pad mask
+            doc_rep = np.repeat(np.arange(m), lens)
+            col_idx = (np.arange(total) - np.repeat(starts, lens)
+                       + np.repeat(maxlen - lens, lens))
+            mat = np.zeros((maxlen, m), dtype=np.uint64)
+            mat[col_idx, doc_rep] = flat
+            hh = np.full(m, self._FNV_OFF)
+            pad_until = maxlen - lens
+            with np.errstate(over="ignore"):
+                for c in range(maxlen):
+                    active = c >= pad_until
+                    hh = np.where(active, (hh ^ mat[c]) * self._FNV_PRIME, hh)
+            h[s:s + m] = hh
+            # rolling-hash shingle min over the flat buffer, per-doc reduceat
+            rr = hh.copy()
+            long_enough = lens >= k
+            if long_enough.any() and total >= k:
+                win = np.lib.stride_tricks.sliding_window_view(
+                    flat.astype(np.uint64), k)
+                with np.errstate(over="ignore"):
+                    hashes = (win * pw[None, :]).sum(axis=1)
+                le = np.nonzero(long_enough)[0]
+                seg = np.empty(2 * len(le), dtype=np.int64)
+                seg[0::2] = starts[le]
+                seg[1::2] = starts[le] + lens[le] - k + 1
+                seg_min = np.minimum.reduceat(
+                    hashes, np.clip(seg[:-1], 0, len(hashes) - 1))
+                rr[le] = seg_min[0::2]
+            rmin[s:s + m] = rr
+        return (batch.append_column("fingerprint", pa.array(h.view(np.int64)))
                      .append_column("shingle_min", pa.array(rmin.view(np.int64))))

@@ -103,21 +103,107 @@ def run_checkpointed(make_partition, n_partitions: int, out_dir: str,
     return manifests
 
 
-def write_dataset_checkpointed(ds, out_dir: str, lineage: dict | None = None):
-    """Stream a Ray Dataset to partitioned parquet with manifests: one
-    partition per block, resumable by re-running with the same inputs."""
-    import ray
+def completed_partitions(out_dir: str) -> set[int]:
+    """Partition ids whose manifest (commit marker) exists."""
+    done = set()
+    if not os.path.isdir(out_dir):
+        return done
+    for name in os.listdir(out_dir):
+        if name.startswith("part-") and os.path.exists(
+                os.path.join(out_dir, name, "manifest.json")):
+            done.add(int(name.split("-")[1]))
+    return done
+
+
+def clean_incomplete_partitions(out_dir: str):
+    """Remove data files of partitions without a manifest (orphans from a
+    crashed run) so a resume can rewrite them from scratch."""
+    if not os.path.isdir(out_dir):
+        return
+    for name in os.listdir(out_dir):
+        pdir = os.path.join(out_dir, name)
+        if (name.startswith("part-") and os.path.isdir(pdir)
+                and not os.path.exists(os.path.join(pdir, "manifest.json"))):
+            for f in os.listdir(pdir):
+                os.remove(os.path.join(pdir, f))
+
+
+def write_dataset_checkpointed(ds, out_dir: str, lineage: dict | None = None,
+                               part_col: str = "part_id"):
+    """STREAMING partitioned parquet sink with per-partition lineage
+    manifests.
+
+    Partition identity comes from the deterministic ``part_col`` column the
+    caller assigns from input lineage (e.g. the input file / fragment index
+    — see run_flagship_checkpointed), NOT from Ray block boundaries (which
+    vary run to run).  Each batch is written to its partition directories
+    AS IT FLOWS through ``map_batches`` — execution and writing overlap and
+    nothing is materialized; only tiny (partition, rows, file) summaries
+    return to the driver.  Manifests are written last (commit markers) once
+    the stream is fully consumed; a crash leaves orphan data files that the
+    next run's ``clean_incomplete_partitions`` removes before resuming.
+
+    Resume contract: the CALLER filters already-completed partitions out of
+    the input (``completed_partitions``) so finished work is skipped at the
+    source.  NOTE: partitions are written on the worker that processes them
+    — on a multi-node cluster ``out_dir`` must be a shared filesystem (or
+    object-store URI via an fsspec-compatible path).
+    """
+    import uuid
 
     os.makedirs(out_dir, exist_ok=True)
-    refs = ds.to_arrow_refs()
+    clean_incomplete_partitions(out_dir)
 
-    @ray.remote
-    def _write(pid, ref):
-        if partition_done(out_dir, pid):
-            return pid
-        t = ref if isinstance(ref, pa.Table) else ray.get(ref)
-        write_partition(out_dir, pid, t, dict(lineage or {}, block=pid))
-        return pid
+    def write_batch(batch: pa.Table) -> pa.Table:
+        pids = batch[part_col].to_numpy(zero_copy_only=False)
+        out_pids, out_rows, out_files = [], [], []
+        import numpy as np
+        for pid in np.unique(pids):
+            sl = batch.filter(pa.array(pids == pid))
+            pdir = os.path.join(out_dir, f"part-{int(pid):05d}")
+            os.makedirs(pdir, exist_ok=True)
+            fname = f"data-{uuid.uuid4().hex[:12]}.parquet"
+            tmp = os.path.join(pdir, "." + fname + ".tmp")
+            pq.write_table(sl, tmp)
+            os.replace(tmp, os.path.join(pdir, fname))
+            out_pids.append(int(pid))
+            out_rows.append(sl.num_rows)
+            out_files.append(fname)
+        return pa.table({"part_id": pa.array(out_pids, type=pa.int64()),
+                         "rows": pa.array(out_rows, type=pa.int64()),
+                         "file": pa.array(out_files, type=pa.string())})
 
-    ray.get([_write.remote(i, r) for i, r in enumerate(refs)])
+    summaries = ds.map_batches(write_batch, batch_format="pyarrow") \
+                  .take_all()   # tiny: one row per (batch, partition)
+    per_part: dict[int, dict] = {}
+    for row in summaries:
+        p = per_part.setdefault(int(row["part_id"]), {"rows": 0, "files": []})
+        p["rows"] += int(row["rows"])
+        p["files"].append(row["file"])
+    for pid, info in per_part.items():
+        pdir = os.path.join(out_dir, f"part-{pid:05d}")
+        manifest = {
+            "partition": pid,
+            "rows": info["rows"],
+            "files": sorted(info["files"]),
+            "written_at": time.time(),
+            "lineage": dict(lineage or {}, partition=pid),
+        }
+        mtmp = os.path.join(pdir, ".manifest.json.tmp")
+        with open(mtmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(mtmp, os.path.join(pdir, "manifest.json"))
+    # dataset-level manifest (covers every completed partition, incl. ones
+    # finished in earlier runs)
+    done = completed_partitions(out_dir)
+    total = 0
+    for pid in done:
+        with open(os.path.join(out_dir, f"part-{pid:05d}", "manifest.json")) as f:
+            total += json.load(f)["rows"]
+    tmp = os.path.join(out_dir, "._dataset_manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"n_partitions": len(done), "total_rows": total,
+                   "completed_at": time.time(),
+                   "written_this_run": sorted(per_part)}, f)
+    os.replace(tmp, os.path.join(out_dir, "_dataset_manifest.json"))
     return out_dir

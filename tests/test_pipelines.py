@@ -164,16 +164,40 @@ def test_post_process_split_dateline(ray_session):
 
 
 def test_flagship_checkpointed(ray_session, tmp_path):
+    """Resumable streaming sink: partitions keyed on the input FILE index
+    (deterministic lineage, not Ray block boundaries); a resume skips
+    completed partitions at the source and re-writes only incomplete ones
+    (orphan data files from a crash are cleaned first)."""
+    import json
     import os
     from dggrid4py_ray.sources.spans_table import spans_batch
     import pyarrow.parquet as pq
     from dggrid4py_ray.pipelines.highlevel import run_flagship_checkpointed
-    src = str(tmp_path / "docs.parquet")
-    pq.write_table(spans_batch(0, 400), src)
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    for i in range(3):
+        pq.write_table(spans_batch(i * 100, 100), f"{src}/shard-{i:02d}.parquet")
     out = str(tmp_path / "out")
     run_flagship_checkpointed(src, out, resolution=6)
-    manifests = [f for f in os.listdir(out) if f.startswith("part-")]
-    assert manifests
-    assert os.path.exists(os.path.join(out, manifests[0], "manifest.json"))
-    # resume: second run completes without error and keeps manifests
+    parts = sorted(f for f in os.listdir(out) if f.startswith("part-"))
+    assert parts == ["part-00000", "part-00001", "part-00002"]
+    rows = {}
+    for p in parts:
+        with open(os.path.join(out, p, "manifest.json")) as f:
+            m = json.load(f)
+        rows[p] = m["rows"]
+        assert m["rows"] == 100
+    # simulate a crash on partition 1: manifest gone + an orphan data file
+    os.remove(os.path.join(out, "part-00001", "manifest.json"))
+    with open(os.path.join(out, "part-00001", "data-orphan.parquet"), "w") as f:
+        f.write("junk")
+    mtime0 = os.path.getmtime(os.path.join(out, "part-00000", "manifest.json"))
     run_flagship_checkpointed(src, out, resolution=6)
+    # partition 1 rebuilt (orphan gone), partition 0 untouched (skipped at source)
+    assert not os.path.exists(os.path.join(out, "part-00001", "data-orphan.parquet"))
+    with open(os.path.join(out, "part-00001", "manifest.json")) as f:
+        assert json.load(f)["rows"] == 100
+    assert os.path.getmtime(os.path.join(out, "part-00000", "manifest.json")) == mtime0
+    with open(os.path.join(out, "_dataset_manifest.json")) as f:
+        dm = json.load(f)
+    assert dm["n_partitions"] == 3 and dm["total_rows"] == 300
