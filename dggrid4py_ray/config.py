@@ -37,7 +37,7 @@ VALID_APERTURES = {"HEXAGON": {3, 4, 7, 43}, "TRIANGLE": {4}, "DIAMOND": {4}}
 # DggsOutputAddressTypeV7T :121-137 and v8 HIERNDX forms :141-184)
 ADDRESS_TYPES = {
     "GEO", "SEQNUM", "Z7", "Z7_STRING", "Z7_HEX", "Q2DI", "Q2DD", "PROJTRI",
-    "ZORDER", "ZORDER_STRING",
+    "ZORDER", "ZORDER_STRING", "Z3", "Z3_STRING", "PLANE", "VERTEX2DD",
 }
 
 DEFAULT_POLE_LON = 11.25

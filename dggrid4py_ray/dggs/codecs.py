@@ -6,7 +6,10 @@ The canonical in-engine address is always the Z7 int64 column; every other
 representation is derived.
 
 Supported: GEO, SEQNUM, Z7 (int64 bit pattern), Z7_STRING, Z7_HEX, ZORDER,
-Q2DI (struct q/i/j), Q2DD (struct q/x/y), PROJTRI (struct tri/x/y).
+Q2DI (struct q/i/j), Q2DD (struct q/x/y), PROJTRI (struct tri/x/y), and the
+output-only PLANE (struct x/y in the unfolded icosahedron net, reference
+dggrid_runner.py:126-129) and VERTEX2DD (list<struct<lon,lat>> boundary
+vertices).  Z3/Z3_STRING for aperture-3 grids live in Z3Codec below.
 
 Q2DI/Q2DD use the base cell as the quad and axial lattice coordinates in the
 base cell's tangent-plane frame — a documented deviation from DGGRID's
@@ -106,6 +109,29 @@ class AddressCodec:
             lon, lat = self.grid.decode(z7)
             face, x, y = self._sny().forward(lon, lat)
             return face, x, y
+        if t == "PLANE":
+            # unfolded-net plane coordinates of the cell center (output-only,
+            # like the reference)
+            from .isea7h_flat import unpack as _unpack
+            flat = self.grid._flat_ids(z7)
+            f, a, b = _unpack(flat)
+            res = ig.z7_resolution(z7)
+            x = np.empty(len(z7)); y = np.empty(len(z7))
+            for r in np.unique(res):
+                m = res == r
+                xr, yr = self.grid.flat._plane_of(a[m].astype(np.float64),
+                                                  b[m].astype(np.float64), int(r))
+                x[m], y[m] = xr, yr
+            net = self.grid.bridge.net_transforms()
+            z = x + 1j * y
+            for ff in np.unique(f):
+                alpha, beta = net[int(ff)]
+                mm = f == ff
+                z[mm] = alpha * z[mm] + beta
+            return np.real(z), np.imag(z)
+        if t == "VERTEX2DD":
+            verts = self.grid.boundary(z7)
+            return verts
         raise ValueError(f"unsupported output address type {address_type!r}")
 
     def transform(self, values, input_type: str, output_type: str):
@@ -157,6 +183,20 @@ class AddressCodec:
             return pa.StructArray.from_arrays(
                 [pa.array(np.asarray(tri, np.int32)), pa.array(np.asarray(x, np.float64)),
                  pa.array(np.asarray(y, np.float64))], names=["tri", "x", "y"])
+        if t == "PLANE":
+            x, y = values
+            return pa.StructArray.from_arrays(
+                [pa.array(np.asarray(x, np.float64)),
+                 pa.array(np.asarray(y, np.float64))], names=["x", "y"])
+        if t == "VERTEX2DD":
+            verts = values          # (n, M+1, 2) NaN-padded closed rings
+            rows = []
+            for i in range(verts.shape[0]):
+                ring = verts[i][~np.isnan(verts[i, :, 0])]
+                rows.append([{"lon": float(lo), "lat": float(la)}
+                             for lo, la in ring])
+            return pa.array(rows, type=pa.list_(pa.struct(
+                [("lon", pa.float64()), ("lat", pa.float64())])))
         raise ValueError(t)
 
     def _z7_to_zorder(self, z7: np.ndarray) -> np.ndarray:
@@ -256,3 +296,42 @@ class AddressCodec:
         p = np.where((r <= 1e-15)[..., None], c, p)
         lon, lat = unit_to_lonlat(p)
         return self.grid.encode(lon, lat, self.res)
+
+
+class Z3Codec:
+    """Z3 / Z3_STRING codec for aperture-3 grids (reference address types
+    dggrid_runner.py:131-132; own bit layout — see dggs/isea4h.py)."""
+
+    def __init__(self, grid, res: int):
+        # grid: ISEA3HGrid/ISEA43HGrid or a _ResBoundGrid wrapping one
+        self.grid = getattr(grid, "inner", grid)
+        self.res = int(res)
+
+    def parse(self, values, address_type: str) -> np.ndarray:
+        from .isea4h import z3_unpack, z3_from_string
+        t = address_type.upper()
+        if t == "CELL":
+            return np.asarray(values, dtype=np.int64)
+        if t == "Z3":
+            return z3_unpack(np.asarray(values, dtype=np.int64), self.res)
+        if t == "Z3_STRING":
+            return z3_unpack(z3_from_string(values, self.res), self.res)
+        if t == "GEO":
+            lon, lat = values
+            return self.grid.encode(np.asarray(lon, np.float64),
+                                    np.asarray(lat, np.float64), self.res)
+        raise ValueError(f"unsupported Z3 input type {address_type!r}")
+
+    def emit(self, ids: np.ndarray, address_type: str):
+        from .isea4h import z3_pack, z3_to_string
+        t = address_type.upper()
+        ids = np.asarray(ids, dtype=np.int64)
+        if t == "CELL":
+            return ids
+        if t == "Z3":
+            return z3_pack(ids, self.res)
+        if t == "Z3_STRING":
+            return z3_to_string(z3_pack(ids, self.res), self.res)
+        if t == "GEO":
+            return self.grid.decode(ids, self.res)
+        raise ValueError(f"unsupported Z3 output type {address_type!r}")

@@ -336,15 +336,16 @@ class IGeo7Grid:
     """
 
     def __init__(self, pole_lon: float = 11.25, pole_lat: float = 58.28252559,
-                 azimuth: float = 0.0, beam: int = 4):
+                 azimuth: float = 0.0, beam: int = 4, projection: str = "ISEA"):
         from .isea7h_flat import ISEA7HFlatGrid
         from .isea7h_z7bridge import Z7Bridge
         self.pole_lon = float(pole_lon)
         self.pole_lat = float(pole_lat)
         self.azimuth = float(azimuth)
         self.beam = int(beam)  # kept for API compatibility (unused)
+        self.projection = projection.upper()
         self.flat = ISEA7HFlatGrid(pole_lon=self.pole_lon, pole_lat=self.pole_lat,
-                                   azimuth=self.azimuth)
+                                   azimuth=self.azimuth, projection=projection)
         self.bridge = Z7Bridge(self.flat)
         self._build_base()
 

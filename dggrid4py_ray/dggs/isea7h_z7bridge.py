@@ -212,6 +212,34 @@ class Z7Bridge:
         self._delta = d
         return d
 
+    def net_transforms(self):
+        """(alpha, beta) per face carrying each face's chart into ONE global
+        unfolded-net plane (the classic icosahedron strip: middle belt/lower
+        chain, caps above, bottom caps below) — the PLANE output address
+        type's coordinate frame (reference dggrid_runner.py:126-129)."""
+        net = getattr(self, "_net", None)
+        if net is not None:
+            return net
+        maps = self._unfold_maps()
+        T = {5: (complex(1, 0), complex(0, 0))}  # anchor belt 0
+        side = abs(self.g.c[1] - self.g.c[0])
+
+        def compose(ab1, ab2):
+            a1, b1 = ab1
+            a2, b2 = ab2
+            return a2 * a1, a2 * b1 + b2
+
+        for k in range(5):
+            belt, lower = 5 + k, 10 + k
+            T[lower] = compose(maps[(lower, belt)], T[belt])
+            T[k] = compose(maps[(k, belt)], T[belt])
+            T[15 + k] = compose(maps[(15 + k, lower)], T[lower])
+            nxt = 5 + (k + 1) % 5
+            if nxt not in T:
+                T[nxt] = compose(maps[(nxt, lower)], T[lower])
+        self._net = [T[f] for f in range(20)]
+        return self._net
+
     # -- geometric ops -------------------------------------------------------
 
     def parent_of(self, ids: np.ndarray, res: int) -> np.ndarray:
@@ -530,7 +558,8 @@ class Z7Bridge:
 
     def _cache_path(self) -> str:
         p = self.g.proj.icosa
-        key = (f"z7bridge_v4_{CACHE_RES}_{p.vertices[0, 0]:.12f}_"
+        proj = getattr(self.g, "projection", "ISEA")
+        key = (f"z7bridge_v4_{proj}_{CACHE_RES}_{p.vertices[0, 0]:.12f}_"
                f"{p.vertices[0, 1]:.12f}_{p.vertices[0, 2]:.12f}_"
                f"{p.vertices[1, 0]:.12f}")
         return "/tmp/igeo7_z7bridge_" + hashlib.md5(key.encode()).hexdigest() + ".npz"

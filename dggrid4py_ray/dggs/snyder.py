@@ -125,6 +125,62 @@ class Icosahedron:
         return np.argmax(p @ self.face_centers.T, axis=-1)
 
 
+class FullerProjection:
+    """Per-face gnomonic (central) projection onto the flat icosahedron
+    faces — the base chart of the Fuller/Dymaxion family (reference
+    `dggs_proj FULLER`, dggrid_runner.py:239-240; FULLER* presets :67-84).
+
+    Same interface as SnyderProjection (forward_unit / inverse_unit /
+    icosa), with chart coordinates scaled so face vertices land at
+    R_VERTEX_PLANE — every face-lattice engine works unchanged with this
+    chart swapped in.  NOTE: this is the exact gnomonic Dymaxion chart, not
+    Gray's arc-equalized refinement of Fuller's 1975 map (no golden FULLER
+    output exists in the reference to calibrate that against); it is exact,
+    invertible, and face-edge-consistent.
+    """
+
+    def __init__(self, icosa: Icosahedron | None = None, **orient):
+        self.icosa = icosa or Icosahedron(**orient)
+        ic = self.icosa
+        # face plane: q . n = d through the three unit vertices
+        self._d = np.einsum("fj,fj->f", ic.vertices[ic.face_vertices[:, 0]],
+                            ic.face_centers)
+        origin = ic.face_centers * self._d[:, None]
+        v0 = ic.vertices[ic.face_vertices[:, 0]]
+        self._scale = R_VERTEX_PLANE / np.linalg.norm(v0 - origin, axis=1)
+        self._origin = origin
+
+    def forward(self, lon, lat):
+        p = lonlat_to_unit(np.asarray(lon, np.float64), np.asarray(lat, np.float64))
+        return self.forward_unit(p)
+
+    def forward_unit(self, p: np.ndarray):
+        face = self.icosa.find_face(p)
+        f, x, y = self._forward_on(p, face)
+        return face, x, y
+
+    def _forward_on(self, p, face):
+        ic = self.icosa
+        n = ic.face_centers[face]
+        t = self._d[face] / np.maximum(np.sum(p * n, axis=-1), 1e-12)
+        q = p * t[..., None] - self._origin[face]
+        s = self._scale[face]
+        return face, np.sum(q * ic.tangent_x[face], axis=-1) * s, \
+            np.sum(q * ic.tangent_y[face], axis=-1) * s
+
+    def inverse(self, face, x, y):
+        return unit_to_lonlat(self.inverse_unit(face, x, y))
+
+    def inverse_unit(self, face, x, y):
+        face = np.asarray(face, dtype=np.int64)
+        ic = self.icosa
+        s = self._scale[face]
+        q = (self._origin[face]
+             + (np.asarray(x, np.float64) / s)[..., None] * ic.tangent_x[face]
+             + (np.asarray(y, np.float64) / s)[..., None] * ic.tangent_y[face])
+        return q / np.linalg.norm(q, axis=-1, keepdims=True)
+
+
 class SnyderProjection:
     """Vectorized forward (sphere->face plane) and inverse projections."""
 

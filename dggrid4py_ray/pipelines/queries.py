@@ -510,6 +510,64 @@ def dggrid_golden_literals(sf_dir: str):
     return oregon.union(cells.map_batches(vert_rows, batch_format="pyarrow"))
 
 
+def z3_roundtrip(sf_dir: str):
+    """Z3/Z3_STRING codec round-trip over the full ISEA3H res-3 cell
+    universe (reference address types dggrid_runner.py:131-132): enumerate,
+    index 1..N, convert CELL -> Z3 -> Z3_STRING -> back; identity iff the
+    returned index column equals range(1, N+1) (the oracle)."""
+    from ..dggs.isea4h import ISEA3HGrid
+    res = 3
+    n = ig.num_cells(res, aperture=3)
+    ds = ray.data.range(n, override_num_blocks=4)
+
+    def leg(t: pa.Table) -> pa.Table:
+        from ..dggs.codecs import Z3Codec
+        g = ISEA3HGrid()
+        cells = np.sort(g.enumerate_cells(res))
+        idx = t["id"].to_numpy()
+        zc = Z3Codec(g, res)
+        z3 = zc.emit(cells[idx], "Z3")
+        s = zc.emit(zc.parse(z3, "Z3"), "Z3_STRING")
+        back = zc.parse(s, "Z3_STRING")
+        pos = np.searchsorted(cells, back)
+        ok = cells[pos] == back
+        assert ok.all()
+        return pa.table({"idx": pa.array(pos + 1, type=pa.int64())})
+
+    return ds.map_batches(leg, batch_format="pyarrow")
+
+
+def isea43h_binning(sf_dir: str):
+    """Mixed-aperture ISEA43H (PLANETRISK-family) value binning over events
+    (rows-only: ids are engine-specific): encode -> per-cell mean/count."""
+    from ..config import dgselect
+    from ..stages.encode import CellEncoder
+    dggs = dgselect("ISEA43H", resolution=5, mixed_aperture_level=2)
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def coords(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        lon = ((eid * 7919) % 36000).astype(np.float64) / 100.0 - 180.0
+        lat = ((eid * 104729) % 18000).astype(np.float64) / 100.0 - 90.0
+        return (t.append_column("lon", pa.array(lon))
+                 .append_column("lat", pa.array(lat)))
+
+    enc = ds.map_batches(coords, batch_format="pyarrow") \
+            .map_batches(CellEncoder(dggs), batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"cell_id": t["cell_id"].to_numpy(zero_copy_only=False),
+                           "value": t["value"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("cell_id", sort=False).agg(s=("value", "sum"),
+                                                  n=("value", "size")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (enc.map_batches(partial, batch_format="pyarrow")
+              .groupby("cell_id").aggregate(Sum("s", alias_name="sum_value"),
+                                            Sum("n", alias_name="n_points")))
+    return agg
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -530,6 +588,8 @@ QUERIES = {
     "polyfill_clip_box": polyfill_clip_box,
     "kring_res2": kring_res2,
     "dggrid_golden_literals": dggrid_golden_literals,
+    "z3_roundtrip": z3_roundtrip,
+    "isea43h_binning": isea43h_binning,
 }
 
 ORACLES = {
@@ -615,6 +675,9 @@ ORACLES = {
                                            FROM embeddings WHERE vec_id = 0)) AS cosine
             FROM embeddings e
         ) ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+    "z3_roundtrip": """
+        SELECT CAST(range AS BIGINT) AS idx FROM range(1, 273)
     """,
     # the DGGRID binary's golden literals (reference tests/test_dggrid.py:
     # :177-182 Z7 strings at IGEO7 res 4; :496-527 ISEA7H res-5 ring vertex

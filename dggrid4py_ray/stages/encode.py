@@ -42,12 +42,14 @@ def make_grid(dggs: Dggs):
     """Grid engine for a Dggs config.
 
     IGEO7/ISEA7H -> the hierarchical IGeo7 engine (full surface: hierarchy,
-    neighbors, boundaries).  ISEA4H / ISEA3H / ISEA4T / ISEA4D -> the
-    projection-exact Snyder engines (encode/decode surface).  Mixed-aperture
-    (43) grids and the Fuller projection are not yet implemented.
+    neighbors, boundaries).  ISEA4H / ISEA3H / ISEA43H / ISEA4T / ISEA4D ->
+    the projection-exact face-lattice engines (encode/decode surface).
+    FULLER* presets swap the per-face chart to the Fuller/Dymaxion gnomonic
+    (snyder.FullerProjection); PLANETRISK/SUPERFUND resolve to their
+    mixed-aperture grids via config.dgselect.
     """
     orient = dict(pole_lon=dggs.pole_lon_deg, pole_lat=dggs.pole_lat_deg,
-                  azimuth=dggs.azimuth_deg)
+                  azimuth=dggs.azimuth_deg, projection=dggs.projection)
     if dggs.topology == "HEXAGON" and dggs.aperture == 7:
         return IGeo7Grid(**orient)
     if dggs.topology == "HEXAGON" and dggs.aperture == 4:
@@ -62,10 +64,12 @@ def make_grid(dggs: Dggs):
     if dggs.topology == "DIAMOND" and dggs.aperture == 4:
         from ..dggs.isea4t import ISEA4DGrid
         return _ResBoundGrid(ISEA4DGrid(**orient), dggs.resolution)
-    raise NotImplementedError(
-        f"{dggs.dggs_type}: mixed-aperture (43) hexagon grids and the Fuller "
-        "projection are not implemented yet "
-        "(IGEO7/ISEA7H, ISEA4H, ISEA3H, ISEA4T, ISEA4D are)")
+    if dggs.topology == "HEXAGON" and dggs.aperture == 43:
+        from ..dggs.isea4h import ISEA43HGrid
+        return _ResBoundGrid(
+            ISEA43HGrid(ap4_levels=dggs.mixed_aperture_level or 7, **orient),
+            dggs.resolution)
+    raise NotImplementedError(f"unsupported grid config: {dggs.dggs_type}")
 
 
 class CellEncoder:
