@@ -95,3 +95,30 @@ def test_plane_and_vertex2dd(grid):
     # output-only, like the reference
     with pytest.raises(ValueError):
         codec.parse((x, y), "PLANE")
+
+
+def test_h3_layout_roundtrip(grid, pts):
+    from dggrid4py_ray.dggs.h3like import z7_to_h3layout, h3layout_to_z7
+    lon, lat = pts
+    for res in [0, 4, 9, 15]:
+        z7 = grid.encode(lon, lat, res)
+        h3 = z7_to_h3layout(z7)
+        # layout fields per the published H3 spec
+        h = h3.view("uint64")
+        assert ((h >> 59) & 0xF == 1).all()            # mode = cell
+        assert ((h >> 52) & 0xF == res).all()          # resolution field
+        assert (h >> 63 == 0).all()                    # reserved high bit
+        assert np.array_equal(h3layout_to_z7(h3), z7)
+
+
+def test_h3_layout_encoder_stage(ray_session, pts):
+    import pyarrow as pa
+    import ray.data
+    from dggrid4py_ray.dggs.h3like import H3LayoutEncoder, h3layout_to_z7
+    lon, lat = pts
+    ds = ray.data.from_arrow(pa.table({"lon": lon, "lat": lat}))
+    out = ds.map_batches(H3LayoutEncoder(resolution=7),
+                         batch_format="pyarrow").take_batch(2000, batch_format="pyarrow")
+    z7 = h3layout_to_z7(out["h3_id"].to_numpy())
+    from dggrid4py_ray.dggs import igeo7 as ig
+    assert (ig.z7_resolution(z7) == 7).all()
