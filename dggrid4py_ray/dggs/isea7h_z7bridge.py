@@ -556,27 +556,31 @@ class Z7Bridge:
             all_ids.append(pack(cf, ca, cb))
         return np.unique(np.concatenate(all_ids))
 
+    _TBL_KEYS = ("flat", "z7_by_flat", "s_by_flat", "z7", "flat_by_z7", "s_by_z7")
+
     def _cache_path(self) -> str:
         p = self.g.proj.icosa
         proj = getattr(self.g, "projection", "ISEA")
         key = (f"z7bridge_v4_{proj}_{CACHE_RES}_{p.vertices[0, 0]:.12f}_"
                f"{p.vertices[0, 1]:.12f}_{p.vertices[0, 2]:.12f}_"
                f"{p.vertices[1, 0]:.12f}")
-        return "/tmp/igeo7_z7bridge_" + hashlib.md5(key.encode()).hexdigest() + ".npz"
+        return "/tmp/igeo7_z7bridge_" + hashlib.md5(key.encode()).hexdigest()
 
     def ensure_tables(self):
         """Build (or load) the per-level exhaustive flat<->z7(+s) tables for
-        res 0..CACHE_RES.  Once per process; /tmp-cached per orientation."""
+        res 0..CACHE_RES.  Once per process; /tmp-cached per orientation as
+        individual memory-MAPPED .npy files, so the ~10 MB of read-only
+        tables are backed by SHARED page-cache pages across every Ray worker
+        on the node instead of being deserialized per process."""
         if self._tables is not None:
             return self._tables
         path = self._cache_path()
-        if os.path.exists(path):
+        marker = os.path.join(path, "_DONE")
+        if os.path.exists(marker):
             try:
-                z = np.load(path)
                 self._tables = [
-                    {"flat": z[f"flat{r}"], "z7_by_flat": z[f"zf{r}"],
-                     "s_by_flat": z[f"sf{r}"], "z7": z[f"z7{r}"],
-                     "flat_by_z7": z[f"fz{r}"], "s_by_z7": z[f"sz{r}"]}
+                    {k: np.load(os.path.join(path, f"{k}{r}.npy"), mmap_mode="r")
+                     for k in self._TBL_KEYS}
                     for r in range(CACHE_RES + 1)
                 ]
                 return self._tables
@@ -613,16 +617,17 @@ class Z7Bridge:
         self._tables = tables
         try:
             tmp = path + f".tmp{os.getpid()}"
-            save = {}
+            os.makedirs(tmp, exist_ok=True)
             for r, t in enumerate(tables):
-                save[f"flat{r}"] = t["flat"]
-                save[f"zf{r}"] = t["z7_by_flat"]
-                save[f"sf{r}"] = t["s_by_flat"]
-                save[f"z7{r}"] = t["z7"]
-                save[f"fz{r}"] = t["flat_by_z7"]
-                save[f"sz{r}"] = t["s_by_z7"]
-            np.savez(tmp, **save)
-            os.replace(tmp + ".npz", path)
+                for k in self._TBL_KEYS:
+                    np.save(os.path.join(tmp, f"{k}{r}.npy"),
+                            np.ascontiguousarray(t[k]))
+            open(os.path.join(tmp, "_DONE"), "w").write("ok")
+            try:
+                os.rename(tmp, path)   # atomic publish; loser keeps its copy
+            except OSError:
+                import shutil
+                shutil.rmtree(tmp, ignore_errors=True)
         except Exception:
             pass
         return tables

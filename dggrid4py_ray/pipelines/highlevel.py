@@ -33,19 +33,7 @@ from ..stages.encode import (CellEncoder, BoundaryKernel, CentroidDecoder,
 
 _STATE_COLS = ["cell_id", "flat_id", "s", "px", "py", "pz"]
 
-_GRID_CACHE: dict = {}
-
-
-def _grid_for(dggs: Dggs):
-    """Per-process grid engine cache (descent stages are pickled per task;
-    the engine + bridge tables are rebuilt/loaded at most once per worker)."""
-    key = (dggs.dggs_type, dggs.pole_lon_deg, dggs.pole_lat_deg, dggs.azimuth_deg)
-    g = _GRID_CACHE.get(key)
-    if g is None:
-        g = make_grid(dggs)
-        g._ensure_anchor_table()
-        _GRID_CACHE[key] = g
-    return g
+from ..stages.encode import grid_for as _grid_for
 
 
 def _state_table(z7, flat, s, pos) -> pa.Table:

@@ -38,6 +38,26 @@ class _ResBoundGrid:
         return None
 
 
+_GRID_CACHE: dict = {}
+
+
+def grid_for(dggs: Dggs):
+    """Per-process grid engine cache: map_batches UDF instances ship only the
+    tiny Dggs config; the engine (+ its ~15 MB bridge tables, /tmp-cached)
+    is built or loaded at most once per worker process and its slow-path
+    memos keep warming across every task that lands on the worker."""
+    key = (dggs.dggs_type, dggs.projection, dggs.aperture, dggs.topology,
+           dggs.resolution if dggs.aperture != 7 else None,
+           dggs.mixed_aperture_level, dggs.pole_lon_deg, dggs.pole_lat_deg,
+           dggs.azimuth_deg)
+    g = _GRID_CACHE.get(key)
+    if g is None:
+        g = make_grid(dggs)
+        g._ensure_anchor_table()
+        _GRID_CACHE[key] = g
+    return g
+
+
 def make_grid(dggs: Dggs):
     """Grid engine for a Dggs config.
 
@@ -83,15 +103,10 @@ class CellEncoder:
                  out_col: str = "cell_id", output_address_type: str = "Z7",
                  ellipsoid_input: bool = False):
         self.dggs = dggs
-        self.grid = make_grid(dggs)
-        self.grid._ensure_anchor_table()  # warm state, once per actor
-        if isinstance(self.grid, IGeo7Grid):
-            self.codec = AddressCodec(self.grid, dggs.resolution)
-        else:
-            self.codec = None
-            if output_address_type.upper() != "Z7":
-                raise NotImplementedError(
-                    "alternate address types are only available for IGEO7/ISEA7H")
+        if (output_address_type.upper() != "Z7"
+                and not (dggs.topology == "HEXAGON" and dggs.aperture == 7)):
+            raise NotImplementedError(
+                "alternate address types are only available for IGEO7/ISEA7H")
         self.lon_col = lon_col
         self.lat_col = lat_col
         self.out_col = out_col
@@ -99,16 +114,18 @@ class CellEncoder:
         self.ellipsoid_input = ellipsoid_input
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        grid = grid_for(self.dggs)
         lon = batch[self.lon_col].to_numpy(zero_copy_only=False).astype(np.float64)
         lat = batch[self.lat_col].to_numpy(zero_copy_only=False).astype(np.float64)
         if self.ellipsoid_input:
             lat = geodetic_to_authalic(lat)
-        z7 = self.grid.encode(lon, lat, self.dggs.resolution)
+        z7 = grid.encode(lon, lat, self.dggs.resolution)
         if self.output_address_type == "Z7":
             col = pa.array(z7, type=pa.int64())
         else:
-            col = self.codec._as_arrow(self.codec.emit(z7, self.output_address_type),
-                                       self.output_address_type)
+            codec = AddressCodec(grid, self.dggs.resolution)
+            col = codec._as_arrow(codec.emit(z7, self.output_address_type),
+                                  self.output_address_type)
         return batch.append_column(self.out_col, col)
 
 
@@ -118,9 +135,7 @@ class AddressTransformer:
 
     def __init__(self, dggs: Dggs, input_address_type: str, output_address_type: str,
                  in_col: str = "address", out_col: str | None = None):
-        self.grid = make_grid(dggs)
-        self.grid._ensure_anchor_table()
-        self.codec = AddressCodec(self.grid, dggs.resolution)
+        self.dggs = dggs
         self.in_type = input_address_type.upper()
         self.out_type = output_address_type.upper()
         self.in_col = in_col
@@ -142,9 +157,10 @@ class AddressTransformer:
         return batch[self.in_col].to_numpy(zero_copy_only=False)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        z7 = self.codec.parse(self._read_in(batch), self.in_type)
-        out = self.codec.emit(z7, self.out_type)
-        return batch.append_column(self.out_col, self.codec._as_arrow(out, self.out_type))
+        codec = AddressCodec(grid_for(self.dggs), self.dggs.resolution)
+        z7 = codec.parse(self._read_in(batch), self.in_type)
+        out = codec.emit(z7, self.out_type)
+        return batch.append_column(self.out_col, codec._as_arrow(out, self.out_type))
 
 
 class CentroidDecoder:
@@ -154,7 +170,7 @@ class CentroidDecoder:
     def __init__(self, dggs: Dggs, cell_col: str = "cell_id",
                  lon_col: str = "lon", lat_col: str = "lat",
                  ellipsoid_output: bool = False):
-        self.grid = make_grid(dggs)
+        self.dggs = dggs
         self.cell_col = cell_col
         self.lon_col = lon_col
         self.lat_col = lat_col
@@ -162,7 +178,7 @@ class CentroidDecoder:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         z7 = batch[self.cell_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        lon, lat = self.grid.decode(z7)
+        lon, lat = grid_for(self.dggs).decode(z7)
         if self.ellipsoid_output:
             from ..dggs.geodesy import authalic_to_geodetic
             lat = authalic_to_geodetic(lat)
@@ -178,8 +194,7 @@ class BoundaryKernel:
 
     def __init__(self, dggs: Dggs, cell_col: str = "cell_id", wkb_col: str = "geometry",
                  split_dateline: bool = False):
-        self.grid = make_grid(dggs)
-        self.grid._ensure_anchor_table()
+        self.dggs = dggs
         self.cell_col = cell_col
         self.wkb_col = wkb_col
         self.split_dateline = split_dateline
@@ -187,7 +202,7 @@ class BoundaryKernel:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..geometry import wkb_polygon, split_ring_at_dateline, ring_crosses_dateline
         z7 = batch[self.cell_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        verts = self.grid.boundary(z7)
+        verts = grid_for(self.dggs).boundary(z7)
         n = len(z7)
         if not self.split_dateline:
             wkbs = _rings_to_wkb(verts)
@@ -224,20 +239,20 @@ class NeighborKernel:
 
     def __init__(self, dggs: Dggs, cell_col: str = "cell_id",
                  out_col: str = "neighbors", k: int = 1):
-        self.grid = make_grid(dggs)
-        self.grid._ensure_anchor_table()
+        self.dggs = dggs
         self.cell_col = cell_col
         self.out_col = out_col
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..dggs.igeo7 import INVALID_ID
+        grid = grid_for(self.dggs)
         z7 = batch[self.cell_col].to_numpy(zero_copy_only=False).astype(np.int64)
         if self.k == 1:
-            nb = self.grid.neighbors(z7)
+            nb = grid.neighbors(z7)
             vals = [row[row != INVALID_ID] for row in nb]
         else:
-            rings = self.grid.k_ring(z7, self.k)
+            rings = grid.k_ring(z7, self.k)
             vals = [r[r != z] for r, z in zip(rings, z7)]
         col = pa.array([v.tolist() for v in vals], type=pa.list_(pa.int64()))
         return batch.append_column(self.out_col, col)
