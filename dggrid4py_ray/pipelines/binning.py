@@ -40,6 +40,47 @@ def _partial_mean_combiner(value_col: str):
     return combine
 
 
+def grouped_sum(ds: ray.data.Dataset, key: str, col_map: dict) -> ray.data.Dataset:
+    """High-cardinality-friendly grouped sum: Ray's hash Aggregate burns
+    ~100s of CPU-seconds per million distinct keys (measured; see
+    ROUND2_NOTES), so instead: range-sort on the key, reduce each sorted
+    block segment-wise (vectorized pandas), and run the real Aggregate only
+    over the keys SPLIT across block boundaries — at most 2 per block.
+
+    ``col_map``: {input_col: output_col} summed per key."""
+    from ray.data.aggregate import Sum as _Sum
+    srt = ds.sort(key)
+    in_cols = list(col_map)
+
+    def block_sum(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({key: batch[key].to_numpy(zero_copy_only=False)})
+        for c in in_cols:
+            df[c] = batch[c].to_numpy(zero_copy_only=False)
+        g = df.groupby(key, sort=True)[in_cols].sum().reset_index()
+        b = np.zeros(len(g), dtype=bool)
+        if len(g):
+            b[0] = True
+            b[-1] = True
+        g["_b"] = b
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = srt.map_batches(block_sum, batch_format="pyarrow")
+    interior = parts.map_batches(
+        lambda t: t.filter(pa.compute.invert(t["_b"])).drop_columns(["_b"]),
+        batch_format="pyarrow")
+    boundary = parts.map_batches(
+        lambda t: t.filter(t["_b"]).drop_columns(["_b"]), batch_format="pyarrow")
+    bagg = boundary.groupby(key).aggregate(
+        *[_Sum(c, alias_name=c) for c in in_cols])
+    merged = interior.union(bagg)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns([key] + [col_map[c] for c in in_cols])
+
+    return merged.map_batches(
+        lambda t: rename(t.select([key] + in_cols)), batch_format="pyarrow")
+
+
 def bin_point_vals(ds: ray.data.Dataset, dggs_type: str = "IGEO7", resolution: int = 9,
                    value_col: str = "value", lon_col: str = "lon", lat_col: str = "lat",
                    output_count: bool = True,
@@ -52,8 +93,8 @@ def bin_point_vals(ds: ray.data.Dataset, dggs_type: str = "IGEO7", resolution: i
     enc = ds.map_batches(CellEncoder(dggs, lon_col=lon_col, lat_col=lat_col),
                          batch_format="pyarrow", concurrency=concurrency)
     partial = enc.map_batches(_partial_mean_combiner(value_col), batch_format="pyarrow")
-    agg = partial.groupby("cell_id").aggregate(Sum("psum", alias_name="sum_value"),
-                                               Sum("pcount", alias_name="count_value"))
+    agg = grouped_sum(partial, "cell_id",
+                      {"psum": "sum_value", "pcount": "count_value"})
 
     def finish(batch: pa.Table) -> pa.Table:
         mean = pa.array(np.asarray(batch["sum_value"]) / np.asarray(batch["count_value"]))

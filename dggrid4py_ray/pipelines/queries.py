@@ -413,13 +413,20 @@ def spans_cell_assignments(sf_dir: str, n_docs: int = 5000):
     from ..stages.spans import doc_cell_assignments
     ds = spans_dataset(n_docs, batch_rows=1000)
     out = doc_cell_assignments(ds, resolution=9)
-    return out.map_batches(
-        lambda t: pa.table({"doc_id": t["doc_id"],
-                            "n_spans": pc.list_value_length(t["spans"]),
-                            "n_geo": pa.array([sum(1 for c in row if c != -1)
-                                               for row in t["span_cell_ids"].to_pylist()],
-                                              type=pa.int64())}),
-        batch_format="pyarrow")
+
+    def report(t: pa.Table) -> pa.Table:
+        arr = t["span_cell_ids"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        offsets = arr.offsets.to_numpy()
+        flat = np.asarray(arr.values)
+        hits = np.concatenate([[0], np.cumsum((flat != -1).astype(np.int64))])
+        n_geo = hits[offsets[1:]] - hits[offsets[:-1]]
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_spans": pc.list_value_length(t["spans"]),
+                         "n_geo": pa.array(n_geo, type=pa.int64())})
+
+    return out.map_batches(report, batch_format="pyarrow")
 
 
 def minhash_pairs_docs(sf_dir: str):

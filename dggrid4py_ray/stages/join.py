@@ -116,30 +116,37 @@ def spatial_join_via_cells(points: ray.data.Dataset, polygons: ray.data.Dataset,
                              batch_format="pyarrow")
 
     def poly_cells(batch: pa.Table) -> pa.Table:
-        from ..pipelines.highlevel import grid_cellids_for_extent  # noqa
-        from ..stages.encode import make_grid
-        import itertools
-        grid = make_grid(dggs)
-        rows = {"_ccell": [], poly_id_col: [], wkb_col: []}
+        """Coarse-cell cover of every polygon's bbox in ONE batched encode:
+        probe points for all polygons are concatenated (bounded per polygon),
+        encoded together, then deduped per (polygon, cell) — no per-polygon
+        Python encode calls."""
+        from ..stages.encode import grid_for
+        grid = grid_for(dggs)
         ids = batch[poly_id_col].to_numpy(zero_copy_only=False)
         wkbs = batch[wkb_col].to_numpy(zero_copy_only=False)
-        for pid, wkb in zip(ids, wkbs):
-            ps = PolygonSet.from_wkb([wkb])
-            minx, miny, maxx, maxy = ps.bounds
-            # coarse cells overlapping the bbox via a probe raster
-            step_deg = np.degrees(grid.cell_spacing_rad(coarse_res)) / 2.0
-            gx = np.arange(minx, maxx + step_deg, step_deg)
-            gy = np.arange(miny, maxy + step_deg, step_deg)
-            gg = np.meshgrid(gx, gy)
-            cells = np.unique(grid.encode(gg[0].ravel(), np.clip(gg[1].ravel(), -90, 90),
-                                          coarse_res))
-            for c in cells:
-                rows["_ccell"].append(int(c))
-                rows[poly_id_col].append(pid)
-                rows[wkb_col].append(wkb)
-        return pa.table({"_ccell": pa.array(rows["_ccell"], type=pa.int64()),
-                         poly_id_col: pa.array(rows[poly_id_col]),
-                         wkb_col: pa.array(rows[wkb_col], type=pa.binary())})
+        n = len(ids)
+        step_deg = np.degrees(grid.cell_spacing_rad(coarse_res)) / 2.0
+        MAXP = 64  # probe-raster side cap per polygon (margin widens instead)
+        plon, plat, pidx = [], [], []
+        for k, wkb in enumerate(wkbs):     # cheap per-poly bbox math only
+            minx, miny, maxx, maxy = PolygonSet.from_wkb([wkb]).bounds
+            sx = max(step_deg, (maxx - minx) / MAXP)
+            sy = max(step_deg, (maxy - miny) / MAXP)
+            gx = np.arange(minx, maxx + sx, sx)
+            gy = np.arange(miny, maxy + sy, sy)
+            gg0, gg1 = np.meshgrid(gx, gy)
+            plon.append(gg0.ravel())
+            plat.append(gg1.ravel())
+            pidx.append(np.full(gg0.size, k, dtype=np.int64))
+        lon = np.concatenate(plon) if plon else np.zeros(0)
+        lat = np.clip(np.concatenate(plat) if plat else np.zeros(0), -90, 90)
+        pidx = np.concatenate(pidx) if pidx else np.zeros(0, dtype=np.int64)
+        cells = grid.encode(lon, lat, coarse_res)
+        pair = np.unique(np.column_stack([pidx, cells]), axis=0)
+        return pa.table({"_ccell": pa.array(pair[:, 1], type=pa.int64()),
+                         poly_id_col: pa.array(ids[pair[:, 0]]),
+                         wkb_col: pa.array([bytes(wkbs[k]) for k in pair[:, 0]],
+                                           type=pa.binary())})
 
     polys = polygons.map_batches(poly_cells, batch_format="pyarrow")
 
