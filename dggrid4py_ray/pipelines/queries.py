@@ -436,6 +436,49 @@ def minhash_pairs_docs(sf_dir: str):
                              num_perm=32, bands=8, threshold=0.5)
 
 
+def simhash_pairs_docs(sf_dir: str):
+    """SimHash near-dup pairs over documents (rows-only; banded 16-bit
+    buckets + exact hamming check)."""
+    from ..stages.dedup import simhash_dedup
+    return simhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
+                         max_hamming=3)
+
+
+def embedding_dup_pairs(sf_dir: str):
+    """Embedding-cosine near-dup pairs via hyperplane-LSH buckets.  The
+    synthetic embeddings are near-orthogonal (no natural dups), so the
+    first 32 vectors are re-emitted under offset ids as planted duplicates
+    — the query returns exactly the planted pairs (rows-only; count is the
+    self-check)."""
+    from ..stages.dedup import embedding_dedup
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        sel = np.nonzero(ids < 32)[0]
+        if not len(sel):
+            return t
+        dup = t.take(pa.array(sel, type=pa.int64()))
+        dup = dup.set_column(dup.column_names.index("vec_id"), "vec_id",
+                             pa.array(dup["vec_id"].to_numpy() + 10_000_000))
+        return pa.concat_tables([t, dup])
+
+    return embedding_dedup(ds.map_batches(plant, batch_format="pyarrow"),
+                           threshold=0.95, nbits=10)
+
+
+def ann_ivf_top10(sf_dir: str):
+    """IVF approximate top-10 for 4 query vectors (rows-only; the exact
+    brute-force path is oracle-checked by ann_top10)."""
+    import ray
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    first = ds.take_batch(4, batch_format="pandas")
+    q = np.stack([np.asarray(v, dtype=np.float32) for v in first["embedding"]])
+    from ..stages.ann import ivf_topk
+    t = ivf_topk(ds, q, k=10, n_centroids=32, nprobe=8)
+    return ray.data.from_arrow(t)
+
+
 def kring_res2(sf_dir: str):
     """k=1 neighbor rings for every res-2 cell via the NeighborKernel actor
     (north-star kNN cell rings; rows-only — ring sizes vary in seam bands)."""
@@ -597,6 +640,9 @@ QUERIES = {
     "dggrid_golden_literals": dggrid_golden_literals,
     "z3_roundtrip": z3_roundtrip,
     "isea43h_binning": isea43h_binning,
+    "simhash_pairs_docs": simhash_pairs_docs,
+    "embedding_dup_pairs": embedding_dup_pairs,
+    "ann_ivf_top10": ann_ivf_top10,
 }
 
 ORACLES = {
