@@ -383,7 +383,8 @@ class IGeo7Grid:
         actor __init__ so batches never pay the build."""
         return self.bridge.ensure_tables()
 
-    _CHUNK = 8192  # keep per-chunk temporaries cache-resident (see BASELINE.md)
+    _CHUNK = 32768  # amortizes the per-chunk slow-path fixed costs; the
+                    # planar kernel's per-point temporaries stay small
 
     def encode(self, lon, lat, res: int, beam: int | None = None) -> np.ndarray:
         """Vectorized geo -> Z7 int64 at resolution `res` (exact nearest

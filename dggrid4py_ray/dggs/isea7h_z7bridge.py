@@ -87,10 +87,15 @@ _BASE_MAP = np.array([0, 1, 5, 4, 3, 2, 10, 9, 8, 7, 6, 11], dtype=np.int64)
 _ROOT_S = np.zeros(12, dtype=np.int64)
 _ROOT_S[2] = 4
 
-_FAST_MARGIN = 4.5  # lattice units from the face edge above which the
+_FAST_MARGIN = 3.0  # lattice units from the face edge above which the
                     # Eisenstein fast path provably equals the geometric rule
+                    # (proof needs ~2.5: snap identity + cross-chart
+                    # competition both need >= 2 units; margin adds slack,
+                    # and test_fast_path_equals_geometric guards it)
 
-CACHE_RES = 5  # exhaustive tables for res 0..CACHE_RES (res 5: 168,072 cells)
+CACHE_RES = 6  # exhaustive tables for res 0..CACHE_RES (res 6: 1,176,492
+               # cells, ~57 MB memory-mapped — conversions then walk live
+               # levels only above res 6, where edge bands are <~2%)
 
 _PAD_SHIFTS = [np.uint64(57 - 3 * k) for k in range(20)]
 
