@@ -25,20 +25,11 @@ import numpy as np
 import pyarrow as pa
 
 from . import igeo7 as ig
-from .igeo7 import IGeo7Grid, ALPHA, ROT_SIGN, _D
+from .igeo7 import IGeo7Grid
 from .sphere import lonlat_to_unit, unit_to_lonlat
 from .snyder import SnyderProjection
 
 INT_TYPES = {"Z7", "SEQNUM", "ZORDER"}
-
-
-def _lattice_basis(res: int):
-    """2D axial basis of the res-r lattice in a base cell's tangent frame."""
-    beta = ROT_SIGN * ALPHA * res
-    d = _D[res] if res > 0 else ig.D0
-    u = np.array([np.cos(beta), np.sin(beta)]) * d
-    v = np.array([np.cos(beta + np.pi / 3), np.sin(beta + np.pi / 3)]) * d
-    return u, v
 
 
 class AddressCodec:

@@ -13,9 +13,10 @@ Re-expresses the reference's seven user-facing functions
 * cells_for_geo_points (H7, the flagship encode).
 * address_transform (H8) and dateline splitting (H9).
 
-Cell descent carries the spherical state (center + frame + pentagon flag) in
-Arrow columns so no per-level decode is ever needed; each level is pure
-vectorized child-step math.
+Cell descent carries (cell_id, flat lattice id, inherited digit-frame
+shift, center vector) in Arrow columns so no per-level tree walk is ever
+needed; each level is one bridge child-step (pure integer math away from
+face seams) plus one batched Snyder inverse.
 """
 
 from __future__ import annotations
