@@ -92,10 +92,35 @@ def test_dggrid_golden_gpkg(bridge):
         pts = np.frombuffer(wkb[13:13 + 16 * npts], dtype="<f8").reshape(-1, 2)
         return pts[:-1].mean(axis=0)
 
+    def ring(blob):
+        flags = blob[3]
+        env = (flags >> 1) & 7
+        envlen = {0: 0, 1: 32, 2: 48, 3: 48, 4: 64}[env]
+        wkb = blob[8 + envlen:]
+        npts = struct.unpack("<I", wkb[9:13])[0]
+        return np.frombuffer(wkb[13:13 + 16 * npts], dtype="<f8").reshape(-1, 2)[:-1]
+
     from dggrid4py_ray.dggs import igeo7 as ig
+    from dggrid4py_ray.dggs.igeo7 import IGeo7Grid
     names = [r[0] for r in rows]
     cent = np.array([centroid(b) for _, b in rows])
     flat = bridge.g.encode(cent[:, 0], cent[:, 1], 9)
-    ours = ig.z7_to_hex(bridge.z7_of_flat(flat, 9))
+    z7 = bridge.z7_of_flat(flat, 9)
+    ours = ig.z7_to_hex(z7)
     mism = [i for i, (a, b) in enumerate(zip(ours, names)) if a != b]
     assert not mism, f"{len(mism)}/551 DGGRID ids mismatch (first {mism[:5]})"
+    # and the cell GEOMETRY: our planar-dual rings must reproduce every
+    # DGGRID vertex coordinate
+    g = IGeo7Grid()
+    g.bridge = bridge
+    g.flat = bridge.g
+    verts = g.boundary(z7)
+    worst = 0.0
+    for i, (_, blob) in enumerate(rows):
+        want = ring(blob)
+        have = verts[i][~np.isnan(verts[i, :, 0])][:-1]
+        assert len(have) == len(want) == 6
+        for v in want:
+            d = np.hypot(have[:, 0] - v[0], have[:, 1] - v[1]).min()
+            worst = max(worst, d)
+    assert worst < 1e-6, f"max vertex deviation {worst:.2e} deg"
