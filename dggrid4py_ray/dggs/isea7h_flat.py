@@ -120,7 +120,15 @@ class ISEA7HFlatGrid:
         """
         if k_faces is not None:
             return self.encode_nearest3d(lon, lat, res, k_faces=k_faces)
-        p = lonlat_to_unit(np.asarray(lon, np.float64), np.asarray(lat, np.float64))
+        lon = np.asarray(lon, np.float64)
+        lat = np.asarray(lat, np.float64)
+        bad = ~(np.isfinite(lon) & np.isfinite(lat))
+        if bad.any():
+            raise ValueError(
+                f"{int(bad.sum())} non-finite coordinate(s) passed to encode "
+                f"(first index {int(np.argmax(bad))}); filter or impute "
+                "before encoding")
+        p = lonlat_to_unit(lon, lat)
         ic = self.proj.icosa
         face = ic.find_face(p)
         _, x, y = self._forward_on_face(p, face)

@@ -117,3 +117,10 @@ def test_k_ring(grid):
     rings = grid.k_ring(z, 2)
     # k=2 ring of a hexagon: 1 + 6 + 12 = 19 cells
     assert len(rings[0]) == 19
+
+
+def test_encode_rejects_non_finite(grid):
+    with pytest.raises(ValueError, match="non-finite"):
+        grid.encode(np.array([np.nan]), np.array([0.0]), 5)
+    with pytest.raises(ValueError, match="non-finite"):
+        grid.encode(np.array([0.0]), np.array([np.inf]), 5)
