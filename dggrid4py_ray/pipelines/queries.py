@@ -436,6 +436,16 @@ def minhash_pairs_docs(sf_dir: str):
                              num_perm=32, bands=8, threshold=0.5)
 
 
+def ngram_verified_pairs(sf_dir: str):
+    """MinHash-LSH candidates verified by EXACT character-3-gram Jaccard
+    (sketch finder -> exact verifier; the pair table joins the documents
+    table twice to fetch texts — rows-only)."""
+    from ..stages.dedup import minhash_lsh_dedup, ngram_jaccard_pairs
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    cand = minhash_lsh_dedup(docs, num_perm=32, bands=8, threshold=0.5)
+    return ngram_jaccard_pairs(cand, docs, n=3, min_jaccard=0.5)
+
+
 def simhash_pairs_docs(sf_dir: str):
     """SimHash near-dup pairs over documents (rows-only; banded 16-bit
     buckets + exact hamming check)."""
@@ -641,6 +651,7 @@ QUERIES = {
     "z3_roundtrip": z3_roundtrip,
     "isea43h_binning": isea43h_binning,
     "simhash_pairs_docs": simhash_pairs_docs,
+    "ngram_verified_pairs": ngram_verified_pairs,
     "embedding_dup_pairs": embedding_dup_pairs,
     "ann_ivf_top10": ann_ivf_top10,
 }

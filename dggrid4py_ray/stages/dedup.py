@@ -361,3 +361,42 @@ def embedding_dedup(ds: ray.data.Dataset, emb_col: str = "embedding",
 
     return ds.map_batches(emit, batch_format="pyarrow") \
         .groupby("bucket").map_groups(pairs, batch_format="pandas")
+
+
+def ngram_jaccard_pairs(pairs: ray.data.Dataset, docs: ray.data.Dataset,
+                        n: int = 3, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        min_jaccard: float = 0.0) -> ray.data.Dataset:
+    """EXACT character-n-gram Jaccard for candidate pairs (the verification
+    stage after a sketch-based finder like minhash_lsh_dedup).
+
+    Ray shape: the pair table is small (O(duplicates)), so it hash-joins the
+    documents table twice to fetch both texts — the full corpus never
+    replicates, only the candidate rows — then a per-batch exact
+    set-intersection verification.  Returns (left_id, right_id, jaccard)
+    with jaccard >= ``min_jaccard``."""
+    left = docs.map_batches(
+        lambda t: pa.table({"left_id": t[id_col], "_lt": t[text_col]}),
+        batch_format="pyarrow")
+    right = docs.map_batches(
+        lambda t: pa.table({"right_id": t[id_col], "_rt": t[text_col]}),
+        batch_format="pyarrow")
+    np_ = _join_partitions()
+    j = pairs.join(left, join_type="inner", num_partitions=np_, on=("left_id",))
+    j = j.join(right, join_type="inner", num_partitions=np_, on=("right_id",))
+
+    def verify(t: pa.Table) -> pa.Table:
+        lt = t["_lt"].to_numpy(zero_copy_only=False)
+        rt = t["_rt"].to_numpy(zero_copy_only=False)
+        jac = np.empty(len(lt))
+        for i in range(len(lt)):
+            a = {lt[i][k:k + n] for k in range(max(len(lt[i]) - n + 1, 1))}
+            b = {rt[i][k:k + n] for k in range(max(len(rt[i]) - n + 1, 1))}
+            u = len(a | b)
+            jac[i] = (len(a & b) / u) if u else 1.0
+        keep = jac >= min_jaccard
+        return pa.table({"left_id": t["left_id"].filter(pa.array(keep)),
+                         "right_id": t["right_id"].filter(pa.array(keep)),
+                         "jaccard": pa.array(jac[keep])})
+
+    return j.map_batches(verify, batch_format="pyarrow")

@@ -205,3 +205,25 @@ def test_raster_zonal(ray_session):
     assert len(z) >= 1 and (z["count_value"] > 0).all()
     # mass conservation: total pixels = sum of per-cell counts
     assert z["count_value"].sum() == len(df)
+
+
+def test_ngram_jaccard_pairs(ray_session, docs_table):
+    import ray.data
+    from dggrid4py_ray.stages.dedup import minhash_lsh_dedup, ngram_jaccard_pairs
+    docs = ray.data.from_arrow(docs_table)
+    cand = minhash_lsh_dedup(docs, num_perm=32, bands=8, threshold=0.5)
+    verified = ngram_jaccard_pairs(cand, docs, n=3).to_pandas()
+    assert len(verified)
+    ids = docs_table["doc_id"].to_numpy()
+    texts = docs_table["text"].to_numpy(zero_copy_only=False)
+    by_id = dict(zip(ids, texts))
+    # exact-duplicate pairs must verify at jaccard 1.0; jaccard is exact
+    import numpy as _np
+    for _, row in verified.iterrows():
+        a, b = by_id[row["left_id"]], by_id[row["right_id"]]
+        ga = {a[k:k + 3] for k in range(max(len(a) - 2, 1))}
+        gb = {b[k:k + 3] for k in range(max(len(b) - 2, 1))}
+        exact = len(ga & gb) / len(ga | gb)
+        assert abs(row["jaccard"] - exact) < 1e-12
+        if a == b:
+            assert row["jaccard"] == 1.0
