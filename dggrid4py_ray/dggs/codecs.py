@@ -294,8 +294,14 @@ class Z3Codec:
     dggrid_runner.py:131-132; own bit layout — see dggs/isea4h.py)."""
 
     def __init__(self, grid, res: int):
-        # grid: ISEA3HGrid/ISEA43HGrid or a _ResBoundGrid wrapping one
+        # grid: ISEA3HGrid or a _ResBoundGrid wrapping one (pure aperture 3:
+        # the digit decomposition is radix-3; mixed-aperture ISEA43H ids
+        # need a different radix schedule and are rejected here)
         self.grid = getattr(grid, "inner", grid)
+        if getattr(self.grid, "ap4", 0):
+            raise NotImplementedError(
+                "Z3 codec covers pure aperture-3 grids (ISEA3H/FULLER3H); "
+                "mixed-aperture ISEA43H ids are not radix-3")
         self.res = int(res)
 
     def parse(self, values, address_type: str) -> np.ndarray:
