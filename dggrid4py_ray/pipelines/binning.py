@@ -41,63 +41,40 @@ def _partial_mean_combiner(value_col: str):
 
 
 def grouped_sum(ds: ray.data.Dataset, key: str, col_map: dict) -> ray.data.Dataset:
-    """High-cardinality-friendly grouped sum: Ray's hash Aggregate burns
-    ~100s of CPU-seconds per million distinct keys (measured; see
-    ROUND2_NOTES), so instead: range-sort on the key, reduce each sorted
-    block segment-wise (vectorized pandas), and run the real Aggregate only
-    over the keys SPLIT across block boundaries — at most 2 per block.
-
-    ``col_map``: {input_col: output_col} summed per key."""
-    from ray.data.aggregate import Sum as _Sum
-    srt = ds.sort(key)
-    in_cols = list(col_map)
-
-    def block_sum(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame({key: batch[key].to_numpy(zero_copy_only=False)})
-        for c in in_cols:
-            df[c] = batch[c].to_numpy(zero_copy_only=False)
-        g = df.groupby(key, sort=True)[in_cols].sum().reset_index()
-        b = np.zeros(len(g), dtype=bool)
-        if len(g):
-            b[0] = True
-            b[-1] = True
-        g["_b"] = b
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    parts = srt.map_batches(block_sum, batch_format="pyarrow")
-    interior = parts.map_batches(
-        lambda t: t.filter(pa.compute.invert(t["_b"])).drop_columns(["_b"]),
-        batch_format="pyarrow")
-    boundary = parts.map_batches(
-        lambda t: t.filter(t["_b"]).drop_columns(["_b"]), batch_format="pyarrow")
-    bagg = boundary.groupby(key).aggregate(
-        *[_Sum(c, alias_name=c) for c in in_cols])
-    merged = interior.union(bagg)
-
-    def rename(t: pa.Table) -> pa.Table:
-        return t.rename_columns([key] + [col_map[c] for c in in_cols])
-
-    return merged.map_batches(
-        lambda t: rename(t.select([key] + in_cols)), batch_format="pyarrow")
+    """High-cardinality-friendly grouped sum (sort + segmented reduction;
+    see stages/groupagg.grouped_reduce for the design + measurements)."""
+    from ..stages.groupagg import grouped_reduce
+    return grouped_reduce(ds, key, col_map, how="sum")
 
 
 def bin_point_vals(ds: ray.data.Dataset, dggs_type: str = "IGEO7", resolution: int = 9,
                    value_col: str = "value", lon_col: str = "lon", lat_col: str = "lat",
                    output_count: bool = True,
                    cell_output_control: str = "OUTPUT_OCCUPIED",
-                   high_cardinality: bool = False,
+                   high_cardinality: bool | None = None,
+                   output_sum: bool = False,
                    concurrency: int | None = None, **kw) -> ray.data.Dataset:
     """Per-cell mean of point values (+count).  OUTPUT_ALL joins the result
     onto the full cell universe with nulls for empty cells (reference
-    cell_output_control semantics, dggrid_runner.py:189-190)."""
+    cell_output_control semantics, dggrid_runner.py:189-190).
+
+    Aggregate path auto-selection (high_cardinality=None): Ray's hash
+    Aggregate wins below ~100k distinct keys and burns ~150-370 CPU-s per
+    million beyond (measured, ROUND2_NOTES); distinct occupied cells are
+    bounded by the closed-form cell count at ``resolution``, so when that
+    bound clears the crossover we route through grouped_sum (sort +
+    segmented reduction).  When the input is small the sort is trivially
+    cheap, so the bound-based rule has no bad case."""
     dggs = dgselect(dggs_type, resolution=resolution, **kw)
     enc = ds.map_batches(CellEncoder(dggs, lon_col=lon_col, lat_col=lat_col),
                          batch_format="pyarrow", concurrency=concurrency)
     partial = enc.map_batches(_partial_mean_combiner(value_col), batch_format="pyarrow")
-    # plain hash aggregate up to moderate cardinality; switch to grouped_sum
-    # (sort + segmented reduction) when distinct cells run into the millions
-    # — measured crossover: Ray's Aggregate wins below ~100k groups, burns
-    # ~150-370 CPU-s per million groups beyond that
+    if high_cardinality is None:
+        from ..dggs.stats import cells_at_res
+        try:
+            high_cardinality = cells_at_res(dggs) > 100_000
+        except Exception:
+            high_cardinality = resolution >= 8
     if high_cardinality:
         agg = grouped_sum(partial, "cell_id",
                           {"psum": "sum_value", "pcount": "count_value"})
@@ -109,7 +86,8 @@ def bin_point_vals(ds: ray.data.Dataset, dggs_type: str = "IGEO7", resolution: i
     def finish(batch: pa.Table) -> pa.Table:
         mean = pa.array(np.asarray(batch["sum_value"]) / np.asarray(batch["count_value"]))
         out = batch.append_column("mean_value", mean)
-        cols = ["cell_id", "mean_value"] + (["count_value"] if output_count else [])
+        cols = ["cell_id", "mean_value"] + (["count_value"] if output_count else []) \
+            + (["sum_value"] if output_sum else [])
         return out.select(cols)
 
     out = agg.map_batches(finish, batch_format="pyarrow")

@@ -93,31 +93,36 @@ def q3_top_revenue(sf_dir: str):
 
 
 def q5_nation_revenue(sf_dir: str):
-    """Revenue per nation: broadcast only the TRUE small dims (customer ->
-    nation name via ray.put, read once per actor), resolve lineitem ->
-    orders via a distributed hash join, pre-aggregate per nation inside
-    each post-join batch, and finish with a 25-row groupby.  Orders (fact-
-    sized) is never materialized on the driver."""
+    """Revenue per nation: broadcast only the TRUE small dim (the 25-row
+    nation table via ray.put); customer is O(sf)-sized, so orders⋈customer
+    is a distributed hash join on c_custkey — neither fact-sized table ever
+    materializes on the driver.  lineitem⋈orders is a second distributed
+    join on l_orderkey; per-nation pre-aggregation inside each post-join
+    batch feeds the final 25-row groupby."""
     import ray
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    nat_map = dict(zip(nation["n_nationkey"], nation["n_name"]))
-    cust_to_nation = pd.Series(
-        [nat_map[n] for n in cust["c_nationkey"]],
-        index=cust["c_custkey"].to_numpy())
-    ref = ray.put(cust_to_nation)
+    lut = np.empty(int(nation["n_nationkey"].max()) + 1, dtype=object)
+    lut[nation["n_nationkey"].to_numpy()] = nation["n_name"].to_numpy()
+    nref = ray.put(lut)
 
-    class OrderNation:
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders_k = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: pa.table({"l_orderkey": t["o_orderkey"],
+                            "c_custkey": t["o_custkey"]}),
+        batch_format="pyarrow")
+    oc = orders_k.join(cust, join_type="inner", num_partitions=8,
+                       on=("c_custkey",))
+
+    class ToNation:
         def __init__(self):
-            self.lut = ray.get(ref)
+            self.lut = ray.get(nref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            names = self.lut.reindex(t["o_custkey"].to_numpy()).to_numpy()
-            return pa.table({"l_orderkey": t["o_orderkey"],
+            names = self.lut[t["c_nationkey"].to_numpy()]
+            return pa.table({"l_orderkey": t["l_orderkey"],
                              "n_name": pa.array(names, type=pa.string())})
 
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
-        .map_batches(OrderNation, batch_format="pyarrow", concurrency=(1, 4))
+    orders = oc.map_batches(ToNation, batch_format="pyarrow", concurrency=(1, 4))
 
     def li_rev(t: pa.Table) -> pa.Table:
         rev = pc.multiply(t["l_extendedprice"],

@@ -20,7 +20,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Min
 
 
 def _join_partitions(cap: int = 16) -> int:
@@ -50,16 +49,22 @@ def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
                 id_col: str = "doc_id") -> ray.data.Dataset:
     """Keep the smallest id per exact text; returns (hash, keeper id).
 
-    Ray shape: project to (md5, id) in map_batches -> groupby(md5).min(id):
-    hash-partitioned exact dedup (SURVEY §2.8 set-ops row)."""
+    Ray shape: project to (md5, id) in map_batches -> grouped_reduce(min):
+    sort + segmented min instead of Ray's hash Aggregate, because the md5
+    key is unique-per-distinct-doc — exactly the high-cardinality regime
+    where the hash Aggregate burns 150-370 CPU-s per million keys
+    (measured, ROUND2_NOTES; see stages/groupagg).  The md5 itself is
+    per-row hashlib (no vectorized md5 exists in numpy/pyarrow) but runs
+    before the shuffle on the already-projected two-column batch."""
+    from .groupagg import grouped_reduce
 
     def project(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_numpy(zero_copy_only=False)
         return pa.table({"text_md5": pa.array(_md5_hex(texts), type=pa.string()),
                          id_col: batch[id_col]})
 
-    return (ds.map_batches(project, batch_format="pyarrow")
-              .groupby("text_md5").aggregate(Min(id_col, alias_name="keep_id")))
+    return grouped_reduce(ds.map_batches(project, batch_format="pyarrow"),
+                          "text_md5", {id_col: "keep_id"}, how="min")
 
 
 # -- MinHash + LSH ----------------------------------------------------------
@@ -272,11 +277,34 @@ class SimHasher:
         return batch.append_column("simhash", pa.array(out.view(np.int64)))
 
 
+_POP16 = np.unpackbits(np.arange(1 << 16, dtype=np.uint16).view(np.uint8)) \
+    .reshape(-1, 16).sum(axis=1).astype(np.int64)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount via the 16-bit lookup table (numpy 1.x
+    has no bitwise_count)."""
+    d = np.zeros(len(x), dtype=np.int64)
+    for s in range(0, 64, 16):
+        d += _POP16[((x >> np.uint64(s)) & np.uint64(0xFFFF)).astype(np.int64)]
+    return d
+
+
 def simhash_dedup(ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3, concurrency: int | None = None) -> ray.data.Dataset:
+                  max_hamming: int = 3, max_bucket: int = 512,
+                  concurrency: int | None = None) -> ray.data.Dataset:
     """Near-dup pairs by simhash: 4 x 16-bit band buckets (any pair within
     hamming distance 3 shares at least one exact band), exact hamming check
-    per bucket."""
+    per bucket.
+
+    ONE wide op, same design as minhash_lsh_dedup: each pair is emitted only
+    from its FIRST matching band — band equality is the pair's xor restricted
+    to that band's 16 bits, computable locally from the two hashes in hand —
+    so no second high-cardinality pair-dedup Aggregate is needed.  Buckets
+    larger than ``max_bucket`` are low-information band collisions (e.g. the
+    all-zero band of short docs) and are dropped; mass-identical duplicates
+    belong to exact_dedup, which catches them exactly.  The pair loop is
+    np.triu_indices + LUT popcount — no per-row Python."""
     hashed = ds.map_batches(SimHasher(text_col), batch_format="pyarrow",
                             concurrency=concurrency)
 
@@ -292,37 +320,54 @@ def simhash_dedup(ds: ray.data.Dataset, text_col: str = "text", id_col: str = "d
                          "simhash": pa.array(np.tile(h.view(np.int64), 4))})
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"left_id": [], "right_id": [], "hamming": []})
+        empty = pd.DataFrame({"left_id": pd.Series([], dtype=g[id_col].dtype),
+                              "right_id": pd.Series([], dtype=g[id_col].dtype),
+                              "hamming": pd.Series([], dtype=np.int64)})
+        if len(g) < 2 or len(g) > max_bucket:
+            return empty
+        band = int(g["band"].iloc[0])
         g = g.sort_values(id_col).drop_duplicates(id_col)
+        m = len(g)
+        if m < 2:
+            return empty
         ids = g[id_col].to_numpy()
         h = g["simhash"].to_numpy().view(np.uint64)
-        L, R, D = [], [], []
-        for i in range(len(g)):
-            x = h[i + 1:] ^ h[i]
-            dist = np.zeros(len(x), dtype=np.int64)
-            v = x.copy()
-            for _ in range(64):
-                dist += (v & np.uint64(1)).astype(np.int64)
-                v >>= np.uint64(1)
-            hit = np.nonzero(dist <= max_hamming)[0]
-            for k in hit:
-                L.append(ids[i]); R.append(ids[i + 1 + k]); D.append(int(dist[k]))
-        return pd.DataFrame({"left_id": L, "right_id": R, "hamming": D})
+        iu, ju = np.triu_indices(m, 1)
+        x = h[iu] ^ h[ju]
+        dist = _popcount64(x)
+        # first matching band of each pair (xor band segment == 0); every
+        # pair in this bucket matches at `band`, so argmax finds the first
+        seg_eq = np.stack([(x >> np.uint64(16 * b)) & np.uint64(0xFFFF) == 0
+                           for b in range(4)], axis=1)
+        first = np.argmax(seg_eq, axis=1)
+        hit = (dist <= max_hamming) & (first == band)
+        if not hit.any():
+            return empty
+        return pd.DataFrame({"left_id": ids[iu[hit]], "right_id": ids[ju[hit]],
+                             "hamming": dist[hit]})
 
-    cand = hashed.map_batches(emit, batch_format="pyarrow") \
+    return hashed.map_batches(emit, batch_format="pyarrow") \
         .groupby(["band", "bucket"]).map_groups(pairs, batch_format="pandas")
-    return cand.groupby(["left_id", "right_id"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
 def embedding_dedup(ds: ray.data.Dataset, emb_col: str = "embedding",
                     id_col: str = "vec_id", threshold: float = 0.95,
-                    nbits: int = 12, seed: int = 7) -> ray.data.Dataset:
+                    nbits: int = 12, seed: int = 7,
+                    max_bucket: int = 512, max_depth: int = 24) -> ray.data.Dataset:
     """Embedding cosine near-dup: random-hyperplane LSH bucket (nbits) ->
     exact cosine inside buckets -> pairs with cos >= threshold.
 
-    Scale path: bucket count 2^nbits bounds group sizes; the groupby key is
-    the bucket hash, embeddings shuffle once."""
+    Scale path: 2^nbits buckets bound the number of groups, and oversize
+    groups are recursively SPLIT locally with additional seeded hyperplanes
+    until each piece is <= ``max_bucket`` — so per-group work is O(max_bucket²)
+    regardless of corpus size (a fixed nbits alone only bounds the group
+    *count*; at 1B vectors a bucket would hold ~1M members).  Identical
+    vectors project identically and never separate; near-identical pairs can
+    straddle a split plane (standard LSH recall loss — raise nbits/max_bucket
+    for higher recall).  A group still oversize after ``max_depth`` splits is
+    a mass-duplicate cluster; its pairs are truncated to the first
+    ``max_bucket`` members (exact_dedup owns mass duplicates).  The groupby
+    key is the bucket hash; embeddings shuffle once."""
     state = {}
 
     def emit(batch: pa.Table) -> pa.Table:
@@ -347,17 +392,46 @@ def embedding_dedup(ds: ray.data.Dataset, emb_col: str = "embedding",
                          id_col: batch[id_col],
                          "emb_n": pa.array(sig, type=pa.binary())})
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"left_id": [], "right_id": [], "cosine": []})
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        emb = np.stack([np.frombuffer(b, dtype=np.float32) for b in g["emb_n"]])
+    def _exact_pairs(ids: np.ndarray, emb: np.ndarray) -> list[pd.DataFrame]:
         sims = emb @ emb.T
-        iu, ju = np.triu_indices(len(g), 1)
+        iu, ju = np.triu_indices(len(ids), 1)
         hit = sims[iu, ju] >= threshold
-        return pd.DataFrame({"left_id": ids[iu[hit]], "right_id": ids[ju[hit]],
-                             "cosine": sims[iu[hit], ju[hit]].astype(np.float64)})
+        if not hit.any():
+            return []
+        return [pd.DataFrame({"left_id": ids[iu[hit]], "right_id": ids[ju[hit]],
+                              "cosine": sims[iu[hit], ju[hit]].astype(np.float64)})]
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"left_id": pd.Series([], dtype=g[id_col].dtype),
+                              "right_id": pd.Series([], dtype=g[id_col].dtype),
+                              "cosine": pd.Series([], dtype=np.float64)})
+        if len(g) < 2:
+            return empty
+        g = g.sort_values(id_col)
+        ids0 = g[id_col].to_numpy()
+        emb0 = np.stack([np.frombuffer(b, dtype=np.float32) for b in g["emb_n"]])
+        out: list[pd.DataFrame] = []
+        stack = [(ids0, emb0, 0)]
+        while stack:
+            ids, emb, depth = stack.pop()
+            if len(ids) < 2:
+                continue
+            if len(ids) <= max_bucket:
+                out.extend(_exact_pairs(ids, emb))
+                continue
+            if depth >= max_depth:
+                out.extend(_exact_pairs(ids[:max_bucket], emb[:max_bucket]))
+                continue
+            # deterministic per-depth split plane (independent of the
+            # bucketing planes: offset stream)
+            rng = np.random.default_rng(seed + 100_003 * (depth + 1))
+            plane = rng.standard_normal(emb.shape[1]).astype(np.float32)
+            side = emb @ plane > 0
+            stack.append((ids[side], emb[side], depth + 1))
+            stack.append((ids[~side], emb[~side], depth + 1))
+        if not out:
+            return empty
+        return pd.concat(out, ignore_index=True)
 
     return ds.map_batches(emit, batch_format="pyarrow") \
         .groupby("bucket").map_groups(pairs, batch_format="pandas")

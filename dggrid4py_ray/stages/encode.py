@@ -224,13 +224,39 @@ class BoundaryKernel:
 
 
 def _rings_to_wkb(verts: np.ndarray) -> list[bytes]:
-    """Vectorized-ish WKB Polygon assembly for (n, 7, 2) boundary output."""
+    """Vectorized WKB Polygon assembly for (n, k, 2) NaN-padded boundary
+    output: rows are grouped by vertex count (pentagon/hexagon/heptagon
+    seam cells), each group's byte image is built in one numpy buffer
+    (13-byte header + little-endian f8 coords), and the only per-row work
+    is a memcpy ``tobytes`` — no per-vertex struct packing (the polyfill
+    hot path at millions of cells)."""
+    import struct as _struct
     from ..geometry import wkb_polygon
-    out = []
-    for i in range(verts.shape[0]):
-        ring = verts[i][~np.isnan(verts[i, :, 0])]
-        out.append(wkb_polygon([ring]))
-    return out
+    n = verts.shape[0]
+    out = np.empty(n, dtype=object)
+    valid = ~np.isnan(verts[:, :, 0])
+    counts = valid.sum(axis=1)
+    for k in np.unique(counts):
+        idx = np.nonzero(counts == k)[0]
+        rings = verts[idx][valid[idx]].reshape(len(idx), int(k), 2)
+        closed = (rings[:, 0] == rings[:, -1]).all(axis=1)
+        if closed.all():
+            arr = rings
+        elif not closed.any():
+            arr = np.concatenate([rings, rings[:, :1]], axis=1)
+        else:  # mixed closure inside one count-group: rare, fall back
+            for i, r in zip(idx, rings):
+                out[i] = wkb_polygon([r])
+            continue
+        m = arr.shape[1]
+        header = np.frombuffer(_struct.pack("<BIII", 1, 3, 1, m), dtype=np.uint8)
+        buf = np.empty((len(idx), 13 + m * 16), dtype=np.uint8)
+        buf[:, :13] = header
+        buf[:, 13:] = np.ascontiguousarray(arr.astype("<f8")) \
+            .view(np.uint8).reshape(len(idx), m * 16)
+        for j, i in enumerate(idx):
+            out[i] = buf[j].tobytes()
+    return out.tolist()
 
 
 class NeighborKernel:

@@ -159,14 +159,17 @@ def spatial_join_via_cells(points: ray.data.Dataset, polygons: ray.data.Dataset,
             return batch.drop_columns([wkb_col, "_ccell"])
         lon = batch[lon_col].to_numpy(zero_copy_only=False)
         lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        # group the joined rows by polygon and run ONE vectorized contains
+        # per polygon over all its points (the PointInPolygonJoin shape) —
+        # the polygon id is the grouping key, so each WKB parses once
+        pids = batch[poly_id_col].to_numpy(zero_copy_only=False)
         wkbs = batch[wkb_col].to_numpy(zero_copy_only=False)
         keep = np.zeros(batch.num_rows, dtype=bool)
-        uniq = {}
-        for i, b in enumerate(wkbs):
-            key = bytes(b)
-            if key not in uniq:
-                uniq[key] = PolygonSet.from_wkb([key])
-            keep[i] = uniq[key].contains(np.array([lon[i]]), np.array([lat[i]]))[0]
+        order = np.argsort(pids, kind="stable")
+        bounds = np.nonzero(np.diff(pids[order]))[0] + 1
+        for seg in np.split(order, bounds):
+            ps = PolygonSet.from_wkb([bytes(wkbs[seg[0]])])
+            keep[seg] = ps.contains(lon[seg], lat[seg])
         return batch.filter(pa.array(keep)).drop_columns([wkb_col, "_ccell"])
 
     return joined.map_batches(exact, batch_format="pyarrow")
