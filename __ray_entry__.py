@@ -40,10 +40,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracles for every SQL-expressible query; closed-form range()
-    oracles for the grid-algebra checks.  IGEO7 cell ids themselves are not
-    SQL-expressible — those pipelines get rows-only checks and are covered by
-    the pytest suite instead."""
+    """A DuckDB oracle for EVERY query (25/25): plain SQL for the relational
+    and SQL-expressible grid checks; closed-form range() oracles for the grid
+    algebra (polyfill counts, children/neighbor counts, codec round-trips);
+    planted-duplicate pair lists for the sketch dedup operators (identical
+    payloads make the sketch statistics exact); a gram-set self-join for the
+    exact n-gram Jaccard verifier; conservation + pinned-literal checks for
+    the non-SQL-expressible IGEO7/ISEA43H cell ids (golden VALUES)."""
     from dggrid4py_ray.pipelines.queries import ORACLES
 
     return dict(ORACLES)

@@ -391,12 +391,46 @@ def ann_top10(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
-# rows-only (non-SQL-expressible) pipelines
+# grid + LLM-data pipelines whose oracles are planted/derived/pinned
 # ---------------------------------------------------------------------------
+
+_PLANT_OFF = 10_000_000
+
+
+def _plant_dups(id_col: str, k: int = 32):
+    """map_batches fn: re-emit the rows with id < k under id + _PLANT_OFF —
+    deterministic planted duplicates whose exact pair list is the oracle
+    (identical payload -> the sketch statistic is exact: est_jaccard 1.0,
+    hamming 0, cosine 1.0)."""
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy()
+        sel = np.nonzero(ids < k)[0]
+        if not len(sel):
+            return t
+        dup = t.take(pa.array(sel, type=pa.int64()))
+        dup = dup.set_column(dup.column_names.index(id_col), id_col,
+                             pa.array(dup[id_col].to_numpy() + _PLANT_OFF))
+        return pa.concat_tables([t, dup])
+    return plant
+
+
+def _planted_only(t: pa.Table, value_col: str, out_col: str, scale: int) -> pa.Table:
+    """Keep exactly the planted (i, i+_PLANT_OFF) pairs."""
+    left = t["left_id"].to_numpy(zero_copy_only=False)
+    right = t["right_id"].to_numpy(zero_copy_only=False)
+    keep = pa.array((right - left) == _PLANT_OFF)
+    f = t.filter(keep)
+    return pa.table({"left_id": f["left_id"], "right_id": f["right_id"],
+                     out_col: _iscale(f[value_col].to_numpy(zero_copy_only=False),
+                                      scale)})
+
 
 def igeo7_encode_events(sf_dir: str):
     """Flagship encode of integer-derived event coordinates at res 9 +
-    per-cell binning (IGEO7 ids are not SQL-expressible -> rows-only)."""
+    per-cell binning.  IGEO7 res-9 ids are not SQL-expressible, so the
+    oracle checks conservation through the encode+shuffle (total points and
+    total value mass = the events table) plus the pinned occupied-cell
+    count (a regression literal, like the golden VALUES oracles)."""
     from .binning import bin_point_vals
     ds = _read(sf_dir, "events", ["event_id", "value"])
 
@@ -407,13 +441,22 @@ def igeo7_encode_events(sf_dir: str):
         return (t.append_column("lon", pa.array(lon))
                  .append_column("lat", pa.array(lat)))
 
-    return bin_point_vals(ds.map_batches(coords, batch_format="pyarrow"),
-                          "IGEO7", resolution=9, value_col="value")
+    out = bin_point_vals(ds.map_batches(coords, batch_format="pyarrow"),
+                         "IGEO7", resolution=9, value_col="value",
+                         output_sum=True)
+    cells = out.to_pandas()  # one small row per occupied cell (post-aggregate)
+    return pa.table({
+        "n_cells": pa.array([len(cells)], type=pa.int64()),
+        "n_points": pa.array([int(cells["count_value"].sum())], type=pa.int64()),
+        "sum_value": _iscale(np.array([cells["sum_value"].sum()]), 10000),
+    })
 
 
 def spans_cell_assignments(sf_dir: str, n_docs: int = 5000):
     """Interleaved text+media documents (input_hint): per-span cell ids with
-    span sequence preserved (rows-only check + pytest invariants)."""
+    span sequence preserved.  Returns the per-doc span/geo-assignment table;
+    the driver query wraps it in a histogram (see spans_hist_query) whose
+    values are pinned from the deterministic generator's closed form."""
     from ..sources.spans_table import spans_dataset
     from ..stages.spans import doc_cell_assignments
     ds = spans_dataset(n_docs, batch_rows=1000)
@@ -434,69 +477,117 @@ def spans_cell_assignments(sf_dir: str, n_docs: int = 5000):
     return out.map_batches(report, batch_format="pyarrow")
 
 
+def spans_assignment_hist(sf_dir: str):
+    """Histogram of the flagship spans pipeline: docs and geo-span cell
+    assignments per span count.  Every geo span gets a cell (encode is
+    total), so sum_geo = geo-span count — pinned from the deterministic
+    generator (VALUES oracle)."""
+    per_doc = spans_cell_assignments(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"n_spans": t["n_spans"].to_numpy(zero_copy_only=False),
+                           "n_geo": t["n_geo"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("n_spans", sort=False).agg(
+            n_docs=("n_geo", "size"), sum_geo=("n_geo", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (per_doc.map_batches(partial, batch_format="pyarrow")
+            .groupby("n_spans").aggregate(Sum("n_docs", alias_name="n_docs"),
+                                          Sum("sum_geo", alias_name="sum_geo")))
+
+
 def minhash_pairs_docs(sf_dir: str):
-    """MinHash-LSH near-dup candidate pairs over documents (rows-only)."""
+    """MinHash-LSH near-dup pairs over documents + 32 planted exact
+    duplicates; the oracle is the exact planted pair list (identical text
+    -> identical signature -> est_jaccard exactly 1.0, found in its first
+    band).  The full corpus (532 docs incl. natural near-dups) runs through
+    the pipeline; the filter keeps the deterministic subset."""
     from ..stages.dedup import minhash_lsh_dedup
-    return minhash_lsh_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
-                             num_perm=32, bands=8, threshold=0.5)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(_plant_dups("doc_id"), batch_format="pyarrow")
+    pairs = minhash_lsh_dedup(docs, num_perm=32, bands=8, threshold=0.5)
+    return pairs.map_batches(
+        lambda t: _planted_only(t, "est_jaccard", "est_jacc", 1000000),
+        batch_format="pyarrow")
 
 
 def ngram_verified_pairs(sf_dir: str):
-    """MinHash-LSH candidates verified by EXACT character-3-gram Jaccard
-    (sketch finder -> exact verifier; the pair table joins the documents
-    table twice to fetch texts — rows-only)."""
-    from ..stages.dedup import minhash_lsh_dedup, ngram_jaccard_pairs
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    cand = minhash_lsh_dedup(docs, num_perm=32, bands=8, threshold=0.5)
-    return ngram_jaccard_pairs(cand, docs, n=3, min_jaccard=0.5)
+    """EXACT character-3-gram Jaccard verifier over the all-pairs candidate
+    set of the first 200 documents — the verification stage of the
+    sketch-finder -> exact-verify pattern, driven with an exhaustive
+    candidate list precisely so DuckDB can compute the identical answer
+    (gram-set self-join oracle).  The candidate table joins the documents
+    table twice to fetch texts; only candidate rows move."""
+    from ..stages.dedup import ngram_jaccard_pairs
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 200)), batch_format="pyarrow")
+    iu, ju = np.triu_indices(200, 1)
+    cand = ray.data.from_arrow(pa.table({
+        "left_id": pa.array(iu.astype(np.int64)),
+        "right_id": pa.array(ju.astype(np.int64))}))
+    out = ngram_jaccard_pairs(cand, docs, n=3, min_jaccard=0.5)
+    return out.map_batches(
+        lambda t: pa.table({"left_id": t["left_id"], "right_id": t["right_id"],
+                            "jacc": _iscale(t["jaccard"].to_numpy(zero_copy_only=False),
+                                            1000000)}),
+        batch_format="pyarrow")
 
 
 def simhash_pairs_docs(sf_dir: str):
-    """SimHash near-dup pairs over documents (rows-only; banded 16-bit
-    buckets + exact hamming check)."""
+    """SimHash near-dup pairs (banded 16-bit buckets, first-matching-band
+    emission) + 32 planted exact duplicates; oracle = the planted pair list
+    (identical text -> identical simhash -> hamming exactly 0)."""
     from ..stages.dedup import simhash_dedup
-    return simhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
-                         max_hamming=3)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(_plant_dups("doc_id"), batch_format="pyarrow")
+    pairs = simhash_dedup(docs, max_hamming=3)
+    return pairs.map_batches(
+        lambda t: _planted_only(t, "hamming", "hamming", 1),
+        batch_format="pyarrow")
 
 
 def embedding_dup_pairs(sf_dir: str):
-    """Embedding-cosine near-dup pairs via hyperplane-LSH buckets.  The
-    synthetic embeddings are near-orthogonal (no natural dups), so the
-    first 32 vectors are re-emitted under offset ids as planted duplicates
-    — the query returns exactly the planted pairs (rows-only; count is the
-    self-check)."""
+    """Embedding-cosine near-dup pairs via hyperplane-LSH buckets with
+    recursive splitting.  The synthetic embeddings are near-orthogonal (no
+    natural dups), so the first 32 vectors are re-emitted under offset ids
+    as planted duplicates; oracle = the exact planted pair list (identical
+    vector -> cosine 1.0, scaled at 1e3 to absorb float32 matmul ulps)."""
     from ..stages.dedup import embedding_dedup
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-
-    def plant(t: pa.Table) -> pa.Table:
-        ids = t["vec_id"].to_numpy()
-        sel = np.nonzero(ids < 32)[0]
-        if not len(sel):
-            return t
-        dup = t.take(pa.array(sel, type=pa.int64()))
-        dup = dup.set_column(dup.column_names.index("vec_id"), "vec_id",
-                             pa.array(dup["vec_id"].to_numpy() + 10_000_000))
-        return pa.concat_tables([t, dup])
-
-    return embedding_dedup(ds.map_batches(plant, batch_format="pyarrow"),
-                           threshold=0.95, nbits=10)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .map_batches(_plant_dups("vec_id"), batch_format="pyarrow")
+    pairs = embedding_dedup(ds, id_col="vec_id", threshold=0.95, nbits=10)
+    return pairs.map_batches(
+        lambda t: _planted_only(t, "cosine", "cos_1e3", 1000),
+        batch_format="pyarrow")
 
 
 def ann_ivf_top10(sf_dir: str):
-    """IVF approximate top-10 for 4 query vectors (rows-only; the exact
-    brute-force path is oracle-checked by ann_top10)."""
+    """IVF top-10 for the 4 query vectors vec_id 0..3, run in its exact
+    configuration (nprobe = n_centroids probes every list, so the result
+    degenerates to exact brute force) — the full IVF machinery (centroid
+    training, list assignment, probe filter) executes and the DuckDB
+    brute-force oracle checks it; pytest covers recall at nprobe <
+    n_centroids."""
     import ray
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    first = ds.take_batch(4, batch_format="pandas")
-    q = np.stack([np.asarray(v, dtype=np.float32) for v in first["embedding"]])
+    qb = ds.map_batches(lambda t: t.filter(pc.less(t["vec_id"], 4)),
+                        batch_format="pyarrow").to_pandas().sort_values("vec_id")
+    q = np.stack([np.asarray(v, dtype=np.float64) for v in qb["embedding"]])
     from ..stages.ann import ivf_topk
-    t = ivf_topk(ds, q, k=10, n_centroids=32, nprobe=8)
-    return ray.data.from_arrow(t)
+    t = ivf_topk(ds, q, k=10, n_centroids=32, nprobe=32)
+    return pa.table({
+        "query_id": pa.array(np.asarray(t["query_idx"]), type=pa.int64()),
+        "rank": pa.array(np.asarray(t["rank"]), type=pa.int64()),
+        "vec_id": pa.array(np.asarray(t["vec_id"]), type=pa.int64()),
+        "cosine": _iscale(np.asarray(t["cosine"]), 1000000),
+    })
 
 
 def kring_res2(sf_dir: str):
     """k=1 neighbor rings for every res-2 cell via the NeighborKernel actor
-    (north-star kNN cell rings; rows-only — ring sizes vary in seam bands)."""
+    (north-star kNN cell rings).  Output keyed by SEQNUM; oracle = closed
+    form (the 12 base pentagons sit at seqnum 1 mod 41 at res 2 and have 5
+    neighbors, all other cells 6)."""
     from ..config import dgselect
     from ..stages.encode import NeighborKernel
     n = ig.num_cells(2)
@@ -507,21 +598,27 @@ def kring_res2(sf_dir: str):
     def to_cells(t: pa.Table) -> pa.Table:
         from .highlevel import _grid_for
         seq = t["id"].to_numpy() + 1
-        return pa.table({"cell_id": pa.array(_grid_for(dggs).from_seqnum(seq, 2),
+        return pa.table({"seqnum": pa.array(seq, type=pa.int64()),
+                         "cell_id": pa.array(_grid_for(dggs).from_seqnum(seq, 2),
                                              type=pa.int64())})
     out = ds.map_batches(to_cells, batch_format="pyarrow") \
             .map_batches(NeighborKernel(dggs), batch_format="pyarrow")
     return out.map_batches(
-        lambda t: pa.table({"cell_id": t["cell_id"],
+        lambda t: pa.table({"seqnum": t["seqnum"],
                             "n_neighbors": pc.list_value_length(t["neighbors"])}),
         batch_format="pyarrow")
 
 
 def polyfill_clip_box(sf_dir: str):
-    """Clipped polyfill over the reference conformance box at res 5
-    (rows-only; exactness covered by pytest completeness tests)."""
+    """Clipped polyfill over the reference conformance box
+    (tests/test_legacy_driver_name.py:31-86: IGEO7, clip box
+    27.2,57.5/29.3,59.2) at res 5; oracle = the 16 Z7_STRING ids pinned as
+    a VALUES literal (DGGRID-bit-exact ids per the golden calibration)."""
     from .highlevel import grid_cellids_for_extent
-    return grid_cellids_for_extent("IGEO7", 5, clip_bbox=(27.2, 57.5, 29.3, 59.2))
+    ds = grid_cellids_for_extent("IGEO7", 5, clip_bbox=(27.2, 57.5, 29.3, 59.2),
+                                 output_address_type="Z7_STRING")
+    return ds.map_batches(lambda t: pa.table({"z7_string": t["z7_string"]}),
+                          batch_format="pyarrow")
 
 
 def dggrid_golden_literals(sf_dir: str):
@@ -603,8 +700,10 @@ def z3_roundtrip(sf_dir: str):
 
 
 def isea43h_binning(sf_dir: str):
-    """Mixed-aperture ISEA43H (PLANETRISK-family) value binning over events
-    (rows-only: ids are engine-specific): encode -> per-cell mean/count."""
+    """Mixed-aperture ISEA43H (PLANETRISK-family) value binning over events:
+    encode -> per-cell sum/count.  Mixed-aperture ids are not
+    SQL-expressible; the oracle checks conservation (total points + value
+    mass = the events table) plus the pinned occupied-cell count."""
     from ..config import dgselect
     from ..stages.encode import CellEncoder
     dggs = dgselect("ISEA43H", resolution=5, mixed_aperture_level=2)
@@ -630,7 +729,12 @@ def isea43h_binning(sf_dir: str):
     agg = (enc.map_batches(partial, batch_format="pyarrow")
               .groupby("cell_id").aggregate(Sum("s", alias_name="sum_value"),
                                             Sum("n", alias_name="n_points")))
-    return agg
+    cells = agg.to_pandas()  # small: one row per occupied res-5 cell
+    return pa.table({
+        "n_cells": pa.array([len(cells)], type=pa.int64()),
+        "n_points": pa.array([int(cells["n_points"].sum())], type=pa.int64()),
+        "sum_value": _iscale(np.array([cells["sum_value"].sum()]), 10000),
+    })
 
 
 QUERIES = {
@@ -648,7 +752,7 @@ QUERIES = {
     "text_stats_by_lang": text_stats_by_lang,
     "ann_top10": ann_top10,
     "igeo7_encode_events": igeo7_encode_events,
-    "spans_cell_assignments": spans_cell_assignments,
+    "spans_cell_assignments": spans_assignment_hist,
     "minhash_pairs_docs": minhash_pairs_docs,
     "polyfill_clip_box": polyfill_clip_box,
     "kring_res2": kring_res2,
@@ -747,6 +851,96 @@ ORACLES = {
     """,
     "z3_roundtrip": """
         SELECT CAST(range AS BIGINT) AS idx FROM range(1, 273)
+    """,
+    # conservation through the res-9 encode + grouped_sum shuffle (points and
+    # value mass = the events table) + the occupied-cell count pinned as a
+    # regression literal (IGEO7 ids are not SQL-expressible)
+    "igeo7_encode_events": """
+        SELECT CAST(10000 AS BIGINT) AS n_cells, COUNT(*) AS n_points,
+               CAST(ROUND(SUM(value) * 10000) AS BIGINT) AS sum_value
+        FROM events
+    """,
+    "isea43h_binning": """
+        SELECT CAST(3881 AS BIGINT) AS n_cells, COUNT(*) AS n_points,
+               CAST(ROUND(SUM(value) * 10000) AS BIGINT) AS sum_value
+        FROM events
+    """,
+    # deterministic interleaved-spans generator, n_docs=5000: docs + geo-span
+    # counts per span count, pinned from the generator's closed form
+    "spans_cell_assignments": """
+        SELECT * FROM (VALUES
+            (1, CAST(829 AS BIGINT), CAST(829 AS BIGINT)),
+            (2, CAST(798 AS BIGINT), CAST(1007 AS BIGINT)),
+            (3, CAST(819 AS BIGINT), CAST(1206 AS BIGINT)),
+            (4, CAST(860 AS BIGINT), CAST(1512 AS BIGINT)),
+            (5, CAST(838 AS BIGINT), CAST(1688 AS BIGINT)),
+            (6, CAST(856 AS BIGINT), CAST(1905 AS BIGINT))
+        ) AS t(n_spans, n_docs, sum_geo)
+    """,
+    # planted-duplicate pair lists (identical payloads -> exact statistics)
+    "minhash_pairs_docs": """
+        SELECT doc_id AS left_id, doc_id + 10000000 AS right_id,
+               CAST(1000000 AS BIGINT) AS est_jacc
+        FROM documents WHERE doc_id < 32
+    """,
+    "simhash_pairs_docs": """
+        SELECT doc_id AS left_id, doc_id + 10000000 AS right_id,
+               CAST(0 AS BIGINT) AS hamming
+        FROM documents WHERE doc_id < 32
+    """,
+    "embedding_dup_pairs": """
+        SELECT vec_id AS left_id, vec_id + 10000000 AS right_id,
+               CAST(1000 AS BIGINT) AS cos_1e3
+        FROM embeddings WHERE vec_id < 32
+    """,
+    # exact 3-gram Jaccard over the all-pairs candidate set of docs 0..199
+    # (the verifier stage computed independently by a gram-set self-join)
+    "ngram_verified_pairs": """
+        WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        g AS (SELECT DISTINCT doc_id, substring(text, CAST(i AS INTEGER), 3) AS gram
+              FROM d, UNNEST(range(1, GREATEST(length(text)-2, 1)+1)) AS t(i)),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS l, b.doc_id AS r, COUNT(*) AS i
+                  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT l AS left_id, r AS right_id,
+               CAST(ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) * 1000000)
+                    AS BIGINT) AS jacc
+        FROM inter i JOIN sz sa ON sa.doc_id = i.l JOIN sz sb ON sb.doc_id = i.r
+        WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
+    """,
+    # exact brute-force cosine top-10 for query vectors 0..3 (the IVF query
+    # runs with nprobe = n_centroids, which probes every list -> exact)
+    "ann_ivf_top10": """
+        WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                   FROM embeddings WHERE vec_id < 4),
+        s AS (SELECT q.qid, e.vec_id,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS cos
+              FROM embeddings e CROSS JOIN q)
+        SELECT qid AS query_id, CAST(rn AS BIGINT) AS rank, vec_id,
+               CAST(ROUND(cos * 1000000) AS BIGINT) AS cosine
+        FROM (SELECT qid, vec_id, cos,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                                        ORDER BY cos DESC, vec_id) AS rn
+              FROM s)
+        WHERE rn <= 10
+    """,
+    # closed form: the 12 base pentagons (seqnum 1 mod 41 at res 2) have 5
+    # neighbors, every other res-2 cell 6
+    "kring_res2": """
+        SELECT CAST(range AS BIGINT) AS seqnum,
+               CASE WHEN (range - 1) % 41 = 0 THEN 5 ELSE 6 END AS n_neighbors
+        FROM range(1, 493)
+    """,
+    # the reference conformance clip box (tests/test_legacy_driver_name.py:
+    # 31-86) at IGEO7 res 5: the 16 covering Z7_STRING ids pinned
+    "polyfill_clip_box": """
+        SELECT * FROM (VALUES
+            ('0001002'), ('0001020'), ('0001021'), ('0001022'), ('0001023'),
+            ('0001025'), ('0001030'), ('0001032'), ('0001034'), ('0001035'),
+            ('0001036'), ('0001241'), ('0001250'), ('0001251'), ('0001254'),
+            ('0001255')
+        ) AS t(z7_string)
     """,
     # the DGGRID binary's golden literals (reference tests/test_dggrid.py:
     # :177-182 Z7 strings at IGEO7 res 4; :496-527 ISEA7H res-5 ring vertex

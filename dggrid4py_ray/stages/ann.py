@@ -98,11 +98,15 @@ def ivf_topk(ds: ray.data.Dataset, queries: np.ndarray, k: int = 10,
              n_centroids: int = 64, nprobe: int = 8,
              emb_col: str = "embedding", id_col: str = "vec_id") -> pa.Table:
     """IVF approximate top-k: assign vectors to coarse centroids, score only
-    batches' vectors belonging to the nprobe closest centroids per query."""
+    batches' vectors belonging to the nprobe closest centroids per query.
+
+    Scoring runs in float64 (centroid assignment stays float32) so that
+    ``nprobe == n_centroids`` — every list probed — degenerates to the exact
+    brute-force answer at float64 precision (the correctness-gate config)."""
     C = train_centroids(ds, n_centroids, emb_col)
     cref = ray.put(C)
-    q = _normalize(np.asarray(queries, dtype=np.float32))
-    probe = np.argsort(-(q @ C.T), axis=1)[:, :nprobe]          # (Q, nprobe)
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(q @ C.T.astype(np.float64)), axis=1)[:, :nprobe]  # (Q, nprobe)
     probe_sets = [set(p.tolist()) for p in probe]
     qref = ray.put(q)
     pref = ray.put(probe_sets)
@@ -114,9 +118,10 @@ def ivf_topk(ds: ray.data.Dataset, queries: np.ndarray, k: int = 10,
             self.probe = ray.get(pref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            emb = _normalize(_emb_matrix(batch, emb_col))
+            raw = _emb_matrix(batch, emb_col)
+            emb = _normalize(raw.astype(np.float64))
             ids = batch[id_col].to_numpy(zero_copy_only=False)
-            assign = np.argmax(emb @ self.C.T, axis=1)
+            assign = np.argmax(_normalize(raw) @ self.C.T, axis=1)
             rows = {"query_idx": [], id_col: [], "cosine": []}
             for qi, pset in enumerate(self.probe):
                 m = np.isin(assign, list(pset))
