@@ -45,7 +45,6 @@ def _ensure_spans_parquet() -> str:
     """Materialize the deterministic interleaved-docs table once (untimed):
     the timed job is read -> encode -> aggregate, like the real pipeline
     (the 100 TB input is storage, not a string generator)."""
-    import glob
     import os
     out = f"/tmp/graft_bench/spans_{N_DOCS}"
     marker = os.path.join(out, "_DONE")
@@ -53,7 +52,12 @@ def _ensure_spans_parquet() -> str:
         from dggrid4py_ray.sources.spans_table import spans_dataset
         ds = spans_dataset(N_DOCS, batch_rows=4096,
                            override_num_blocks=max(64, N_DOCS // 4096))
-        ds.write_parquet(out)
+        # file count chosen so the read needs no additional block splitting
+        # (files >= Ray's default target parallelism of 200) — splitting
+        # sets a >1 split factor on the read op, which blocks Read->Map
+        # FUSION and would re-introduce a full object-store round trip of
+        # the span bytes; 244+ files keeps the pipeline one fused task chain
+        ds.write_parquet(out, num_rows_per_file=max(1024, min(16384, N_DOCS // 244)))
         open(marker, "w").write("ok")
     return out
 
@@ -89,11 +93,24 @@ def bench_flagship(num_cpus: int) -> dict:
 
 
 def bench_binning(sf_dir: str) -> float:
-    """events -> derived coords -> IGEO7 res-9 encode -> per-cell mean/count."""
-    from dggrid4py_ray.pipelines.queries import igeo7_encode_events
+    """events -> derived coords -> IGEO7 res-9 encode -> per-cell mean/count
+    (the full bin_point_vals dataflow incl. the auto-selected aggregate)."""
+    import numpy as np
+    import pyarrow as pa
+    from dggrid4py_ray.pipelines.binning import bin_point_vals
+    from dggrid4py_ray.pipelines.queries import _read
     t0 = time.time()
-    ds = igeo7_encode_events(sf_dir)
-    ds.count()
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def coords(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        lon = ((eid * 7919) % 36000).astype(np.float64) / 100.0 - 180.0
+        lat = ((eid * 104729) % 18000).astype(np.float64) / 100.0 - 90.0
+        return (t.append_column("lon", pa.array(lon))
+                 .append_column("lat", pa.array(lat)))
+
+    bin_point_vals(ds.map_batches(coords, batch_format="pyarrow"),
+                   "IGEO7", resolution=9, value_col="value").count()
     return time.time() - t0
 
 
@@ -170,13 +187,21 @@ def run_scaling() -> dict:
     2->8 pair runs below the bandwidth ceiling and reflects the engine's
     parallel efficiency."""
     results = {}
+    base_env = dict(os.environ)
+    base_env["GRAFT_SF_DIR"] = SF_DIR
+    # large fixed input so per-job constants (~4-5 s of read planning,
+    # first-task engine warmup, session startup — measured flat across
+    # CPU counts) do not masquerade as scaling loss: the 2-CPU job must
+    # run minutes, not tens of seconds
+    base_env.setdefault("GRAFT_BENCH_DOCS", "12000000")
+    # pre-generate the input at full width (untimed; cached under /tmp)
+    gen_env = dict(base_env)
+    gen_env["RAY_GRAFT_CPUS"] = "32"
+    subprocess.run([sys.executable, os.path.abspath(__file__), "--ensure-data"],
+                   capture_output=True, text=True, env=gen_env, timeout=3600)
     for n in (2, 8, 32):
-        env = dict(os.environ)
+        env = dict(base_env)
         env["RAY_GRAFT_CPUS"] = str(n)
-        env["GRAFT_SF_DIR"] = SF_DIR
-        # larger fixed input so per-job constants (session startup, read
-        # planning) do not masquerade as scaling loss
-        env.setdefault("GRAFT_BENCH_DOCS", "1000000")
         out = subprocess.run([sys.executable, os.path.abspath(__file__), "--single"],
                              capture_output=True, text=True, env=env, timeout=3600)
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
@@ -246,7 +271,10 @@ def run_kernel_scaling() -> dict:
 if __name__ == "__main__":
     import ray
     try:
-        if "--kernel-scaling" in sys.argv:
+        if "--ensure-data" in sys.argv:
+            _init_ray(NUM_CPUS)
+            print(json.dumps({"path": _ensure_spans_parquet()}))
+        elif "--kernel-scaling" in sys.argv:
             print(json.dumps(run_kernel_scaling()))
         elif "--scaling" in sys.argv:
             print(json.dumps(run_scaling()))
