@@ -51,9 +51,13 @@ class AddressCodec:
         if t == "Z7_HEX":
             return ig.z7_from_hex(values)
         if t == "SEQNUM":
+            vals = np.asarray(values, dtype=np.int64)
+            if hasattr(self.grid, "from_seqnum_dggrid"):
+                # DGGRID's quad-ij SEQNUM order (golden-calibrated; see
+                # dggs/dggrid_seqnum.py) — what the reference binary emits
+                return self.grid.from_seqnum_dggrid(vals, self.res)
             pd = getattr(self.grid, "pent_digits", None)
-            return ig.seqnum_to_z7(np.asarray(values, dtype=np.int64), self.res,
-                                   pent_digits=pd)
+            return ig.seqnum_to_z7(vals, self.res, pent_digits=pd)
         if t == "ZORDER":
             return self._zorder_to_z7(np.asarray(values, dtype=np.int64))
         if t == "GEO":
@@ -86,6 +90,8 @@ class AddressCodec:
         if t == "Z7_HEX":
             return ig.z7_to_hex(z7)
         if t == "SEQNUM":
+            if hasattr(self.grid, "to_seqnum_dggrid"):
+                return self.grid.to_seqnum_dggrid(z7, self.res)
             return ig.z7_to_seqnum(z7, pent_digits=getattr(self.grid,
                                                            "pent_digits", None))
         if t == "ZORDER":

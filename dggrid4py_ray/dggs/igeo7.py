@@ -482,6 +482,21 @@ class IGeo7Grid:
         return seqnum_to_z7(np.asarray(seq, dtype=np.int64), res,
                             pent_digits=self.pent_digits)
 
+    # DGGRID-order SEQNUM (quad-ij scan; the numbers the DGGRID binary
+    # emits — see dggs/dggrid_seqnum.py for the calibrated layout)
+
+    def dggrid_seqnum_layout(self):
+        if getattr(self, "_dg_layout", None) is None:
+            from .dggrid_seqnum import DgQuadLayout
+            self._dg_layout = DgQuadLayout(self)
+        return self._dg_layout
+
+    def to_seqnum_dggrid(self, z7: np.ndarray, res: int | None = None) -> np.ndarray:
+        return self.dggrid_seqnum_layout().to_seqnum(np.asarray(z7, np.int64), res)
+
+    def from_seqnum_dggrid(self, seq: np.ndarray, res: int) -> np.ndarray:
+        return self.dggrid_seqnum_layout().from_seqnum(np.asarray(seq, np.int64), res)
+
     # -- topology ----------------------------------------------------------
 
     MAX_NEIGHBORS = 12  # Voronoi edge count; hex 6, pentagon 5, seam cells up to ~8

@@ -659,6 +659,17 @@ def dggrid_golden_literals(sf_dir: str):
         CellEncoder(dggs5), batch_format="pyarrow").map_batches(
         BoundaryKernel(dggs5), batch_format="pyarrow")
 
+    # the golden zone numbers themselves (DGGRID quad-ij SEQNUM order,
+    # reference tests/test_dggrid.py:496-527 zones 51548/51695)
+    seqs = ray.data.from_arrow(two).map_batches(
+        CellEncoder(dggs5, output_address_type="SEQNUM", out_col="zone"),
+        batch_format="pyarrow").map_batches(
+        lambda t: pa.table({"kind": pa.array(["golden_seqnum"] * t.num_rows),
+                            "value": pa.array([str(v) for v in
+                                               sorted(t["zone"].to_pylist())],
+                                              type=pa.string())}),
+        batch_format="pyarrow")
+
     def vert_rows(t: pa.Table) -> pa.Table:
         out = []
         for wkb in t["geometry"].to_pylist():
@@ -669,7 +680,8 @@ def dggrid_golden_literals(sf_dir: str):
         return pa.table({"kind": pa.array(["vertex"] * len(out)),
                          "value": pa.array(sorted(out), type=pa.string())})
 
-    return oregon.union(cells.map_batches(vert_rows, batch_format="pyarrow"))
+    return oregon.union(cells.map_batches(vert_rows, batch_format="pyarrow"),
+                        seqs)
 
 
 def z3_roundtrip(sf_dir: str):
@@ -961,7 +973,9 @@ ORACLES = {
             ('vertex', '212330,576944'),
             ('vertex', '217478,576746'),
             ('vertex', '219908,579616'),
-            ('vertex', '217149,582694')
+            ('vertex', '217149,582694'),
+            ('golden_seqnum', '51548'),
+            ('golden_seqnum', '51695')
         ) AS t(kind, value)
     """,
 }

@@ -94,14 +94,15 @@ def test_two_points_semantic(oregon_grid):
     assert haversine_km(lon, lat, clon, clat).max() < cls_km(5)
 
 
-@pytest.mark.xfail(reason="SEQNUM ordering differs from the DGGRID binary "
-                          "(ours is canonical (base, digit-path) order; "
-                          "DGGRID's is quad-ij order) — tracked parity gap; "
-                          "cell GEOMETRY for these points is pinned exactly "
-                          "by the dggrid_golden_literals driver query",
-                   strict=False)
 def test_two_points_golden_literals(oregon_grid):
+    """DGGRID quad-ij SEQNUM order (round-3 calibration, dggs/dggrid_seqnum):
+    the two golden zones from the reference's cells_for_geo_points test.
+    The zone<->cell pairing follows the pinned POLYGONS (which come from the
+    same grid-gen call as the zone ids): zone 51548 is the ring containing
+    (20.5, 57.5) and 51695 the ring containing (21.0, 58.0)."""
     lon = np.array([p[0] for p in TWO_POINTS])
     lat = np.array([p[1] for p in TWO_POINTS])
     z = oregon_grid.encode(lon, lat, 5)
-    assert set(oregon_grid.to_seqnum(z).tolist()) == GOLDEN_ZONES
+    seq = oregon_grid.to_seqnum_dggrid(z, 5)
+    assert seq.tolist() == [51548, 51695]
+    assert set(seq.tolist()) == GOLDEN_ZONES
