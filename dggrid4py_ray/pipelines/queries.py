@@ -583,6 +583,37 @@ def ann_ivf_top10(sf_dir: str):
     })
 
 
+def hash_sample_docs(sf_dir: str):
+    """Deterministic md5-bucket sampling of documents (~5%): stable across
+    runs and cluster sizes (resumable/auditable, unlike RNG sampling) and
+    bit-identical to the DuckDB md5_number_upper oracle."""
+    from ..stages.sampling import hash_sample
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return hash_sample(ds, key_col="doc_id", keep=5, buckets=100)
+
+
+def hll_distinct_users(sf_dir: str):
+    """HyperLogLog approximate distinct user_id over events (two-phase
+    combinable sketch: per-batch register maxima, one 2^p-byte reduction).
+    The sketch is a deterministic function of the key set, so the estimate
+    plus the exact distinct count are both oracle-checkable (the estimate
+    via the deterministic HLL recomputed in SQL is not expressible — it is
+    pinned; the exact count comes from COUNT(DISTINCT))."""
+    from ..stages.sampling import hll_distinct
+    ds = _read(sf_dir, "events", ["user_id"])
+    approx = hll_distinct(ds, "user_id", p=12)
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = np.unique(t["user_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"user_id": pa.array(u)})
+
+    uniq = _read(sf_dir, "events", ["user_id"]) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    exact = int(uniq["user_id"].nunique())
+    return pa.table({"approx_distinct": pa.array([approx], type=pa.int64()),
+                     "exact_distinct": pa.array([exact], type=pa.int64())})
+
+
 def kring_res2(sf_dir: str):
     """k=1 neighbor rings for every res-2 cell via the NeighborKernel actor
     (north-star kNN cell rings).  Output keyed by SEQNUM; oracle = closed
@@ -767,6 +798,8 @@ QUERIES = {
     "spans_cell_assignments": spans_assignment_hist,
     "minhash_pairs_docs": minhash_pairs_docs,
     "polyfill_clip_box": polyfill_clip_box,
+    "hash_sample_docs": hash_sample_docs,
+    "hll_distinct_users": hll_distinct_users,
     "kring_res2": kring_res2,
     "dggrid_golden_literals": dggrid_golden_literals,
     "z3_roundtrip": z3_roundtrip,
@@ -936,6 +969,19 @@ ORACLES = {
                                         ORDER BY cos DESC, vec_id) AS rn
               FROM s)
         WHERE rn <= 10
+    """,
+    # deterministic md5-bucket sample: our hash is bit-identical to
+    # DuckDB's md5_number_upper, so the sampled row set matches exactly
+    "hash_sample_docs": """
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 < 5
+    """,
+    # HLL estimate pinned (deterministic function of the key set; the
+    # register algebra is not SQL-expressible) + exact COUNT DISTINCT
+    "hll_distinct_users": """
+        SELECT CAST(151 AS BIGINT) AS approx_distinct,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        FROM events
     """,
     # closed form: the 12 base pentagons (seqnum 1 mod 41 at res 2) have 5
     # neighbors, every other res-2 cell 6

@@ -1,0 +1,101 @@
+"""Sampling + cardinality-sketch operators for training-data pipelines.
+
+* hash_sample      — deterministic md5-bucket sampling: a row is kept iff
+  md5(key) mod `buckets` < `keep`.  Unlike random sampling this is stable
+  across runs/cluster sizes (resumable, auditable) and SQL-expressible, so
+  the driver oracle checks the exact sampled row set.
+* hll_distinct     — HyperLogLog approximate COUNT DISTINCT as a combinable
+  two-phase aggregate: per-batch register maxima in map_batches, one
+  fixed-size (2^p registers) reduction at the driver.  The sketch is a
+  deterministic function of the key set, so the estimate is reproducible
+  bit-for-bit at any parallelism.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def _md5_u64(vals: np.ndarray) -> np.ndarray:
+    """First 8 md5 digest bytes as little-endian uint64 per value —
+    bit-identical to DuckDB's ``md5_number_upper(v)``, which is what makes
+    hash_sample exactly SQL-oracle-checkable."""
+    out = np.empty(len(vals), dtype=np.uint64)
+    for k, v in enumerate(vals):
+        out[k] = int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "little")
+    return out
+
+
+def hash_sample(ds: ray.data.Dataset, key_col: str, keep: int = 5,
+                buckets: int = 100) -> ray.data.Dataset:
+    """Keep rows whose md5(key) lands in the first `keep` of `buckets`
+    deterministic hash buckets (~keep/buckets sampling rate).
+
+    Oracle-equivalent SQL: ``WHERE md5_number_upper(CAST(key AS VARCHAR))
+    % buckets < keep``."""
+
+    def pick(batch: pa.Table) -> pa.Table:
+        vals = batch[key_col].to_numpy(zero_copy_only=False)
+        h = _md5_u64(vals)
+        return batch.filter(pa.array((h % np.uint64(buckets))
+                                     < np.uint64(keep)))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def hll_partials(ds: ray.data.Dataset, key_col: str, p: int = 12) -> ray.data.Dataset:
+    """Per-batch HyperLogLog register maxima (one row per batch: a
+    fixed-size 2^p uint8 register vector).  This is the combiner stage —
+    only 2^p bytes per batch cross the wire regardless of batch size."""
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch[key_col].to_numpy(zero_copy_only=False)
+        h = _md5_u64(vals)
+        reg_idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rem = h << np.uint64(p)  # top 64-p bits shifted up
+        # rank = leading zeros of rem + 1 (capped)
+        lz = np.full(len(h), 64 - p, dtype=np.uint8)
+        nz = rem != 0
+        if nz.any():
+            # float64 log2 is exact enough for leading-zero counting on
+            # 53-bit mantissas only; use bit shrinking instead
+            r = rem[nz]
+            cnt = np.zeros(len(r), dtype=np.uint8)
+            for s in (32, 16, 8, 4, 2, 1):
+                mask = r < (np.uint64(1) << np.uint64(64 - s))
+                cnt[mask] += s
+                r[mask] = r[mask] << np.uint64(s)
+            lz[nz] = cnt
+        rank = np.minimum(lz + 1, 64 - p).astype(np.uint8)
+        regs = np.zeros(m, dtype=np.uint8)
+        np.maximum.at(regs, reg_idx, rank)
+        return pa.table({"regs": pa.array([regs.tobytes()], type=pa.binary())})
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def hll_estimate(partials: ray.data.Dataset, p: int = 12) -> float:
+    """Merge register partials (elementwise max) and return the HLL
+    estimate with the standard small/large-range corrections (Flajolet et
+    al. 2007)."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for buf in b["regs"]:
+            regs = np.maximum(regs, np.frombuffer(buf.as_py(), dtype=np.uint8))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(2.0 ** (-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)   # linear counting
+    return float(est)
+
+
+def hll_distinct(ds: ray.data.Dataset, key_col: str, p: int = 12) -> int:
+    """Approximate distinct count of `key_col` (deterministic given data)."""
+    return int(round(hll_estimate(hll_partials(ds, key_col, p), p)))
