@@ -583,6 +583,54 @@ def ann_ivf_top10(sf_dir: str):
     })
 
 
+def topk_docs_per_lang(sf_dir: str):
+    """Top-3 documents by n_chars per language (per-batch partial top-k
+    combiner -> bounded final per-group selection; ties broken by doc_id)."""
+    from ..stages.relational import topk_per_group
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out = topk_per_group(ds, "lang", "n_chars", k=3, id_col="doc_id")
+    return out.map_batches(
+        lambda t: t.select(["lang", "doc_id", "n_chars", "rank"]),
+        batch_format="pyarrow")
+
+
+def range_join_events(sf_dir: str):
+    """Broadcast range join: events assigned to 10 deterministic half-open
+    user_id intervals, then count + value sum per interval (no shuffle for
+    the join itself — intervals broadcast once, searchsorted per batch)."""
+    from ..stages.relational import range_join_broadcast
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    intervals = [(k, k * 20, k * 20 + 13) for k in range(10)]
+    joined = range_join_broadcast(ds, intervals, point_col="user_id")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"interval_id": t["interval_id"].to_numpy(zero_copy_only=False),
+                           "value": t["value"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("interval_id", sort=False).agg(
+            n=("value", "size"), s=("value", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (joined.map_batches(partial, batch_format="pyarrow")
+                 .groupby("interval_id").aggregate(Sum("n", alias_name="n"),
+                                                   Sum("s", alias_name="s")))
+    return agg.map_batches(
+        lambda t: pa.table({"interval_id": t["interval_id"], "n": t["n"],
+                            "sum_value": _iscale(t["s"].to_numpy(zero_copy_only=False),
+                                                 10000)}),
+        batch_format="pyarrow")
+
+
+def quantiles_by_flag(sf_dir: str):
+    """EXACT per-group median of l_extendedprice by l_returnflag via the
+    two-pass histogram-refine quantile (no global sort, no per-group
+    materialization); matches DuckDB quantile_disc bit-for-bit."""
+    from ..stages.relational import exact_group_quantile
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    t = exact_group_quantile(ds, "l_returnflag", "l_extendedprice", q=0.5)
+    return pa.table({"l_returnflag": t["l_returnflag"],
+                     "median_price": _iscale(t["quantile"].to_numpy(), 100)})
+
+
 def hash_sample_docs(sf_dir: str):
     """Deterministic md5-bucket sampling of documents (~5%): stable across
     runs and cluster sizes (resumable/auditable, unlike RNG sampling) and
@@ -798,6 +846,9 @@ QUERIES = {
     "spans_cell_assignments": spans_assignment_hist,
     "minhash_pairs_docs": minhash_pairs_docs,
     "polyfill_clip_box": polyfill_clip_box,
+    "topk_docs_per_lang": topk_docs_per_lang,
+    "range_join_events": range_join_events,
+    "quantiles_by_flag": quantiles_by_flag,
     "hash_sample_docs": hash_sample_docs,
     "hll_distinct_users": hll_distinct_users,
     "kring_res2": kring_res2,
@@ -969,6 +1020,28 @@ ORACLES = {
                                         ORDER BY cos DESC, vec_id) AS rn
               FROM s)
         WHERE rn <= 10
+    """,
+    "topk_docs_per_lang": """
+        SELECT lang, doc_id, n_chars, CAST(rank AS BIGINT) AS rank FROM (
+            SELECT lang, doc_id, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY n_chars DESC, doc_id) AS rank
+            FROM documents
+        ) WHERE rank <= 3
+    """,
+    "range_join_events": """
+        SELECT iv.k AS interval_id, COUNT(*) AS n,
+               CAST(ROUND(SUM(e.value) * 10000) AS BIGINT) AS sum_value
+        FROM events e
+        JOIN (SELECT CAST(range AS BIGINT) AS k FROM range(0, 10)) iv
+          ON e.user_id >= iv.k * 20 AND e.user_id < iv.k * 20 + 13
+        GROUP BY iv.k
+    """,
+    "quantiles_by_flag": """
+        SELECT l_returnflag,
+               CAST(ROUND(quantile_disc(l_extendedprice, 0.5) * 100) AS BIGINT)
+                   AS median_price
+        FROM lineitem GROUP BY l_returnflag
     """,
     # deterministic md5-bucket sample: our hash is bit-identical to
     # DuckDB's md5_number_upper, so the sampled row set matches exactly

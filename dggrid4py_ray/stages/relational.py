@@ -1,0 +1,162 @@
+"""Distributed relational operators beyond Ray Data's built-ins.
+
+* topk_per_group   — per-group top-k with deterministic tie-breaks: a
+  per-batch partial top-k combiner (each group contributes <= k rows per
+  batch to the shuffle) + a bounded final per-group selection.
+* range_join_broadcast — point-in-interval join against a SMALL interval
+  table: intervals are sorted once, broadcast via ray.put, and each batch
+  resolves membership with np.searchsorted — no shuffle at all (the
+  standard broadcast side of an as-of/range join; a large-large range join
+  would cogroup on a coarse time bucket instead, same shape as
+  join.spatial_join_via_cells).
+* exact_group_quantile — EXACT per-group quantile in two streaming passes:
+  pass 1 builds per-group fixed histograms (combined per batch, merged in
+  one small aggregate) to find each group's target bin; pass 2 collects
+  only the values inside the target bins (tiny) and selects the exact
+  ranked element.  No global sort, no per-group materialization — the
+  100-TB path for percentiles with bit-exact results (quantile_disc
+  semantics: rank = ceil(q*n) - 1, 0-based on the sorted group).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def topk_per_group(ds: ray.data.Dataset, group_col: str, value_col: str,
+                   k: int = 3, id_col: str | None = None,
+                   descending: bool = True) -> ray.data.Dataset:
+    """Top-k rows per group by ``value_col`` (ties broken by ``id_col``
+    ascending).  Output: (group, id, value, rank 1..k)."""
+    asc_value = not descending
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {group_col: t[group_col].to_numpy(zero_copy_only=False),
+                value_col: t[value_col].to_numpy(zero_copy_only=False)}
+        if id_col:
+            cols[id_col] = t[id_col].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(cols)
+        by = [value_col] + ([id_col] if id_col else [])
+        df = df.sort_values(by, ascending=[asc_value] + [True] * (id_col is not None))
+        out = df.groupby(group_col, sort=False).head(k)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        by = [value_col] + ([id_col] if id_col else [])
+        g = g.sort_values(by, ascending=[asc_value] + [True] * (id_col is not None))
+        g = g.head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(group_col).map_groups(final, batch_format="pandas"))
+
+
+def range_join_broadcast(ds: ray.data.Dataset, intervals,
+                         point_col: str, out_col: str = "interval_id",
+                         keep_unmatched: bool = False) -> ray.data.Dataset:
+    """Join point rows to the (first matching) interval of a small
+    ``intervals`` table: list of (id, lo, hi) with half-open [lo, hi).
+    Intervals must be non-overlapping (sorted + searchsorted membership);
+    unmatched rows get -1 (dropped unless keep_unmatched)."""
+    iv = sorted(intervals, key=lambda x: x[1])
+    ids = np.array([int(x[0]) for x in iv], dtype=np.int64)
+    lo = np.array([x[1] for x in iv])
+    hi = np.array([x[2] for x in iv])
+    if (lo[1:] < hi[:-1]).any():
+        raise ValueError("intervals overlap")
+    ref = ray.put((ids, lo, hi))
+
+    class Assign:
+        def __init__(self):
+            self.ids, self.lo, self.hi = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            p = t[point_col].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.lo, p, side="right") - 1
+            pos = np.clip(pos, 0, len(self.lo) - 1)
+            inside = (p >= self.lo[pos]) & (p < self.hi[pos])
+            out = np.where(inside, self.ids[pos], -1)
+            res = t.append_column(out_col, pa.array(out, type=pa.int64()))
+            if not keep_unmatched:
+                res = res.filter(pa.array(inside))
+            return res
+
+    return ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def exact_group_quantile(ds: ray.data.Dataset, group_col: str, value_col: str,
+                         q: float = 0.5, bins: int = 1024) -> pa.Table:
+    """Exact per-group quantile_disc(q): rank ceil(q*n)-1 on the sorted
+    group, computed with two streaming passes (histogram locate + in-bin
+    collect).  Returns a small Arrow table (group, quantile)."""
+    # pass 0: global value range + per-group counts (one combined pass)
+    def stats(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({group_col: g, "v": v})
+        agg = df.groupby(group_col, sort=False)["v"].agg(["count", "min", "max"]).reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    from ray.data.aggregate import Max, Min, Sum
+    st = (ds.map_batches(stats, batch_format="pyarrow")
+            .groupby(group_col).aggregate(Sum("count", alias_name="n"),
+                                          Min("min", alias_name="lo"),
+                                          Max("max", alias_name="hi"))).to_pandas()
+    st = st.set_index(group_col)
+    lo_all = float(st["lo"].min())
+    hi_all = float(st["hi"].max())
+    width = (hi_all - lo_all) or 1.0
+    gref = ray.put((lo_all, width))
+
+    # pass 1: per-group histograms over the global range
+    def hist(t: pa.Table) -> pa.Table:
+        lo0, w = ray.get(gref)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        b = np.clip(((v - lo0) / w * bins).astype(np.int64), 0, bins - 1)
+        df = pd.DataFrame({group_col: g, "b": b})
+        agg = df.groupby([group_col, "b"], sort=False).size().reset_index(name="c")
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    h = (ds.map_batches(hist, batch_format="pyarrow")
+           .groupby([group_col, "b"]).aggregate(Sum("c", alias_name="c"))).to_pandas()
+
+    # locate the target bin per group
+    targets = {}
+    for grp, sub in h.groupby(group_col):
+        sub = sub.sort_values("b")
+        n = int(st.loc[grp, "n"])
+        rank = int(np.ceil(q * n)) - 1  # 0-based, quantile_disc semantics
+        cum = sub["c"].cumsum().to_numpy()
+        pos = int(np.searchsorted(cum, rank + 1))
+        bin_id = int(sub["b"].iloc[pos])
+        before = int(cum[pos - 1]) if pos else 0
+        targets[grp] = (bin_id, rank - before)  # rank within the bin
+
+    tref = ray.put({g: b for g, (b, _) in targets.items()})
+
+    # pass 2: collect only the values in each group's target bin
+    def collect(t: pa.Table) -> pa.Table:
+        lo0, w = ray.get(gref)
+        tgt = ray.get(tref)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        b = np.clip(((v - lo0) / w * bins).astype(np.int64), 0, bins - 1)
+        tgt_b = pd.Series(g).map(tgt).fillna(-1).to_numpy()
+        keep = tgt_b == b
+        return pa.table({group_col: pa.array(g[keep]),
+                         "v": pa.array(t[value_col].to_numpy(zero_copy_only=False)[keep])})
+
+    inbin = ds.map_batches(collect, batch_format="pyarrow").to_pandas()
+    rows = []
+    for grp, (_, in_rank) in targets.items():
+        vals = np.sort(inbin.loc[inbin[group_col] == grp, "v"].to_numpy())
+        rows.append((grp, vals[in_rank]))
+    rows.sort()
+    return pa.table({group_col: pa.array([r[0] for r in rows]),
+                     "quantile": pa.array([float(r[1]) for r in rows])})

@@ -1,0 +1,55 @@
+"""topk_per_group / range_join_broadcast / exact_group_quantile
+(stages/relational.py) vs in-memory pandas/numpy oracles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _df_ds(ray_session, df):
+    import ray.data
+    return ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+        .repartition(4)
+
+
+def test_topk_per_group(ray_session):
+    from dggrid4py_ray.stages.relational import topk_per_group
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"g": rng.integers(0, 5, 1000),
+                       "v": rng.integers(0, 100, 1000),
+                       "id": np.arange(1000)})
+    out = topk_per_group(_df_ds(ray_session, df), "g", "v", k=3, id_col="id") \
+        .to_pandas().sort_values(["g", "rank"]).reset_index(drop=True)
+    exp = (df.sort_values(["v", "id"], ascending=[False, True])
+             .groupby("g", sort=True).head(3)
+             .sort_values(["g", "v", "id"], ascending=[True, False, True])
+             .reset_index(drop=True))
+    assert out["id"].tolist() == exp["id"].tolist()
+    assert all(v == [1, 2, 3] for v in out.groupby("g")["rank"].apply(list))
+
+
+def test_range_join_broadcast(ray_session):
+    from dggrid4py_ray.stages.relational import range_join_broadcast
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({"x": rng.uniform(0, 100, 2000)})
+    iv = [(0, 10.0, 20.0), (1, 40.0, 55.0), (2, 80.0, 81.5)]
+    out = range_join_broadcast(_df_ds(ray_session, df), iv, "x").to_pandas()
+    for k, lo, hi in iv:
+        exp = int(((df["x"] >= lo) & (df["x"] < hi)).sum())
+        assert (out["interval_id"] == k).sum() == exp
+    assert len(out) == sum(int(((df["x"] >= lo) & (df["x"] < hi)).sum())
+                           for _, lo, hi in iv)
+
+
+def test_exact_group_quantile(ray_session):
+    from dggrid4py_ray.stages.relational import exact_group_quantile
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"g": rng.integers(0, 4, 5001),
+                       "v": np.round(rng.normal(50, 20, 5001), 3)})
+    for q in (0.1, 0.5, 0.9):
+        t = exact_group_quantile(_df_ds(ray_session, df), "g", "v", q=q)
+        got = dict(zip(t["g"].to_pylist(), t["quantile"].to_pylist()))
+        for g, sub in df.groupby("g"):
+            vals = np.sort(sub["v"].to_numpy())
+            rank = int(np.ceil(q * len(vals))) - 1   # quantile_disc rule
+            assert got[g] == vals[rank], (g, q)
