@@ -126,42 +126,115 @@ def salted_groupby_mean(ds: ray.data.Dataset, key_col: str, value_col: str,
     return phase2.map_batches(finish, batch_format="pyarrow")
 
 
+def _presence_rows(df: pd.DataFrame, output_num_classes: bool,
+                   output_count: bool) -> pd.DataFrame:
+    """(cell_id, cls, n) rows -> one presence row per cell (cls sorted)."""
+    df = df.sort_values(["cell_id", "cls"])
+    g = df.groupby("cell_id", sort=True)
+    out = {"cell_id": list(g.groups),
+           "classes": g["cls"].agg(lambda s: ",".join(str(c) for c in s)).tolist()}
+    if output_num_classes:
+        out["num_classes"] = g["cls"].size().tolist()
+    if output_count:
+        out["count_value"] = [int(v) for v in g["n"].sum()]
+    return pd.DataFrame(out)
+
+
 def bin_point_presence(ds: ray.data.Dataset, dggs_type: str = "IGEO7", resolution: int = 9,
                        class_col: str = "class_id", lon_col: str = "lon", lat_col: str = "lat",
                        output_count: bool = True, output_num_classes: bool = True,
+                       high_cardinality: bool | None = None,
                        concurrency: int | None = None, **kw) -> ray.data.Dataset:
     """Per-cell class presence (reference BIN_POINT_PRESENCE,
     dggrid_runner.py:1121-1202): distinct classes present per cell, their
     count, and the total point count.
 
-    Combiner: within-batch distinct (cell, class) + counts, then a single
-    groupby(cell) with per-group merge."""
+    Combiner: within-batch distinct (cell, class) + counts.  Final stage
+    auto-selects like bin_point_vals: below the ~100k-cell bound, one
+    groupby(cell).map_groups; above it, a range sort on (cell, cls) with
+    block-local presence assembly — only the cells split across block
+    boundaries (<= 2 per block) go through a Ray aggregate + map_groups,
+    so per-cell work stays in vectorized pandas instead of one Ray
+    map_groups call per cell."""
     dggs = dgselect(dggs_type, resolution=resolution, **kw)
     enc = ds.map_batches(CellEncoder(dggs, lon_col=lon_col, lat_col=lat_col),
                          batch_format="pyarrow", concurrency=concurrency)
 
     def partial(batch: pa.Table) -> pa.Table:
+        # classes are labels (reference: one class per input file) — they
+        # live as strings from here on, so both final paths order them
+        # identically
         df = pd.DataFrame({
             "cell_id": batch["cell_id"].to_numpy(zero_copy_only=False),
-            "cls": batch[class_col].to_numpy(zero_copy_only=False),
+            "cls": pd.Series(batch[class_col].to_numpy(zero_copy_only=False)).astype(str),
         })
         g = df.groupby(["cell_id", "cls"], sort=False).size().reset_index(name="pcount")
         return pa.Table.from_pandas(g, preserve_index=False)
 
     p = enc.map_batches(partial, batch_format="pyarrow")
-    agg = p.groupby(["cell_id", "cls"]).aggregate(Sum("pcount", alias_name="n"))
 
     def per_cell(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("cls")
-        out = {"cell_id": [g["cell_id"].iloc[0]],
-               "classes": [",".join(str(c) for c in g["cls"])]}
-        if output_num_classes:
-            out["num_classes"] = [len(g)]
-        if output_count:
-            out["count_value"] = [int(g["n"].sum())]
-        return pd.DataFrame(out)
+        return _presence_rows(g.rename(columns={"pcount": "n"})
+                              if "n" not in g.columns else g,
+                              output_num_classes, output_count)
 
-    return agg.groupby("cell_id").map_groups(per_cell, batch_format="pandas")
+    if high_cardinality is None:
+        from ..dggs.stats import cells_at_res
+        try:
+            high_cardinality = cells_at_res(dggs) > 100_000
+        except Exception:
+            high_cardinality = resolution >= 8
+
+    if not high_cardinality:
+        agg = p.groupby(["cell_id", "cls"]).aggregate(Sum("pcount", alias_name="n"))
+        return agg.groupby("cell_id").map_groups(per_cell, batch_format="pandas")
+
+    # scale path: ONE range sort; presence rows assembled per sorted block
+    srt = p.sort(["cell_id", "cls"])
+
+    def block(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "cell_id": batch["cell_id"].to_numpy(zero_copy_only=False),
+            "cls": batch["cls"].to_numpy(zero_copy_only=False),
+            "n": batch["pcount"].to_numpy(zero_copy_only=False)})
+        agg = df.groupby(["cell_id", "cls"], sort=True)["n"].sum().reset_index()
+        cells = agg["cell_id"].to_numpy()
+        if len(cells) == 0:
+            return pa.Table.from_pandas(
+                pd.DataFrame({"cell_id": [], "cls": [], "n": [], "_b": []}),
+                preserve_index=False)
+        b = (cells == cells[0]) | (cells == cells[-1])
+        done = _presence_rows(agg[~b], output_num_classes, output_count)
+        done["cls"] = ""           # schema-align the two row kinds
+        done["n"] = np.int64(0)
+        done["_b"] = False
+        raw = agg[b].copy()
+        raw["classes"] = ""
+        if output_num_classes:
+            raw["num_classes"] = np.int64(0)
+        if output_count:
+            raw["count_value"] = np.int64(0)
+        raw["_b"] = True
+        cols = ["cell_id", "classes"] \
+            + (["num_classes"] if output_num_classes else []) \
+            + (["count_value"] if output_count else []) + ["cls", "n", "_b"]
+        return pa.Table.from_pandas(pd.concat([done[cols], raw[cols]]),
+                                    preserve_index=False)
+
+    parts = srt.map_batches(block, batch_format="pyarrow").materialize()
+    out_cols = ["cell_id", "classes"] \
+        + (["num_classes"] if output_num_classes else []) \
+        + (["count_value"] if output_count else [])
+    interior = parts.map_batches(
+        lambda t: t.filter(pa.compute.invert(t["_b"])).select(out_cols),
+        batch_format="pyarrow")
+    boundary = parts.map_batches(
+        lambda t: t.filter(t["_b"]).select(["cell_id", "cls", "n"]),
+        batch_format="pyarrow")
+    bagg = boundary.groupby(["cell_id", "cls"]).aggregate(Sum("n", alias_name="n"))
+    bfinal = bagg.groupby("cell_id").map_groups(per_cell, batch_format="pandas") \
+        .map_batches(lambda t: t.select(out_cols), batch_format="pyarrow")
+    return interior.union(bfinal)
 
 
 def zonal_mean(ds: ray.data.Dataset, dggs_type: str = "IGEO7", resolution: int = 9,

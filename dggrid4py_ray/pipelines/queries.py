@@ -583,6 +583,39 @@ def ann_ivf_top10(sf_dir: str):
     })
 
 
+def curation_pipeline(sf_dir: str):
+    """End-to-end training-data curation composition: exact-dedup keep list
+    (md5 + grouped-min) -> join back -> quality filter (length band) ->
+    deterministic md5-bucket sample (~50%) -> per-lang stats.  Every stage
+    is the production operator; the whole composition is SQL-oracled."""
+    from ..stages.dedup import exact_dedup
+    from ..stages.sampling import hash_sample
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    keep = exact_dedup(docs, text_col="text", id_col="doc_id").map_batches(
+        lambda t: pa.table({"doc_id": t["keep_id"]}), batch_format="pyarrow")
+    from ..stages.join import _join_partitions
+    kept = docs.map_batches(lambda t: t.select(["doc_id", "lang", "n_chars"]),
+                            batch_format="pyarrow") \
+        .join(keep, join_type="inner", num_partitions=_join_partitions(),
+              on=("doc_id",))
+    filtered = kept.map_batches(
+        lambda t: t.filter(pc.and_(pc.greater_equal(t["n_chars"], 120),
+                                   pc.less(t["n_chars"], 400))),
+        batch_format="pyarrow")
+    sampled = hash_sample(filtered, key_col="doc_id", keep=50, buckets=100)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"lang": t["lang"].to_numpy(zero_copy_only=False),
+                           "n_chars": t["n_chars"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("lang", sort=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (sampled.map_batches(partial, batch_format="pyarrow")
+            .groupby("lang").aggregate(Sum("n_docs", alias_name="n_docs"),
+                                       Sum("sum_chars", alias_name="sum_chars")))
+
+
 def topk_docs_per_lang(sf_dir: str):
     """Top-3 documents by n_chars per language (per-batch partial top-k
     combiner -> bounded final per-group selection; ties broken by doc_id)."""
@@ -846,6 +879,7 @@ QUERIES = {
     "spans_cell_assignments": spans_assignment_hist,
     "minhash_pairs_docs": minhash_pairs_docs,
     "polyfill_clip_box": polyfill_clip_box,
+    "curation_pipeline": curation_pipeline,
     "topk_docs_per_lang": topk_docs_per_lang,
     "range_join_events": range_join_events,
     "quantiles_by_flag": quantiles_by_flag,
@@ -1020,6 +1054,16 @@ ORACLES = {
                                         ORDER BY cos DESC, vec_id) AS rn
               FROM s)
         WHERE rn <= 10
+    """,
+    "curation_pipeline": """
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents d
+        JOIN (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+          USING (doc_id)
+        WHERE d.n_chars >= 120 AND d.n_chars < 400
+          AND md5_number_upper(CAST(d.doc_id AS VARCHAR)) % 100 < 50
+        GROUP BY lang
     """,
     "topk_docs_per_lang": """
         SELECT lang, doc_id, n_chars, CAST(rank AS BIGINT) AS rank FROM (

@@ -201,3 +201,22 @@ def test_flagship_checkpointed(ray_session, tmp_path):
     with open(os.path.join(out, "_dataset_manifest.json")) as f:
         dm = json.load(f)
     assert dm["n_partitions"] == 3 and dm["total_rows"] == 300
+
+
+def test_presence_high_cardinality_path_matches(ray_session):
+    """The sorted segment-concat presence path (scale path) must produce
+    byte-identical rows to the map_groups path."""
+    import ray.data
+    from dggrid4py_ray.pipelines import binning as bn
+    rng = np.random.default_rng(11)
+    n = 8000
+    tbl = pa.table({"lon": rng.uniform(-180, 180, n),
+                    "lat": np.degrees(np.arcsin(rng.uniform(-1, 1, n))),
+                    "class_id": rng.integers(0, 5, n)})
+    a = bn.bin_point_presence(ray.data.from_arrow(tbl).repartition(4),
+                              resolution=4, high_cardinality=False).to_pandas()
+    b = bn.bin_point_presence(ray.data.from_arrow(tbl).repartition(4),
+                              resolution=4, high_cardinality=True).to_pandas()
+    a = a.sort_values("cell_id").reset_index(drop=True)
+    b = b.sort_values("cell_id").reset_index(drop=True)[a.columns]
+    assert a.equals(b.astype(a.dtypes.to_dict()))
