@@ -30,6 +30,21 @@ The rule:
                   golden data; the other bases are *uncalibrated against
                   DGGRID* — any fixed value is self-consistent — and set
                   to 0, documented parity risk only inside those subtrees)
+
+ROOT_S derivation attempt (round 3, NEGATIVE result): after the DGGRID
+quad-ij layout was fitted (dggrid_seqnum.py — each quad's origin vertex
+carries base q, axes along its pole/lower edges), the natural hypothesis
+was that DGGRID anchors each base's digit frame to its quad's axes, which
+would derive ROOT_S for every base from two calibrated values.  Measured
+geometrically (pure 3D tangent angles, chart-free): the digit-1 child of
+calibrated base 01 sits at 166.96 deg from its quad's pole edge, base 02's
+at 94.96 deg — exactly 72 deg (one pentagon sector) apart.  All northern
+quads are congruent under the icosahedral symmetry, so NO quad-intrinsic
+anchor rule can reproduce both calibrated bases: DGGRID's root digit
+orientations are irregular per base (presumably a table in its CPI
+implementation).  Extrapolation without per-base golden data would be
+confidently wrong; bases 3-11 therefore stay at the documented
+self-consistent default until DGGRID sample output covering them exists.
   base(root)    = DGGRID base numbering of the nearest icosahedron vertex
                   (_BASE_MAP: DGGRID counts the vertex rings the other way)
 
