@@ -43,6 +43,36 @@ class RasterMeta:
                 self.lon0 + self.px * self.width, self.lat0)
 
 
+@dataclass(frozen=True)
+class ProjectedRasterMeta:
+    """Projected raster (EPSG:3857 Web Mercator or EPSG:326xx/327xx UTM):
+    affine (north-up) transform in CRS meters.  Pixel centers are converted
+    to lon/lat with the in-repo CRS math (dggs/crs.py) — the reference's
+    projected-CRS raster path (igeo7_ext.py:263-334) without pyproj."""
+
+    width: int
+    height: int
+    x0: float             # west edge (m)
+    y0: float             # north edge (m)
+    px: float             # pixel width (m, > 0)
+    py: float             # pixel height (m, > 0; rows go south)
+    crs: str = "EPSG:3857"
+    nodata: float | None = None
+
+    # duck-typed like RasterMeta for the window machinery
+    @property
+    def lon0(self):
+        return self.x0
+
+    @property
+    def lat0(self):
+        return self.y0
+
+    def bounds(self):
+        return (self.x0, self.y0 - self.py * self.height,
+                self.x0 + self.px * self.width, self.y0)
+
+
 def suggest_windows(meta: RasterMeta, max_mb: float = 500.0,
                     bytes_per_pixel: int = 64, block_rows: int = 256):
     """Row-window spans sized to the memory budget (reference
@@ -58,27 +88,34 @@ def suggest_windows(meta: RasterMeta, max_mb: float = 500.0,
     return spans
 
 
-def window_to_points(meta: RasterMeta, row0: int, nrows: int,
+def window_to_points(meta, row0: int, nrows: int,
                      data: np.ndarray) -> pa.Table:
     """Vectorized pixel-center points for a window (replaces the reference's
-    nested Python loops, igeo7_ext.py:357-408)."""
+    nested Python loops, igeo7_ext.py:357-408).  Projected rasters convert
+    pixel centers to lon/lat in the same vectorized pass."""
     h, w = data.shape
     assert h == nrows and w == meta.width
     cols = np.arange(w)
     rows = np.arange(row0, row0 + nrows)
-    lon = meta.lon0 + (cols + 0.5) * meta.px
-    lat = meta.lat0 - (rows + 0.5) * meta.py
-    glon, glat = np.meshgrid(lon, lat)
+    cx = meta.lon0 + (cols + 0.5) * meta.px
+    cy = meta.lat0 - (rows + 0.5) * meta.py
+    gx, gy = np.meshgrid(cx, cy)
     vals = data.astype(np.float64).ravel()
     mask = np.isfinite(vals)
     if meta.nodata is not None:
         mask &= vals != meta.nodata
-    rr, cc = np.meshgrid(cols, rows, indexing="xy")
+    xm = gx.ravel()[mask]
+    ym = gy.ravel()[mask]
+    if isinstance(meta, ProjectedRasterMeta):
+        from ..dggs.crs import projected_to_lonlat
+        lon, lat = projected_to_lonlat(xm, ym, meta.crs)
+    else:
+        lon, lat = xm, ym
     return pa.table({
         "row": pa.array(np.repeat(rows, w)[mask].astype(np.int32)),
         "col": pa.array(np.tile(cols, nrows)[mask].astype(np.int32)),
-        "lon": pa.array(glon.ravel()[mask]),
-        "lat": pa.array(glat.ravel()[mask]),
+        "lon": pa.array(lon),
+        "lat": pa.array(lat),
         "data": pa.array(vals[mask]),
     })
 
@@ -106,10 +143,13 @@ def windows_dataset(meta: RasterMeta, read_window, max_mb: float = 64.0,
     return idx.map_batches(load, batch_format="pyarrow", batch_size=1)
 
 
-def pixel_edge_len_m(meta: RasterMeta, lat_adjust: bool = True) -> float:
+def pixel_edge_len_m(meta, lat_adjust: bool = True) -> float:
     """Approximate ground pixel edge in meters (reference
-    get_raster_pixel_edge_len, igeo7_ext.py:295-334: haversine for geographic
-    CRS + optional per-latitude width adjustment via the std+min heuristic)."""
+    get_raster_pixel_edge_len, igeo7_ext.py:295-334: projected CRS -> the
+    transform step in meters; geographic -> haversine + optional
+    per-latitude width adjustment via the std+min heuristic)."""
+    if isinstance(meta, ProjectedRasterMeta):
+        return float(min(meta.px, meta.py))
     lats = np.linspace(meta.lat0 - meta.py * meta.height, meta.lat0, 32)
     widths = haversine_km(0.0, lats, meta.px, lats) * 1000.0
     height_m = haversine_km(0.0, 0.0, 0.0, meta.py) * 1000.0
