@@ -19,8 +19,6 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from ..dggs import igeo7 as ig
 
-ROUND = 4
-
 
 def _iscale(arr, scale: int):
     """Exact cross-engine float compare: round(x*scale) as int64 (matches

@@ -34,13 +34,6 @@ def _join_partitions(cap: int = 16) -> int:
     return max(2, min(cap, cpus // 2))
 
 
-def _md5_int64(texts: np.ndarray) -> np.ndarray:
-    out = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        out[i] = int.from_bytes(hashlib.md5(str(t).encode()).digest()[:8], "big", signed=True)
-    return out
-
-
 def _md5_hex(texts: np.ndarray) -> np.ndarray:
     return np.array([hashlib.md5(str(t).encode()).hexdigest() for t in texts], dtype=object)
 
