@@ -581,6 +581,56 @@ def ann_ivf_top10(sf_dir: str):
     })
 
 
+def sliding_events_7d(sf_dir: str):
+    """Trailing 7-day sliding count/sum per event_type: tumbling daily
+    pre-aggregation is the distributed work; the window pass runs over the
+    tiny aggregated day table (see stages/temporal.sliding_window_daily)."""
+    from ..stages.temporal import sliding_window_daily
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    t = sliding_window_daily(ds, "ts", "event_type", "value", window_days=7)
+    return pa.table({"day": t["day"], "event_type": t["event_type"],
+                     "n_window": t["n_window"],
+                     "sum_window": _iscale(t["sum_window"].to_numpy(), 10000)})
+
+
+def sessions_per_user(sf_dir: str):
+    """Gap-based sessionization (1-hour gap) keyed on user_id: per-user
+    event + session counts (stateful-streaming-style operator; the shuffle
+    co-locates each user's events once)."""
+    from ..stages.temporal import sessionize
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    return sessionize(ds, "user_id", "ts", gap_seconds=3600.0,
+                      order_col="event_id")
+
+
+def asof_events_markers(sf_dir: str):
+    """Broadcast as-of join: every event matched to the latest weekly
+    marker at or before its timestamp, then count + value mass per marker
+    (zero-shuffle join; cf. DuckDB ASOF JOIN oracle)."""
+    import datetime
+    from ..stages.temporal import asof_join_broadcast
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    markers = [(k, datetime.datetime(2024, 1, 1) + datetime.timedelta(days=7 * k))
+               for k in range(5)]
+    joined = asof_join_broadcast(ds, markers, "ts")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"marker_id": t["marker_id"].to_numpy(zero_copy_only=False),
+                           "value": t["value"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("marker_id", sort=False).agg(
+            n=("value", "size"), s=("value", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (joined.map_batches(partial, batch_format="pyarrow")
+                 .groupby("marker_id").aggregate(Sum("n", alias_name="n"),
+                                                 Sum("s", alias_name="s")))
+    return agg.map_batches(
+        lambda t: pa.table({"marker_id": t["marker_id"], "n": t["n"],
+                            "sum_value": _iscale(t["s"].to_numpy(zero_copy_only=False),
+                                                 10000)}),
+        batch_format="pyarrow")
+
+
 def curation_pipeline(sf_dir: str):
     """End-to-end training-data curation composition: exact-dedup keep list
     (md5 + grouped-min) -> join back -> quality filter (length band) ->
@@ -877,6 +927,9 @@ QUERIES = {
     "spans_cell_assignments": spans_assignment_hist,
     "minhash_pairs_docs": minhash_pairs_docs,
     "polyfill_clip_box": polyfill_clip_box,
+    "sliding_events_7d": sliding_events_7d,
+    "sessions_per_user": sessions_per_user,
+    "asof_events_markers": asof_events_markers,
     "curation_pipeline": curation_pipeline,
     "topk_docs_per_lang": topk_docs_per_lang,
     "range_join_events": range_join_events,
@@ -1052,6 +1105,38 @@ ORACLES = {
                                         ORDER BY cos DESC, vec_id) AS rn
               FROM s)
         WHERE rn <= 10
+    """,
+    "sliding_events_7d": """
+        SELECT day, event_type, CAST(n7 AS BIGINT) AS n_window,
+               CAST(ROUND(s7 * 10000) AS BIGINT) AS sum_window
+        FROM (
+            SELECT date_trunc('day', ts) AS day, event_type,
+                   SUM(COUNT(*)) OVER w AS n7,
+                   SUM(SUM(value)) OVER w AS s7
+            FROM events GROUP BY 1, 2
+            WINDOW w AS (PARTITION BY event_type ORDER BY date_trunc('day', ts)
+                         RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+        )
+    """,
+    "sessions_per_user": """
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(new_s) + 1 AS BIGINT) AS n_sessions
+        FROM (
+            SELECT user_id,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)
+                             > INTERVAL 1 HOUR THEN 1 ELSE 0 END AS new_s
+            FROM events
+        ) GROUP BY user_id
+    """,
+    "asof_events_markers": """
+        WITH m AS (SELECT CAST(range AS BIGINT) AS marker_id,
+                          TIMESTAMP '2024-01-01' + INTERVAL (range * 7) DAYS AS mts
+                   FROM range(0, 5))
+        SELECT m.marker_id, COUNT(*) AS n,
+               CAST(ROUND(SUM(e.value) * 10000) AS BIGINT) AS sum_value
+        FROM events e ASOF JOIN m ON e.ts >= m.mts
+        GROUP BY m.marker_id
     """,
     "curation_pipeline": """
         SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -1,0 +1,113 @@
+"""Temporal / streaming-style operators (windowed aggregate, sessionization,
+as-of join).
+
+The reference is strictly batch (SURVEY §2.8: no event-time semantics), so
+these are part of the beyond-the-reference training-data surface:
+
+* sliding_window_daily — tumbling daily pre-aggregation (the distributed
+  work: a combiner + one small groupby) followed by the sliding-window
+  pass over the aggregated day table, which is inherently tiny
+  (days x keys) and runs as a final vectorized step.  The 100-TB shape:
+  the raw stream never re-shuffles for the window, only day partials do.
+* sessionize — gap-based sessions per user: the shuffle is keyed on
+  user_id (each user's events co-locate once), session boundaries are a
+  vectorized diff inside the group.
+* asof_join_broadcast — each event matched to the latest marker at or
+  before its timestamp; the marker table is small, sorted once and
+  broadcast (ray.put + searchsorted per batch) — zero shuffle, the as-of
+  analog of stages/relational.range_join_broadcast.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def sliding_window_daily(ds: ray.data.Dataset, ts_col: str, key_col: str,
+                         value_col: str, window_days: int = 7) -> pa.Table:
+    """Per (day, key): count and value sum over the trailing
+    ``window_days``-day window (inclusive of the current day)."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t[ts_col], unit="day")
+        df = pd.DataFrame({"day": day.to_pandas(),
+                           key_col: t[key_col].to_numpy(zero_copy_only=False),
+                           "v": t[value_col].to_numpy(zero_copy_only=False)})
+        g = df.groupby(["day", key_col], sort=False).agg(
+            n=("v", "size"), s=("v", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby(["day", key_col])
+               .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))) \
+        .to_pandas()  # small: days x keys rows
+    daily["day"] = pd.to_datetime(daily["day"])
+    daily = daily.sort_values([key_col, "day"])
+    out = []
+    for key, g in daily.groupby(key_col, sort=True):
+        g = g.set_index("day")
+        w = f"{window_days}D"
+        roll_n = g["n"].rolling(w).sum()
+        roll_s = g["s"].rolling(w).sum()
+        out.append(pd.DataFrame({
+            "day": g.index, key_col: key,
+            "n_window": roll_n.to_numpy(dtype=np.int64),
+            "sum_window": roll_s.to_numpy()}))
+    res = pd.concat(out, ignore_index=True)
+    return pa.Table.from_pandas(res, preserve_index=False)
+
+
+def sessionize(ds: ray.data.Dataset, user_col: str, ts_col: str,
+               gap_seconds: float, order_col: str | None = None) -> ray.data.Dataset:
+    """Gap-based sessions: a new session starts when the time since the
+    user's previous event exceeds ``gap_seconds``.  Returns one row per
+    user: (user, n_events, n_sessions).  Ties in ts are ordered by
+    ``order_col`` for determinism."""
+    gap = np.timedelta64(int(gap_seconds * 1e6), "us")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        by = [ts_col] + ([order_col] if order_col else [])
+        g = g.sort_values(by)
+        ts = g[ts_col].to_numpy(dtype="datetime64[us]")
+        gaps = np.diff(ts) > gap
+        return pd.DataFrame({user_col: [g[user_col].iloc[0]],
+                             "n_events": [len(g)],
+                             "n_sessions": [int(gaps.sum()) + 1]})
+
+    cols = [user_col, ts_col] + ([order_col] if order_col else [])
+    proj = ds.map_batches(lambda t: t.select(cols), batch_format="pyarrow")
+    return proj.groupby(user_col).map_groups(per_user, batch_format="pandas")
+
+
+def asof_join_broadcast(ds: ray.data.Dataset, markers, ts_col: str,
+                        out_col: str = "marker_id",
+                        keep_unmatched: bool = False) -> ray.data.Dataset:
+    """Match each row to the LATEST marker with marker_ts <= row ts.
+    ``markers``: list of (id, timestamp-like).  Rows before the first
+    marker get -1 (dropped unless keep_unmatched)."""
+    mk = sorted(markers, key=lambda x: np.datetime64(x[1]))
+    ids = np.array([int(m[0]) for m in mk], dtype=np.int64)
+    mts = np.array([np.datetime64(m[1], "us") for m in mk])
+    ref = ray.put((ids, mts))
+
+    class Assign:
+        def __init__(self):
+            self.ids, self.mts = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ts = t[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+            pos = np.searchsorted(self.mts, ts, side="right") - 1
+            ok = pos >= 0
+            out = np.where(ok, self.ids[np.clip(pos, 0, len(self.ids) - 1)], -1)
+            res = t.append_column(out_col, pa.array(out, type=pa.int64()))
+            if not keep_unmatched:
+                res = res.filter(pa.array(ok))
+            return res
+
+    return ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 4))
