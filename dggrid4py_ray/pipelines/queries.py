@@ -781,6 +781,29 @@ def polyfill_clip_box(sf_dir: str):
                           batch_format="pyarrow")
 
 
+def dateline_split_res3(sf_dir: str):
+    """Whole-earth res-3 polyfill with dateline splitting (reference
+    post_process_split_dateline, dggrid_runner.py:1251-1274): crossing
+    cells become 2 rows.  Oracle: closed-form cell count + pinned
+    split-cell count (the antimeridian intersects 64 res-3 cells under the
+    default orientation)."""
+    from .highlevel import grid_cell_polygons_for_extent
+    ds = grid_cell_polygons_for_extent("IGEO7", 3, split_dateline=True)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"cell_id": t["cell_id"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("cell_id", sort=False).size().reset_index(name="k")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_cell = (ds.map_batches(summarize, batch_format="pyarrow")
+                  .groupby("cell_id").aggregate(Sum("k", alias_name="k"))).to_pandas()
+    return pa.table({
+        "n_cells": pa.array([len(per_cell)], type=pa.int64()),
+        "n_rows": pa.array([int(per_cell["k"].sum())], type=pa.int64()),
+        "n_split": pa.array([int((per_cell["k"] > 1).sum())], type=pa.int64()),
+    })
+
+
 def dggrid_golden_literals(sf_dir: str):
     """Pin the DGGRID binary's golden outputs as a driver-checked query
     (reference tests/test_dggrid.py:159-212 and :496-527): the 3 Z7 strings
@@ -937,6 +960,7 @@ QUERIES = {
     "hash_sample_docs": hash_sample_docs,
     "hll_distinct_users": hll_distinct_users,
     "kring_res2": kring_res2,
+    "dateline_split_res3": dateline_split_res3,
     "dggrid_golden_literals": dggrid_golden_literals,
     "z3_roundtrip": z3_roundtrip,
     "isea43h_binning": isea43h_binning,
@@ -1189,6 +1213,11 @@ ORACLES = {
         SELECT CAST(range AS BIGINT) AS seqnum,
                CASE WHEN (range - 1) % 41 = 0 THEN 5 ELSE 6 END AS n_neighbors
         FROM range(1, 493)
+    """,
+    # closed-form cell count (10*7^3+2) + pinned antimeridian-crossing count
+    "dateline_split_res3": """
+        SELECT CAST(3432 AS BIGINT) AS n_cells, CAST(3496 AS BIGINT) AS n_rows,
+               CAST(64 AS BIGINT) AS n_split
     """,
     # the reference conformance clip box (tests/test_legacy_driver_name.py:
     # 31-86) at IGEO7 res 5: the 16 covering Z7_STRING ids pinned
