@@ -781,6 +781,36 @@ def polyfill_clip_box(sf_dir: str):
                           batch_format="pyarrow")
 
 
+def media_features_spans(sf_dir: str):
+    """Multimodal plumbing in the driver gate: interleaved docs -> explode
+    spans -> media fetch (actor pool, small batches) -> deterministic-fake
+    decode -> feature summary.  The fake store/decoder are deterministic
+    functions of the media_ref, so the summary is a pinned-literal oracle
+    (the real-codec path is the same plumbing with decoder='pillow')."""
+    from ..sources.spans_table import spans_dataset
+    from ..stages.spans import explode_spans
+    from ..stages.media import media_feature_pipeline
+    rows = explode_spans(spans_dataset(2000, batch_rows=500))
+    feat = media_feature_pipeline(rows)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n": pa.array([t.num_rows], type=pa.int64()),
+            "sz": pa.array([int(np.sum(t["media_size"].to_numpy(zero_copy_only=False)))
+                            if t.num_rows else 0], type=pa.int64()),
+            "w": pa.array([int(np.sum(t["img_width"].to_numpy(zero_copy_only=False)))
+                           if t.num_rows else 0], type=pa.int64()),
+            "h": pa.array([int(np.sum(t["img_height"].to_numpy(zero_copy_only=False)))
+                           if t.num_rows else 0], type=pa.int64()),
+        })
+
+    s = feat.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pa.table({"n_media": pa.array([int(s["n"].sum())], type=pa.int64()),
+                     "sum_bytes": pa.array([int(s["sz"].sum())], type=pa.int64()),
+                     "sum_width": pa.array([int(s["w"].sum())], type=pa.int64()),
+                     "sum_height": pa.array([int(s["h"].sum())], type=pa.int64())})
+
+
 def dateline_split_res3(sf_dir: str):
     """Whole-earth res-3 polyfill with dateline splitting (reference
     post_process_split_dateline, dggrid_runner.py:1251-1274): crossing
@@ -960,6 +990,7 @@ QUERIES = {
     "hash_sample_docs": hash_sample_docs,
     "hll_distinct_users": hll_distinct_users,
     "kring_res2": kring_res2,
+    "media_features_spans": media_features_spans,
     "dateline_split_res3": dateline_split_res3,
     "dggrid_golden_literals": dggrid_golden_literals,
     "z3_roundtrip": z3_roundtrip,
@@ -1213,6 +1244,13 @@ ORACLES = {
         SELECT CAST(range AS BIGINT) AS seqnum,
                CASE WHEN (range - 1) % 41 = 0 THEN 5 ELSE 6 END AS n_neighbors
         FROM range(1, 493)
+    """,
+    # deterministic fake media store/decoder -> pinned summary literals
+    "media_features_spans": """
+        SELECT CAST(2478 AS BIGINT) AS n_media,
+               CAST(7635157 AS BIGINT) AS sum_bytes,
+               CAST(197826 AS BIGINT) AS sum_width,
+               CAST(189325 AS BIGINT) AS sum_height
     """,
     # closed-form cell count (10*7^3+2) + pinned antimeridian-crossing count
     "dateline_split_res3": """

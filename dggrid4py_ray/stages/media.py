@@ -122,7 +122,11 @@ def media_feature_pipeline(ds, kind_col: str = "kind", ref_col: str = "media_ref
     """Span rows -> media features for image/audio spans: fetch (actor pool,
     small batches) -> decode/featurize; media bytes live only inside this
     pipeline segment and are dropped before any shuffle."""
-    media = ds.filter(lambda r: r[kind_col] in ("image", "audio"))
+    import pyarrow.compute as pc
+    media = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t[kind_col],
+                                    value_set=pa.array(["image", "audio"]))),
+        batch_format="pyarrow")
     fetched = media.map_batches(MediaFetcher, batch_format="pyarrow",
                                 batch_size=batch_size,
                                 concurrency=concurrency or (1, 4))
