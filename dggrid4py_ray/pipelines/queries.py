@@ -781,6 +781,72 @@ def polyfill_clip_box(sf_dir: str):
                           batch_format="pyarrow")
 
 
+_PIP_BOXES = [(k,
+               -180.0 + k * 45.0 + 2.005, -60.0 + (k % 4) * 30.0 + 1.005,
+               -180.0 + k * 45.0 + 32.005, -60.0 + (k % 4) * 30.0 + 21.005)
+              for k in range(8)]   # disjoint; edges off the 0.01-deg point grid
+
+
+def _event_points(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def coords(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        lon = ((eid * 7919) % 36000).astype(np.float64) / 100.0 - 180.0
+        lat = ((eid * 104729) % 18000).astype(np.float64) / 100.0 - 90.0
+        return (t.append_column("lon", pa.array(lon))
+                 .append_column("lat", pa.array(lat)))
+
+    return ds.map_batches(coords, batch_format="pyarrow")
+
+
+def _per_poly_summary(joined):
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"poly_id": t["poly_id"].to_numpy(zero_copy_only=False),
+                           "value": t["value"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("poly_id", sort=False).agg(
+            n=("value", "size"), s=("value", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (joined.map_batches(partial, batch_format="pyarrow")
+                 .groupby("poly_id").aggregate(Sum("n", alias_name="n"),
+                                               Sum("s", alias_name="s")))
+    return agg.map_batches(
+        lambda t: pa.table({"poly_id": t["poly_id"], "n": t["n"],
+                            "sum_value": _iscale(t["s"].to_numpy(zero_copy_only=False),
+                                                 10000)}),
+        batch_format="pyarrow")
+
+
+def pip_join_events(sf_dir: str):
+    """North-star point-in-polygon join (broadcast STRtree actor pool) of
+    event points against 8 disjoint boxes, exactly SQL-oracled (box edges
+    sit off the derived 0.01-degree point lattice, so containment is
+    unambiguous)."""
+    from ..geometry import wkb_polygon
+    from ..stages.join import pip_join
+    wkbs = [wkb_polygon([np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1)])])
+            for _, x0, y0, x1, y1 in _PIP_BOXES]
+    joined = pip_join(_event_points(sf_dir), wkbs, keep_unmatched=False)
+    return _per_poly_summary(joined)
+
+
+def spatial_cells_join_events(sf_dir: str):
+    """The same join through the LARGE-LARGE path (both sides keyed by
+    coarse cell, cogrouped, exact predicate locally) — cross-validates
+    spatial_join_via_cells against the identical SQL oracle."""
+    from ..geometry import wkb_polygon
+    from ..stages.join import spatial_join_via_cells
+    polys = pa.table({
+        "poly_id": pa.array([k for k, *_ in _PIP_BOXES], type=pa.int64()),
+        "geometry": pa.array(
+            [wkb_polygon([np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1)])])
+             for _, x0, y0, x1, y1 in _PIP_BOXES], type=pa.binary())})
+    joined = spatial_join_via_cells(_event_points(sf_dir),
+                                    ray.data.from_arrow(polys), coarse_res=3)
+    return _per_poly_summary(joined)
+
+
 def media_features_spans(sf_dir: str):
     """Multimodal plumbing in the driver gate: interleaved docs -> explode
     spans -> media fetch (actor pool, small batches) -> deterministic-fake
@@ -990,6 +1056,8 @@ QUERIES = {
     "hash_sample_docs": hash_sample_docs,
     "hll_distinct_users": hll_distinct_users,
     "kring_res2": kring_res2,
+    "pip_join_events": pip_join_events,
+    "spatial_cells_join_events": spatial_cells_join_events,
     "media_features_spans": media_features_spans,
     "dateline_split_res3": dateline_split_res3,
     "dggrid_golden_literals": dggrid_golden_literals,
@@ -1244,6 +1312,43 @@ ORACLES = {
         SELECT CAST(range AS BIGINT) AS seqnum,
                CASE WHEN (range - 1) % 41 = 0 THEN 5 ELSE 6 END AS n_neighbors
         FROM range(1, 493)
+    """,
+    # PIP joins against 8 disjoint boxes: containment is pure inequalities
+    # (both implementations share this oracle — broadcast STRtree and the
+    # coarse-cell cogroup path must agree with it AND each other)
+    "pip_join_events": """
+        WITH b AS (SELECT CAST(range AS BIGINT) AS k,
+                          -180 + range * 45 + 2.005 AS x0,
+                          -60 + (range % 4) * 30 + 1.005 AS y0,
+                          -180 + range * 45 + 32.005 AS x1,
+                          -60 + (range % 4) * 30 + 21.005 AS y1
+                   FROM range(0, 8)),
+        e AS (SELECT CAST((event_id * 7919) % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon,
+                     CAST((event_id * 104729) % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat,
+                     value
+              FROM events)
+        SELECT b.k AS poly_id, COUNT(*) AS n,
+               CAST(ROUND(SUM(e.value) * 10000) AS BIGINT) AS sum_value
+        FROM e JOIN b ON e.lon > b.x0 AND e.lon < b.x1
+                     AND e.lat > b.y0 AND e.lat < b.y1
+        GROUP BY b.k
+    """,
+    "spatial_cells_join_events": """
+        WITH b AS (SELECT CAST(range AS BIGINT) AS k,
+                          -180 + range * 45 + 2.005 AS x0,
+                          -60 + (range % 4) * 30 + 1.005 AS y0,
+                          -180 + range * 45 + 32.005 AS x1,
+                          -60 + (range % 4) * 30 + 21.005 AS y1
+                   FROM range(0, 8)),
+        e AS (SELECT CAST((event_id * 7919) % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon,
+                     CAST((event_id * 104729) % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat,
+                     value
+              FROM events)
+        SELECT b.k AS poly_id, COUNT(*) AS n,
+               CAST(ROUND(SUM(e.value) * 10000) AS BIGINT) AS sum_value
+        FROM e JOIN b ON e.lon > b.x0 AND e.lon < b.x1
+                     AND e.lat > b.y0 AND e.lat < b.y1
+        GROUP BY b.k
     """,
     # deterministic fake media store/decoder -> pinned summary literals
     "media_features_spans": """

@@ -116,36 +116,49 @@ def spatial_join_via_cells(points: ray.data.Dataset, polygons: ray.data.Dataset,
                              batch_format="pyarrow")
 
     def poly_cells(batch: pa.Table) -> pa.Table:
-        """Coarse-cell cover of every polygon's bbox in ONE batched encode:
-        probe points for all polygons are concatenated (bounded per polygon),
-        encoded together, then deduped per (polygon, cell) — no per-polygon
-        Python encode calls."""
+        """EXACT-SUPERSET coarse-cell cover of every polygon's bbox: every
+        coarse cell whose center lies within one (margin-padded) max cell
+        circumradius of the bbox.  Any cell intersecting the bbox has its
+        center within that distance, so no overlapping cell can be missed
+        (false positives are fine — exact() filters them); dateline wrap is
+        handled by testing lon±360.  The coarse universe (decode of all
+        cells at coarse_res — coarse by definition, e.g. 3,432 at res 3) is
+        built once per worker process."""
         from ..stages.encode import grid_for
+        from ..dggs import igeo7 as _ig
+        from ..dggs.stats import cls_km
+        from ..dggs.sphere import haversine_km
         grid = grid_for(dggs)
+        key = "_coarse_universe"
+        cache = getattr(grid, key, None)
+        if cache is None or cache[0] != coarse_res:
+            n_cells = _ig.num_cells(coarse_res)
+            cells_all = grid.from_seqnum(
+                np.arange(1, n_cells + 1, dtype=np.int64), coarse_res)
+            clon, clat = grid.decode(cells_all)
+            cache = (coarse_res, cells_all, clon, clat)
+            setattr(grid, key, cache)
+        _, cells_all, clon, clat = cache
+        margin_km = cls_km(coarse_res) * 1.0   # >= max circumradius incl. seams
         ids = batch[poly_id_col].to_numpy(zero_copy_only=False)
         wkbs = batch[wkb_col].to_numpy(zero_copy_only=False)
-        n = len(ids)
-        step_deg = np.degrees(grid.cell_spacing_rad(coarse_res)) / 2.0
-        MAXP = 64  # probe-raster side cap per polygon (margin widens instead)
-        plon, plat, pidx = [], [], []
-        for k, wkb in enumerate(wkbs):     # cheap per-poly bbox math only
-            minx, miny, maxx, maxy = PolygonSet.from_wkb([wkb]).bounds
-            sx = max(step_deg, (maxx - minx) / MAXP)
-            sy = max(step_deg, (maxy - miny) / MAXP)
-            gx = np.arange(minx, maxx + sx, sx)
-            gy = np.arange(miny, maxy + sy, sy)
-            gg0, gg1 = np.meshgrid(gx, gy)
-            plon.append(gg0.ravel())
-            plat.append(gg1.ravel())
-            pidx.append(np.full(gg0.size, k, dtype=np.int64))
-        lon = np.concatenate(plon) if plon else np.zeros(0)
-        lat = np.clip(np.concatenate(plat) if plat else np.zeros(0), -90, 90)
-        pidx = np.concatenate(pidx) if pidx else np.zeros(0, dtype=np.int64)
-        cells = grid.encode(lon, lat, coarse_res)
-        pair = np.unique(np.column_stack([pidx, cells]), axis=0)
-        return pa.table({"_ccell": pa.array(pair[:, 1], type=pa.int64()),
-                         poly_id_col: pa.array(ids[pair[:, 0]]),
-                         wkb_col: pa.array([bytes(wkbs[k]) for k in pair[:, 0]],
+        out_cell, out_k = [], []
+        for k, wkb in enumerate(wkbs):
+            minx, miny, maxx, maxy = PolygonSet.from_wkb([bytes(wkb)]).bounds
+            d = None
+            for shift in (0.0, -360.0, 360.0):
+                cx = np.clip(clon + shift, minx, maxx)
+                cy = np.clip(clat, miny, maxy)
+                dk = haversine_km(clon + shift, clat, cx, cy)
+                d = dk if d is None else np.minimum(d, dk)
+            sel = np.nonzero(d <= margin_km)[0]
+            out_cell.append(cells_all[sel])
+            out_k.append(np.full(len(sel), k, dtype=np.int64))
+        cells = np.concatenate(out_cell) if out_cell else np.zeros(0, np.int64)
+        pidx = np.concatenate(out_k) if out_k else np.zeros(0, np.int64)
+        return pa.table({"_ccell": pa.array(cells, type=pa.int64()),
+                         poly_id_col: pa.array(ids[pidx]),
+                         wkb_col: pa.array([bytes(wkbs[k]) for k in pidx],
                                            type=pa.binary())})
 
     polys = polygons.map_batches(poly_cells, batch_format="pyarrow")
