@@ -30,10 +30,15 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented pipeline/operator family (SURVEY.md §2):
-    relational aggregates/joins/top-k, grid binning (value + presence),
-    zonal raster, polyfill, hierarchy/codec round-trips, dedup (exact +
-    MinHash-LSH), text analysis, ANN, and the interleaved-spans flagship."""
+    """One entry per implemented pipeline/operator family (SURVEY.md §2 +
+    the beyond-reference training-data surface): relational aggregates /
+    joins / top-k / quantiles / windows / sessions / as-of + range joins,
+    grid binning (value + presence), zonal raster, polyfill, dateline
+    split, hierarchy/codec round-trips incl. DGGRID-order SEQNUM, spatial
+    joins (broadcast PIP + coarse-cell cogroup), dedup (exact, MinHash-LSH,
+    SimHash, embedding-LSH, exact n-gram verify), text analysis, sampling +
+    HyperLogLog, ANN (brute force + IVF), media plumbing, the curation
+    composition, and the interleaved-spans flagship."""
     from dggrid4py_ray.pipelines.queries import QUERIES
 
     return dict(QUERIES)
