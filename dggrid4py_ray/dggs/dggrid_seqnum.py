@@ -157,7 +157,12 @@ class DgQuadLayout:
                                             np.array([xy[0]]), np.array([xy[1]]))
             z = self.grid.encode(lon, lat, res)
             i, j, qq, ok = self._locate(z, res)
-            assert ok.all() and int(qq[0]) == int(quad)
+            if not (ok.all() and int(qq[0]) == int(quad)):
+                # correctness-critical invariant (a bare assert would be
+                # stripped under -O, leaving a silently wrong residue class)
+                raise RuntimeError(
+                    f"probe cell for quad {quad} res {res} resolved in "
+                    f"quad {int(qq[0])} (ok={bool(ok.all())})")
             ii, jj = int(i[0]), int(j[0])
             if jj % 7 == 0:   # need invertible j
                 raise RuntimeError("degenerate probe")

@@ -200,9 +200,20 @@ def bin_point_presence(ds: ray.data.Dataset, dggs_type: str = "IGEO7", resolutio
         agg = df.groupby(["cell_id", "cls"], sort=True)["n"].sum().reset_index()
         cells = agg["cell_id"].to_numpy()
         if len(cells) == 0:
-            return pa.Table.from_pandas(
-                pd.DataFrame({"cell_id": [], "cls": [], "n": [], "_b": []}),
-                preserve_index=False)
+            # full output schema with the non-empty path's Arrow types: a
+            # skewed range sort can hand a block zero rows, and the
+            # select/union below would fail on a schema mismatch otherwise
+            # (empty pandas object columns infer as pa.null, hence explicit)
+            empty = {"cell_id": pa.array([], type=pa.int64()),
+                     "classes": pa.array([], type=pa.string())}
+            if output_num_classes:
+                empty["num_classes"] = pa.array([], type=pa.int64())
+            if output_count:
+                empty["count_value"] = pa.array([], type=pa.int64())
+            empty["cls"] = pa.array([], type=pa.string())
+            empty["n"] = pa.array([], type=pa.int64())
+            empty["_b"] = pa.array([], type=pa.bool_())
+            return pa.table(empty)
         b = (cells == cells[0]) | (cells == cells[-1])
         done = _presence_rows(agg[~b], output_num_classes, output_count)
         done["cls"] = ""           # schema-align the two row kinds

@@ -114,10 +114,52 @@ class MinHasher:
         return batch.append_column("minhash", col)
 
 
+def _minhash_band_keys(sigs: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
+    """(n, bands) int64 bucket keys: FNV over each band's signature segment,
+    band index packed into the top 8 bits.  A pure function of the
+    signature, so any holder of two signatures can recompute every band
+    bucket the pair shares."""
+    n = len(sigs)
+    keys = np.empty((n, bands), dtype=np.int64)
+    mask = np.uint64((1 << 56) - 1)
+    for bidx in range(bands):
+        seg = sigs[:, bidx * rows_per_band:(bidx + 1) * rows_per_band]
+        h = np.zeros(n, dtype=np.uint64)
+        for c in range(rows_per_band):
+            h = h * np.uint64(1099511628211) + seg[:, c]
+        keys[:, bidx] = ((h & mask)
+                         | (np.uint64(bidx) << np.uint64(56))).view(np.int64)
+    return keys
+
+
+def _oversize_bucket_keys(keyed: ray.data.Dataset, max_bucket: int) -> np.ndarray:
+    """Sorted int64 array of bucket keys whose global member count exceeds
+    ``max_bucket``.  ``keyed`` must have an int64 ``bkey`` column with one
+    row per (doc, band).  Scale shape: per-batch partial counts (combiner)
+    -> grouped_reduce sum (sort-based, high-cardinality-safe) -> distributed
+    filter -> the survivors are answer-sized (<= corpus/max_bucket) and only
+    they reach the driver."""
+    from .groupagg import grouped_reduce
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        k = t["bkey"].to_numpy(zero_copy_only=False)
+        uk, cnt = np.unique(k, return_counts=True)
+        return pa.table({"bkey": pa.array(uk), "c": pa.array(cnt.astype(np.int64))})
+
+    counts = grouped_reduce(keyed.map_batches(partial_counts, batch_format="pyarrow"),
+                            "bkey", {"c": "c"}, how="sum")
+    import pyarrow.compute as pc
+    big = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["c"], max_bucket)).select(["bkey"]),
+        batch_format="pyarrow").take_all()
+    return np.sort(np.array([r["bkey"] for r in big], dtype=np.int64))
+
+
 def minhash_lsh_dedup(ds: ray.data.Dataset, text_col: str = "text",
                       id_col: str = "doc_id", num_perm: int = 64, bands: int = 16,
                       threshold: float = 0.7, max_bucket: int = 128,
-                      concurrency: int | None = None) -> ray.data.Dataset:
+                      concurrency: int | None = None,
+                      exact_band_recall: bool = False) -> ray.data.Dataset:
     """Near-dup detection: minhash signatures -> LSH band buckets -> exact
     signature-similarity check inside each bucket -> candidate pairs with
     estimated Jaccard >= threshold.
@@ -131,11 +173,25 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, text_col: str = "text",
     AND verified inside each bucket group, and each pair is emitted ONLY
     from its first matching band — computable locally from the two
     signatures in hand — so the output needs no global dedup at all.
+
     Buckets larger than ``max_bucket`` are low-information band collisions
-    and are dropped (standard LSH skew practice); a pair whose FIRST
-    matching band fell into such a bucket is missed even if later bands
-    survive — near-identical mass duplicates belong to exact_dedup first,
-    which catches them exactly.  The heavy text column never shuffles."""
+    and are dropped (standard LSH skew practice).  With the default
+    ``exact_band_recall=False`` this loses not only pairs whose every
+    matching band is oversize, but ALSO pairs whose FIRST matching band is
+    oversize even when a later matching band's bucket is small — the
+    first-band emission rule suppresses them cross-band (the later band's
+    group cannot know the earlier bucket was dropped).  Near-identical mass
+    duplicates belong to exact_dedup first, which catches them exactly.
+
+    ``exact_band_recall=True`` removes the cross-band suppression: a cheap
+    narrow count pass (per-batch partial counts -> sort-based grouped_reduce
+    over 8-byte keys — no text, no signatures) finds the oversize bucket
+    keys, which are answer-sized and broadcast to the pair stage; each pair
+    is then emitted from its first matching band whose bucket was actually
+    processed.  Costs one extra wide op over (bkey) rows plus one
+    materialization of the narrow (id, minhash) table; recall becomes
+    exactly "some matching band's bucket is small".  The heavy text column
+    never shuffles on either path."""
     rows_per_band = num_perm // bands
     assert bands <= 32
     sigged = ds.map_batches(MinHasher(text_col, num_perm), batch_format="pyarrow",
@@ -148,19 +204,29 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, text_col: str = "text",
         n = batch.num_rows
         sigs = np.asarray(arr.flatten()).reshape(n, num_perm).view(np.uint64)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        bh = np.empty(bands * n, dtype=np.int64)
-        mask = np.uint64((1 << 56) - 1)
-        for bidx in range(bands):
-            seg = sigs[:, bidx * rows_per_band:(bidx + 1) * rows_per_band]
-            h = np.zeros(n, dtype=np.uint64)
-            for c in range(rows_per_band):
-                h = h * np.uint64(1099511628211) + seg[:, c]
-            bh[bidx * n:(bidx + 1) * n] = ((h & mask)
-                                           | (np.uint64(bidx) << np.uint64(56))).view(np.int64)
+        bh = _minhash_band_keys(sigs, bands, rows_per_band).T.reshape(-1)
         sig_bytes = [s.tobytes() for s in sigs]
         return pa.table({"bkey": pa.array(bh),
                          id_col: pa.array(np.tile(ids, bands)),
                          "sig": pa.array(sig_bytes * bands, type=pa.binary())})
+
+    dropped = np.zeros(0, dtype=np.int64)
+    if exact_band_recall:
+        narrow = sigged.select_columns([id_col, "minhash"]).materialize()
+        sigged = narrow
+
+        def emit_keys(batch: pa.Table) -> pa.Table:
+            arr = batch["minhash"]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            n = batch.num_rows
+            sigs = np.asarray(arr.flatten()).reshape(n, num_perm).view(np.uint64)
+            keys = _minhash_band_keys(sigs, bands, rows_per_band).reshape(-1)
+            return pa.table({"bkey": pa.array(keys)})
+
+        dropped = _oversize_bucket_keys(
+            sigged.map_batches(emit_keys, batch_format="pyarrow"), max_bucket)
+    dropped_ref = ray.put(dropped)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         m = len(g)
@@ -178,12 +244,21 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, text_col: str = "text",
         iu, ju = np.triu_indices(m, 1)
         eqm = sigs[iu] == sigs[ju]                       # (npairs, num_perm)
         eq = eqm.mean(axis=1)
-        # emit each pair only from its FIRST matching band (global dedup
-        # without any further shuffle: band equality is a pure function of
-        # the two signatures)
+        # emit each pair only from its FIRST matching band with a processed
+        # (non-oversize) bucket — global dedup without any further shuffle:
+        # band equality AND the band bucket keys are pure functions of the
+        # two signatures, and the oversize-key set arrives by broadcast
         band_eq = eqm.reshape(-1, bands, rows_per_band).all(axis=2)
-        first_band = np.argmax(band_eq, axis=1)
-        hit = (eq >= threshold) & (first_band == band)
+        drop = ray.get(dropped_ref)
+        if len(drop):
+            key_mat = _minhash_band_keys(sigs, bands, rows_per_band)
+            # a matched band's key is shared by both members; use the left's
+            band_ok = band_eq & ~np.isin(key_mat[iu], drop)
+        else:
+            band_ok = band_eq
+        any_ok = band_ok.any(axis=1)
+        first_band = np.argmax(band_ok, axis=1)
+        hit = (eq >= threshold) & any_ok & (first_band == band)
         if not hit.any():
             return empty
         return pd.DataFrame({"left_id": ids[iu[hit]], "right_id": ids[ju[hit]],
@@ -283,9 +358,19 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return d
 
 
+def _simhash_band_keys(h: np.ndarray) -> np.ndarray:
+    """(n, 4) int64 combined (band << 16 | 16-bit segment) bucket keys — a
+    pure function of the simhash, recomputable by any holder of the pair."""
+    return np.stack(
+        [(np.int64(b) << np.int64(16))
+         | ((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+         for b in range(4)], axis=1)
+
+
 def simhash_dedup(ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 3, max_bucket: int = 512,
-                  concurrency: int | None = None) -> ray.data.Dataset:
+                  concurrency: int | None = None,
+                  exact_band_recall: bool = False) -> ray.data.Dataset:
     """Near-dup pairs by simhash: 4 x 16-bit band buckets (any pair within
     hamming distance 3 shares at least one exact band), exact hamming check
     per bucket.
@@ -293,24 +378,46 @@ def simhash_dedup(ds: ray.data.Dataset, text_col: str = "text", id_col: str = "d
     ONE wide op, same design as minhash_lsh_dedup: each pair is emitted only
     from its FIRST matching band — band equality is the pair's xor restricted
     to that band's 16 bits, computable locally from the two hashes in hand —
-    so no second high-cardinality pair-dedup Aggregate is needed.  Buckets
-    larger than ``max_bucket`` are low-information band collisions (e.g. the
-    all-zero band of short docs) and are dropped; mass-identical duplicates
-    belong to exact_dedup, which catches them exactly.  The pair loop is
-    np.triu_indices + LUT popcount — no per-row Python."""
+    so no second high-cardinality pair-dedup Aggregate is needed.
+
+    Buckets larger than ``max_bucket`` are low-information band collisions
+    (e.g. the all-zero band of short docs) and are dropped.  With the
+    default ``exact_band_recall=False`` this loses not only pairs whose
+    every matching band is oversize but ALSO pairs whose FIRST matching
+    band is oversize even when a later matching band's bucket is small —
+    the first-band rule suppresses them cross-band (the later band's group
+    cannot know the earlier bucket was dropped).  Mass-identical duplicates
+    belong to exact_dedup, which catches them exactly.
+    ``exact_band_recall=True`` removes the cross-band suppression exactly
+    like minhash_lsh_dedup: a narrow count pass finds the oversize
+    (band, bucket) keys, broadcast to the pair stage, and each pair emits
+    from its first matching band whose bucket was actually processed.
+
+    The pair loop is np.triu_indices + LUT popcount — no per-row Python."""
     hashed = ds.map_batches(SimHasher(text_col), batch_format="pyarrow",
                             concurrency=concurrency)
 
     def emit(batch: pa.Table) -> pa.Table:
         h = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        n = len(h)
-        band = np.repeat(np.arange(4, dtype=np.int64), n)
-        key = np.concatenate([((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
-                              for b in range(4)])
-        return pa.table({"band": pa.array(band), "bucket": pa.array(key),
+        keys = _simhash_band_keys(h)                     # (n, 4)
+        band = np.repeat(np.arange(4, dtype=np.int64), len(h))
+        return pa.table({"band": pa.array(band),
+                         "bucket": pa.array(keys.T.reshape(-1) & np.int64(0xFFFF)),
                          id_col: pa.array(np.tile(ids, 4)),
                          "simhash": pa.array(np.tile(h.view(np.int64), 4))})
+
+    dropped = np.zeros(0, dtype=np.int64)
+    if exact_band_recall:
+        hashed = hashed.select_columns([id_col, "simhash"]).materialize()
+
+        def emit_keys(batch: pa.Table) -> pa.Table:
+            h = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+            return pa.table({"bkey": pa.array(_simhash_band_keys(h).reshape(-1))})
+
+        dropped = _oversize_bucket_keys(
+            hashed.map_batches(emit_keys, batch_format="pyarrow"), max_bucket)
+    dropped_ref = ray.put(dropped)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"left_id": pd.Series([], dtype=g[id_col].dtype),
@@ -328,12 +435,18 @@ def simhash_dedup(ds: ray.data.Dataset, text_col: str = "text", id_col: str = "d
         iu, ju = np.triu_indices(m, 1)
         x = h[iu] ^ h[ju]
         dist = _popcount64(x)
-        # first matching band of each pair (xor band segment == 0); every
-        # pair in this bucket matches at `band`, so argmax finds the first
+        # first matching band of each pair with a processed bucket (xor band
+        # segment == 0; oversize keys arrive by broadcast)
         seg_eq = np.stack([(x >> np.uint64(16 * b)) & np.uint64(0xFFFF) == 0
                            for b in range(4)], axis=1)
-        first = np.argmax(seg_eq, axis=1)
-        hit = (dist <= max_hamming) & (first == band)
+        drop = ray.get(dropped_ref)
+        if len(drop):
+            band_ok = seg_eq & ~np.isin(_simhash_band_keys(h)[iu], drop)
+        else:
+            band_ok = seg_eq
+        any_ok = band_ok.any(axis=1)
+        first = np.argmax(band_ok, axis=1)
+        hit = (dist <= max_hamming) & any_ok & (first == band)
         if not hit.any():
             return empty
         return pd.DataFrame({"left_id": ids[iu[hit]], "right_id": ids[ju[hit]],

@@ -220,3 +220,19 @@ def test_presence_high_cardinality_path_matches(ray_session):
     a = a.sort_values("cell_id").reset_index(drop=True)
     b = b.sort_values("cell_id").reset_index(drop=True)[a.columns]
     assert a.equals(b.astype(a.dtypes.to_dict()))
+
+
+def test_presence_scale_path_empty_block(ray_session):
+    """ADVICE r3: an empty sorted block (possible after a skewed range
+    sort) must emit the FULL output schema so the select/union downstream
+    does not fail — forced here by far more blocks than distinct rows."""
+    import ray.data
+    from dggrid4py_ray.pipelines import binning as bn
+    tbl = pa.table({"lon": pa.array([1.0, 2.0, 3.0]),
+                    "lat": pa.array([1.0, 2.0, 3.0]),
+                    "class_id": pa.array([0, 1, 0])})
+    out = bn.bin_point_presence(ray.data.from_arrow(tbl).repartition(16),
+                                resolution=3, high_cardinality=True).to_pandas()
+    assert len(out) >= 1 and {"cell_id", "classes", "num_classes",
+                              "count_value"} <= set(out.columns)
+    assert out["count_value"].sum() == 3

@@ -267,3 +267,62 @@ def test_dedup_hot_bucket_skew(ray_session):
     # identical vectors never split apart -> max_depth truncation bounds the
     # group at max_bucket members -> <= C(128,2) pairs from the hot cluster
     assert len(out) <= 128 * 127 // 2 + 1000 and dt < 60
+
+
+def test_simhash_exact_band_recall(ray_session):
+    """ADVICE r3 (medium): with the plain max_bucket cap, a pair whose FIRST
+    matching band lands in an oversize (dropped) bucket is suppressed in
+    every later band too (emission requires first == band).  The corpus
+    below was searched offline for exactly that shape: pair (8, 338) has
+    band-bucket sizes [3, 2, 2, 2] so at max_bucket=2 its band-0 bucket is
+    dropped while bands 1-3 hold just the pair.  exact_band_recall=True
+    broadcasts the oversize bucket keys and re-anchors emission at the
+    first PROCESSED matching band, recovering the pair exactly once."""
+    import ray.data
+    from dggrid4py_ray.stages.dedup import (SimHasher, _popcount64,
+                                            _simhash_band_keys, simhash_dedup)
+
+    rng = np.random.default_rng(1)
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    texts = [" ".join(rng.choice(vocab, int(rng.integers(4, 10))))
+             for _ in range(400)]
+    docs = pa.table({"doc_id": pa.array(np.arange(400), type=pa.int64()),
+                     "text": pa.array(texts)})
+
+    # precondition guard (fails loudly if SimHasher ever changes): the
+    # planted pair matches on all 4 bands; band 0's bucket has 3 members,
+    # bands 1-3 have 2
+    h = SimHasher()(docs)["simhash"].to_numpy().view(np.uint64)
+    assert int(_popcount64(np.array([h[8] ^ h[338]]))[0]) == 0
+    keys = _simhash_band_keys(h)
+    sizes = [int((keys == keys[8, b]).sum()) for b in range(4)]
+    assert sizes == [3, 2, 2, 2], sizes
+
+    ds = ray.data.from_arrow(docs).repartition(4)
+    plain = simhash_dedup(ds, max_hamming=3, max_bucket=2).to_pandas()
+    fixed = simhash_dedup(ds, max_hamming=3, max_bucket=2,
+                          exact_band_recall=True).to_pandas()
+    plain_pairs = set(zip(plain.left_id, plain.right_id))
+    fixed_pairs = set(zip(fixed.left_id, fixed.right_id))
+    assert (8, 338) not in plain_pairs          # the documented suppression
+    assert (8, 338) in fixed_pairs              # recovered
+    assert len(fixed[(fixed.left_id == 8) & (fixed.right_id == 338)]) == 1
+    assert fixed_pairs >= plain_pairs           # strictly more recall
+
+
+def test_minhash_exact_band_recall_superset(ray_session, docs_table):
+    """minhash exact_band_recall: with buckets forced oversize (max_bucket
+    small vs the 20-copy duplicate groups) the recall-exact path must find
+    a superset of the default path's pairs, each emitted exactly once."""
+    import ray.data
+    from dggrid4py_ray.stages.dedup import minhash_lsh_dedup
+
+    ds = ray.data.from_arrow(docs_table).repartition(4)
+    kw = dict(num_perm=32, bands=8, threshold=0.5, max_bucket=12)
+    plain = minhash_lsh_dedup(ds, **kw).to_pandas()
+    fixed = minhash_lsh_dedup(ds, exact_band_recall=True, **kw).to_pandas()
+    plain_pairs = set(zip(plain.left_id, plain.right_id))
+    fixed_pairs = set(zip(fixed.left_id, fixed.right_id))
+    assert fixed_pairs >= plain_pairs
+    # exactly-once emission on the recall path
+    assert len(fixed) == len(fixed_pairs)
