@@ -338,23 +338,61 @@ def post_process_split_dateline(ds: ray.data.Dataset,
     """Split antimeridian-crossing polygons into east+west parts, 1 -> 2 rows
     (reference post_process_split_dateline dggrid_runner.py:1251-1274 +
     interrupt.py).  Order-stable within each batch."""
+    import struct as _struct
+
     from ..geometry import parse_wkb, ring_crosses_dateline, split_ring_at_dateline, wkb_polygon
+
+    def _crossing_mask(wkbs: np.ndarray) -> np.ndarray:
+        """Vectorized |Δlon| > 180 test over single-ring little-endian WKB
+        polygons (the engine's own writer layout: 13-byte header + f8
+        pairs), grouped by byte length so each group parses as one numpy
+        buffer; rows with any other layout fall back to parse_wkb."""
+        n = len(wkbs)
+        cross = np.zeros(n, dtype=bool)
+        lens = np.fromiter((len(b) for b in wkbs), dtype=np.int64, count=n)
+        for L in np.unique(lens):
+            idx = np.flatnonzero(lens == L)
+            m = (int(L) - 13) // 16
+            hdr = np.frombuffer(_struct.pack("<BIII", 1, 3, 1, m), dtype=np.uint8) \
+                if (L >= 13 + 3 * 16 and (L - 13) % 16 == 0) else None
+            buf = np.frombuffer(b"".join(bytes(wkbs[i]) for i in idx),
+                                dtype=np.uint8).reshape(len(idx), int(L))
+            if hdr is not None and (buf[:, :13] == hdr).all():
+                lon = np.ascontiguousarray(buf[:, 13:]).view("<f8") \
+                    .reshape(len(idx), m, 2)[:, :, 0]
+                cross[idx] = np.abs(np.diff(lon, axis=1)).max(axis=1) > 180.0
+            else:       # foreign layout: exact per-row fallback
+                for i in idx:
+                    t, rings = parse_wkb(bytes(wkbs[i]))
+                    ring = rings[0] if t == "Polygon" else rings[0][0]
+                    cross[i] = ring_crosses_dateline(ring)
+        return cross
 
     def split(batch: pa.Table) -> pa.Table:
         wkbs = batch[wkb_col].to_numpy(zero_copy_only=False)
-        rows, out = [], []
-        for i, b in enumerate(wkbs):
-            t, rings = parse_wkb(bytes(b))
+        n = len(wkbs)
+        cross = _crossing_mask(wkbs)
+        if not cross.any():
+            return batch
+        # only crossers (O(cells touching the antimeridian)) are re-parsed
+        # and clipped; everything else passes its original bytes through
+        counts = np.ones(n, dtype=np.int64)
+        split_wkbs: dict[int, list[bytes]] = {}
+        for i in np.flatnonzero(cross):
+            t, rings = parse_wkb(bytes(wkbs[i]))
             ring = rings[0] if t == "Polygon" else rings[0][0]
-            if ring_crosses_dateline(ring):
-                for part in split_ring_at_dateline(ring):
-                    rows.append(i)
-                    out.append(wkb_polygon([part]))
-            else:
-                rows.append(i)
-                out.append(bytes(b))
-        taken = batch.take(pa.array(rows, type=pa.int64())).drop_columns([wkb_col])
-        return taken.append_column(wkb_col, pa.array(out, type=pa.binary()))
+            parts = split_ring_at_dateline(ring)
+            split_wkbs[int(i)] = [wkb_polygon([p]) for p in parts]
+            counts[i] = len(parts)
+        pos = np.concatenate([[0], np.cumsum(counts)])
+        out = np.empty(int(pos[-1]), dtype=object)
+        keep = np.flatnonzero(~cross)
+        out[pos[:-1][keep]] = np.array([bytes(wkbs[i]) for i in keep], dtype=object)
+        for i, parts in split_wkbs.items():
+            out[pos[i]:pos[i + 1]] = parts
+        taken = batch.take(pa.array(np.repeat(np.arange(n), counts),
+                                    type=pa.int64())).drop_columns([wkb_col])
+        return taken.append_column(wkb_col, pa.array(out.tolist(), type=pa.binary()))
 
     return ds.map_batches(split, batch_format="pyarrow")
 

