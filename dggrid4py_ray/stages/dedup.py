@@ -39,17 +39,42 @@ def _md5_hex(texts: np.ndarray) -> np.ndarray:
 
 
 def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
-                id_col: str = "doc_id") -> ray.data.Dataset:
-    """Keep the smallest id per exact text; returns (hash, keeper id).
+                id_col: str = "doc_id", hash: str = "md5") -> ray.data.Dataset:
+    """Keep the smallest id per exact text.
 
-    Ray shape: project to (md5, id) in map_batches -> grouped_reduce(min):
-    sort + segmented min instead of Ray's hash Aggregate, because the md5
+    Ray shape: project to (hash, id) in map_batches -> grouped_reduce(min):
+    sort + segmented min instead of Ray's hash Aggregate, because the hash
     key is unique-per-distinct-doc — exactly the high-cardinality regime
     where the hash Aggregate burns 150-370 CPU-s per million keys
-    (measured, ROUND2_NOTES; see stages/groupagg).  The md5 itself is
-    per-row hashlib (no vectorized md5 exists in numpy/pyarrow) but runs
-    before the shuffle on the already-projected two-column batch."""
+    (measured, ROUND2_NOTES; see stages/groupagg).
+
+    ``hash`` selects the key (VERDICT r3 #6):
+
+    * ``"md5"`` (default) — per-row hashlib (~1.5 us/row; no vectorized md5
+      exists in numpy/pyarrow), bit-identical to the DuckDB oracle.
+      Output columns (text_md5, keep_id).  128-bit: no collision risk.
+    * ``"fast"`` — stages/hashing.hash128: fully vectorized polynomial hash
+      straight off the Arrow UTF-8 buffer, no per-row Python; two
+      independent 64-bit lanes, so collision-merge risk stays ~1e-14 even
+      at 10^12 docs.  Output columns (h1, h2, keep_id); the keep-SET is
+      identical to md5's (same text <=> same 128-bit key, up to that
+      negligible collision bound).  This is the 10^12-doc path where the
+      md5 Python loop would dominate the whole pipeline."""
     from .groupagg import grouped_reduce
+
+    if hash == "fast":
+        from .hashing import hash128
+
+        def project_fast(batch: pa.Table) -> pa.Table:
+            h1, h2 = hash128(batch[text_col])
+            return pa.table({"h1": pa.array(h1.view(np.int64)),
+                             "h2": pa.array(h2.view(np.int64)),
+                             id_col: batch[id_col]})
+
+        return grouped_reduce(ds.map_batches(project_fast, batch_format="pyarrow"),
+                              ["h1", "h2"], {id_col: "keep_id"}, how="min")
+    if hash != "md5":
+        raise ValueError(f"hash must be 'md5' or 'fast', got {hash!r}")
 
     def project(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_numpy(zero_copy_only=False)

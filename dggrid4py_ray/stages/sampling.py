@@ -31,12 +31,28 @@ def _md5_u64(vals: np.ndarray) -> np.ndarray:
 
 
 def hash_sample(ds: ray.data.Dataset, key_col: str, keep: int = 5,
-                buckets: int = 100) -> ray.data.Dataset:
-    """Keep rows whose md5(key) lands in the first `keep` of `buckets`
+                buckets: int = 100, hash: str = "md5") -> ray.data.Dataset:
+    """Keep rows whose hash(key) lands in the first `keep` of `buckets`
     deterministic hash buckets (~keep/buckets sampling rate).
 
-    Oracle-equivalent SQL: ``WHERE md5_number_upper(CAST(key AS VARCHAR))
-    % buckets < keep``."""
+    ``hash="md5"`` (default): per-row hashlib, bit-identical to DuckDB —
+    oracle-equivalent SQL ``WHERE md5_number_upper(CAST(key AS VARCHAR))
+    % buckets < keep``.  ``hash="fast"``: stages/hashing.hash64, fully
+    vectorized off the Arrow buffer (VERDICT r3 #6) — same determinism
+    guarantees (stable across runs/retries/cluster size, a pure function
+    of the key), different (but equally uniform) sample membership; use it
+    when the md5 Python loop would dominate at 10^10+ rows."""
+    if hash not in ("md5", "fast"):
+        raise ValueError(f"hash must be 'md5' or 'fast', got {hash!r}")
+    if hash == "fast":
+        from .hashing import hash64
+
+        def pick_fast(batch: pa.Table) -> pa.Table:
+            h = hash64(batch[key_col])
+            return batch.filter(pa.array((h % np.uint64(buckets))
+                                         < np.uint64(keep)))
+
+        return ds.map_batches(pick_fast, batch_format="pyarrow")
 
     def pick(batch: pa.Table) -> pa.Table:
         vals = batch[key_col].to_numpy(zero_copy_only=False)
