@@ -701,6 +701,79 @@ def range_join_events(sf_dir: str):
         batch_format="pyarrow")
 
 
+def range_join_events_ll(sf_dir: str):
+    """LARGE-LARGE range join (stages/relational.range_join_via_buckets,
+    VERDICT r3 #5): events joined to a part-derived table of OVERLAPPING
+    user_id intervals with BOTH sides as Datasets — bucket cogroup, every
+    (event, interval) match emitted — then count + value mass per
+    interval.  Cross-validated against the broadcast path in pytest and
+    against a DuckDB inequality join here."""
+    from ..stages.relational import range_join_via_buckets
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+    part = _read(sf_dir, "part", ["p_partkey"])
+
+    def mk_iv(t: pa.Table) -> pa.Table:
+        pk = t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = ((pk * 7) % 140).astype(np.float64)
+        return pa.table({"interval_id": pa.array(pk),
+                         "lo": pa.array(lo), "hi": pa.array(lo + 5.0)})
+
+    iv = part.map_batches(mk_iv, batch_format="pyarrow")
+    joined = range_join_via_buckets(ev, iv, point_col="user_id")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"interval_id": t["interval_id"].to_numpy(zero_copy_only=False),
+                           "value": t["value"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("interval_id", sort=False).agg(
+            n=("value", "size"), s=("value", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (joined.map_batches(partial, batch_format="pyarrow")
+                 .groupby("interval_id").aggregate(Sum("n", alias_name="n"),
+                                                   Sum("s", alias_name="s")))
+    return agg.map_batches(
+        lambda t: pa.table({"interval_id": t["interval_id"], "n": t["n"],
+                            "sum_value": _iscale(t["s"].to_numpy(zero_copy_only=False),
+                                                 10000)}),
+        batch_format="pyarrow")
+
+
+def asof_events_markers_ll(sf_dir: str):
+    """LARGE-LARGE as-of join (stages/temporal.asof_join_via_buckets,
+    VERDICT r3 #5): markers are a Dataset derived from the event stream
+    itself (every event with event_id % 997 == 0), events matched to the
+    latest marker at or before their timestamp via daily-bucket cogroup +
+    broadcast carry table, then count + value mass per marker.  Oracle:
+    DuckDB ASOF JOIN on the same derived marker table."""
+    from ..stages.temporal import asof_join_via_buckets
+    ev = _read(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def mk_markers(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        sel = (eid % 997) == 0
+        return pa.table({"marker_id": pa.array(eid[sel].astype(np.int64)),
+                         "ts": t["ts"].filter(pa.array(sel))})
+
+    mk = ev.map_batches(mk_markers, batch_format="pyarrow")
+    joined = asof_join_via_buckets(ev, mk, "ts", bucket_seconds=86400.0)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"marker_id": t["marker_id"].to_numpy(zero_copy_only=False),
+                           "value": t["value"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("marker_id", sort=False).agg(
+            n=("value", "size"), s=("value", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (joined.map_batches(partial, batch_format="pyarrow")
+                 .groupby("marker_id").aggregate(Sum("n", alias_name="n"),
+                                                 Sum("s", alias_name="s")))
+    return agg.map_batches(
+        lambda t: pa.table({"marker_id": t["marker_id"], "n": t["n"],
+                            "sum_value": _iscale(t["s"].to_numpy(zero_copy_only=False),
+                                                 10000)}),
+        batch_format="pyarrow")
+
+
 def quantiles_by_flag(sf_dir: str):
     """EXACT per-group median of l_extendedprice by l_returnflag via the
     two-pass histogram-refine quantile (no global sort, no per-group
@@ -1052,6 +1125,8 @@ QUERIES = {
     "curation_pipeline": curation_pipeline,
     "topk_docs_per_lang": topk_docs_per_lang,
     "range_join_events": range_join_events,
+    "range_join_events_ll": range_join_events_ll,
+    "asof_events_markers_ll": asof_events_markers_ll,
     "quantiles_by_flag": quantiles_by_flag,
     "hash_sample_docs": hash_sample_docs,
     "hll_distinct_users": hll_distinct_users,
@@ -1286,6 +1361,25 @@ ORACLES = {
         JOIN (SELECT CAST(range AS BIGINT) AS k FROM range(0, 10)) iv
           ON e.user_id >= iv.k * 20 AND e.user_id < iv.k * 20 + 13
         GROUP BY iv.k
+    """,
+    "range_join_events_ll": """
+        WITH iv AS (SELECT p_partkey AS interval_id,
+                           CAST((p_partkey * 7) % 140 AS DOUBLE) AS lo,
+                           CAST((p_partkey * 7) % 140 + 5 AS DOUBLE) AS hi
+                    FROM part)
+        SELECT iv.interval_id, COUNT(*) AS n,
+               CAST(ROUND(SUM(e.value) * 10000) AS BIGINT) AS sum_value
+        FROM events e
+        JOIN iv ON e.user_id >= iv.lo AND e.user_id < iv.hi
+        GROUP BY iv.interval_id
+    """,
+    "asof_events_markers_ll": """
+        WITH m AS (SELECT event_id AS marker_id, ts AS mts
+                   FROM events WHERE event_id % 997 = 0)
+        SELECT m.marker_id, COUNT(*) AS n,
+               CAST(ROUND(SUM(e.value) * 10000) AS BIGINT) AS sum_value
+        FROM events e ASOF JOIN m ON e.ts >= m.mts
+        GROUP BY m.marker_id
     """,
     "quantiles_by_flag": """
         SELECT l_returnflag,

@@ -89,6 +89,81 @@ def range_join_broadcast(ds: ray.data.Dataset, intervals,
     return ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 4))
 
 
+def range_join_via_buckets(points: ray.data.Dataset, intervals: ray.data.Dataset,
+                           point_col: str, id_col: str = "interval_id",
+                           lo_col: str = "lo", hi_col: str = "hi",
+                           bucket_width: float | None = None,
+                           num_partitions: int | None = None) -> ray.data.Dataset:
+    """LARGE-LARGE point-in-interval join (VERDICT r3 #5): emits every
+    (point row, interval) pair with ``lo <= point < hi`` — intervals MAY
+    overlap (all matches are produced, unlike range_join_broadcast's
+    first-match over a small non-overlapping set).
+
+    Ray shape — the spatial_join_via_cells pattern on a 1-D key:
+
+    1. both sides get a coarse bucket key ``floor(v / w)``; intervals are
+       REPLICATED to every bucket they overlap (replication factor
+       ~ span/w + 1, so w defaults to the mean interval span — one cheap
+       narrow aggregate — keeping it ~2);
+    2. ONE distributed hash join on the bucket key co-locates each point
+       with exactly the intervals that can match it;
+    3. the exact inequality filters locally.  Each (point, interval) match
+       meets exactly once because a point owns exactly one bucket — no
+       dedup pass.
+
+    Skew note: a bucket holding p points and i intervals produces p*i
+    joined rows before the filter; pathological concentrations (every
+    interval covering one hot value) degrade to that product — pick
+    ``bucket_width`` below the hot-spot span, or pre-split fat intervals,
+    in such corpora."""
+    from .dedup import _join_partitions
+    from ray.data.aggregate import Mean
+
+    if bucket_width is None:
+        stats = intervals.map_batches(
+            lambda t: pa.table({"_span": pa.array(
+                np.asarray(t[hi_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+                - np.asarray(t[lo_col].to_numpy(zero_copy_only=False), dtype=np.float64))}),
+            batch_format="pyarrow").aggregate(Mean("_span", alias_name="w"))
+        bucket_width = float(stats["w"]) or 1.0
+    w = float(bucket_width)
+
+    def point_bucket(t: pa.Table) -> pa.Table:
+        v = np.asarray(t[point_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+        return t.append_column("_rb", pa.array(
+            np.floor(v / w).astype(np.int64)))
+
+    def interval_buckets(t: pa.Table) -> pa.Table:
+        lo = np.asarray(t[lo_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+        hi = np.asarray(t[hi_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+        b0 = np.floor(lo / w).astype(np.int64)
+        b1 = np.floor(hi / w).astype(np.int64)   # hi bucket kept even when
+        counts = b1 - b0 + 1                     # hi % w == 0: false-positive
+        idx = np.repeat(np.arange(t.num_rows), counts)  # bucket, filtered below
+        buckets = b0[idx] + (np.arange(len(idx))
+                             - np.repeat(np.concatenate([[0], np.cumsum(counts)[:-1]]),
+                                         counts))
+        rep = t.select([id_col, lo_col, hi_col]).take(pa.array(idx, type=pa.int64()))
+        return rep.append_column("_rb", pa.array(buckets))
+
+    pts = points.map_batches(point_bucket, batch_format="pyarrow")
+    ivs = intervals.map_batches(interval_buckets, batch_format="pyarrow")
+    joined = pts.join(ivs, join_type="inner",
+                      num_partitions=num_partitions or _join_partitions(),
+                      on=("_rb",))
+
+    def exact(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.drop_columns([lo_col, hi_col, "_rb"])
+        v = np.asarray(t[point_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+        lo = np.asarray(t[lo_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+        hi = np.asarray(t[hi_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+        return t.filter(pa.array((v >= lo) & (v < hi))) \
+            .drop_columns([lo_col, hi_col, "_rb"])
+
+    return joined.map_batches(exact, batch_format="pyarrow")
+
+
 def exact_group_quantile(ds: ray.data.Dataset, group_col: str, value_col: str,
                          q: float = 0.5, bins: int = 1024) -> pa.Table:
     """Exact per-group quantile_disc(q): rank ceil(q*n)-1 on the sorted

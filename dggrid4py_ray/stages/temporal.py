@@ -168,3 +168,130 @@ def asof_join_broadcast(ds: ray.data.Dataset, markers, ts_col: str,
             return res
 
     return ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def asof_join_via_buckets(events: ray.data.Dataset, markers: ray.data.Dataset,
+                          ts_col: str, marker_ts_col: str = "ts",
+                          marker_id_col: str = "marker_id",
+                          out_col: str = "marker_id",
+                          bucket_seconds: float = 86400.0,
+                          keep_unmatched: bool = False) -> ray.data.Dataset:
+    """LARGE-LARGE as-of join (VERDICT r3 #5): each event matched to the
+    LATEST marker with marker_ts <= event_ts, with BOTH sides as Datasets
+    (the broadcast variant needs the marker table driver-small).
+
+    Ray shape — time-bucket cogroup + a tiny carry table:
+
+    1. both sides get ``floor(ts / bucket_seconds)``;
+    2. the marker side reduces to one row per bucket (its last marker:
+       max (ts, id)) via a per-batch partial + per-bucket final — the
+       result is answer-sized (time_range / bucket, e.g. ~9k rows for
+       25 years of hourly buckets) and becomes the broadcast CARRY table:
+       for bucket b, the latest marker in any bucket < b by searchsorted;
+    3. events and markers cogroup per bucket (one hash shuffle keyed on
+       the bucket); inside each group a vectorized sort + forward-fill
+       resolves events against local markers, and events before every
+       local marker fall back to the carry table.  Exact: the latest
+       marker <= t is either in t's bucket or is the carry-in.
+
+    Events with no marker at or before them get -1 (dropped unless
+    ``keep_unmatched``).  Marker-ts ties resolve to the larger marker id
+    (deterministic)."""
+    w_us = np.int64(int(bucket_seconds * 1e6))
+
+    def m_project(t: pa.Table) -> pa.Table:
+        mts = t[marker_ts_col].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        mid = t[marker_id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"_ab": pa.array(mts // w_us), "_mts": pa.array(mts),
+                         "_mid": pa.array(mid)})
+
+    mk = markers.map_batches(m_project, batch_format="pyarrow")
+
+    # per-bucket last marker: per-batch partial keeps one row per bucket,
+    # the final per-bucket max runs over partials only
+    def m_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"_ab": t["_ab"].to_numpy(zero_copy_only=False),
+                           "_mts": t["_mts"].to_numpy(zero_copy_only=False),
+                           "_mid": t["_mid"].to_numpy(zero_copy_only=False)})
+        g = df.sort_values(["_mts", "_mid"]).groupby("_ab", sort=True).tail(1)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def m_final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["_mts", "_mid"]).tail(1)
+
+    last = mk.map_batches(m_partial, batch_format="pyarrow") \
+        .groupby("_ab").map_groups(m_final, batch_format="pandas").to_pandas()
+    last = last.sort_values("_ab")
+    cb = last["_ab"].to_numpy(dtype=np.int64)
+    cts = last["_mts"].to_numpy(dtype=np.int64)
+    cid = last["_mid"].to_numpy(dtype=np.int64)
+    carry_ref = ray.put((cb, cts, cid))
+
+    # union schema: event columns + (_ab, _ats, _mts, _mid, _kind)
+    _s = events.schema()          # ray.data Schema wrapper
+    ev_fields = list(zip(_s.names, _s.types))
+
+    def e_project(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        n = t.num_rows
+        return (t.append_column("_ab", pa.array(ts // w_us))
+                 .append_column("_ats", pa.array(ts))
+                 .append_column("_mts", pa.array(np.full(n, -1, dtype=np.int64)))
+                 .append_column("_mid", pa.array(np.full(n, -1, dtype=np.int64)))
+                 .append_column("_kind", pa.array(np.ones(n, dtype=np.int8))))
+
+    def m_union(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {name: pa.nulls(n, type=typ) for name, typ in ev_fields}
+        cols["_ab"] = t["_ab"]
+        cols["_ats"] = t["_mts"]          # sort key: marker sorts by its ts
+        cols["_mts"] = t["_mts"]
+        cols["_mid"] = t["_mid"]
+        cols["_kind"] = pa.array(np.zeros(n, dtype=np.int8))
+        return pa.table(cols)
+
+    ev = events.map_batches(e_project, batch_format="pyarrow")
+    mku = mk.map_batches(m_union, batch_format="pyarrow")
+    both = ev.union(mku)
+
+    drop_cols = ["_ab", "_ats", "_mts", "_mid", "_kind"]
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        # markers (kind 0) sort before events at equal ts -> inclusive <=
+        g = g.sort_values(["_ats", "_kind", "_mid"], kind="stable")
+        mts = g["_mts"].to_numpy(dtype=np.int64)
+        mid = g["_mid"].to_numpy(dtype=np.int64)
+        is_m = (g["_kind"].to_numpy() == 0)
+        # forward-fill the last marker id over the sorted rows
+        idx = np.where(is_m, np.arange(len(g)), -1)
+        ff = np.maximum.accumulate(idx)
+        assigned = np.where(ff >= 0, mid[np.clip(ff, 0, None)], -1)
+        ev_rows = ~is_m
+        out = g.loc[ev_rows].copy()
+        a = assigned[ev_rows]
+        # events before every local marker: carry-in from earlier buckets
+        need = a < 0
+        if need.any():
+            cb_, cts_, cid_ = ray.get(carry_ref)
+            b = int(g["_ab"].iloc[0])
+            pos = np.searchsorted(cb_, b) - 1    # latest bucket < b
+            if pos >= 0:
+                a[need] = cid_[pos]
+        out[out_col] = a
+        out = out.drop(columns=[c for c in drop_cols if c != out_col])
+        # the union's null marker rows coerce integer event columns to
+        # float in pandas — restore the event schema dtypes
+        for name, typ in ev_fields:
+            if pa.types.is_integer(typ) and name in out.columns:
+                out[name] = out[name].astype(typ.to_pandas_dtype())
+        return out
+
+    res = both.groupby("_ab").map_groups(fill, batch_format="pandas")
+    if keep_unmatched:
+        return res
+    import pyarrow.compute as pc
+    return res.map_batches(
+        lambda t: t.filter(pc.greater_equal(t[out_col], 0)),
+        batch_format="pyarrow")

@@ -53,3 +53,38 @@ def test_exact_group_quantile(ray_session):
             vals = np.sort(sub["v"].to_numpy())
             rank = int(np.ceil(q * len(vals))) - 1   # quantile_disc rule
             assert got[g] == vals[rank], (g, q)
+
+
+def test_range_join_via_buckets_matches_broadcast(ray_session):
+    """Large-large bucket-cogroup range join vs the broadcast path on the
+    same non-overlapping intervals (where first-match == all-matches),
+    plus overlap semantics (all pairs) vs a pandas oracle."""
+    import ray.data
+    import pandas as pd
+    from dggrid4py_ray.stages.relational import (range_join_broadcast,
+                                                 range_join_via_buckets)
+    rng = np.random.default_rng(21)
+    pts = pa.table({"pid": pa.array(np.arange(5000), type=pa.int64()),
+                    "v": pa.array(rng.uniform(0, 1000, 5000))})
+    pds = ray.data.from_arrow(pts).repartition(4)
+    # non-overlapping intervals: both paths must agree exactly
+    ivs = [(k, k * 50.0, k * 50.0 + 37.0) for k in range(20)]
+    bcast = range_join_broadcast(pds, ivs, point_col="v").to_pandas()
+    itbl = pa.table({"interval_id": pa.array([i[0] for i in ivs], type=pa.int64()),
+                     "lo": pa.array([i[1] for i in ivs]),
+                     "hi": pa.array([i[2] for i in ivs])})
+    ids_ds = ray.data.from_arrow(itbl).repartition(2)
+    bck = range_join_via_buckets(pds, ids_ds, point_col="v").to_pandas()
+    a = set(zip(bcast["pid"], bcast["interval_id"]))
+    b = set(zip(bck["pid"], bck["interval_id"]))
+    assert a == b and len(bck) == len(b)
+    # overlapping intervals: every matching pair exactly once
+    ivs2 = pa.table({"interval_id": pa.array([0, 1, 2], type=pa.int64()),
+                     "lo": pa.array([0.0, 100.0, 150.0]),
+                     "hi": pa.array([200.0, 300.0, 160.0])})
+    out = range_join_via_buckets(pds, ray.data.from_arrow(ivs2),
+                                 point_col="v", bucket_width=40.0).to_pandas()
+    v = pts["v"].to_numpy()
+    exp = sum(int(((v >= lo) & (v < hi)).sum())
+              for lo, hi in [(0, 200), (100, 300), (150, 160)])
+    assert len(out) == exp == len(set(zip(out["pid"], out["interval_id"])))

@@ -103,3 +103,32 @@ def test_sessionize_scale_100k_users(ray_session):
     assert (got["n_events"].to_numpy() == exps["n_events"].to_numpy()).all()
     assert (got["n_sessions"].to_numpy() == exps["n_sessions"].to_numpy()).all()
     assert dt < 120, dt
+
+
+def test_asof_join_via_buckets_matches_broadcast(ray_session):
+    """Large-large as-of (bucket cogroup + carry table) must agree row-for-
+    row with the broadcast as-of on the same marker set — including events
+    whose bucket holds no marker (carry-in) and events before all markers
+    (dropped / -1)."""
+    from dggrid4py_ray.stages.temporal import (asof_join_broadcast,
+                                               asof_join_via_buckets)
+    import ray.data
+    df = _events(n=6000, seed=31)
+    # markers clustered in a few hours so many daily buckets are empty ->
+    # carry-table path exercised; first marker after some events -> drops
+    markers = [(k, np.datetime64("2024-01-03T06:00:00", "us")
+                + np.timedelta64(int(k * 19 + k * k), "h")) for k in range(12)]
+    ds = _ds(ray_session, df)
+    bc = asof_join_broadcast(ds, markers, "ts").to_pandas()
+    mtbl = pa.table({
+        "marker_id": pa.array([m[0] for m in markers], type=pa.int64()),
+        "ts": pa.array([m[1] for m in markers],
+                       type=pa.timestamp("us"))})
+    bk = asof_join_via_buckets(ds, ray.data.from_arrow(mtbl).repartition(2),
+                               "ts", bucket_seconds=86400.0).to_pandas()
+    a = bc.sort_values("eid").reset_index(drop=True)
+    b = bk.sort_values("eid").reset_index(drop=True)
+    assert len(a) == len(b)
+    assert (a["eid"].to_numpy() == b["eid"].to_numpy()).all()
+    assert (a["marker_id"].to_numpy() == b["marker_id"].to_numpy()).all()
+    assert list(b.dtypes[["uid", "eid"]]) == [np.int64, np.int64]
