@@ -165,11 +165,42 @@ def range_join_via_buckets(points: ray.data.Dataset, intervals: ray.data.Dataset
 
 
 def exact_group_quantile(ds: ray.data.Dataset, group_col: str, value_col: str,
-                         q: float = 0.5, bins: int = 1024) -> pa.Table:
+                         q: float = 0.5, bins: int = 1024,
+                         max_groups: int = 100_000,
+                         collect_threshold: int = 65_536) -> pa.Table:
     """Exact per-group quantile_disc(q): rank ceil(q*n)-1 on the sorted
-    group, computed with two streaming passes (histogram locate + in-bin
-    collect).  Returns a small Arrow table (group, quantile)."""
-    # pass 0: global value range + per-group counts (one combined pass)
+    group.  Returns a small Arrow table (group, quantile).
+
+    GROUP-CARDINALITY REGIME: the per-group driver state (counts, ranges,
+    target bins — a few dozen bytes per group) bounds this operator to
+    answer-sized group counts; it raises above ``max_groups``.  For
+    per-document / per-cell key spaces use stages/groupagg.grouped_reduce
+    (sum/min/max) or rethink the statistic — an exact quantile per
+    high-cardinality key is a sorted-neighborhood problem, not a
+    histogram one.
+
+    Shape (ADVICE r3 fix — no per-group materialization even for
+    degenerate distributions):
+
+    * pass 0: per-group (count, min, max).  Constant groups (min == max)
+      are answered immediately; each group's histogram range is its OWN
+      [min, max] (a global range stretched by one outlier group no longer
+      degrades the others).
+    * refinement passes: per-group histogram into ``bins`` nested
+      sub-bins of the current target bin.  Bin membership is the SAME
+      deterministic formula ``floor((v - lo)/w * bins^depth)`` in every
+      pass, so the partition is consistent regardless of float boundary
+      error.  Each pass divides the in-range count by up to ``bins``;
+      refinement stops per group when the count is <= collect_threshold,
+      the sub-bin width hits float resolution (mass of duplicates), or
+      the depth would overflow float64's 52-bit mantissa.
+    * final pass: collect (value, count) partials — per-batch np.unique —
+      for the surviving target ranges, so even a bin holding 10^9
+      duplicates of one value reaches the driver as one row.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    # pass 0: per-group count/min/max
     def stats(t: pa.Table) -> pa.Table:
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
         g = t[group_col].to_numpy(zero_copy_only=False)
@@ -177,61 +208,129 @@ def exact_group_quantile(ds: ray.data.Dataset, group_col: str, value_col: str,
         agg = df.groupby(group_col, sort=False)["v"].agg(["count", "min", "max"]).reset_index()
         return pa.Table.from_pandas(agg, preserve_index=False)
 
-    from ray.data.aggregate import Max, Min, Sum
     st = (ds.map_batches(stats, batch_format="pyarrow")
             .groupby(group_col).aggregate(Sum("count", alias_name="n"),
                                           Min("min", alias_name="lo"),
                                           Max("max", alias_name="hi"))).to_pandas()
-    st = st.set_index(group_col)
-    lo_all = float(st["lo"].min())
-    hi_all = float(st["hi"].max())
-    width = (hi_all - lo_all) or 1.0
-    gref = ray.put((lo_all, width))
+    if len(st) > max_groups:
+        raise ValueError(
+            f"exact_group_quantile: {len(st)} groups exceeds max_groups="
+            f"{max_groups}; this operator keeps per-group state on the "
+            "driver — for high-cardinality keys use stages/groupagg."
+            "grouped_reduce or raise max_groups explicitly")
 
-    # pass 1: per-group histograms over the global range
-    def hist(t: pa.Table) -> pa.Table:
-        lo0, w = ray.get(gref)
-        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        g = t[group_col].to_numpy(zero_copy_only=False)
-        b = np.clip(((v - lo0) / w * bins).astype(np.int64), 0, bins - 1)
-        df = pd.DataFrame({group_col: g, "b": b})
-        agg = df.groupby([group_col, "b"], sort=False).size().reset_index(name="c")
-        return pa.Table.from_pandas(agg, preserve_index=False)
+    done: dict = {}
+    # state per unresolved group: (lo, w, depth, target_prefix, rank, cnt)
+    # membership at depth d: floor((v - lo) / w * bins**d) == target_prefix
+    state: dict = {}
+    for _, row in st.iterrows():
+        grp = row[group_col]
+        n = int(row["n"])
+        rank = int(np.ceil(q * n)) - 1 if q > 0 else 0
+        rank = max(rank, 0)
+        lo, hi = float(row["lo"]), float(row["hi"])
+        if lo == hi:
+            done[grp] = lo                       # constant group
+        else:
+            state[grp] = (lo, hi - lo, 0, 0, rank, n)
 
-    h = (ds.map_batches(hist, batch_format="pyarrow")
-           .groupby([group_col, "b"]).aggregate(Sum("c", alias_name="c"))).to_pandas()
+    max_depth = max(1, int(52 / np.log2(bins)) - 1)
 
-    # locate the target bin per group
-    targets = {}
-    for grp, sub in h.groupby(group_col):
-        sub = sub.sort_values("b")
-        n = int(st.loc[grp, "n"])
-        rank = int(np.ceil(q * n)) - 1  # 0-based, quantile_disc semantics
-        cum = sub["c"].cumsum().to_numpy()
-        pos = int(np.searchsorted(cum, rank + 1))
-        bin_id = int(sub["b"].iloc[pos])
-        before = int(cum[pos - 1]) if pos else 0
-        targets[grp] = (bin_id, rank - before)  # rank within the bin
+    def _hist_pass(cur: dict) -> pd.DataFrame:
+        sref = ray.put(cur)
 
-    tref = ray.put({g: b for g, (b, _) in targets.items()})
+        def hist(t: pa.Table) -> pa.Table:
+            s = ray.get(sref)
+            v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            g = t[group_col].to_numpy(zero_copy_only=False)
+            gs = pd.Series(g)
+            lo = gs.map({k: x[0] for k, x in s.items()}).to_numpy(dtype=np.float64,
+                                                                  na_value=np.nan)
+            sel = ~np.isnan(lo)
+            if not sel.any():
+                return pa.table({group_col: pa.array(g[:0]),
+                                 "b": pa.array([], pa.int64()),
+                                 "c": pa.array([], pa.int64())})
+            w = gs.map({k: x[1] for k, x in s.items()}).to_numpy(dtype=np.float64)
+            dep = gs.map({k: x[2] for k, x in s.items()}).to_numpy(dtype=np.float64)
+            pref = gs.map({k: x[3] for k, x in s.items()}).to_numpy(dtype=np.float64)
+            scale = np.power(float(bins), dep[sel] + 1)
+            frac = np.clip((v[sel] - lo[sel]) / w[sel], 0.0, 1.0)
+            b = np.minimum((frac * scale).astype(np.int64),
+                           (scale - 1).astype(np.int64))
+            keep = (b // bins) == pref[sel].astype(np.int64)
+            df = pd.DataFrame({group_col: g[sel][keep], "b": b[keep]})
+            agg = df.groupby([group_col, "b"], sort=False).size().reset_index(name="c")
+            return pa.Table.from_pandas(agg, preserve_index=False)
 
-    # pass 2: collect only the values in each group's target bin
-    def collect(t: pa.Table) -> pa.Table:
-        lo0, w = ray.get(gref)
-        tgt = ray.get(tref)
-        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        g = t[group_col].to_numpy(zero_copy_only=False)
-        b = np.clip(((v - lo0) / w * bins).astype(np.int64), 0, bins - 1)
-        tgt_b = pd.Series(g).map(tgt).fillna(-1).to_numpy()
-        keep = tgt_b == b
-        return pa.table({group_col: pa.array(g[keep]),
-                         "v": pa.array(t[value_col].to_numpy(zero_copy_only=False)[keep])})
+        return (ds.map_batches(hist, batch_format="pyarrow")
+                  .groupby([group_col, "b"])
+                  .aggregate(Sum("c", alias_name="c"))).to_pandas()
 
-    inbin = ds.map_batches(collect, batch_format="pyarrow").to_pandas()
-    rows = []
-    for grp, (_, in_rank) in targets.items():
-        vals = np.sort(inbin.loc[inbin[group_col] == grp, "v"].to_numpy())
-        rows.append((grp, vals[in_rank]))
-    rows.sort()
+    while state:
+        refine = {g: s for g, s in state.items()
+                  if s[5] > collect_threshold and s[2] < max_depth
+                  and s[1] / (float(bins) ** (s[2] + 1)) > 4 * np.finfo(np.float64).eps
+                  * max(abs(s[0]), 1.0)}
+        if not refine:
+            break
+        h = _hist_pass(refine)
+        seen = set(h[group_col]) if len(h) else set()
+        for grp in refine:
+            if grp not in seen:   # float-edge stall: fall through to collect
+                lo, w, dep, pref, rank, cnt = refine[grp]
+                state[grp] = (lo, w, dep, pref, rank, 0)
+        for grp, sub in h.groupby(group_col):
+            lo, w, dep, pref, rank, cnt = refine[grp]
+            sub = sub.sort_values("b")
+            cum = sub["c"].cumsum().to_numpy()
+            pos = int(np.searchsorted(cum, rank + 1))
+            new_pref = int(sub["b"].iloc[pos])
+            before = int(cum[pos - 1]) if pos else 0
+            state[grp] = (lo, w, dep + 1, new_pref,
+                          rank - before, int(sub["c"].iloc[pos]))
+
+    # final: (value, count) distinct-collect for all unresolved groups
+    if state:
+        sref = ray.put(state)
+
+        def collect(t: pa.Table) -> pa.Table:
+            s = ray.get(sref)
+            v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            g = t[group_col].to_numpy(zero_copy_only=False)
+            gs = pd.Series(g)
+            lo = gs.map({k: x[0] for k, x in s.items()}).to_numpy(dtype=np.float64,
+                                                                  na_value=np.nan)
+            sel = ~np.isnan(lo)
+            empty = pa.table({group_col: pa.array(g[:0]),
+                              "v": pa.array([], pa.float64()),
+                              "c": pa.array([], pa.int64())})
+            if not sel.any():
+                return empty
+            w = gs.map({k: x[1] for k, x in s.items()}).to_numpy(dtype=np.float64)
+            dep = gs.map({k: x[2] for k, x in s.items()}).to_numpy(dtype=np.float64)
+            pref = gs.map({k: x[3] for k, x in s.items()}).to_numpy(dtype=np.float64)
+            scale = np.power(float(bins), dep[sel])
+            frac = np.clip((v[sel] - lo[sel]) / w[sel], 0.0, 1.0)
+            b = np.minimum((frac * scale).astype(np.int64),
+                           np.maximum(scale - 1, 0).astype(np.int64))
+            keep = b == pref[sel].astype(np.int64)
+            if not keep.any():
+                return empty
+            df = pd.DataFrame({group_col: g[sel][keep], "v": v[sel][keep]})
+            agg = df.groupby([group_col, "v"], sort=False).size().reset_index(name="c")
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+        inbin = (ds.map_batches(collect, batch_format="pyarrow")
+                   .groupby([group_col, "v"])
+                   .aggregate(Sum("c", alias_name="c"))).to_pandas()
+        for grp, sub in inbin.groupby(group_col):
+            rank = state[grp][4]
+            sub = sub.sort_values("v")
+            cum = sub["c"].cumsum().to_numpy()
+            pos = int(np.searchsorted(cum, rank + 1))
+            done[grp] = float(sub["v"].iloc[pos])
+
+    rows = sorted(done.items())
     return pa.table({group_col: pa.array([r[0] for r in rows]),
                      "quantile": pa.array([float(r[1]) for r in rows])})

@@ -88,3 +88,43 @@ def test_range_join_via_buckets_matches_broadcast(ray_session):
     exp = sum(int(((v >= lo) & (v < hi)).sum())
               for lo, hi in [(0, 200), (100, 300), (150, 160)])
     assert len(out) == exp == len(set(zip(out["pid"], out["interval_id"])))
+
+
+def test_exact_group_quantile_degenerate(ray_session):
+    """ADVICE r3: constant groups, outlier-stretched ranges and mass
+    duplicates must not pull whole groups to the driver — and stay exact."""
+    import ray.data
+    import pandas as pd
+    from dggrid4py_ray.stages.relational import exact_group_quantile
+    rng = np.random.default_rng(5)
+    frames = []
+    # constant-valued group
+    frames.append(pd.DataFrame({"g": "const", "v": np.full(5000, 3.25)}))
+    # one outlier group stretching the global range by 1e12
+    frames.append(pd.DataFrame({"g": "outlier", "v": [0.0, 1e12]}))
+    # normal group, tight range
+    frames.append(pd.DataFrame({"g": "normal", "v": rng.uniform(10, 11, 7001)}))
+    # mass duplicates: 90% of the group is one value
+    mass = np.concatenate([np.full(9000, 42.0), rng.uniform(0, 100, 1000)])
+    frames.append(pd.DataFrame({"g": "mass", "v": mass}))
+    df = pd.concat(frames, ignore_index=True)
+    ds = ray.data.from_pandas(df).repartition(6)
+    out = exact_group_quantile(ds, "g", "v", q=0.5,
+                               collect_threshold=256).to_pandas()
+    got = dict(zip(out["g"], out["quantile"]))
+    # oracle: quantile_disc semantics, rank ceil(q*n)-1 on the sorted group
+    for g, sub in df.groupby("g"):
+        v = np.sort(sub["v"].to_numpy())
+        exp = v[int(np.ceil(0.5 * len(v))) - 1]
+        assert got[g] == exp, (g, got[g], exp)
+
+
+def test_exact_group_quantile_max_groups_guard(ray_session):
+    import ray.data
+    import pandas as pd
+    import pytest
+    from dggrid4py_ray.stages.relational import exact_group_quantile
+    df = pd.DataFrame({"g": np.arange(500), "v": np.arange(500, dtype=np.float64)})
+    with pytest.raises(ValueError, match="max_groups"):
+        exact_group_quantile(ray.data.from_pandas(df), "g", "v",
+                             max_groups=100)
