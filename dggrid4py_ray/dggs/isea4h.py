@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .snyder import SnyderProjection, FullerProjection
+from .snyder import chart_for
 from .sphere import unit_to_lonlat, lonlat_to_unit
 
 _FMASK = (np.int64(1) << 28) - 1
@@ -43,9 +43,9 @@ def unpack(ids):
 class ISEA4HGrid:
     def __init__(self, pole_lon: float = 11.25, pole_lat: float = 58.28252559,
                  azimuth: float = 0.0, projection: str = "ISEA"):
-        cls = FullerProjection if projection.upper() == "FULLER" else SnyderProjection
         self.projection = projection.upper()
-        self.proj = cls(pole_lon=pole_lon, pole_lat=pole_lat, azimuth=azimuth)
+        self.proj = chart_for(projection, pole_lon=pole_lon, pole_lat=pole_lat,
+                              azimuth=azimuth)
         ic = self.proj.icosa
         # plane corners in face_vertices slot order: slot s -> plane corner
         # (slot order (v0, v1, v2) sits at plane corners (0, 2, 1))

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .snyder import SnyderProjection, FullerProjection, R_VERTEX_PLANE
+from .snyder import chart_for, R_VERTEX_PLANE
 from .sphere import unit_to_lonlat
 
 _CORN_ANGLES = np.array([np.pi / 2, np.pi / 2 + 2 * np.pi / 3, np.pi / 2 + 4 * np.pi / 3])
@@ -32,9 +32,9 @@ class ISEA4TGrid:
 
     def __init__(self, pole_lon: float = 11.25, pole_lat: float = 58.28252559,
                  azimuth: float = 0.0, projection: str = "ISEA"):
-        cls = FullerProjection if projection.upper() == "FULLER" else SnyderProjection
         self.projection = projection.upper()
-        self.proj = cls(pole_lon=pole_lon, pole_lat=pole_lat, azimuth=azimuth)
+        self.proj = chart_for(projection, pole_lon=pole_lon, pole_lat=pole_lat,
+                              azimuth=azimuth)
         # plane corners of the canonical face triangle (same for every face)
         self.corners = np.stack([R_VERTEX_PLANE * np.cos(_CORN_ANGLES),
                                  R_VERTEX_PLANE * np.sin(_CORN_ANGLES)], axis=1)

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .snyder import SnyderProjection, FullerProjection, R_VERTEX_PLANE
+from .snyder import chart_for, R_VERTEX_PLANE
 from .sphere import lonlat_to_unit, unit_to_lonlat
 
 _OFF = np.int64(1 << 26)  # a/b offset so packed values stay positive
@@ -55,9 +55,9 @@ def unpack(ids):
 class ISEA7HFlatGrid:
     def __init__(self, pole_lon: float = 11.25, pole_lat: float = 58.28252559,
                  azimuth: float = 0.0, projection: str = "ISEA"):
-        cls = FullerProjection if projection.upper() == "FULLER" else SnyderProjection
         self.projection = projection.upper()
-        self.proj = cls(pole_lon=pole_lon, pole_lat=pole_lat, azimuth=azimuth)
+        self.proj = chart_for(projection, pole_lon=pole_lon, pole_lat=pole_lat,
+                              azimuth=azimuth)
         # plane corners (complex) in face-slot order (slots (0,1,2) sit at
         # plane angles (90, 330, 210) deg — see Icosahedron frame notes)
         ang = np.array([np.pi / 2, np.pi / 2 + 4 * np.pi / 3, np.pi / 2 + 2 * np.pi / 3])

@@ -181,6 +181,147 @@ class FullerProjection:
         return q / np.linalg.norm(q, axis=-1, keepdims=True)
 
 
+class GrayFullerProjection(FullerProjection):
+    """Arc-length-equalized Fuller chart — Fuller's parallel-grid
+    construction in the exact-transformation setting of Gray 1995
+    ("Exact Transformation Equations for Fuller's World Map",
+    Cartographica 32(3); reference `dggs_proj FULLER`,
+    dggrid_runner.py:239-240).
+
+    Fuller's stated construction: within each icosahedron face, the family
+    of great-circle arcs "parallel" to an edge — the arc through X(t) on
+    one adjacent edge and Y(t) on the other, both at the SAME arc fraction
+    t from the shared vertex — maps to planar lines parallel to that edge
+    at fraction t.  Forward therefore solves, per opposite-edge family i,
+    for the t_i whose parallel arc contains the point — and because the
+    scalar triple product P . (X(t) x Y(t)) is bilinear in the two slerps,
+    that root is CLOSED FORM: h(t) = s2 (s1 A + s2 B) with per-point
+    scalars A = P.(Vi x Vk + Vj x Vi), B = P.(Vj x Vk), so
+    t = atan2(A sin(theta), A cos(theta) - B) / theta (branch shifted into
+    the geometric range).  This gives barycentric alpha_i = 1 - t_i.  The three
+    parallels are NOT exactly concurrent (Fuller's construction
+    over-determines the point — the discrepancy triangle is what Gray's
+    paper quantifies); the chart takes its centroid, i.e. adds the equal
+    correction (1 - sum alpha)/3 to each coordinate.  Along the face
+    edges the construction is exactly arc-proportional (the property the
+    gnomonic chart lacks), and area distortion at the face corners drops
+    accordingly (tested).
+
+    Inverse is a damped 2x2 Newton in the gnomonic parameter chart with
+    finite-difference Jacobian (the warp Gray-vs-gnomonic is small and
+    smooth, so it converges in a handful of steps to float precision).
+
+    NO golden FULLER output exists in the offline reference to calibrate
+    against (COVERAGE.md); cell counts / codec roundtrips are exact under
+    any exact chart, cell boundary coordinates may deviate from DGGRID's
+    Fuller output by the (unpublished) tie-break DGGRID uses for the same
+    non-concurrency.  The plain gnomonic chart remains available as
+    FullerProjection."""
+
+    def __init__(self, icosa: Icosahedron | None = None, **orient):
+        super().__init__(icosa, **orient)
+        ic = self.icosa
+        self._fv = ic.vertices[ic.face_vertices]          # (20, 3, 3)
+        corners = np.zeros((20, 3, 2))
+        f_all = np.arange(20, dtype=np.int64)
+        for j in range(3):
+            _, x, y = FullerProjection._forward_on(self, self._fv[:, j, :], f_all)
+            corners[:, j, 0] = x
+            corners[:, j, 1] = y
+        self._corners = corners
+        # arc angle between adjacent vertices per (face, from-vertex, to-vertex)
+        d01 = np.einsum("fj,fj->f", self._fv[:, 0], self._fv[:, 1])
+        self._theta = np.arccos(np.clip(d01, -1, 1))      # uniform on icosa
+
+    # -- forward ------------------------------------------------------------
+
+    def _parallel_t(self, p: np.ndarray, vi: np.ndarray, vj: np.ndarray,
+                    vk: np.ndarray, theta: np.ndarray) -> np.ndarray:
+        """Root of P . (X(t) x Y(t)) with X = slerp(vi, vj, t),
+        Y = slerp(vi, vk, t): the arc-fraction t of the parallel-to-(vj,vk)
+        great circle through each point.  Cross-product bilinearity reduces
+        h(t) to s2 (s1 A + s2 B), a pure sinusoid in t*theta, so the root
+        is a single atan2 (validated to 3e-14 against a 55-step bisection
+        of the raw triple product).  The sinusoid's period pi/theta
+        (~2.84 for the icosahedron) aliases the root; we shift into
+        [0, 2) preferring the geometric (positive-overshoot) branch, else
+        the just-behind-the-vertex negative branch."""
+        a = np.einsum("...j,...j->...", p, np.cross(vi, vk) + np.cross(vj, vi))
+        b = np.einsum("...j,...j->...", p, np.cross(vj, vk))
+        t = np.arctan2(a * np.sin(theta), a * np.cos(theta) - b) / theta
+        period = np.pi / theta
+        t = np.mod(t, period)
+        return np.where(t > 2.0, t - period, t)
+
+    def _bary(self, p: np.ndarray, face: np.ndarray) -> np.ndarray:
+        """(..., 3) centroid-corrected barycentric coordinates."""
+        v = self._fv[face]                                # (..., 3, 3)
+        theta = self._theta[face]
+        alpha = np.empty(p.shape[:-1] + (3,))
+        for i in range(3):
+            t = self._parallel_t(p, v[..., i, :], v[..., (i + 1) % 3, :],
+                                 v[..., (i + 2) % 3, :], theta)
+            alpha[..., i] = 1.0 - t
+        s = alpha.sum(axis=-1)
+        alpha += ((1.0 - s) / 3.0)[..., None]
+        return alpha
+
+    def _forward_on(self, p, face):
+        alpha = self._bary(p, face)
+        corners = self._corners[face]                     # (..., 3, 2)
+        xy = np.einsum("...i,...ij->...j", alpha, corners)
+        return face, xy[..., 0], xy[..., 1]
+
+    # -- inverse ------------------------------------------------------------
+
+    def inverse_unit(self, face, x, y):
+        face = np.asarray(face, dtype=np.int64)
+        x = np.asarray(x, np.float64)
+        y = np.asarray(y, np.float64)
+        # Newton in the gnomonic chart (u, v); init = target (charts agree
+        # at corners/center and differ by a small smooth warp)
+        u = x.astype(np.float64).copy()
+        v = y.astype(np.float64).copy()
+        step = 1e-6 * R_VERTEX_PLANE
+
+        def fwd(uu, vv):
+            p = FullerProjection.inverse_unit(self, face, uu, vv)
+            _, fx, fy = self._forward_on(p, face)
+            return fx, fy
+
+        for _ in range(12):
+            fx, fy = fwd(u, v)
+            rx = fx - x
+            ry = fy - y
+            if max(np.max(np.abs(rx)), np.max(np.abs(ry))) < 1e-12 * R_VERTEX_PLANE:
+                break
+            fxu, fyu = fwd(u + step, v)
+            fxv, fyv = fwd(u, v + step)
+            j11 = (fxu - fx) / step
+            j21 = (fyu - fy) / step
+            j12 = (fxv - fx) / step
+            j22 = (fyv - fy) / step
+            det = j11 * j22 - j12 * j21
+            det = np.where(np.abs(det) < 1e-12, 1.0, det)
+            u -= (j22 * rx - j12 * ry) / det
+            v -= (-j21 * rx + j11 * ry) / det
+        return FullerProjection.inverse_unit(self, face, u, v)
+
+
+def chart_for(projection: str, **orient):
+    """Per-face chart for a `dggs_proj` name.  ISEA -> Snyder equal-area;
+    FULLER -> Gray's arc-equalized Fuller chart (what DGGRID's Fuller
+    projection implements, per Gray 1995 — reference dggrid_runner.py:239);
+    FULLER_GNOMONIC -> the plain gnomonic Dymaxion chart (engine extension,
+    kept for speed and as the pre-round-4 behavior)."""
+    n = projection.upper()
+    if n == "FULLER":
+        return GrayFullerProjection(**orient)
+    if n == "FULLER_GNOMONIC":
+        return FullerProjection(**orient)
+    return SnyderProjection(**orient)
+
+
 class SnyderProjection:
     """Vectorized forward (sphere->face plane) and inverse projections."""
 

@@ -64,8 +64,10 @@ def make_grid(dggs: Dggs):
     IGEO7/ISEA7H -> the hierarchical IGeo7 engine (full surface: hierarchy,
     neighbors, boundaries).  ISEA4H / ISEA3H / ISEA43H / ISEA4T / ISEA4D ->
     the projection-exact face-lattice engines (encode/decode surface).
-    FULLER* presets swap the per-face chart to the Fuller/Dymaxion gnomonic
-    (snyder.FullerProjection); PLANETRISK/SUPERFUND resolve to their
+    FULLER* presets swap the per-face chart to Gray's arc-equalized Fuller
+    projection (snyder.GrayFullerProjection, what DGGRID's `dggs_proj
+    FULLER` implements; the plain gnomonic stays available as
+    projection="FULLER_GNOMONIC"); PLANETRISK/SUPERFUND resolve to their
     mixed-aperture grids via config.dgselect.
     """
     orient = dict(pole_lon=dggs.pole_lon_deg, pole_lat=dggs.pole_lat_deg,
