@@ -33,12 +33,23 @@ INT_TYPES = {"Z7", "SEQNUM", "ZORDER"}
 
 
 class AddressCodec:
-    """Vectorized any-to-any address converter for one grid + resolution."""
+    """Vectorized any-to-any address converter for one grid + resolution.
 
-    def __init__(self, grid: IGeo7Grid | None = None, res: int = 9):
+    ``seqnum_order`` picks the SEQNUM numbering: ``"dggrid"`` (default) is
+    the golden-calibrated quad-ij order the reference binary emits — but its
+    southern-hemisphere quads (6-10) are a symmetric extension with NO
+    golden DGGRID data to calibrate against (dggs/dggrid_seqnum.py), so
+    southern parity is unverified; ``"native"`` opts out to the engine's own
+    deterministic base/ring order (stable across versions, no parity claim)."""
+
+    def __init__(self, grid: IGeo7Grid | None = None, res: int = 9,
+                 seqnum_order: str = "dggrid"):
         self.grid = grid or IGeo7Grid()
         self.res = int(res)
         self._snyder = None
+        if seqnum_order not in ("dggrid", "native"):
+            raise ValueError(f"seqnum_order must be 'dggrid' or 'native', got {seqnum_order!r}")
+        self.seqnum_order = seqnum_order
 
     # -- parse: representation -> canonical z7 int64 ------------------------
 
@@ -52,7 +63,7 @@ class AddressCodec:
             return ig.z7_from_hex(values)
         if t == "SEQNUM":
             vals = np.asarray(values, dtype=np.int64)
-            if hasattr(self.grid, "from_seqnum_dggrid"):
+            if self.seqnum_order == "dggrid" and hasattr(self.grid, "from_seqnum_dggrid"):
                 # DGGRID's quad-ij SEQNUM order (golden-calibrated; see
                 # dggs/dggrid_seqnum.py) — what the reference binary emits
                 return self.grid.from_seqnum_dggrid(vals, self.res)
@@ -90,7 +101,7 @@ class AddressCodec:
         if t == "Z7_HEX":
             return ig.z7_to_hex(z7)
         if t == "SEQNUM":
-            if hasattr(self.grid, "to_seqnum_dggrid"):
+            if self.seqnum_order == "dggrid" and hasattr(self.grid, "to_seqnum_dggrid"):
                 return self.grid.to_seqnum_dggrid(z7, self.res)
             return ig.z7_to_seqnum(z7, pent_digits=getattr(self.grid,
                                                            "pent_digits", None))

@@ -441,11 +441,13 @@ def run_flagship_checkpointed(in_path: str, out_dir: str, resolution: int = 9,
 
 def address_transform(cell_ids_or_values, dggs_type: str = "IGEO7", resolution: int = 9,
                       input_address_type: str = "Z7", output_address_type: str = "SEQNUM",
-                      **kw) -> pa.Table:
+                      seqnum_order: str = "dggrid", **kw) -> pa.Table:
     """Driver-side codec transform for explicit lists (reference
     address_transform, dggrid_runner.py:1962-2025).  For datasets use the
-    AddressTransformer stage."""
+    AddressTransformer stage.  ``seqnum_order="native"`` opts out of the
+    DGGRID quad-ij SEQNUM numbering (whose southern quads are uncalibrated —
+    see dggs/dggrid_seqnum.py) to the engine-native order."""
     from ..dggs.codecs import AddressCodec
     dggs = dgselect(dggs_type, resolution=resolution, **kw)
-    codec = AddressCodec(make_grid(dggs), dggs.resolution)
+    codec = AddressCodec(make_grid(dggs), dggs.resolution, seqnum_order=seqnum_order)
     return codec.transform_table(cell_ids_or_values, input_address_type, output_address_type)

@@ -136,12 +136,14 @@ class AddressTransformer:
     address_transform, dggrid_runner.py:1962-2025)."""
 
     def __init__(self, dggs: Dggs, input_address_type: str, output_address_type: str,
-                 in_col: str = "address", out_col: str | None = None):
+                 in_col: str = "address", out_col: str | None = None,
+                 seqnum_order: str = "dggrid"):
         self.dggs = dggs
         self.in_type = input_address_type.upper()
         self.out_type = output_address_type.upper()
         self.in_col = in_col
         self.out_col = out_col or self.out_type.lower()
+        self.seqnum_order = seqnum_order
 
     def _read_in(self, batch: pa.Table):
         t = self.in_type
@@ -159,7 +161,8 @@ class AddressTransformer:
         return batch[self.in_col].to_numpy(zero_copy_only=False)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        codec = AddressCodec(grid_for(self.dggs), self.dggs.resolution)
+        codec = AddressCodec(grid_for(self.dggs), self.dggs.resolution,
+                             seqnum_order=self.seqnum_order)
         z7 = codec.parse(self._read_in(batch), self.in_type)
         out = codec.emit(z7, self.out_type)
         return batch.append_column(self.out_col, codec._as_arrow(out, self.out_type))
