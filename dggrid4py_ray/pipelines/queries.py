@@ -1101,6 +1101,70 @@ def isea43h_binning(sf_dir: str):
     })
 
 
+def _chain_edges(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic duplicate-candidate PATH graph: an edge between each
+    pair of doc_id-consecutive documents of the same lang.  Distributed
+    construction: ONE range sort on (lang, doc_id), block-local consecutive
+    pairing, plus a tiny driver-stitched table for the #blocks cross-block
+    adjacencies (the sessionize/grouped_reduce boundary idiom)."""
+    srt = (_read(sf_dir, "documents", ["doc_id", "lang"])
+           .sort(["lang", "doc_id"]).materialize())
+
+    def ends(t: pa.Table) -> pa.Table:
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        return pa.table({
+            "first_lang": pa.array(lang[:1]), "first_id": pa.array(did[:1]),
+            "last_lang": pa.array(lang[n - 1:n] if n else lang[:0]),
+            "last_id": pa.array(did[n - 1:n] if n else did[:0])})
+
+    rows = srt.map_batches(ends, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (r["first_lang"], r["first_id"]))
+    stitch_l, stitch_r = [], []
+    for prev, nxt in zip(rows, rows[1:]):
+        if prev["last_lang"] == nxt["first_lang"]:
+            stitch_l.append(prev["last_id"])
+            stitch_r.append(nxt["first_id"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        same = lang[1:] == lang[:-1]
+        return pa.table({"left_id": pa.array(did[:-1][same]),
+                         "right_id": pa.array(did[1:][same])})
+
+    edges = srt.map_batches(pairs, batch_format="pyarrow")
+    if stitch_l:
+        edges = edges.union(ray.data.from_arrow(pa.table({
+            "left_id": pa.array(np.asarray(stitch_l, dtype=np.int64)),
+            "right_id": pa.array(np.asarray(stitch_r, dtype=np.int64))})))
+    return edges
+
+
+def cc_clusters_docs(sf_dir: str):
+    """Transitive duplicate-cluster consolidation: connected components
+    (alternating large-star/small-star) over a PATH graph of per-lang
+    doc_id-consecutive candidate pairs.  Components are ~lang-sized chains
+    (tens to hundreds of hops), so the result is only right if cluster ids
+    propagate transitively across the whole path — cluster_id must equal
+    MIN(doc_id) OVER (PARTITION BY lang), which is the oracle."""
+    from ..stages.components import connected_components
+    out = connected_components(_chain_edges(sf_dir))
+    return out.sort("doc_id")
+
+
+def dedup_canonical_docs(sf_dir: str):
+    """Cluster-canonical dedup keep-list: connected components over the
+    chain pairs -> keep one doc per cluster (the min id) via ONE
+    distributed anti-join; lang singletons (absent from any pair) are kept
+    as their own canonical."""
+    from ..stages.components import connected_components, keep_canonical
+    assign = connected_components(_chain_edges(sf_dir))
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return keep_canonical(docs, assign).sort("doc_id")
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -1142,6 +1206,8 @@ QUERIES = {
     "ngram_verified_pairs": ngram_verified_pairs,
     "embedding_dup_pairs": embedding_dup_pairs,
     "ann_ivf_top10": ann_ivf_top10,
+    "cc_clusters_docs": cc_clusters_docs,
+    "dedup_canonical_docs": dedup_canonical_docs,
 }
 
 ORACLES = {
@@ -1489,5 +1555,17 @@ ORACLES = {
             ('golden_seqnum', '51548'),
             ('golden_seqnum', '51695')
         ) AS t(kind, value)
+    """,
+    "cc_clusters_docs": """
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY lang) AS cluster_id
+        FROM documents
+        WHERE lang IN (SELECT lang FROM documents
+                       GROUP BY lang HAVING COUNT(*) > 1)
+        ORDER BY doc_id
+    """,
+    "dedup_canonical_docs": """
+        SELECT doc_id, lang FROM documents
+        WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY lang)
+        ORDER BY doc_id
     """,
 }
