@@ -1142,6 +1142,31 @@ def _chain_edges(sf_dir: str) -> ray.data.Dataset:
     return edges
 
 
+def weighted_sample_docs(sf_dir: str):
+    """Deterministic weighted sampling without replacement (A-Res
+    hash-priority): 25 docs by n_chars weight — long docs proportionally
+    likelier; zero shuffle on the corpus (per-batch top-k partials)."""
+    from ..stages.sampling import weighted_sample
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out = weighted_sample(ds, "doc_id", "n_chars", k=25)
+    return out.sort("doc_id")
+
+
+def heavy_tokens_docs(sf_dir: str):
+    """Top-10 most frequent whitespace tokens corpus-wide via the
+    mergeable Misra-Gries summary (capacity chosen above the corpus
+    distinct-token count at gate scale => exact regime; pytest covers the
+    bounded-error approximate regime)."""
+    from ..stages.sampling import heavy_hitters
+    ds = _read(sf_dir, "documents", ["text"])
+    toks = ds.map_batches(
+        lambda t: pa.table({"token": pc.list_flatten(
+            pc.split_pattern(t["text"], " "))}),
+        batch_format="pyarrow")
+    out = heavy_hitters(toks, "token", k=10, capacity=65536)
+    return out.select(["token", "cnt", "rank"])
+
+
 def cc_clusters_docs(sf_dir: str):
     """Transitive duplicate-cluster consolidation: connected components
     (alternating large-star/small-star) over a PATH graph of per-lang
@@ -1206,6 +1231,8 @@ QUERIES = {
     "ngram_verified_pairs": ngram_verified_pairs,
     "embedding_dup_pairs": embedding_dup_pairs,
     "ann_ivf_top10": ann_ivf_top10,
+    "weighted_sample_docs": weighted_sample_docs,
+    "heavy_tokens_docs": heavy_tokens_docs,
     "cc_clusters_docs": cc_clusters_docs,
     "dedup_canonical_docs": dedup_canonical_docs,
 }
@@ -1555,6 +1582,23 @@ ORACLES = {
             ('golden_seqnum', '51548'),
             ('golden_seqnum', '51695')
         ) AS t(kind, value)
+    """,
+    "heavy_tokens_docs": """
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token)
+                    AS BIGINT) AS rank
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+        ORDER BY cnt DESC, token
+        LIMIT 10
+    """,
+    "weighted_sample_docs": """
+        SELECT doc_id, lang, n_chars FROM (
+            SELECT * FROM documents
+            ORDER BY ln((CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) AS DOUBLE)
+                         + 0.5) / 18446744073709551616.0) / n_chars DESC
+            LIMIT 25
+        ) ORDER BY doc_id
     """,
     "cc_clusters_docs": """
         SELECT doc_id, MIN(doc_id) OVER (PARTITION BY lang) AS cluster_id

@@ -115,3 +115,109 @@ def hll_estimate(partials: ray.data.Dataset, p: int = 12) -> float:
 def hll_distinct(ds: ray.data.Dataset, key_col: str, p: int = 12) -> int:
     """Approximate distinct count of `key_col` (deterministic given data)."""
     return int(round(hll_estimate(hll_partials(ds, key_col, p), p)))
+
+
+def weighted_sample(ds: ray.data.Dataset, key_col: str, weight_col: str,
+                    k: int, hash: str = "md5",
+                    keep_priority: bool = False) -> ray.data.Dataset:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-Res): each row gets priority ln(u)/w with u a uniform in
+    (0,1) derived from hash(key) and w = its weight; the k LARGEST
+    priorities are the sample (equivalent to keeping the k smallest
+    exponentials -ln(u)/w, so pairwise inclusion odds are w_i/(w_i+w_j)).
+
+    Like hash_sample, u comes from a hash of the key, not an RNG — the
+    sample is a pure function of (key, weight, k): stable across runs,
+    retries, resumes and cluster sizes, and SQL-oracle-checkable
+    (``ORDER BY ln((CAST(md5_number_upper(CAST(key AS VARCHAR)) AS DOUBLE)
+    + 0.5) / 2^64) / w DESC LIMIT k``).
+
+    100-TB shape: zero shuffle on the corpus — each batch reduces to its
+    local top-k (argpartition), then one narrow sort+limit over the
+    ~k-per-block partials.  Weights must be > 0 (raises otherwise).
+
+    Float caveat: numpy's and an oracle engine's ln() may differ in the
+    last ulp; selection only flips if the k-th and (k+1)-th priorities are
+    within ~1e-15 relative, so for value-hash comparisons use data without
+    adversarial near-ties (any real corpus qualifies)."""
+    if hash not in ("md5", "fast"):
+        raise ValueError(f"hash must be 'md5' or 'fast', got {hash!r}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("_priority",
+                                       pa.array([], pa.float64()))
+        if hash == "fast":
+            from .hashing import hash64
+            h = hash64(batch[key_col])
+        else:
+            h = _md5_u64(batch[key_col].to_numpy(zero_copy_only=False))
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if not (w > 0).all():
+            raise ValueError("weighted_sample requires weights > 0")
+        u = (h.astype(np.float64) + 0.5) / 18446744073709551616.0
+        pr = np.log(u) / w
+        if len(pr) > k:
+            idx = np.argpartition(-pr, k - 1)[:k]
+            batch, pr = batch.take(pa.array(idx, pa.int64())), pr[idx]
+        return batch.append_column("_priority", pa.array(pr))
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .sort("_priority", descending=True).limit(k))
+    return out if keep_priority else out.drop_columns(["_priority"])
+
+
+def heavy_hitters(ds: ray.data.Dataset, col: str, k: int = 10,
+                  capacity: int = 4096) -> pa.Table:
+    """Top-k frequent values with a mergeable Misra-Gries summary
+    (Agarwal et al., "Mergeable Summaries", PODS'12).
+
+    Per batch: EXACT vectorized counts (np.unique), then MG-compress to
+    ``capacity`` entries by subtracting the (capacity+1)-th largest count
+    from all and keeping the positive ones — the subtracted offset is the
+    batch's contribution to the global undercount bound.  Merge: one
+    grouped SUM over the compressed partials (sort-based grouped_reduce —
+    the merged key space is capacity x blocks, never the raw value space)
+    plus a scalar sum of offsets.  Driver sees only the answer-sized
+    merged summary.
+
+    Guarantees: every value with true frequency > sum(offsets) is present;
+    for each returned value, cnt <= true <= cnt + err (err = summed
+    offsets, also returned).  With capacity >= per-batch distinct values,
+    offsets are all 0 and the result is EXACT (the SQL-oracle regime).
+
+    Returns a small Arrow table (col, cnt, rank) of the top-k by
+    (cnt DESC, value ASC), with err in the table metadata-free column
+    "err" repeated per row (answer-sized, harmless)."""
+    from .groupagg import grouped_reduce
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch[col].to_numpy(zero_copy_only=False)
+        keys, cnts = np.unique(vals, return_counts=True)
+        off = 0
+        if len(keys) > capacity:
+            kth = np.partition(cnts, len(cnts) - capacity - 1)[len(cnts) - capacity - 1]
+            keep = cnts > kth
+            keys, cnts = keys[keep], cnts[keep] - kth
+            off = int(kth)
+        return pa.table({col: pa.array(keys),
+                         "_cnt": pa.array(cnts.astype(np.int64)),
+                         "_off": pa.array(np.full(len(keys), off, np.int64)),
+                         "_is_first": pa.array(
+                             np.r_[True, np.zeros(len(keys) - 1, bool)]
+                             if len(keys) else np.zeros(0, bool))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    # merged key space is capacity x blocks: distributed sort-merge + a
+    # distributed top-k (sort + limit) — the driver only ever sees k rows
+    merged = (grouped_reduce(parts, key=col, col_map={"_cnt": "cnt"},
+                             how="sum")
+              .sort(["cnt", col], descending=[True, False])
+              .limit(k).to_pandas())
+    err = int(parts.map_batches(
+        lambda t: t.filter(t["_is_first"]).select(["_off"]),
+        batch_format="pyarrow").sum("_off") or 0)
+    merged["rank"] = np.arange(1, len(merged) + 1)
+    merged["err"] = err
+    return pa.Table.from_pandas(merged.reset_index(drop=True),
+                                preserve_index=False)

@@ -1,6 +1,7 @@
 """hash_sample + HyperLogLog (stages/sampling.py)."""
 
 import numpy as np
+import pytest
 import pyarrow as pa
 
 
@@ -29,3 +30,60 @@ def test_hll_accuracy_and_parallel_determinism(ray_session):
     ds2 = ray.data.range(n, override_num_blocks=3).map_batches(
         lambda t: pa.table({"k": t["id"].to_numpy() % 7333}), batch_format="pyarrow")
     assert hll_distinct(ds2, "k", p=12) == est
+
+
+def test_weighted_sample_deterministic_and_biased(ray_session):
+    import ray.data
+    import pandas as pd
+    from dggrid4py_ray.stages.sampling import weighted_sample
+
+    n = 2000
+    df = pd.DataFrame({"id": np.arange(n),
+                       "w": np.where(np.arange(n) < 100, 1000.0, 1.0)})
+    ds = ray.data.from_pandas(df).repartition(6)
+    s1 = weighted_sample(ds, "id", "w", k=50).to_pandas()
+    s2 = weighted_sample(ds, "id", "w", k=50).to_pandas()
+    assert len(s1) == 50
+    # pure function of (key, weight): identical across runs
+    assert sorted(s1["id"]) == sorted(s2["id"])
+    # the 100 heavy rows (1000x weight) should dominate the sample
+    assert (s1["id"] < 100).sum() > 35
+
+    with pytest.raises(Exception):
+        bad = df.copy()
+        bad.loc[0, "w"] = 0.0
+        weighted_sample(ray.data.from_pandas(bad), "id", "w", k=5).to_pandas()
+
+
+def test_heavy_hitters_exact_regime(ray_session):
+    import ray.data
+    import pandas as pd
+    from dggrid4py_ray.stages.sampling import heavy_hitters
+
+    vals = np.repeat(np.arange(50), np.arange(50, 0, -1))  # 0 x50, 1 x49...
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(4)
+    out = heavy_hitters(ds, "v", k=5, capacity=1000).to_pandas()
+    assert list(out["v"]) == [0, 1, 2, 3, 4]
+    assert list(out["cnt"]) == [50, 49, 48, 47, 46]
+    assert (out["err"] == 0).all()
+
+
+def test_heavy_hitters_approx_bounds(ray_session):
+    import ray.data
+    import pandas as pd
+    from dggrid4py_ray.stages.sampling import heavy_hitters
+
+    rng = np.random.default_rng(3)
+    # zipf-ish skew: a few hot keys + a long tail wider than the capacity
+    hot = np.repeat(np.arange(5), 2000)
+    tail = rng.integers(100, 20000, 30000)
+    vals = np.concatenate([hot, tail])
+    rng.shuffle(vals)
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(6)
+    out = heavy_hitters(ds, "v", k=5, capacity=256).to_pandas()
+    err = int(out["err"].iloc[0])
+    assert err > 0                       # genuinely in the approximate regime
+    # MG guarantee: hot keys (true 2000 >> err) are all present, and each
+    # estimate is within [true - err, true]
+    assert set(out["v"]) == {0, 1, 2, 3, 4}
+    assert ((out["cnt"] <= 2000) & (out["cnt"] >= 2000 - err)).all()
