@@ -1167,6 +1167,40 @@ def heavy_tokens_docs(sf_dir: str):
     return out.select(["token", "cnt", "rank"])
 
 
+def bloom_semijoin_events(sf_dir: str):
+    """Large-large EXACT semi-join with Bloom runtime-filter pruning:
+    events whose user_id belongs to a BUILDING-segment customer.  The big
+    side is pruned by a broadcast Bloom filter BEFORE the join exchange
+    (false positives removed by the distributed semi-join), then a small
+    per-event_type aggregate."""
+    from ..stages.bloom import bloom_semi_join
+    events = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    keys = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda t: t.filter(
+            pc.equal(t["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
+            batch_format="pyarrow")
+    sj = bloom_semi_join(events, keys, "user_id", "c_custkey",
+                         num_bits=1 << 16)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "value": t["value"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("event_type", sort=False).agg(
+            n=("value", "size"), s=("value", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (sj.map_batches(partial, batch_format="pyarrow")
+             .groupby("event_type").aggregate(Sum("n", alias_name="n"),
+                                              Sum("s", alias_name="s")))
+    return agg.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"], "n": t["n"],
+                            "sum_value": _iscale(
+                                t["s"].to_numpy(zero_copy_only=False),
+                                10000)}),
+        batch_format="pyarrow").sort("event_type")
+
+
 def cc_clusters_docs(sf_dir: str):
     """Transitive duplicate-cluster consolidation: connected components
     (alternating large-star/small-star) over a PATH graph of per-lang
@@ -1233,6 +1267,7 @@ QUERIES = {
     "ann_ivf_top10": ann_ivf_top10,
     "weighted_sample_docs": weighted_sample_docs,
     "heavy_tokens_docs": heavy_tokens_docs,
+    "bloom_semijoin_events": bloom_semijoin_events,
     "cc_clusters_docs": cc_clusters_docs,
     "dedup_canonical_docs": dedup_canonical_docs,
 }
@@ -1582,6 +1617,15 @@ ORACLES = {
             ('golden_seqnum', '51548'),
             ('golden_seqnum', '51695')
         ) AS t(kind, value)
+    """,
+    "bloom_semijoin_events": """
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(ROUND(SUM(value) * 10000) AS BIGINT) AS sum_value
+        FROM events
+        WHERE user_id IN (SELECT c_custkey FROM customer
+                          WHERE c_mktsegment = 'BUILDING')
+        GROUP BY event_type
+        ORDER BY event_type
     """,
     "heavy_tokens_docs": """
         SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt,
