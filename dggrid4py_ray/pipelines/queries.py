@@ -1201,6 +1201,30 @@ def bloom_semijoin_events(sf_dir: str):
         batch_format="pyarrow").sort("event_type")
 
 
+def knn_sites_events(sf_dir: str):
+    """Geographic kNN join: each event (formula-derived lat/lon, same
+    convention as latlon_bin_events) tagged with its 3 nearest of 20
+    deterministic reference sites by haversine; broadcast site set, zero
+    shuffle, stable tie-break by site_id."""
+    from ..stages.join import knn_join_broadcast
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def coords(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        lon = ((eid * 7919) % 36000).astype(np.float64) / 100.0 - 180.0
+        lat = ((eid * 104729) % 18000).astype(np.float64) / 100.0 - 90.0
+        return (t.append_column("lon", pa.array(lon))
+                 .append_column("lat", pa.array(lat)))
+
+    sites = [(j, ((j * 37) % 140) - 70 + 0.5, ((j * 73) % 360) - 180 + 0.5)
+             for j in range(20)]
+    out = knn_join_broadcast(ds.map_batches(coords, batch_format="pyarrow"),
+                             sites, k=3)
+    return (out.map_batches(
+        lambda t: t.select(["event_id", "site_id", "rank"]),
+        batch_format="pyarrow").sort(["event_id", "rank"]))
+
+
 def cc_clusters_docs(sf_dir: str):
     """Transitive duplicate-cluster consolidation: connected components
     (alternating large-star/small-star) over a PATH graph of per-lang
@@ -1268,6 +1292,7 @@ QUERIES = {
     "weighted_sample_docs": weighted_sample_docs,
     "heavy_tokens_docs": heavy_tokens_docs,
     "bloom_semijoin_events": bloom_semijoin_events,
+    "knn_sites_events": knn_sites_events,
     "cc_clusters_docs": cc_clusters_docs,
     "dedup_canonical_docs": dedup_canonical_docs,
 }
@@ -1617,6 +1642,50 @@ ORACLES = {
             ('golden_seqnum', '51548'),
             ('golden_seqnum', '51695')
         ) AS t(kind, value)
+    """,
+    "knn_sites_events": """
+        WITH pts AS (
+            SELECT event_id,
+                   ((event_id * 104729) % 18000) / 100.0 - 90.0 AS lat,
+                   ((event_id * 7919) % 36000) / 100.0 - 180.0 AS lon
+            FROM events
+        ), sites(site_id, slat, slon) AS (VALUES
+            (0, -69.5, -179.5),
+            (1, -32.5, -106.5),
+            (2, 4.5, -33.5),
+            (3, 41.5, 39.5),
+            (4, -61.5, 112.5),
+            (5, -24.5, -174.5),
+            (6, 12.5, -101.5),
+            (7, 49.5, -28.5),
+            (8, -53.5, 44.5),
+            (9, -16.5, 117.5),
+            (10, 20.5, -169.5),
+            (11, 57.5, -96.5),
+            (12, -45.5, -23.5),
+            (13, -8.5, 49.5),
+            (14, 28.5, 122.5),
+            (15, 65.5, -164.5),
+            (16, -37.5, -91.5),
+            (17, -0.5, -18.5),
+            (18, 36.5, 54.5),
+            (19, -66.5, 127.5)
+        ), d AS (
+            SELECT event_id, site_id,
+                   2 * 6371.0 * ASIN(SQRT(
+                       POWER(SIN(RADIANS(slat - lat) / 2), 2)
+                       + COS(RADIANS(lat)) * COS(RADIANS(slat))
+                         * POWER(SIN(RADIANS(slon - lon) / 2), 2))) AS dist
+            FROM pts, sites
+        ), r AS (
+            SELECT event_id, site_id,
+                   ROW_NUMBER() OVER (PARTITION BY event_id
+                                      ORDER BY dist, site_id) AS rank
+            FROM d
+        )
+        SELECT event_id, site_id, CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 3
+        ORDER BY event_id, rank
     """,
     "bloom_semijoin_events": """
         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

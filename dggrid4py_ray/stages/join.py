@@ -186,3 +186,51 @@ def spatial_join_via_cells(points: ray.data.Dataset, polygons: ray.data.Dataset,
         return batch.filter(pa.array(keep)).drop_columns([wkb_col, "_ccell"])
 
     return joined.map_batches(exact, batch_format="pyarrow")
+
+
+def knn_join_broadcast(points: ray.data.Dataset, sites,
+                       k: int = 3, id_col: str = "event_id",
+                       lat_col: str = "lat", lon_col: str = "lon",
+                       site_id_col: str = "site_id") -> ray.data.Dataset:
+    """Geographic k-nearest-neighbor join against a SMALL reference set
+    (the north star's kNN over cells is stages/encode.k_ring; this is the
+    point-to-site variant a curation pipeline uses to tag rows with their
+    nearest facility/city/POI).
+
+    ``sites`` is [(site_id, lat, lon), ...] — broadcast ONCE via ray.put;
+    each batch computes the full haversine matrix (n x m, vectorized
+    dggs.sphere.haversine_km) and takes the k per-row minima with a STABLE
+    argsort, so ties break by site order (ascending site_id) exactly like
+    the oracle's ``ORDER BY dist, site_id``.  Zero shuffle; scales as
+    n x m flops per batch — for site sets beyond ~10^4 move to the
+    cell-bucketed cogroup (spatial_join_via_cells) with ring expansion.
+
+    Emits (id_col, site_id, rank, dist_km): rank 1..k."""
+    import numpy as np
+    from ..dggs.sphere import haversine_km
+
+    s = sorted(sites)
+    sid = np.asarray([x[0] for x in s])
+    slat = np.asarray([x[1] for x in s], dtype=np.float64)
+    slon = np.asarray([x[2] for x in s], dtype=np.float64)
+    ref = ray.put((sid, slat, slon))
+    kk = min(k, len(s))
+
+    def nearest(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        lat = t[lat_col].to_numpy(zero_copy_only=False)
+        lon = t[lon_col].to_numpy(zero_copy_only=False)
+        sid_, slat_, slon_ = ray.get(ref)
+        d = haversine_km(lon[:, None], lat[:, None],
+                         slon_[None, :], slat_[None, :])
+        order = np.argsort(d, axis=1, kind="stable")[:, :kk]
+        n = len(ids)
+        rows = np.repeat(np.arange(n), kk)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, kk)),
+            site_id_col: pa.array(sid_[order.reshape(-1)]),
+            "rank": pa.array(np.tile(np.arange(1, kk + 1, dtype=np.int64), n)),
+            "dist_km": pa.array(d[rows, order.reshape(-1)]),
+        })
+
+    return points.map_batches(nearest, batch_format="pyarrow")

@@ -128,3 +128,32 @@ def test_exact_group_quantile_max_groups_guard(ray_session):
     with pytest.raises(ValueError, match="max_groups"):
         exact_group_quantile(ray.data.from_pandas(df), "g", "v",
                              max_groups=100)
+
+
+def test_knn_join_broadcast(ray_session):
+    import ray.data
+    import pandas as pd
+    import numpy as np
+    from dggrid4py_ray.stages.join import knn_join_broadcast
+    from dggrid4py_ray.dggs.sphere import haversine_km
+
+    rng = np.random.default_rng(11)
+    n = 500
+    pts = pd.DataFrame({"event_id": np.arange(n),
+                        "lat": rng.uniform(-85, 85, n),
+                        "lon": rng.uniform(-180, 180, n)})
+    sites = [(j, float(rng.uniform(-80, 80)), float(rng.uniform(-180, 180)))
+             for j in range(12)]
+    ds = ray.data.from_pandas(pts).repartition(4)
+    out = knn_join_broadcast(ds, sites, k=2).to_pandas()
+    assert len(out) == 2 * n
+    # brute-force check
+    slat = np.array([s[1] for s in sites]); slon = np.array([s[2] for s in sites])
+    d = haversine_km(pts["lon"].to_numpy()[:, None], pts["lat"].to_numpy()[:, None],
+                     slon[None, :], slat[None, :])
+    want = np.argsort(d, axis=1, kind="stable")[:, :2]
+    got = out.sort_values(["event_id", "rank"])["site_id"].to_numpy().reshape(n, 2)
+    assert (got == want).all()
+    # rank-1 distances are the row minima
+    r1 = out[out["rank"] == 1].sort_values("event_id")["dist_km"].to_numpy()
+    assert np.allclose(r1, d.min(axis=1))
