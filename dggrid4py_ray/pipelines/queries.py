@@ -1225,6 +1225,25 @@ def knn_sites_events(sf_dir: str):
         batch_format="pyarrow").sort(["event_id", "rank"]))
 
 
+def pack_sequences_docs(sf_dir: str):
+    """GPT-style sequence packing: docs concatenated in doc_id order into
+    512-token training sequences (whitespace token counts); each doc's
+    (seq_id, seq_offset) comes from ONE distributed prefix scan — exactly
+    the SQL window SUM, at any parallelism."""
+    from ..stages.scan import pack_sequences
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    toks = ds.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "tokens": pc.cast(pc.list_value_length(
+                pc.split_pattern(t["text"], " ")), pa.int64())}),
+        batch_format="pyarrow")
+    out = pack_sequences(toks, "doc_id", "tokens", budget=512)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "tokens", "seq_id", "seq_offset"]),
+        batch_format="pyarrow")
+
+
 def cc_clusters_docs(sf_dir: str):
     """Transitive duplicate-cluster consolidation: connected components
     (alternating large-star/small-star) over a PATH graph of per-lang
@@ -1293,6 +1312,7 @@ QUERIES = {
     "heavy_tokens_docs": heavy_tokens_docs,
     "bloom_semijoin_events": bloom_semijoin_events,
     "knn_sites_events": knn_sites_events,
+    "pack_sequences_docs": pack_sequences_docs,
     "cc_clusters_docs": cc_clusters_docs,
     "dedup_canonical_docs": dedup_canonical_docs,
 }
@@ -1642,6 +1662,20 @@ ORACLES = {
             ('golden_seqnum', '51548'),
             ('golden_seqnum', '51695')
         ) AS t(kind, value)
+    """,
+    "pack_sequences_docs": """
+        WITH t AS (
+            SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+            FROM documents
+        ), p AS (
+            SELECT doc_id, tokens,
+                   CAST(COALESCE(SUM(tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS pre
+            FROM t
+        )
+        SELECT doc_id, tokens, pre // 512 AS seq_id, pre % 512 AS seq_offset
+        FROM p ORDER BY doc_id
     """,
     "knn_sites_events": """
         WITH pts AS (
