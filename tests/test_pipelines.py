@@ -236,3 +236,25 @@ def test_presence_scale_path_empty_block(ray_session):
     assert len(out) >= 1 and {"cell_id", "classes", "num_classes",
                               "count_value"} <= set(out.columns)
     assert out["count_value"].sum() == 3
+
+
+def test_read_documents_dispatch(ray_session, tmp_path):
+    import pandas as pd
+    import pytest as _pt
+    import ray.data
+    from dggrid4py_ray.sources.doc_reader import read_documents
+
+    p = str(tmp_path / "docs.parquet")
+    pd.DataFrame({"doc_id": [1, 2], "text": ["a", "b"]}).to_parquet(p)
+    out = read_documents(p, columns=["doc_id"]).to_pandas()
+    assert list(out.columns) == ["doc_id"] and len(out) == 2
+
+    # a .lance path without the lance package must fail loudly, not fall
+    # back to a wrong reader
+    lance_dir = tmp_path / "docs.lance"
+    lance_dir.mkdir()
+    try:
+        import lance  # noqa: F401
+    except ImportError:
+        with _pt.raises(ImportError):
+            read_documents(str(lance_dir))
