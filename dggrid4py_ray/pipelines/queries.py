@@ -1244,6 +1244,21 @@ def pack_sequences_docs(sf_dir: str):
         batch_format="pyarrow")
 
 
+def quantile_sketch_events(sf_dir: str):
+    """Mergeable one-pass quantile sketch over events.value, read at
+    q=0.25/0.5/0.75.  Run in the exact regime (k >= n, no compaction) so
+    the DuckDB quantile_disc oracle matches bit-for-bit; the approximate
+    regime's error bound is pytest-covered."""
+    from ..stages.quantile_sketch import quantile_sketch, sketch_quantiles
+    ds = _read(sf_dir, "events", ["value"])
+    n = ds.count()
+    sk = quantile_sketch(ds, "value", k=max(1024, int(n) + 1))
+    qs = [0.25, 0.5, 0.75]
+    vals = sketch_quantiles(sk, qs)
+    return pa.table({"q": pa.array([int(q * 100) for q in qs], pa.int64()),
+                     "value": _iscale(vals, 10000)})
+
+
 def cc_clusters_docs(sf_dir: str):
     """Transitive duplicate-cluster consolidation: connected components
     (alternating large-star/small-star) over a PATH graph of per-lang
@@ -1313,6 +1328,7 @@ QUERIES = {
     "bloom_semijoin_events": bloom_semijoin_events,
     "knn_sites_events": knn_sites_events,
     "pack_sequences_docs": pack_sequences_docs,
+    "quantile_sketch_events": quantile_sketch_events,
     "cc_clusters_docs": cc_clusters_docs,
     "dedup_canonical_docs": dedup_canonical_docs,
 }
@@ -1662,6 +1678,15 @@ ORACLES = {
             ('golden_seqnum', '51548'),
             ('golden_seqnum', '51695')
         ) AS t(kind, value)
+    """,
+    "quantile_sketch_events": """
+        SELECT q, CAST(ROUND(v * 10000) AS BIGINT) AS value FROM (
+            SELECT 25 AS q, quantile_disc(value, 0.25) AS v FROM events
+            UNION ALL
+            SELECT 50, quantile_disc(value, 0.50) FROM events
+            UNION ALL
+            SELECT 75, quantile_disc(value, 0.75) FROM events
+        ) ORDER BY q
     """,
     "pack_sequences_docs": """
         WITH t AS (
