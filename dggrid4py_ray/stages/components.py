@@ -108,14 +108,15 @@ def _star_pass(edges: ray.data.Dataset, large: bool):
     # fingerprint partials.  Answer: one row per block.
     def summarize(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table({c: pa.array([], pa.int64()) for c in
-                             ("n_distinct",)} | {"hsum": pa.array([], pa.uint64()),
-                                                 "first_u": pa.array([]),
-                                                 "first_v": pa.array([]),
-                                                 "last_u": pa.array([]),
-                                                 "last_v": pa.array([]),
-                                                 "first_min": pa.array([]),
-                                                 "last_min": pa.array([])})
+            # typed zero-row table (null-typed pa.array([]) would clash
+            # with non-empty blocks' schema in the union)
+            eu = t["u"].combine_chunks() if isinstance(t["u"], pa.ChunkedArray) else t["u"]
+            ev = t["v"].combine_chunks() if isinstance(t["v"], pa.ChunkedArray) else t["v"]
+            return pa.table({"n_distinct": pa.array([], pa.int64()),
+                             "hsum": pa.array([], pa.uint64()),
+                             "first_u": eu, "first_v": ev,
+                             "last_u": eu, "last_v": ev,
+                             "first_min": ev, "last_min": ev})
         u, v = _col(t, "u"), _col(t, "v")
         starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
         dmask = np.r_[True, (u[1:] != u[:-1]) | (v[1:] != v[:-1])]
@@ -223,10 +224,15 @@ def connected_components(pairs: ray.data.Dataset,
             "a data property)")
 
     if prev_fp is not None and prev_fp[0] == 0:
-        return pairs.map_batches(
-            lambda t: t.select([left_col, right_col])
-                       .rename_columns([id_out, cluster_out]),
-            batch_format="pyarrow").limit(0)
+        # typed empty result (limit(0) on a lazy map would drop the schema)
+        try:
+            sample = pairs.limit(1).take_batch(1, batch_format="pyarrow")
+            lt = sample.schema.field(left_col).type
+        except Exception:
+            lt = pa.int64()
+        return ray.data.from_arrow(pa.table({
+            id_out: pa.array([], type=lt),
+            cluster_out: pa.array([], type=lt)}))
 
     # terminal edges are (node, root) with exactly one root per node, but
     # block-local dedup may leave identical rows across blocks: grouped min

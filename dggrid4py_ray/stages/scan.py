@@ -45,6 +45,12 @@ def prefix_sum(ds: ray.data.Dataset, order_col: str, value_col: str,
     offsets = {}
     acc = 0
     for r in summ:
+        if r["_first"] in offsets:
+            # a key spanning two blocks means duplicate order keys — the
+            # offsets would silently mis-assign, so fail loudly instead
+            raise ValueError(
+                f"prefix_sum requires unique {order_col!r} values "
+                f"(duplicate {r['_first']!r} spans a block boundary)")
         offsets[r["_first"]] = acc
         acc += r["_sum"]
     off_ref = ray.put(offsets)

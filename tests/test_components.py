@@ -29,6 +29,8 @@ def _run(ray_session, edges, **kw):
     df = pd.DataFrame(edges, columns=["left_id", "right_id"])
     ds = ray.data.from_pandas(df).repartition(5)
     out = connected_components(ds, **kw).to_pandas()
+    if out.empty:            # Ray's to_pandas drops columns on empty data
+        return {}
     return dict(zip(out["doc_id"], out["cluster_id"]))
 
 
@@ -74,3 +76,10 @@ def test_keep_canonical_anti_join(ray_session):
     kept = keep_canonical(docs, assign).to_pandas()
     # cluster {1,2,3} keeps 1; 4 and 5 are singletons (absent from pairs)
     assert sorted(kept["doc_id"]) == [1, 4, 5]
+
+
+def test_cc_empty_and_selfloop_only(ray_session):
+    import ray.data
+    # self-loops only -> zero real edges -> empty assignment
+    got = _run(ray_session, [(4, 4), (9, 9)])
+    assert got == {}
