@@ -41,10 +41,7 @@ import ray
 import ray.data
 
 from .groupagg import grouped_reduce
-from .hashing import _finalize
-
-_P1 = np.uint64(0x9E3779B97F4A7C15)
-_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+from .hashing import _P1, _P2, _finalize
 
 
 def _row_hash(u: np.ndarray, v: np.ndarray) -> np.ndarray:
@@ -74,11 +71,6 @@ def _dedup_pairs(u: np.ndarray, v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     u, v = u[order], v[order]
     keep = np.r_[True, (u[1:] != u[:-1]) | (v[1:] != v[:-1])]
     return u[keep], v[keep]
-
-
-def _empty_edges(dtype_arr) -> pa.Table:
-    a = pa.array(np.asarray(dtype_arr)[:0])
-    return pa.table({"u": a, "v": a})
 
 
 def _star_pass(edges: ray.data.Dataset, large: bool):

@@ -30,17 +30,20 @@ import pyarrow.compute as pc
 # bijection per Horner step mod 2^64
 _P1 = np.uint64(0x9E3779B97F4A7C15)
 _P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_NULL_SENTINEL = np.uint64(0xD6E8FEB86659FD93)
 
 
-def _flat_utf8(arr) -> tuple[np.ndarray, np.ndarray]:
-    """(flat uint8 byte buffer, per-row byte lengths) for an Arrow string
-    column — zero-copy from the Arrow buffers (offset-slice aware).
-    Non-string columns are cast via the vectorized Arrow cast (int64 123 ->
-    b"123", matching str())."""
+def _flat_utf8(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """(flat uint8 byte buffer, per-row byte lengths, null mask or None)
+    for an Arrow string column — zero-copy from the Arrow buffers
+    (offset-slice aware).  Non-string columns are cast via the vectorized
+    Arrow cast (int64 123 -> b"123", matching str())."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if not pa.types.is_string(arr.type) and not pa.types.is_large_string(arr.type):
         arr = pc.cast(arr, pa.string())
+    nulls = (pc.is_null(arr).to_numpy(zero_copy_only=False)
+             if arr.null_count else None)
     odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
     bufs = arr.buffers()
     off = np.frombuffer(bufs[1], dtype=odt)[arr.offset:arr.offset + len(arr) + 1]
@@ -48,7 +51,7 @@ def _flat_utf8(arr) -> tuple[np.ndarray, np.ndarray]:
         else np.zeros(0, dtype=np.uint8)
     flat = data[int(off[0]):int(off[-1])]
     lens = np.diff(off.astype(np.int64))
-    return flat, lens
+    return flat, lens, nulls
 
 
 def _finalize(h: np.ndarray) -> np.ndarray:
@@ -95,16 +98,24 @@ def hash64(arr, seed: int = 0) -> np.ndarray:
     """uint64 hash per row of an Arrow (chunked) array — vectorized
     polynomial hash over the UTF-8 bytes + murmur fmix64 finalizer.
     ``seed`` xors into the pre-finalizer state (seed=0 is the default
-    lane).  Deterministic across runs, partitioning and cluster size."""
-    flat, lens = _flat_utf8(arr)
+    lane).  Deterministic across runs, partitioning and cluster size.
+    NULL rows hash to a dedicated sentinel lane (a null is NOT the empty
+    string and NOT the string 'None' — unlike the md5 path's str())."""
+    flat, lens, nulls = _flat_utf8(arr)
     h = _poly_hash(flat, lens, _P1)
+    if nulls is not None:
+        h[nulls] ^= _NULL_SENTINEL
     return _finalize(h ^ np.uint64(seed))
 
 
 def hash128(arr) -> tuple[np.ndarray, np.ndarray]:
     """Two independent uint64 lanes (distinct multipliers) — a 128-bit key
-    for collision-safe exact dedup at trillion-doc scale."""
-    flat, lens = _flat_utf8(arr)
-    h1 = _finalize(_poly_hash(flat, lens, _P1))
-    h2 = _finalize(_poly_hash(flat, lens, _P2))
-    return h1, h2
+    for collision-safe exact dedup at trillion-doc scale.  NULL rows get
+    the sentinel lane (distinct from the empty string) in both lanes."""
+    flat, lens, nulls = _flat_utf8(arr)
+    h1 = _poly_hash(flat, lens, _P1)
+    h2 = _poly_hash(flat, lens, _P2)
+    if nulls is not None:
+        h1[nulls] ^= _NULL_SENTINEL
+        h2[nulls] ^= _NULL_SENTINEL
+    return _finalize(h1), _finalize(h2)

@@ -107,6 +107,7 @@ def quantile_sketch(ds: ray.data.Dataset, value_col: str,
     def partial(t: pa.Table) -> pa.Table:
         sk = _new()
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]     # NULL/NaN ignored, like SQL quantile_disc
         _add(sk, v, k)
         return pa.table({"sk": pa.array([_serialize(sk)], pa.binary())})
 

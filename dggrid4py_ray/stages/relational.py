@@ -125,7 +125,12 @@ def range_join_via_buckets(points: ray.data.Dataset, intervals: ray.data.Dataset
                 np.asarray(t[hi_col].to_numpy(zero_copy_only=False), dtype=np.float64)
                 - np.asarray(t[lo_col].to_numpy(zero_copy_only=False), dtype=np.float64))}),
             batch_format="pyarrow").aggregate(Mean("_span", alias_name="w"))
-        bucket_width = float(stats["w"]) or 1.0
+        mean_w = stats.get("w")
+        # empty interval set: Mean yields None (or NaN, which is truthy —
+        # `or 1.0` would NOT rescue it); any positive width works
+        bucket_width = (float(mean_w)
+                        if mean_w is not None and np.isfinite(float(mean_w))
+                        and float(mean_w) > 0 else 1.0)
     w = float(bucket_width)
 
     def point_bucket(t: pa.Table) -> pa.Table:
@@ -134,6 +139,9 @@ def range_join_via_buckets(points: ray.data.Dataset, intervals: ray.data.Dataset
             np.floor(v / w).astype(np.int64)))
 
     def interval_buckets(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:     # np.repeat broadcasts fail on empty counts
+            return (t.select([id_col, lo_col, hi_col])
+                     .append_column("_rb", pa.array([], pa.int64())))
         lo = np.asarray(t[lo_col].to_numpy(zero_copy_only=False), dtype=np.float64)
         hi = np.asarray(t[hi_col].to_numpy(zero_copy_only=False), dtype=np.float64)
         b0 = np.floor(lo / w).astype(np.int64)
@@ -218,6 +226,15 @@ def exact_group_quantile(ds: ray.data.Dataset, group_col: str, value_col: str,
             f"{max_groups}; this operator keeps per-group state on the "
             "driver — for high-cardinality keys use stages/groupagg."
             "grouped_reduce or raise max_groups explicitly")
+    # each refinement pass pulls up to unresolved_groups x bins histogram
+    # rows to the driver, so the real budget is the PRODUCT, not the group
+    # count alone
+    if len(st) * bins > 20_000_000:
+        raise ValueError(
+            f"exact_group_quantile: {len(st)} groups x {bins} bins = "
+            f"{len(st) * bins} driver-side histogram rows per refinement "
+            "pass; lower `bins` (accuracy per pass trades against pass "
+            "count, the result stays exact) or reduce the group count")
 
     done: dict = {}
     # state per unresolved group: (lo, w, depth, target_prefix, rank, cnt)

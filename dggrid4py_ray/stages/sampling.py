@@ -192,20 +192,36 @@ def heavy_hitters(ds: ray.data.Dataset, col: str, k: int = 10,
     from .groupagg import grouped_reduce
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # typed empty (np.unique of an empty object array is null-typed
+            # and would clash with string partials in the union)
+            empty = batch[col]
+            if isinstance(empty, pa.ChunkedArray):
+                empty = empty.combine_chunks()
+            return pa.table({col: empty,
+                             "_cnt": pa.array([], pa.int64()),
+                             "_off": pa.array([], pa.int64()),
+                             "_is_first": pa.array([], pa.bool_())})
         vals = batch[col].to_numpy(zero_copy_only=False)
         keys, cnts = np.unique(vals, return_counts=True)
         off = 0
         if len(keys) > capacity:
             kth = np.partition(cnts, len(cnts) - capacity - 1)[len(cnts) - capacity - 1]
             keep = cnts > kth
+            if not keep.any():
+                # total tie at the kth count: keep one zero-count carrier
+                # row so the batch's offset still reaches the err sum
+                # (a zero-count row adds nothing to any merged count)
+                keep[0] = True
+                cnts = cnts.copy()
+                cnts[0] = kth
             keys, cnts = keys[keep], cnts[keep] - kth
             off = int(kth)
         return pa.table({col: pa.array(keys),
                          "_cnt": pa.array(cnts.astype(np.int64)),
                          "_off": pa.array(np.full(len(keys), off, np.int64)),
                          "_is_first": pa.array(
-                             np.r_[True, np.zeros(len(keys) - 1, bool)]
-                             if len(keys) else np.zeros(0, bool))})
+                             np.r_[True, np.zeros(len(keys) - 1, bool)])})
 
     parts = ds.map_batches(partial, batch_format="pyarrow").materialize()
     # merged key space is capacity x blocks: distributed sort-merge + a

@@ -35,6 +35,12 @@ def prefix_sum(ds: ray.data.Dataset, order_col: str, value_col: str,
     srt = ds.sort(order_col).materialize()
 
     def block_sum(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:     # skewed range sort can hand a block 0 rows
+            first = t[order_col]
+            if isinstance(first, pa.ChunkedArray):
+                first = first.combine_chunks()
+            return pa.table({"_first": first,
+                             "_sum": pa.array([], pa.int64())})
         keys = t[order_col].to_numpy(zero_copy_only=False)
         vals = t[value_col].to_numpy(zero_copy_only=False)
         return pa.table({"_first": pa.array(keys[:1]),

@@ -74,3 +74,15 @@ def test_hash_sample_fast_deterministic(ray_session):
                     keep=10, buckets=100, hash="fast").to_pandas()
     assert set(a["v"]) == set(b["v"])
     assert 0.08 < len(a) / 20000 < 0.12
+
+
+def test_hash64_null_distinct_from_empty_and_none_string():
+    import pyarrow as pa
+    from dggrid4py_ray.stages.hashing import hash64, hash128
+    a = pa.array([None, "", "None"])
+    h = hash64(a)
+    assert h[0] != h[1] and h[0] != h[2] and h[1] != h[2]
+    h1, h2 = hash128(a)
+    assert h1[0] != h1[1] and h2[0] != h2[1]
+    # null-free arrays unchanged
+    assert hash64(pa.array([""]))[0] == h[1]

@@ -39,3 +39,14 @@ def test_sketch_approx_error_bounded(ray_session):
     # deterministic: same data + plan => identical sketch read
     sk2 = quantile_sketch(ds, "v", k=256)
     assert (sketch_quantiles(sk2, qs) == est).all()
+
+
+def test_sketch_ignores_nulls(ray_session):
+    import ray.data
+    from dggrid4py_ray.stages.quantile_sketch import (quantile_sketch,
+                                                      sketch_quantiles)
+    df = pd.DataFrame({"v": [1.0, None, 2.0, None, 3.0, 4.0, 5.0]})
+    ds = ray.data.from_pandas(df)
+    sk = quantile_sketch(ds, "v", k=100)
+    est = sketch_quantiles(sk, [0.5, 1.0])
+    assert list(est) == [3.0, 5.0]                # quantile_disc over non-NULL

@@ -87,3 +87,21 @@ def test_heavy_hitters_approx_bounds(ray_session):
     # estimate is within [true - err, true]
     assert set(out["v"]) == {0, 1, 2, 3, 4}
     assert ((out["cnt"] <= 2000) & (out["cnt"] >= 2000 - err)).all()
+
+
+def test_heavy_hitters_tie_offset_not_lost(ray_session):
+    import ray.data
+    import pandas as pd
+    from dggrid4py_ray.stages.sampling import heavy_hitters
+
+    # batch 1: capacity+1 distinct values, ALL tied at count 5 -> the
+    # compression keeps no real rows; its offset (5) must still reach err
+    b1 = np.repeat(np.arange(100, 109), 5)        # 9 values x5, capacity 8
+    b2 = np.repeat([0], 10)
+    ds1 = ray.data.from_pandas(pd.DataFrame({"v": b1}))
+    ds2 = ray.data.from_pandas(pd.DataFrame({"v": b2}))
+    out = heavy_hitters(ds1.union(ds2), "v", k=3, capacity=8).to_pandas()
+    err = int(out["err"].iloc[0])
+    assert err >= 5                                # batch-1 offset preserved
+    top = out.iloc[0]
+    assert top["v"] == 0 and top["cnt"] <= 10 <= top["cnt"] + err
