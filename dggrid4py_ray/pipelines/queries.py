@@ -1259,6 +1259,26 @@ def quantile_sketch_events(sf_dir: str):
                      "value": _iscale(vals, 10000)})
 
 
+def stratified_sample_docs(sf_dir: str):
+    """Per-group rebalancing sample: keep ~20% of 'en' docs, 100% of 'ja',
+    ~50% of everything else (deterministic md5-bucket membership per
+    group), then per-lang counts — the language-rebalancing step of a
+    curation pipeline, exactly reproduced by the SQL CASE oracle."""
+    from ..stages.sampling import stratified_sample
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    kept = stratified_sample(ds, "doc_id", "lang",
+                             rates={"en": 20, "ja": 100}, default_keep=50)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame({"lang": t["lang"].to_numpy(zero_copy_only=False)})
+        out = g.groupby("lang", sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (kept.map_batches(partial, batch_format="pyarrow")
+                .groupby("lang").aggregate(Sum("n", alias_name="n_docs"))
+                .sort("lang"))
+
+
 def cc_clusters_docs(sf_dir: str):
     """Transitive duplicate-cluster consolidation: connected components
     (alternating large-star/small-star) over a PATH graph of per-lang
@@ -1329,6 +1349,7 @@ QUERIES = {
     "knn_sites_events": knn_sites_events,
     "pack_sequences_docs": pack_sequences_docs,
     "quantile_sketch_events": quantile_sketch_events,
+    "stratified_sample_docs": stratified_sample_docs,
     "cc_clusters_docs": cc_clusters_docs,
     "dedup_canonical_docs": dedup_canonical_docs,
 }
@@ -1678,6 +1699,14 @@ ORACLES = {
             ('golden_seqnum', '51548'),
             ('golden_seqnum', '51695')
         ) AS t(kind, value)
+    """,
+    "stratified_sample_docs": """
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents
+        WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 <
+              CASE lang WHEN 'en' THEN 20 WHEN 'ja' THEN 100 ELSE 50 END
+        GROUP BY lang
+        ORDER BY lang
     """,
     "quantile_sketch_events": """
         SELECT q, CAST(ROUND(v * 10000) AS BIGINT) AS value FROM (

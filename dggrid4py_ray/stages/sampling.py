@@ -237,3 +237,39 @@ def heavy_hitters(ds: ray.data.Dataset, col: str, k: int = 10,
     merged["err"] = err
     return pa.Table.from_pandas(merged.reset_index(drop=True),
                                 preserve_index=False)
+
+
+def stratified_sample(ds: ray.data.Dataset, key_col: str, group_col: str,
+                      rates: dict, default_keep: int = 0,
+                      buckets: int = 100, hash: str = "md5") -> ray.data.Dataset:
+    """Per-group deterministic sampling — the language/source rebalancing
+    step of a curation pipeline (downsample dominant groups, keep rare
+    ones whole).  ``rates`` maps group -> keep bucket count out of
+    ``buckets`` (e.g. {'en': 10, 'de': 100} keeps ~10% of en, all of de);
+    groups absent from ``rates`` get ``default_keep``.
+
+    Membership is hash(key) % buckets < rates[group] — the same
+    md5/fast lanes as hash_sample, so the sampled row set is a pure
+    function of (key, group, rates): stable across runs/cluster sizes and
+    exactly SQL-expressible (CASE WHEN ... md5_number_upper ...).  Zero
+    shuffle; the rates dict broadcasts once."""
+    if hash not in ("md5", "fast"):
+        raise ValueError(f"hash must be 'md5' or 'fast', got {hash!r}")
+    import ray as _ray
+    rates_ref = _ray.put(dict(rates))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        if hash == "fast":
+            from .hashing import hash64
+            h = hash64(batch[key_col])
+        else:
+            h = _md5_u64(batch[key_col].to_numpy(zero_copy_only=False))
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        r = _ray.get(rates_ref)
+        keep = np.fromiter((r.get(x, default_keep) for x in g),
+                           dtype=np.uint64, count=len(g))
+        return batch.filter(pa.array((h % np.uint64(buckets)) < keep))
+
+    return ds.map_batches(pick, batch_format="pyarrow")

@@ -105,3 +105,25 @@ def test_heavy_hitters_tie_offset_not_lost(ray_session):
     assert err >= 5                                # batch-1 offset preserved
     top = out.iloc[0]
     assert top["v"] == 0 and top["cnt"] <= 10 <= top["cnt"] + err
+
+
+def test_stratified_sample_rates_and_determinism(ray_session):
+    import ray.data
+    import pandas as pd
+    from dggrid4py_ray.stages.sampling import stratified_sample
+
+    n = 6000
+    df = pd.DataFrame({"id": np.arange(n),
+                       "g": np.where(np.arange(n) % 3 == 0, "a", "b")})
+    ds = ray.data.from_pandas(df).repartition(5)
+    out = stratified_sample(ds, "id", "g", rates={"a": 100, "b": 10}) \
+        .to_pandas()
+    a = (out["g"] == "a").sum(); b = (out["g"] == "b").sum()
+    assert a == 2000                      # rate 100/100 keeps group whole
+    assert 250 < b < 550                  # ~10% of 4000
+    out2 = stratified_sample(ds, "id", "g", rates={"a": 100, "b": 10}) \
+        .to_pandas()
+    assert sorted(out2["id"]) == sorted(out["id"])   # pure function
+    # default_keep=0 drops unlisted groups entirely
+    out3 = stratified_sample(ds, "id", "g", rates={"a": 100}).to_pandas()
+    assert set(out3["g"]) == {"a"}
