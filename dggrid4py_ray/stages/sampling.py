@@ -268,8 +268,9 @@ def stratified_sample(ds: ray.data.Dataset, key_col: str, group_col: str,
             h = _md5_u64(batch[key_col].to_numpy(zero_copy_only=False))
         g = batch[group_col].to_numpy(zero_copy_only=False)
         r = _ray.get(rates_ref)
-        keep = np.fromiter((r.get(x, default_keep) for x in g),
-                           dtype=np.uint64, count=len(g))
+        import pandas as _pd
+        keep = (_pd.Series(g).map(r).fillna(default_keep)
+                .to_numpy(dtype=np.uint64))
         return batch.filter(pa.array((h % np.uint64(buckets)) < keep))
 
     return ds.map_batches(pick, batch_format="pyarrow")
