@@ -1302,6 +1302,53 @@ def dedup_canonical_docs(sf_dir: str):
     return keep_canonical(docs, assign).sort("doc_id")
 
 
+def epoch_shuffle_docs(sf_dir: str):
+    """First 20 documents in the deterministic epoch-1 training shuffle
+    order (stages/sampling.epoch_shuffle) — the oracle reproduces the
+    exact permutation with ORDER BY md5_number_upper('1:' || doc_id)."""
+    from ..stages.sampling import epoch_shuffle
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    head = epoch_shuffle(ds, "doc_id", epoch=1).limit(20).to_pandas()
+    return pa.table({
+        "pos": pa.array(np.arange(1, len(head) + 1, dtype=np.int64)),
+        "doc_id": pa.array(head["doc_id"].to_numpy()),
+    })
+
+
+def redact_docs(sf_dir: str):
+    """Redact a token pattern from every document (stages/text.Redactor,
+    Arrow RE2) and summarize per language — the oracle applies DuckDB's
+    regexp_replace(..., 'g') to the same pattern and must agree
+    byte-for-byte on the redacted lengths and changed-doc counts."""
+    from ..stages.text import Redactor
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    red = ds.map_batches(Redactor([(r"\b(key|hash)\b", "<ID>")]),
+                         batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        changed = pc.cast(pc.not_equal(t["text_redacted"], t["text"]),
+                          pa.int64())
+        chars = pc.cast(pc.utf8_length(t["text_redacted"]), pa.int64())
+        df = pd.DataFrame({
+            "lang": t["lang"].to_numpy(zero_copy_only=False),
+            "n_redacted": changed.to_numpy(zero_copy_only=False),
+            "sum_chars_redacted": chars.to_numpy(zero_copy_only=False)})
+        g = df.groupby("lang", sort=False).agg(
+            n_docs=("n_redacted", "size"), n_redacted=("n_redacted", "sum"),
+            sum_chars_redacted=("sum_chars_redacted", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (red.map_batches(partial, batch_format="pyarrow")
+              .groupby("lang")
+              .aggregate(Sum("n_docs", alias_name="n_docs"),
+                         Sum("n_redacted", alias_name="n_redacted"),
+                         Sum("sum_chars_redacted",
+                             alias_name="sum_chars_redacted")))
+    return agg.sort("lang")
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -1352,6 +1399,8 @@ QUERIES = {
     "stratified_sample_docs": stratified_sample_docs,
     "cc_clusters_docs": cc_clusters_docs,
     "dedup_canonical_docs": dedup_canonical_docs,
+    "epoch_shuffle_docs": epoch_shuffle_docs,
+    "redact_docs": redact_docs,
 }
 
 ORACLES = {
@@ -1812,5 +1861,24 @@ ORACLES = {
         SELECT doc_id, lang FROM documents
         WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY lang)
         ORDER BY doc_id
+    """,
+    "epoch_shuffle_docs": """
+        SELECT pos, doc_id FROM (
+            SELECT CAST(ROW_NUMBER() OVER (
+                       ORDER BY md5_number_upper('1:' || CAST(doc_id AS VARCHAR)),
+                                doc_id) AS BIGINT) AS pos,
+                   doc_id
+            FROM documents
+        ) WHERE pos <= 20 ORDER BY pos
+    """,
+    "redact_docs": r"""
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN r <> text THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_redacted,
+               CAST(SUM(LENGTH(r)) AS BIGINT) AS sum_chars_redacted
+        FROM (SELECT lang, text,
+                     regexp_replace(text, '\b(key|hash)\b', '<ID>', 'g') AS r
+              FROM documents)
+        GROUP BY lang ORDER BY lang
     """,
 }

@@ -167,6 +167,49 @@ def weighted_sample(ds: ray.data.Dataset, key_col: str, weight_col: str,
     return out if keep_priority else out.drop_columns(["_priority"])
 
 
+def epoch_shuffle(ds: ray.data.Dataset, key_col: str, epoch: int = 0,
+                  hash: str = "md5",
+                  keep_key: bool = False) -> ray.data.Dataset:
+    """Deterministic global shuffle for training-data ordering: sort the
+    dataset by hash(epoch:key).  Unlike ``random_shuffle`` the order is a
+    pure function of (key set, epoch) — identical at any parallelism /
+    cluster size / retry, so a resumed run sees the same sample order and
+    every epoch gets an independent permutation by bumping ``epoch``.
+
+    ``hash="md5"`` is bit-identical to DuckDB's
+    ``md5_number_upper(CAST(epoch AS VARCHAR) || ':' || CAST(key AS
+    VARCHAR))`` (the driver oracle orders by exactly that expression);
+    ``hash="fast"`` uses the vectorized stages/hashing lane with the epoch
+    as seed for 10^10+-row corpora.
+
+    100-TB shape: the sort is ONE range-partitioned exchange (Ray Data's
+    sample-based range sort) — the minimum any global permutation costs;
+    the hash-key column adds 8 bytes/row.  Ties (md5 collisions) are
+    broken by the key itself so the order is total and reproducible."""
+    if hash not in ("md5", "fast"):
+        raise ValueError(f"hash must be 'md5' or 'fast', got {hash!r}")
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("_shuffle_key",
+                                       pa.array([], pa.uint64()))
+        if hash == "fast":
+            from .hashing import hash64
+            h = hash64(batch[key_col], seed=epoch)
+        else:
+            vals = batch[key_col].to_numpy(zero_copy_only=False)
+            h = np.empty(len(vals), dtype=np.uint64)
+            for k, v in enumerate(vals):
+                h[k] = int.from_bytes(
+                    hashlib.md5(f"{epoch}:{v}".encode()).digest()[:8],
+                    "little")
+        return batch.append_column("_shuffle_key", pa.array(h, pa.uint64()))
+
+    out = ds.map_batches(keyed, batch_format="pyarrow") \
+            .sort(["_shuffle_key", key_col])
+    return out if keep_key else out.drop_columns(["_shuffle_key"])
+
+
 def heavy_hitters(ds: ray.data.Dataset, col: str, k: int = 10,
                   capacity: int = 4096) -> pa.Table:
     """Top-k frequent values with a mergeable Misra-Gries summary

@@ -127,3 +127,45 @@ def test_stratified_sample_rates_and_determinism(ray_session):
     # default_keep=0 drops unlisted groups entirely
     out3 = stratified_sample(ds, "id", "g", rates={"a": 100}).to_pandas()
     assert set(out3["g"]) == {"a"}
+
+
+def test_epoch_shuffle_deterministic_and_epoch_dependent(ray_session):
+    import ray.data
+    import pandas as pd
+    from dggrid4py_ray.stages.sampling import epoch_shuffle
+
+    df = pd.DataFrame({"id": np.arange(500), "payload": np.arange(500) * 2})
+    ds = ray.data.from_pandas(df).repartition(7)
+    o1 = epoch_shuffle(ds, "id", epoch=1).to_pandas()
+    # a permutation of the input, payload stays attached to its key
+    assert sorted(o1["id"]) == list(range(500))
+    assert (o1["payload"].to_numpy() == o1["id"].to_numpy() * 2).all()
+    # not the identity order, and stable across parallelism
+    assert list(o1["id"]) != list(range(500))
+    o1b = epoch_shuffle(ds.repartition(2), "id", epoch=1).to_pandas()
+    assert list(o1b["id"]) == list(o1["id"])
+    # a different epoch is a different permutation
+    o2 = epoch_shuffle(ds, "id", epoch=2).to_pandas()
+    assert list(o2["id"]) != list(o1["id"])
+    # fast lane: same guarantees, different permutation family
+    of = epoch_shuffle(ds, "id", epoch=1, hash="fast").to_pandas()
+    assert sorted(of["id"]) == list(range(500))
+    ofb = epoch_shuffle(ds.repartition(3), "id", epoch=1,
+                        hash="fast").to_pandas()
+    assert list(ofb["id"]) == list(of["id"])
+
+
+def test_epoch_shuffle_matches_duckdb_order(ray_session):
+    import duckdb
+    import ray.data
+    import pandas as pd
+    from dggrid4py_ray.stages.sampling import epoch_shuffle
+
+    df = pd.DataFrame({"id": np.arange(200)})
+    ds = ray.data.from_pandas(df).repartition(4)
+    ours = epoch_shuffle(ds, "id", epoch=3).to_pandas()["id"].tolist()
+    want = duckdb.sql(
+        "SELECT id FROM df ORDER BY "
+        "md5_number_upper('3:' || CAST(id AS VARCHAR)), id"
+    ).fetchdf()["id"].tolist()
+    assert ours == want

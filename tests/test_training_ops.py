@@ -326,3 +326,29 @@ def test_minhash_exact_band_recall_superset(ray_session, docs_table):
     assert fixed_pairs >= plain_pairs
     # exactly-once emission on the recall path
     assert len(fixed) == len(fixed_pairs)
+
+
+def test_redactor_matches_duckdb_regexp_replace(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from dggrid4py_ray.stages.text import Redactor
+
+    df = pd.DataFrame({"text": [
+        "call 555 123 4567 now", "no digits here", "key hash key",
+        "a key b", "hash", "keyhash unbounded", "", "x 12-34 56-789 y",
+    ]})
+    ds = ray.data.from_pandas(df)
+    out = ds.map_batches(Redactor([(r"\b(key|hash)\b", "<ID>"),
+                                   (r"[0-9][0-9 \-]{6,}[0-9]", "<NUM>")]),
+                         batch_format="pyarrow").to_pandas()
+    want = duckdb.sql(
+        r"""SELECT regexp_replace(regexp_replace(text,
+                 '\b(key|hash)\b', '<ID>', 'g'),
+                 '[0-9][0-9 \-]{6,}[0-9]', '<NUM>', 'g') AS r FROM df"""
+    ).fetchdf()["r"].tolist()
+    assert out["text_redacted"].tolist() == want
+    # word-boundary pattern must not touch the concatenated token
+    row = out[out["text"] == "keyhash unbounded"]["text_redacted"].iloc[0]
+    assert row == "keyhash unbounded"
