@@ -1349,6 +1349,93 @@ def redact_docs(sf_dir: str):
     return agg.sort("lang")
 
 
+def rollup_latlon_events(sf_dir: str):
+    """Multi-resolution pyramid over the 1-degree grid: bin events ONCE at
+    the finest level, then fold the aggregate up two bisection levels
+    (stages/rollup.hierarchical_rollup) — the oracle recomputes every level
+    directly from the raw points, so the fold must conserve counts and
+    sums per coarse cell exactly."""
+    from ..stages.rollup import hierarchical_rollup
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        lon_idx = (eid * 7919) % 36000 // 100
+        lat_idx = (eid * 104729) % 18000 // 100
+        cell = lat_idx * 360 + lon_idx
+        df = pd.DataFrame({"cell": cell, "value": t["value"].to_numpy()})
+        g = df.groupby("cell", sort=False).agg(
+            s=("value", "sum"), n_points=("value", "size")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    finest = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("cell").aggregate(Sum("s", alias_name="s"),
+                                           Sum("n_points",
+                                               alias_name="n_points")))
+
+    def parent(cells: np.ndarray) -> np.ndarray:
+        lat, lon = cells // 360, cells % 360
+        return (lat // 2) * 360 + (lon // 2)
+
+    rolled = hierarchical_rollup(finest, "cell", ["s", "n_points"],
+                                 parent, levels=2,
+                                 key_bounds=[90 * 180, 45 * 90])
+    return rolled.map_batches(
+        lambda t: pa.table({"level": t["level"], "cell": t["cell"],
+                            "n_points": t["n_points"],
+                            "sum_value": _iscale(t["s"], 10000)}),
+        batch_format="pyarrow")
+
+
+def rollup_z7_events(sf_dir: str):
+    """IGEO7 Z7 pyramid: encode+bin events at res 5, fold to res 2 via the
+    Z7 parent law (stages/rollup.rollup_z7).  Z7 ids are not
+    SQL-expressible, so the oracle checks per-level conservation (points
+    and value mass = the events table at EVERY level) plus the pinned
+    occupied-cell count per level (regression literals, the
+    igeo7_encode_events pattern)."""
+    from .binning import bin_point_vals
+    from ..stages.rollup import rollup_z7
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def coords(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        lon = ((eid * 7919) % 36000).astype(np.float64) / 100.0 - 180.0
+        lat = ((eid * 104729) % 18000).astype(np.float64) / 100.0 - 90.0
+        return (t.append_column("lon", pa.array(lon))
+                 .append_column("lat", pa.array(lat)))
+
+    binned = bin_point_vals(ds.map_batches(coords, batch_format="pyarrow"),
+                            "IGEO7", resolution=5, value_col="value",
+                            output_sum=True).map_batches(
+        lambda t: t.select(["cell_id", "sum_value", "count_value"]),
+        batch_format="pyarrow")
+    rolled = rollup_z7(binned, "cell_id", ["sum_value", "count_value"],
+                       from_res=5, to_res=2)
+
+    def per_level(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"res": t["res"].to_numpy(),
+                           "sum_value": t["sum_value"].to_numpy(),
+                           "count_value": t["count_value"].to_numpy()})
+        g = df.groupby("res", sort=False).agg(
+            n_cells=("count_value", "size"), n_points=("count_value", "sum"),
+            sv=("sum_value", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (rolled.map_batches(per_level, batch_format="pyarrow")
+                 .groupby("res")
+                 .aggregate(Sum("n_cells", alias_name="n_cells"),
+                            Sum("n_points", alias_name="n_points"),
+                            Sum("sv", alias_name="sv")))
+    return agg.map_batches(
+        lambda t: pa.table({"res": t["res"], "n_cells": t["n_cells"],
+                            "n_points": t["n_points"],
+                            "sum_value": _iscale(t["sv"], 10000)}),
+        batch_format="pyarrow").sort("res")
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -1401,6 +1488,8 @@ QUERIES = {
     "dedup_canonical_docs": dedup_canonical_docs,
     "epoch_shuffle_docs": epoch_shuffle_docs,
     "redact_docs": redact_docs,
+    "rollup_latlon_events": rollup_latlon_events,
+    "rollup_z7_events": rollup_z7_events,
 }
 
 ORACLES = {
@@ -1880,5 +1969,45 @@ ORACLES = {
                      regexp_replace(text, '\b(key|hash)\b', '<ID>', 'g') AS r
               FROM documents)
         GROUP BY lang ORDER BY lang
+    """,
+    "rollup_latlon_events": """
+        WITH pts AS (
+            SELECT ((event_id * 104729) % 18000) // 100 AS la,
+                   ((event_id * 7919) % 36000) // 100 AS lo,
+                   value
+            FROM events
+        )
+        SELECT CAST(0 AS BIGINT) AS level, la * 360 + lo AS cell,
+               CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(ROUND(SUM(value) * 10000) AS BIGINT) AS sum_value
+        FROM pts GROUP BY 2
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), (la // 2) * 360 + (lo // 2),
+               CAST(COUNT(*) AS BIGINT),
+               CAST(ROUND(SUM(value) * 10000) AS BIGINT)
+        FROM pts GROUP BY 2
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), (la // 4) * 360 + (lo // 4),
+               CAST(COUNT(*) AS BIGINT),
+               CAST(ROUND(SUM(value) * 10000) AS BIGINT)
+        FROM pts GROUP BY 2
+    """,
+    "rollup_z7_events": """
+        -- Z7 ids are not SQL-expressible; the oracle checks the pyramid's
+        -- conservation law (every level carries ALL events' count and value
+        -- mass) plus the pinned occupied-cell count per level (regression
+        -- literals at sf0.01, the igeo7_encode_events pattern).
+        WITH tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+                   CAST(ROUND(SUM(value) * 10000) AS BIGINT) AS sum_value
+            FROM events
+        )
+        SELECT v.res, v.n_cells, tot.n_points, tot.sum_value
+        FROM (VALUES (CAST(2 AS BIGINT), CAST(492 AS BIGINT)),
+                     (CAST(3 AS BIGINT), CAST(3292 AS BIGINT)),
+                     (CAST(4 AS BIGINT), CAST(8330 AS BIGINT)),
+                     (CAST(5 AS BIGINT), CAST(9452 AS BIGINT)))
+             AS v(res, n_cells), tot
+        ORDER BY v.res
     """,
 }
