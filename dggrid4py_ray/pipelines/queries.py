@@ -1436,6 +1436,52 @@ def rollup_z7_events(sf_dir: str):
         batch_format="pyarrow").sort("res")
 
 
+def contamination_docs(sf_dir: str):
+    """Benchmark decontamination: docs with doc_id % 100 == 0 play the
+    evaluation benchmark; every other doc gets its 3-gram overlap counted
+    against the benchmark's distinct gram set (broadcast via ray.put,
+    corpus side is a pure map — stages/contamination.py)."""
+    from ..stages.contamination import benchmark_gram_set, contamination_check
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(pred):
+        def f(t: pa.Table) -> pa.Table:
+            m = (t["doc_id"].to_numpy() % 100 == 0)
+            return t.filter(pa.array(m if pred else ~m))
+        return f
+
+    bench = ds.map_batches(split(True), batch_format="pyarrow")
+    rest = ds.map_batches(split(False), batch_format="pyarrow")
+    grams = benchmark_gram_set(bench, n=3)
+    return contamination_check(rest, grams, n=3).sort("doc_id")
+
+
+def repetition_docs(sf_dir: str):
+    """Gopher-style repetition signals (duplicate-2gram count, top-token
+    count) as exact integers per document (stages/text.RepetitionScorer,
+    one lexsort per batch, no per-doc Python)."""
+    from ..stages.text import RepetitionScorer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(RepetitionScorer,
+                          fn_constructor_args=("text", "doc_id", 2),
+                          batch_format="pyarrow",
+                          concurrency=(1, 4)).sort("doc_id")
+
+
+def token_df_top10(sf_dir: str):
+    """Corpus document-frequency (TF-IDF denominator): vocabulary-sized
+    groupby over per-batch (token, df, cf) partials, distributed
+    multi-key sort, top 10."""
+    from ..stages.text import token_document_frequency
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    agg = token_document_frequency(ds)
+    return agg.sort(["df", "cf", "tok"],
+                    descending=[True, True, False]).limit(10)
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -1490,6 +1536,9 @@ QUERIES = {
     "redact_docs": redact_docs,
     "rollup_latlon_events": rollup_latlon_events,
     "rollup_z7_events": rollup_z7_events,
+    "contamination_docs": contamination_docs,
+    "repetition_docs": repetition_docs,
+    "token_df_top10": token_df_top10,
 }
 
 ORACLES = {
@@ -2009,5 +2058,48 @@ ORACLES = {
                      (CAST(5 AS BIGINT), CAST(9452 AS BIGINT)))
              AS v(res, n_cells), tot
         ORDER BY v.res
+    """,
+    "contamination_docs": """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+        g AS (SELECT doc_id,
+                     UNNEST(list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+              FROM w),
+        bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 0)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN gram IN (SELECT gram FROM bench)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        FROM g WHERE doc_id % 100 <> 0
+        GROUP BY doc_id ORDER BY doc_id
+    """,
+    "repetition_docs": """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+        t AS (SELECT doc_id, UNNEST(w) AS tok FROM w),
+        g2 AS (SELECT doc_id,
+                      UNNEST(list_transform(range(1, len(w)),
+                          i -> w[i] || ' ' || w[i+1])) AS gram
+               FROM w),
+        tt AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                      CAST(MAX(c) AS BIGINT) AS top_token_count
+               FROM (SELECT doc_id, tok, COUNT(*) AS c
+                     FROM t GROUP BY doc_id, tok)
+               GROUP BY doc_id),
+        gg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                      CAST(COUNT(*) - COUNT(DISTINCT gram) AS BIGINT)
+                          AS n_dup_grams
+               FROM g2 GROUP BY doc_id)
+        SELECT tt.doc_id, tt.n_tokens, gg.n_grams, gg.n_dup_grams,
+               tt.top_token_count
+        FROM tt JOIN gg USING (doc_id) ORDER BY doc_id
+    """,
+    "token_df_top10": """
+        WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                   FROM documents)
+        SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+               CAST(COUNT(*) AS BIGINT) AS cf
+        FROM t GROUP BY tok
+        ORDER BY df DESC, cf DESC, tok LIMIT 10
     """,
 }

@@ -226,3 +226,95 @@ class Fingerprinter:
             rmin[s:s + m] = rr
         return (batch.append_column("fingerprint", pa.array(h.view(np.int64)))
                      .append_column("shingle_min", pa.array(rmin.view(np.int64))))
+
+
+class RepetitionScorer:
+    """Gopher-style repetition/quality signals per document (Rae et al.
+    2021 §A1.1 repetition filters, public): duplicate n-gram fraction and
+    most-frequent-token share, emitted as exact integer counts so an SQL
+    oracle can reproduce them bit-for-bit.
+
+    Tokenization is split-on-single-space (DuckDB ``string_split(text,' ')``
+    parity); duplicate detection sorts (doc, gram-hash) pairs batch-wide —
+    one lexsort + run-length scan, no per-document Python.  Documents with
+    fewer than ``gram_n`` tokens emit no row (they have no grams — matches
+    the oracle's join semantics).  Gram identity is 64-bit hashed; a
+    collision (p ~ grams_per_doc^2/2^64) would undercount distinct grams
+    by one — negligible."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 gram_n: int = 2):
+        from .contamination import _gram_hashes, _space_tokens
+        self._grams = _gram_hashes
+        self._toks = _space_tokens
+        self.text_col = text_col
+        self.id_col = id_col
+        self.n = gram_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        th, off, _ = self._toks(batch[self.text_col])
+        n_docs = batch.num_rows
+        lens = np.diff(off)
+        g, gdi, per_doc = self._grams(th, off, self.n)
+
+        # distinct grams per doc: run starts in the (doc, gram)-sorted pairs
+        if len(g):
+            order = np.lexsort((g, gdi))
+            gs, ds_ = g[order], gdi[order]
+            new_run = np.empty(len(gs), dtype=bool)
+            new_run[0] = True
+            new_run[1:] = (ds_[1:] != ds_[:-1]) | (gs[1:] != gs[:-1])
+            distinct = np.bincount(ds_[new_run], minlength=n_docs)
+        else:
+            distinct = np.zeros(n_docs, dtype=np.int64)
+
+        # most-frequent-token count per doc: run lengths of sorted (doc, tok)
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        order = np.lexsort((th, doc_of))
+        ts, tdi = th[order], doc_of[order]
+        starts = np.empty(len(ts), dtype=bool)
+        if len(ts):
+            starts[0] = True
+            starts[1:] = (tdi[1:] != tdi[:-1]) | (ts[1:] != ts[:-1])
+        sidx = np.flatnonzero(starts)
+        run_len = np.diff(np.append(sidx, len(ts)))
+        run_doc = tdi[sidx]
+        top_count = np.zeros(n_docs, dtype=np.int64)
+        if len(sidx):
+            docs_present, seg_starts = np.unique(run_doc, return_index=True)
+            top_count[docs_present] = np.maximum.reduceat(run_len, seg_starts)
+
+        keep = per_doc > 0
+        ids = batch[self.id_col]
+        return pa.table({
+            self.id_col: ids.filter(pa.array(keep)) if not keep.all() else ids,
+            "n_tokens": pa.array(lens[keep].astype(np.int64)),
+            "n_grams": pa.array(per_doc[keep].astype(np.int64)),
+            "n_dup_grams": pa.array((per_doc - distinct)[keep].astype(np.int64)),
+            "top_token_count": pa.array(top_count[keep]),
+        })
+
+
+def token_document_frequency(ds, text_col: str = "text",
+                             id_col: str = "doc_id"):
+    """Corpus document-frequency / collection-frequency per token (the
+    TF-IDF denominator): per-batch partial (each document lives wholly in
+    one batch, so per-batch ``nunique`` doc counts SUM to the corpus df)
+    -> one vocabulary-sized groupby.  Only (token, counts) rows ever
+    shuffle — vocabulary-bounded, never corpus-bounded."""
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+    from .contamination import _space_tokens
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, off, flat = _space_tokens(batch[text_col])
+        doc_of = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                           np.diff(off))
+        pdf = pd.DataFrame({"tok": flat.to_pandas(), "d": doc_of})
+        gr = pdf.groupby("tok", sort=False)["d"].agg(cf="size", df="nunique")
+        return pa.Table.from_pandas(gr.reset_index(), preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("tok").aggregate(Sum("df", alias_name="df"),
+                                        Sum("cf", alias_name="cf")))
