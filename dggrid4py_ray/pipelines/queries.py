@@ -1482,6 +1482,79 @@ def token_df_top10(sf_dir: str):
                     descending=[True, True, False]).limit(10)
 
 
+def kmeans_step_embeddings(sf_dir: str):
+    """One deterministic Lloyd iteration over the embeddings table
+    (stages/cluster.kmeans_step): centroids = the 4 lowest-vec_id vectors,
+    cosine assignment (lowest cluster wins ties), per-cluster member count
+    and new-centroid mass.  Oracle recomputes the assignment with DuckDB's
+    list_cosine_similarity over DOUBLE[] (same float64 math)."""
+    from ..stages.cluster import kmeans_step
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    seed = ds.sort("vec_id").limit(4).to_pandas()
+    C = np.stack([np.asarray(v, np.float64) for v in seed["embedding"]])
+    newC, counts = kmeans_step(ds, C)
+    mass = np.round(newC.sum(axis=1) * 10000).astype(np.int64)
+    keep = counts > 0
+    return pa.table({"cluster": pa.array(np.arange(len(C),
+                                                   dtype=np.int64)[keep]),
+                     "n_members": pa.array(counts[keep]),
+                     "centroid_mass": pa.array(mass[keep])})
+
+
+def inverted_index_docs(sf_dir: str):
+    """Sharded inverted index over documents (stages/text.inverted_index,
+    posting lists bounded per (token, 100-doc bucket) shard); returns the
+    20 heaviest shards for gate-size output."""
+    from ..stages.text import inverted_index
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    idx = inverted_index(ds, bucket_docs=100)
+    return idx.sort(["df_bucket", "tok", "bucket"],
+                    descending=[True, False, False]).limit(20)
+
+
+def blocklist_filter_docs(sf_dir: str):
+    """Broadcast anti-join blocklist filter (stages/relational
+    .filter_not_in) then per-lang survivors' stats."""
+    from ..stages.relational import filter_not_in
+
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    kept = filter_not_in(ds, "source", ["src1", "src7", "src13"])
+    agg = kept.groupby("lang").aggregate(Count(alias_name="n_docs"),
+                                         Sum("n_chars",
+                                             alias_name="sum_chars"))
+    return agg.sort("lang")
+
+
+def zscore_by_lang(sf_dir: str):
+    """Grouped standardization (stages/normalize.group_zscore): z-score
+    n_chars within each lang (two-pass: combiner stats -> broadcast ->
+    map), then per-lang within-1-sigma counts."""
+    from ..stages.normalize import group_zscore
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    z = group_zscore(ds, "lang", "n_chars", out_col="z")
+
+    def per_lang(t: pa.Table) -> pa.Table:
+        zv = np.abs(t["z"].to_numpy())
+        df = pd.DataFrame({"lang": t["lang"].to_pandas(),
+                           "w": (zv <= 1.0).astype(np.int64), "a": zv})
+        g = df.groupby("lang", sort=False).agg(
+            n=("w", "size"), w=("w", "sum"), a=("a", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (z.map_batches(per_lang, batch_format="pyarrow")
+            .groupby("lang").aggregate(Sum("n", alias_name="n_docs"),
+                                       Sum("w", alias_name="n_within_1sigma"),
+                                       Sum("a", alias_name="absz")))
+    return agg.map_batches(
+        lambda t: pa.table({"lang": t["lang"], "n_docs": t["n_docs"],
+                            "n_within_1sigma": t["n_within_1sigma"],
+                            "sum_absz": _iscale(t["absz"], 10000)}),
+        batch_format="pyarrow").sort("lang")
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -1539,6 +1612,10 @@ QUERIES = {
     "contamination_docs": contamination_docs,
     "repetition_docs": repetition_docs,
     "token_df_top10": token_df_top10,
+    "kmeans_step_embeddings": kmeans_step_embeddings,
+    "inverted_index_docs": inverted_index_docs,
+    "blocklist_filter_docs": blocklist_filter_docs,
+    "zscore_by_lang": zscore_by_lang,
 }
 
 ORACLES = {
@@ -2101,5 +2178,56 @@ ORACLES = {
                CAST(COUNT(*) AS BIGINT) AS cf
         FROM t GROUP BY tok
         ORDER BY df DESC, cf DESC, tok LIMIT 10
+    """,
+    "kmeans_step_embeddings": """
+        WITH cent AS (SELECT vec_id AS cluster,
+                             CAST(embedding AS DOUBLE[]) AS c
+                      FROM embeddings WHERE vec_id < 4),
+        sims AS (SELECT e.vec_id, cent.cluster,
+                        list_cosine_similarity(
+                            CAST(e.embedding AS DOUBLE[]), cent.c) AS sim,
+                        list_sum(CAST(e.embedding AS DOUBLE[])) AS mass
+                 FROM embeddings e, cent),
+        best AS (SELECT vec_id, cluster, mass FROM (
+                    SELECT vec_id, cluster, mass,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY sim DESC, cluster) AS rn
+                    FROM sims) WHERE rn = 1)
+        SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(ROUND(SUM(mass) / COUNT(*) * 10000) AS BIGINT)
+                   AS centroid_mass
+        FROM best GROUP BY cluster ORDER BY cluster
+    """,
+    "inverted_index_docs": """
+        WITH t0 AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                    FROM documents),
+        t AS (SELECT DISTINCT doc_id, tok FROM t0),
+        idx AS (SELECT tok, CAST(doc_id // 100 AS BIGINT) AS bucket,
+                       STRING_AGG(CAST(doc_id AS VARCHAR), ','
+                                  ORDER BY doc_id) AS postings,
+                       CAST(COUNT(*) AS BIGINT) AS df_bucket
+                FROM t GROUP BY tok, bucket)
+        SELECT * FROM idx
+        ORDER BY df_bucket DESC, tok, bucket LIMIT 20
+    """,
+    "blocklist_filter_docs": """
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE source NOT IN ('src1', 'src7', 'src13')
+        GROUP BY lang ORDER BY lang
+    """,
+    "zscore_by_lang": """
+        WITH s AS (SELECT lang, AVG(n_chars) AS m,
+                          STDDEV_POP(n_chars) AS sd
+                   FROM documents GROUP BY lang)
+        SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN ABS((d.n_chars - s.m) / s.sd) <= 1
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_within_1sigma,
+               CAST(ROUND(SUM(ABS((d.n_chars - s.m) / s.sd)) * 10000)
+                    AS BIGINT) AS sum_absz
+        FROM documents d JOIN s USING (lang)
+        GROUP BY d.lang ORDER BY d.lang
     """,
 }

@@ -318,3 +318,40 @@ def token_document_frequency(ds, text_col: str = "text",
     return (ds.map_batches(partial, batch_format="pyarrow")
               .groupby("tok").aggregate(Sum("df", alias_name="df"),
                                         Sum("cf", alias_name="cf")))
+
+
+def inverted_index(ds, text_col: str = "text", id_col: str = "doc_id",
+                   bucket_docs: int = 100):
+    """Sharded inverted index: one row per (token, doc-id bucket) with the
+    bucket's sorted posting list and document frequency.
+
+    Scale shape: a stopword's corpus-wide posting list is corpus-sized, so
+    posting lists are sharded by ``doc_id // bucket_docs`` — every group's
+    assembly memory and output row is bounded by ``bucket_docs`` no matter
+    how hot the token, and the groupby key space is vocab x buckets (the
+    shuffle carries only distinct (token, doc) pairs, never text).  Bucket
+    shards concatenate in bucket order to recover the full posting list."""
+    import pandas as pd
+    from .contamination import _space_tokens
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        _, off, flat = _space_tokens(batch[text_col])
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        doc_rep = np.repeat(ids, np.diff(off))
+        pdf = pd.DataFrame({"tok": flat.to_pandas(), id_col: doc_rep})
+        pdf = pdf.drop_duplicates()
+        pdf["bucket"] = (pdf[id_col] // bucket_docs).astype(np.int64)
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    def assemble(g: "pd.DataFrame") -> "pd.DataFrame":
+        ids = np.sort(g[id_col].to_numpy())
+        return pd.DataFrame({
+            "tok": [g["tok"].iloc[0]],
+            "bucket": [int(g["bucket"].iloc[0])],
+            "postings": [",".join(str(i) for i in ids)],
+            "df_bucket": [np.int64(len(ids))],
+        })
+
+    return (ds.map_batches(pairs, batch_format="pyarrow")
+              .groupby(["tok", "bucket"]).map_groups(assemble,
+                                                     batch_format="pandas"))
