@@ -85,7 +85,7 @@ def kmeans_step(ds: ray.data.Dataset, centroids: np.ndarray,
     cref = ray.put(np.asarray(centroids, dtype=np.float64))
     part = ds.map_batches(_AssignPartial, fn_constructor_args=(cref, emb_col),
                           batch_format="pyarrow",
-                          concurrency=concurrency or (1, 8))
+                          concurrency=concurrency or (1, 32))
     pdf = part.to_pandas()   # <= k rows per block; k-row answer table
     k, dim = np.asarray(centroids).shape
     counts = np.zeros(k, dtype=np.int64)
@@ -126,4 +126,4 @@ def assign_clusters(ds: ray.data.Dataset, centroids: np.ndarray,
     cref = ray.put(np.asarray(centroids, dtype=np.float64))
     return ds.map_batches(ClusterAssigner, fn_constructor_args=(cref, emb_col),
                           batch_format="pyarrow",
-                          concurrency=concurrency or (1, 8))
+                          concurrency=concurrency or (1, 32))

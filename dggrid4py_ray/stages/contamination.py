@@ -127,4 +127,4 @@ def contamination_check(ds: ray.data.Dataset, bench_grams: np.ndarray,
     return ds.map_batches(ContaminationChecker,
                           fn_constructor_args=(ref, n, text_col, id_col),
                           batch_format="pyarrow",
-                          concurrency=concurrency or (1, 8))
+                          concurrency=concurrency or (1, 32))

@@ -68,6 +68,12 @@ def grouped_reduce(ds: ray.data.Dataset, key, col_map: dict,
         lambda t: t.filter(t["_b"]).drop_columns(["_b"]), batch_format="pyarrow")
     bagg = boundary.groupby(key if isinstance(key, str) else keys).aggregate(
         *[_AGGS[how[c]](c, alias_name=c) for c in in_cols])
+    # boundary aggregate holds <=2 rows per sorted block — without the
+    # coalesce its dozens of near-empty aggregate output blocks union into
+    # the result and COMPOUND across chained grouped_reduce calls (block
+    # count doubled per fold in the rollup pyramid, and per-block fixed
+    # costs dominated).  One block is always right for answer-sized data.
+    bagg = bagg.repartition(1)
     merged = interior.union(bagg)
 
     return merged.map_batches(

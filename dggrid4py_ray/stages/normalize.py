@@ -68,4 +68,4 @@ def group_zscore(ds: ray.data.Dataset, key: str, col: str,
                    st["std"].tolist()))
     return ds.map_batches(_ZScorer, fn_constructor_args=(ref, key, col, out_col),
                           batch_format="pyarrow",
-                          concurrency=concurrency or (1, 8))
+                          concurrency=concurrency or (1, 32))

@@ -87,6 +87,12 @@ def hierarchical_rollup(ds: ray.data.Dataset, cell_col: str, sum_cols: list,
                                     col_map={c: c for c in sum_cols},
                                     how="sum")
         cur = folded.materialize()
+        # levels shrink geometrically; keep block count proportional to
+        # rows (~1M rows/block) so later folds' sorts don't pay per-block
+        # fixed costs for near-empty blocks.
+        want = max(1, min(cur.num_blocks(), cur.count() // 1_000_000 + 1))
+        if cur.num_blocks() > 2 * want:
+            cur = cur.repartition(want).materialize()
         out = out.union(cur.map_batches(tag(start_level + k * level_step),
                                         batch_format="pyarrow"))
     return out
