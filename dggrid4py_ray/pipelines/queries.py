@@ -1555,6 +1555,21 @@ def zscore_by_lang(sf_dir: str):
         batch_format="pyarrow").sort("lang")
 
 
+def ntile_by_lang(sf_dir: str):
+    """Distributed window ranking (stages/window.py): NTILE(4) OVER
+    (PARTITION BY lang ORDER BY n_chars, doc_id) — one range sort,
+    O(#blocks) driver carry chain for cross-block row numbers — then
+    per-(lang, quartile) stats."""
+    from ..stages.window import group_ntile
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    tiled = group_ntile(ds, "lang", ["n_chars", "doc_id"], 4,
+                        out_col="quartile")
+    agg = tiled.groupby(["lang", "quartile"]).aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
+    return agg.sort(["lang", "quartile"])
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -1616,6 +1631,7 @@ QUERIES = {
     "inverted_index_docs": inverted_index_docs,
     "blocklist_filter_docs": blocklist_filter_docs,
     "zscore_by_lang": zscore_by_lang,
+    "ntile_by_lang": ntile_by_lang,
 }
 
 ORACLES = {
@@ -2229,5 +2245,15 @@ ORACLES = {
                     AS BIGINT) AS sum_absz
         FROM documents d JOIN s USING (lang)
         GROUP BY d.lang ORDER BY d.lang
+    """,
+    "ntile_by_lang": """
+        SELECT lang, CAST(quartile AS BIGINT) AS quartile,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM (SELECT lang, n_chars,
+                     NTILE(4) OVER (PARTITION BY lang
+                                    ORDER BY n_chars, doc_id) AS quartile
+              FROM documents)
+        GROUP BY lang, quartile ORDER BY lang, quartile
     """,
 }

@@ -1,0 +1,149 @@
+"""Distributed window ranking: ROW_NUMBER / NTILE over partitions.
+
+``group_row_number`` is the SQL ``ROW_NUMBER() OVER (PARTITION BY g
+ORDER BY ...)`` in Ray Data shape: ONE range sort on (group, *order),
+then — because a partition's rows are CONTIGUOUS in the sorted order — a
+group can only straddle adjacent block boundaries, so the only
+cross-block state is, per block, "how many rows of the block's last
+group live here".  Driver state is O(#blocks) (one carry chain over the
+ordered block summaries, same shape as ``stages/scan.prefix_sum``), NOT
+O(#groups) — per-user partitions at 10^9 users are fine.  The local pass
+is a vectorized segment cumcount.
+
+``group_ntile`` adds the SQL NTILE(n) law on top: bucket sizes are
+``ceil(g/n)`` for the first ``g mod n`` buckets and ``floor(g/n)`` after
+(the standard remainder-first rule), computed from the rank and the
+group size.  Group sizes come from a ``grouped_reduce`` count; the
+broadcast variant here assumes a bounded group count (documented per
+call site) — for unbounded keys, join the sizes back with the cogroup
+machinery in ``stages/join`` instead.
+
+Order keys must be unique WITHIN a group (add a row id as the last order
+column, exactly as SQL needs for a deterministic ROW_NUMBER).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _cols(t: pa.Table, names):
+    return [t[c].to_numpy(zero_copy_only=False) for c in names]
+
+
+def _first_key(t: pa.Table, names):
+    return tuple(t[c][0].as_py() for c in names)
+
+
+def group_row_number(ds: ray.data.Dataset, group_col: str, order_cols: list,
+                     out_col: str = "rn") -> ray.data.Dataset:
+    """Append 1-based ``out_col`` = row number within ``group_col`` in
+    (order_cols) order.  Output is globally sorted by (group, *order)."""
+    keys = [group_col] + list(order_cols)
+    srt = ds.sort(keys).materialize()
+
+    def summarize(t: pa.Table) -> pa.Table:
+        cols = {f"_k{i}": t[c].slice(0, min(1, t.num_rows))
+                for i, c in enumerate(keys)}       # typed first-row key
+        if t.num_rows == 0:
+            cols.update({"_key": pa.array([], pa.string()),
+                         "_first_g": pa.array([], pa.string()),
+                         "_last_g": pa.array([], pa.string()),
+                         "_n_last": pa.array([], pa.int64())})
+            return pa.table(cols)
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        n_last = int((g == g[-1]).sum()) if g[0] == g[-1] else \
+            int(len(g) - np.flatnonzero(g[:-1] != g[1:])[-1] - 1)
+        cols.update({
+            "_key": pa.array([repr(_first_key(t, keys))]),
+            "_first_g": pa.array([str(g[0])]),
+            "_last_g": pa.array([str(g[-1])]),
+            "_n_last": pa.array([n_last], pa.int64()),
+        })
+        return pa.table(cols)
+
+    summ = (srt.map_batches(summarize, batch_format="pyarrow").to_pandas()
+            .sort_values([f"_k{i}" for i in range(len(keys))],
+                         ignore_index=True))
+    # blocks tile the sorted (group, *order) order, so ordering the block
+    # summaries by their typed first-row key IS the global block order
+    offsets = {}
+    carry_g, carry_n = None, 0
+    for _, r in summ.iterrows():            # O(#blocks) driver rows
+        off = carry_n if r["_first_g"] == carry_g else 0
+        if r["_key"] in offsets:
+            raise ValueError("group_row_number requires unique "
+                             f"(group, order) keys; duplicate {r['_key']}")
+        offsets[r["_key"]] = off
+        carry_n = (off + r["_n_last"] if r["_first_g"] == r["_last_g"]
+                   else int(r["_n_last"]))
+        carry_g = r["_last_g"]
+    off_ref = ray.put(offsets)
+
+    def local_rank(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        offs = ray.get(off_ref)
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        n = len(g)
+        new_seg = np.r_[True, g[1:] != g[:-1]]
+        starts = np.flatnonzero(new_seg)
+        seg_len = np.diff(np.append(starts, n))
+        rank = (np.arange(n, dtype=np.int64)
+                - np.repeat(starts, seg_len) + 1)
+        off = offs[repr(_first_key(t, keys))]
+        if off:
+            first_end = starts[1] if len(starts) > 1 else n
+            rank[:first_end] += off
+        return t.append_column(out_col, pa.array(rank))
+
+    return srt.map_batches(local_rank, batch_format="pyarrow")
+
+
+def _ntile_from_rank(rank: np.ndarray, size: np.ndarray,
+                     n: int) -> np.ndarray:
+    """SQL NTILE law: first (size mod n) buckets hold ceil(size/n) rows."""
+    q, rem = size // n, size % n
+    big = (q + 1) * rem                       # rows covered by big buckets
+    in_big = rank <= big
+    bucket = np.where(
+        in_big,
+        (rank + q) // np.maximum(q + 1, 1),   # ceil(rank/(q+1))
+        rem + (np.maximum(rank - big, 1) + q - 1) // np.maximum(q, 1))
+    return bucket.astype(np.int64)
+
+
+def group_ntile(ds: ray.data.Dataset, group_col: str, order_cols: list,
+                n: int, out_col: str = "bucket") -> ray.data.Dataset:
+    """Append SQL ``NTILE(n) OVER (PARTITION BY group ORDER BY ...)``.
+    Broadcast group-size variant: assumes a bounded number of groups."""
+    from .groupagg import grouped_reduce
+
+    ranked = group_row_number(ds, group_col, order_cols,
+                              out_col="_rn").materialize()
+    sizes = grouped_reduce(
+        ranked.map_batches(
+            lambda t: pa.table({group_col: t[group_col],
+                                "_one": pa.array(np.ones(t.num_rows,
+                                                         dtype=np.int64))}),
+            batch_format="pyarrow"),
+        key=group_col, col_map={"_one": "_sz"}, how="sum").to_pandas()
+    size_ref = ray.put(dict(zip(sizes[group_col], sizes["_sz"])))
+
+    def tile(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return (t.append_column(out_col, pa.array([], pa.int64()))
+                     .drop_columns(["_rn"]))
+        sz_map = ray.get(size_ref)
+        g = pd.Series(t[group_col].to_pandas())
+        size = g.map(sz_map).to_numpy(dtype=np.int64)
+        rank = t["_rn"].to_numpy(zero_copy_only=False)
+        return (t.append_column(out_col,
+                                pa.array(_ntile_from_rank(rank, size, n)))
+                 .drop_columns(["_rn"]))
+
+    return ranked.map_batches(tile, batch_format="pyarrow")

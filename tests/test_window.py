@@ -1,0 +1,79 @@
+"""Distributed window ranking (stages/window.py) vs pandas cumcount and
+DuckDB NTILE, including single-group spans across many blocks."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _check_rn(ray, df, parts):
+    from dggrid4py_ray.stages.window import group_row_number
+
+    ds = ray.data.from_pandas(df).repartition(parts)
+    got = (group_row_number(ds, "g", ["x", "rid"]).to_pandas()
+           .sort_values(["g", "x", "rid"], ignore_index=True))
+    want = df.sort_values(["g", "x", "rid"], ignore_index=True)
+    want["rn"] = want.groupby("g").cumcount() + 1
+    np.testing.assert_array_equal(got["rn"].to_numpy(),
+                                  want["rn"].to_numpy())
+
+
+def test_row_number_random(ray_session):
+    rng = np.random.default_rng(1)
+    df = pd.DataFrame({"g": rng.choice(["a", "b", "c", "dd"], 4000),
+                       "x": rng.integers(0, 500, 4000),
+                       "rid": np.arange(4000)})
+    _check_rn(ray_session, df, 9)
+
+
+def test_row_number_one_giant_group(ray_session):
+    """One group spanning every block exercises the carry chain."""
+    df = pd.DataFrame({"g": ["hot"] * 3000 + ["z"] * 10,
+                       "x": np.arange(3010) % 97,
+                       "rid": np.arange(3010)})
+    _check_rn(ray_session, df, 12)
+
+
+def test_row_number_int_group_keys(ray_session):
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"g": rng.integers(0, 20, 2000),
+                       "x": rng.integers(0, 50, 2000),
+                       "rid": np.arange(2000)})
+    _check_rn(ray_session, df, 5)
+
+
+def test_row_number_duplicate_keys_safe(ray_session):
+    """Fully duplicated (group, order) keys: the range sort usually lands
+    them in ONE partition (identical keys can't be range-split), where the
+    local cumcount still yields a valid ROW_NUMBER (SQL tie order is
+    arbitrary).  If Ray ever splits them across blocks, the driver carry
+    pass must refuse loudly rather than mis-assign.  Accept either."""
+    from dggrid4py_ray.stages.window import group_row_number
+
+    df = pd.DataFrame({"g": ["a"] * 400, "x": [7] * 400,
+                       "rid": [1] * 400})
+    ds = ray_session.data.from_pandas(df).repartition(4)
+    try:
+        got = group_row_number(ds, "g", ["x", "rid"]).to_pandas()
+    except ValueError:
+        return
+    assert sorted(got["rn"].tolist()) == list(range(1, 401))
+
+
+@pytest.mark.parametrize("n", [2, 3, 4, 7])
+def test_ntile_matches_duckdb(ray_session, n):
+    from dggrid4py_ray.stages.window import group_ntile
+
+    rng = np.random.default_rng(n)
+    df = pd.DataFrame({"g": rng.choice(["p", "q", "r"], 1000),
+                       "x": rng.integers(0, 200, 1000),
+                       "rid": np.arange(1000)})
+    ds = ray_session.data.from_pandas(df).repartition(6)
+    got = (group_ntile(ds, "g", ["x", "rid"], n).to_pandas()
+           .sort_values(["g", "x", "rid"], ignore_index=True))
+    want = duckdb.connect().execute(
+        f"SELECT g, x, rid, NTILE({n}) OVER (PARTITION BY g "
+        "ORDER BY x, rid) AS b FROM df ORDER BY g, x, rid").fetchdf()
+    np.testing.assert_array_equal(got["bucket"].to_numpy(),
+                                  want["b"].to_numpy())
