@@ -1570,6 +1570,38 @@ def ntile_by_lang(sf_dir: str):
     return agg.sort(["lang", "quartile"])
 
 
+def bloom_antijoin_events(sf_dir: str):
+    """Large-large EXACT anti-join with Bloom splitting (the blocklist at
+    scale): events whose user_id does NOT belong to a BUILDING-segment
+    customer.  Bloom-negative rows (definite non-members) bypass the join
+    exchange entirely; only the maybes go through the exact left_anti
+    join (stages/bloom.bloom_anti_join)."""
+    from ..stages.bloom import bloom_anti_join
+    events = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    keys = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda t: t.filter(
+            pc.equal(t["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
+            batch_format="pyarrow")
+    aj = bloom_anti_join(events, keys, "user_id", "c_custkey",
+                         num_bits=1 << 16)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "value": t["value"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("event_type", sort=False).agg(
+            n=("value", "size"), s=("value", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (aj.map_batches(partial, batch_format="pyarrow")
+             .groupby("event_type")
+             .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s")))
+    return agg.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"], "n": t["n"],
+                            "sum_value": _iscale(t["s"], 10000)}),
+        batch_format="pyarrow").sort("event_type")
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -1632,6 +1664,7 @@ QUERIES = {
     "blocklist_filter_docs": blocklist_filter_docs,
     "zscore_by_lang": zscore_by_lang,
     "ntile_by_lang": ntile_by_lang,
+    "bloom_antijoin_events": bloom_antijoin_events,
 }
 
 ORACLES = {
@@ -2255,5 +2288,14 @@ ORACLES = {
                                     ORDER BY n_chars, doc_id) AS quartile
               FROM documents)
         GROUP BY lang, quartile ORDER BY lang, quartile
+    """,
+    "bloom_antijoin_events": """
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(ROUND(SUM(value) * 10000) AS BIGINT) AS sum_value
+        FROM events
+        WHERE user_id NOT IN (SELECT c_custkey FROM customer
+                              WHERE c_mktsegment = 'BUILDING')
+        GROUP BY event_type
+        ORDER BY event_type
     """,
 }

@@ -107,3 +107,52 @@ def bloom_semi_join(big: ray.data.Dataset, keys: ray.data.Dataset,
     right = right.repartition(max(2, parts // 4))
     return pruned.join(right, join_type="left_semi", num_partitions=parts,
                        on=(big_col,), right_on=(key_col,))
+
+
+def bloom_anti_join(big: ray.data.Dataset, keys: ray.data.Dataset,
+                    big_col: str, key_col: str | None = None,
+                    num_bits: int = 1 << 22, num_hashes: int = 4,
+                    num_partitions: int | None = None) -> ray.data.Dataset:
+    """EXACT anti-join ``big WHERE big_col NOT IN keys[key_col]`` — the
+    dual of ``bloom_semi_join``: the Bloom filter has zero false
+    negatives, so every bloom-NEGATIVE row is a definite non-member and
+    bypasses the join exchange entirely; only the bloom-positive "maybes"
+    (~|members| + fp_rate x |non-members|) go through the exact
+    ``left_anti`` join, which readmits the false positives.  For a
+    selective blocklist the big side's shuffle carries almost nothing."""
+    from .dedup import _join_partitions
+    key_col = key_col or big_col
+    bloom = ray.put(build_bloom(keys, key_col, num_bits, num_hashes))
+
+    def member_mask(t: pa.Table) -> np.ndarray:
+        bmp = ray.get(bloom)
+        ok = np.ones(t.num_rows, bool)
+        for pos in _positions(t[big_col], num_bits, num_hashes):
+            ok &= ((bmp[(pos >> np.uint64(6)).astype(np.int64)]
+                    >> (pos & np.uint64(63))) & np.uint64(1)).astype(bool)
+        return ok
+
+    def definite(t: pa.Table) -> pa.Table:
+        return t if t.num_rows == 0 else t.filter(pa.array(~member_mask(t)))
+
+    def maybe(t: pa.Table) -> pa.Table:
+        return t if t.num_rows == 0 else t.filter(pa.array(member_mask(t)))
+
+    keep = big.map_batches(definite, batch_format="pyarrow")
+    maybes = big.map_batches(maybe, batch_format="pyarrow")
+    right = keys.map_batches(lambda t: t.select([key_col]),
+                             batch_format="pyarrow")
+    parts = num_partitions or _join_partitions()
+    right = right.repartition(max(2, parts // 4))
+    # The maybes side is small (~|members| + fp-rate of the rest):
+    # materialize it so the empty case can skip the join — an all-empty
+    # left side reaches the Arrow hash join as schema-less partitions and
+    # fails with "no match for FieldRef".  No extra scan: the join would
+    # re-execute the maybes lineage anyway.
+    maybes = maybes.repartition(max(2, parts // 4)).materialize()
+    if maybes.count() == 0:
+        return keep
+    survivors = maybes.join(right, join_type="left_anti",
+                            num_partitions=parts,
+                            on=(big_col,), right_on=(key_col,))
+    return keep.union(survivors)
