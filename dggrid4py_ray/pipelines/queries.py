@@ -2267,17 +2267,22 @@ ORACLES = {
         GROUP BY lang ORDER BY lang
     """,
     "zscore_by_lang": """
+        -- CASE sd > 0 encodes the operator's documented z=0 semantics
+        -- for zero-variance groups (plain division would yield NULL and
+        -- diverge on constant-valued groups)
         WITH s AS (SELECT lang, AVG(n_chars) AS m,
                           STDDEV_POP(n_chars) AS sd
-                   FROM documents GROUP BY lang)
-        SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(CASE WHEN ABS((d.n_chars - s.m) / s.sd) <= 1
-                             THEN 1 ELSE 0 END) AS BIGINT)
+                   FROM documents GROUP BY lang),
+        z AS (SELECT d.lang,
+                     CASE WHEN s.sd > 0
+                          THEN ABS((d.n_chars - s.m) / s.sd)
+                          ELSE 0 END AS az
+              FROM documents d JOIN s USING (lang))
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN az <= 1 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_within_1sigma,
-               CAST(ROUND(SUM(ABS((d.n_chars - s.m) / s.sd)) * 10000)
-                    AS BIGINT) AS sum_absz
-        FROM documents d JOIN s USING (lang)
-        GROUP BY d.lang ORDER BY d.lang
+               CAST(ROUND(SUM(az) * 10000) AS BIGINT) AS sum_absz
+        FROM z GROUP BY lang ORDER BY lang
     """,
     "ntile_by_lang": """
         SELECT lang, CAST(quartile AS BIGINT) AS quartile,

@@ -50,6 +50,9 @@ class _AssignPartial:
         self.emb_col = emb_col
 
     def assign(self, batch: pa.Table) -> np.ndarray:
+        if batch.num_rows == 0:    # reshape(0, -1) raises on empty blocks
+            return (np.empty(0, dtype=np.int64),
+                    np.empty((0, self.C.shape[1])))
         X = _emb_matrix(batch, self.emb_col)
         sims = _normalize(X) @ self.C.T                      # (n, k)
         # argmax with lowest-id tie-break == plain argmax (first max wins)

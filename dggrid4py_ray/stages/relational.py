@@ -356,32 +356,22 @@ def exact_group_quantile(ds: ray.data.Dataset, group_col: str, value_col: str,
 def filter_not_in(ds, col: str, values, broadcast_threshold: int = 10000):
     """Broadcast anti-join filter (blocklist): drop rows whose ``col`` is
     in ``values``.  Small lists ship inside the task closure; larger sets
-    go through ``ray.put`` so every task reads one object-store copy.
-    The exact complement of the Bloom semi-join's keep side — use this
-    when the blocklist fits memory, ``stages/bloom`` when it doesn't."""
+    go through ``ray.put`` so every task reads one object-store copy
+    (zero-copy get per batch — no actor pool needed for a stateless
+    filter).  The exact complement of the Bloom semi-join's keep side —
+    use this when the blocklist fits memory, ``stages/bloom`` when it
+    doesn't."""
     import pyarrow as _pa
     import pyarrow.compute as _pc
     import ray as _ray
 
     vals = list(values)
-    if len(vals) > broadcast_threshold:
-        ref = _ray.put(vals)
-
-        class _Drop:
-            def __init__(self):
-                self.set = _pa.array(_ray.get(ref))
-
-            def __call__(self, batch: _pa.Table) -> _pa.Table:
-                return batch.filter(_pc.invert(
-                    _pc.is_in(batch[col], value_set=self.set)))
-
-        return ds.map_batches(_Drop, batch_format="pyarrow",
-                              concurrency=(1, 8))
-
-    vset = _pa.array(vals)
+    ref = _ray.put(_pa.array(vals)) if len(vals) > broadcast_threshold \
+        else None
+    vset = None if ref is not None else _pa.array(vals)
 
     def drop(batch: _pa.Table) -> _pa.Table:
-        return batch.filter(_pc.invert(_pc.is_in(batch[col],
-                                                 value_set=vset)))
+        vs = _ray.get(ref) if ref is not None else vset
+        return batch.filter(_pc.invert(_pc.is_in(batch[col], value_set=vs)))
 
     return ds.map_batches(drop, batch_format="pyarrow")

@@ -53,6 +53,47 @@ def _segment_sum(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     return csum[offsets[1:]] - csum[offsets[:-1]]
 
 
+from .hashing import hash64, _finalize  # noqa: E402
+
+_GRAM_MULT = np.uint64(0x100000001B3)  # FNV-ish odd multiplier
+
+
+def _space_tokens(arr: pa.Array):
+    """split(' ') token hashes + doc offsets.  Returns (token_hash flat
+    uint64, offsets int64 (n_docs+1), flat token values pa.Array)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    words = pc.split_pattern(arr, " ")
+    off = words.offsets.to_numpy().astype(np.int64)
+    flat = words.values
+    return hash64(flat), off, flat
+
+
+def _gram_hashes(tok_hash: np.ndarray, offsets: np.ndarray, n: int):
+    """Rolling n-gram hashes over the flat token-hash array, masked to
+    grams that do not cross document boundaries.
+
+    Returns (gram_hash flat uint64, doc_index per gram int64,
+    grams_per_doc int64 (n_docs,)).  Fully vectorized: n vector ops for
+    the roll (n is 2-8), one repeat for the doc index."""
+    n_docs = len(offsets) - 1
+    lens = np.diff(offsets)
+    per_doc = np.maximum(lens - n + 1, 0)
+    total = len(tok_hash)
+    if total < n or per_doc.sum() == 0:
+        return (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64),
+                per_doc)
+    m = total - n + 1
+    g = tok_hash[:m].copy()
+    for k in range(1, n):
+        g = g * _GRAM_MULT + tok_hash[k:m + k]
+    g = _finalize(g)
+    # a gram is valid when its first and last token are in the same doc
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    valid = doc_of[:m] == doc_of[n - 1:]
+    return g[valid], doc_of[:m][valid], per_doc
+
+
 class TokenCounter:
     """Whitespace tokens + a BPE-ish regex token count + char count, all via
     pyarrow.compute count kernels."""
@@ -244,7 +285,6 @@ class RepetitionScorer:
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id",
                  gram_n: int = 2):
-        from .contamination import _gram_hashes, _space_tokens
         self._grams = _gram_hashes
         self._toks = _space_tokens
         self.text_col = text_col
@@ -305,7 +345,6 @@ def token_document_frequency(ds, text_col: str = "text",
     import pandas as pd
     import ray.data
     from ray.data.aggregate import Sum
-    from .contamination import _space_tokens
 
     def partial(batch: pa.Table) -> pa.Table:
         _, off, flat = _space_tokens(batch[text_col])
@@ -332,7 +371,6 @@ def inverted_index(ds, text_col: str = "text", id_col: str = "doc_id",
     shuffle carries only distinct (token, doc) pairs, never text).  Bucket
     shards concatenate in bucket order to recover the full posting list."""
     import pandas as pd
-    from .contamination import _space_tokens
 
     def pairs(batch: pa.Table) -> pa.Table:
         _, off, flat = _space_tokens(batch[text_col])

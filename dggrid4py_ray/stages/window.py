@@ -121,17 +121,21 @@ def group_ntile(ds: ray.data.Dataset, group_col: str, order_cols: list,
                 n: int, out_col: str = "bucket") -> ray.data.Dataset:
     """Append SQL ``NTILE(n) OVER (PARTITION BY group ORDER BY ...)``.
     Broadcast group-size variant: assumes a bounded number of groups."""
-    from .groupagg import grouped_reduce
+    from ray.data.aggregate import Sum
 
     ranked = group_row_number(ds, group_col, order_cols,
                               out_col="_rn").materialize()
-    sizes = grouped_reduce(
-        ranked.map_batches(
-            lambda t: pa.table({group_col: t[group_col],
-                                "_one": pa.array(np.ones(t.num_rows,
-                                                         dtype=np.int64))}),
-            batch_format="pyarrow"),
-        key=group_col, col_map={"_one": "_sz"}, how="sum").to_pandas()
+
+    # group sizes: within-batch value_counts partial -> tiny hash groupby
+    # (bounded group count is this function's contract; no second sort)
+    def count_partial(t: pa.Table) -> pa.Table:
+        vc = pd.Series(t[group_col].to_pandas()).value_counts()
+        return pa.table({group_col: pa.array(vc.index),
+                         "_sz": pa.array(vc.to_numpy().astype(np.int64))})
+
+    sizes = (ranked.map_batches(count_partial, batch_format="pyarrow")
+             .groupby(group_col).aggregate(Sum("_sz", alias_name="_sz"))
+             .to_pandas())
     size_ref = ray.put(dict(zip(sizes[group_col], sizes["_sz"])))
 
     def tile(t: pa.Table) -> pa.Table:

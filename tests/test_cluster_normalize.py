@@ -120,3 +120,16 @@ def test_filter_not_in(ray_session):
     got2 = filter_not_in(ds, "s", ["x", "w"],
                          broadcast_threshold=1).to_pandas()
     assert sorted(got2["v"].tolist()) == [2, 3]
+
+
+def test_assign_clusters_with_empty_blocks(ray_session):
+    """Filtered-out blocks reach the assigner as 0-row batches; the
+    reshape guard must keep the job alive (review finding)."""
+    from dggrid4py_ray.stages.cluster import assign_clusters
+
+    df = _emb_df(n=60, seed=6)
+    ds = ray_session.data.from_pandas(df).repartition(6).filter(
+        lambda r: r["vec_id"] < 10)     # most blocks end up empty
+    X = np.stack([np.asarray(v, np.float64) for v in df["embedding"]])
+    got = assign_clusters(ds, X[:3]).to_pandas()
+    assert len(got) == 10 and got["cluster"].between(0, 2).all()
