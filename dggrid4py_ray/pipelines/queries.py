@@ -1602,6 +1602,32 @@ def bloom_antijoin_events(sf_dir: str):
         batch_format="pyarrow").sort("event_type")
 
 
+def pagerank_custsupp(sf_dir: str):
+    """Distributed PageRank (stages/graph.py) over the customer->supplier
+    purchase graph (edges = lineitem JOIN orders; supplier node ids
+    offset by 1e6 to keep the two key spaces disjoint).  Two power
+    iterations from the uniform start; simple (no dangling
+    redistribution) semantics so the oracle is the same SQL recurrence."""
+    from ..stages.graph import pagerank
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = li.join(orders.repartition(8), join_type="inner",
+                     num_partitions=8, on=("l_orderkey",),
+                     right_on=("o_orderkey",))
+    edges = joined.map_batches(
+        lambda t: pa.table({
+            "u": t["o_custkey"].combine_chunks().cast(pa.int64()),
+            "v": pc.add(t["l_suppkey"].combine_chunks().cast(pa.int64()),
+                        1000000)}),
+        batch_format="pyarrow")
+    ranks = pagerank(edges, iters=2, d=0.85)
+    return ranks.map_batches(
+        lambda t: pa.table({"node": t["node"],
+                            "rank_e6": _iscale(t["rank"], 1000000)}),
+        batch_format="pyarrow").sort("node")
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -1665,6 +1691,7 @@ QUERIES = {
     "zscore_by_lang": zscore_by_lang,
     "ntile_by_lang": ntile_by_lang,
     "bloom_antijoin_events": bloom_antijoin_events,
+    "pagerank_custsupp": pagerank_custsupp,
 }
 
 ORACLES = {
@@ -2302,5 +2329,31 @@ ORACLES = {
                               WHERE c_mktsegment = 'BUILDING')
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "pagerank_custsupp": """
+        WITH e AS (SELECT o_custkey AS u, l_suppkey + 1000000 AS v
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        nodes AS (SELECT DISTINCT u AS n FROM e
+                  UNION SELECT DISTINCT v FROM e),
+        cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM nodes),
+        deg AS (SELECT u, CAST(COUNT(*) AS DOUBLE) AS dout
+                FROM e GROUP BY u),
+        r0 AS (SELECT n, 1.0 / (SELECT c FROM cnt) AS r FROM nodes),
+        s1 AS (SELECT e.v AS n, SUM(r0.r / deg.dout) AS contrib
+               FROM e JOIN r0 ON e.u = r0.n JOIN deg ON e.u = deg.u
+               GROUP BY e.v),
+        r1 AS (SELECT nodes.n,
+                      (1 - 0.85) / (SELECT c FROM cnt)
+                          + 0.85 * COALESCE(s1.contrib, 0) AS r
+               FROM nodes LEFT JOIN s1 ON nodes.n = s1.n),
+        s2 AS (SELECT e.v AS n, SUM(r1.r / deg.dout) AS contrib
+               FROM e JOIN r1 ON e.u = r1.n JOIN deg ON e.u = deg.u
+               GROUP BY e.v),
+        r2 AS (SELECT nodes.n,
+                      (1 - 0.85) / (SELECT c FROM cnt)
+                          + 0.85 * COALESCE(s2.contrib, 0) AS r
+               FROM nodes LEFT JOIN s2 ON nodes.n = s2.n)
+        SELECT n AS node, CAST(ROUND(r * 1000000) AS BIGINT) AS rank_e6
+        FROM r2 ORDER BY node
     """,
 }

@@ -1,0 +1,118 @@
+"""Distributed PageRank (power iteration) over an edge-list Dataset.
+
+The canonical web-scale iterative workload, Ray-Data-shaped:
+- The edge list (the 100-TB side) is JOINED, never collected: each
+  iteration is one hash join (ranks onto edges by source) + one
+  ``grouped_reduce`` sum by destination — the two exchanges every
+  distributed PageRank pays (Pregel/GraphX shape).
+- Per-edge weights (1/outdegree, times multiplicity for multigraph
+  edges) are precomputed ONCE and materialized, so iterations ship only
+  (node, rank) and (node, contribution) rows — node-sized, not
+  edge-sized, tables through the aggregate.
+- Ranks live in a Dataset keyed by node (node-sized — fine to shuffle,
+  never driver-collected except by the caller on answer-sized output).
+
+Semantics: the SIMPLE power iteration r' = (1-d)/N + d * sum_in r/deg —
+no dangling-mass redistribution (documented; dangling nodes leak their
+mass, exactly like the plain SQL formulation, which is what makes every
+iteration DuckDB-oracle-able).  Deterministic float64 at any
+parallelism up to float summation order (~1e-15 relative).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from .groupagg import grouped_reduce
+
+
+def _join_parts():
+    from .dedup import _join_partitions
+    return _join_partitions()
+
+
+def _distinct_nodes(edges: ray.data.Dataset, u_col: str,
+                    v_col: str) -> ray.data.Dataset:
+    both = edges.map_batches(
+        lambda t: pa.table({"node": pa.concat_arrays(
+            [t[u_col].combine_chunks().cast(pa.int64()),
+             t[v_col].combine_chunks().cast(pa.int64())])}),
+        batch_format="pyarrow")
+    ones = both.map_batches(
+        lambda t: t.append_column("_one", pa.array(
+            np.ones(t.num_rows, dtype=np.int64))), batch_format="pyarrow")
+    return grouped_reduce(ones, key="node", col_map={"_one": "_n"},
+                          how="sum").drop_columns(["_n"])
+
+
+def pagerank(edges: ray.data.Dataset, iters: int = 2, d: float = 0.85,
+             u_col: str = "u", v_col: str = "v",
+             num_partitions: int | None = None) -> ray.data.Dataset:
+    """Ranks after ``iters`` power iterations from the uniform start.
+    Returns a Dataset (node, rank).  Duplicate (u, v) rows count with
+    multiplicity (multigraph), matching a plain SQL edge-join oracle."""
+    parts = num_partitions or _join_parts()
+
+    nodes = _distinct_nodes(edges, u_col, v_col) \
+        .repartition(max(2, parts // 4)).materialize()
+    n_nodes = nodes.count()
+
+    # per-edge weight = multiplicity / outdeg(u): fold duplicates first so
+    # iterations join against the smallest possible edge table
+    epairs = edges.map_batches(
+        lambda t: pa.table({"u": t[u_col].combine_chunks().cast(pa.int64()),
+                            "v": t[v_col].combine_chunks().cast(pa.int64()),
+                            "_m": pa.array(np.ones(t.num_rows,
+                                                   dtype=np.int64))}),
+        batch_format="pyarrow")
+    # NOTE: grouped_reduce output (and any 0-row map output on this Ray
+    # version) can contain zero-COLUMN empty blocks, which the Arrow hash
+    # join rejects ("no match for FieldRef"); repartition concatenates
+    # them away.  One extra exchange over the deduped edge table, paid
+    # once before the iteration loop.
+    emult = grouped_reduce(epairs, key=["u", "v"], col_map={"_m": "_m"},
+                           how="sum").repartition(parts)
+    deg = grouped_reduce(
+        epairs.map_batches(lambda t: t.select(["u", "_m"]),
+                           batch_format="pyarrow"),
+        key="u", col_map={"_m": "_deg"}, how="sum")
+    ew = emult.join(deg.repartition(max(2, parts // 4)),
+                    join_type="inner", num_partitions=parts, on=("u",))
+    ew = ew.map_batches(
+        lambda t: pa.table({
+            "u": t["u"], "v": t["v"],
+            "w": pa.array(t["_m"].to_numpy(zero_copy_only=False)
+                          / t["_deg"].to_numpy(zero_copy_only=False))}),
+        batch_format="pyarrow").repartition(parts).materialize()
+
+    base = (1.0 - d) / n_nodes
+    ranks = nodes.map_batches(
+        lambda t: t.append_column("rank", pa.array(
+            np.full(t.num_rows, 1.0 / n_nodes))), batch_format="pyarrow") \
+        .materialize()
+
+    for _ in range(iters):
+        contrib = ew.join(ranks.repartition(max(2, parts // 4)),
+                          join_type="inner", num_partitions=parts,
+                          on=("u",), right_on=("node",))
+        contrib = contrib.map_batches(
+            lambda t: pa.table({
+                "node": t["v"],
+                "c": pa.array(t["w"].to_numpy(zero_copy_only=False)
+                              * t["rank"].to_numpy(zero_copy_only=False))}),
+            batch_format="pyarrow")
+        summed = grouped_reduce(contrib, key="node", col_map={"c": "c"},
+                                how="sum")
+        # nodes with no in-edges keep only the base term
+        joined = nodes.join(summed.repartition(max(2, parts // 4)),
+                            join_type="left_outer", num_partitions=parts,
+                            on=("node",))
+        ranks = joined.map_batches(
+            lambda t: pa.table({
+                "node": t["node"],
+                "rank": pa.array(base + d * np.nan_to_num(
+                    t["c"].to_numpy(zero_copy_only=False), nan=0.0))}),
+            batch_format="pyarrow").materialize()
+    return ranks

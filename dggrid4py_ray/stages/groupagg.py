@@ -48,6 +48,12 @@ def grouped_reduce(ds: ray.data.Dataset, key, col_map: dict,
     srt = ds.sort(keys)
 
     def block_reduce(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # typed zero-row table: pd->Arrow on an empty groupby yields a
+            # ZERO-COLUMN table, and such schema-less blocks poison every
+            # downstream Arrow hash join ("no match for FieldRef")
+            return (batch.select(keys + in_cols)
+                    .append_column("_b", pa.array([], pa.bool_())))
         cols = {k: batch[k].to_numpy(zero_copy_only=False) for k in keys}
         for c in in_cols:
             cols[c] = batch[c].to_numpy(zero_copy_only=False)
