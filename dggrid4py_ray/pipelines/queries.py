@@ -1628,6 +1628,73 @@ def pagerank_custsupp(sf_dir: str):
         batch_format="pyarrow").sort("node")
 
 
+def running_total_by_user(sf_dir: str):
+    """Per-user running totals (SUM OVER PARTITION ORDER ROWS UNBOUNDED
+    PRECEDING — stages/window.group_running_sum, one sort + O(#blocks)
+    carry), checksummed per user so the whole prefix structure is
+    oracle-verified."""
+    from ..stages.window import group_running_sum
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    run = group_running_sum(ds, "user_id", ["ts", "event_id"], "value",
+                            out_col="r")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"user_id": t["user_id"].to_numpy(),
+                           "r": t["r"].to_numpy()})
+        g = df.groupby("user_id", sort=False).agg(
+            n=("r", "size"), s=("r", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (run.map_batches(partial, batch_format="pyarrow")
+              .groupby("user_id")
+              .aggregate(Sum("n", alias_name="n_events"),
+                         Sum("s", alias_name="s")))
+    return agg.map_batches(
+        lambda t: pa.table({"user_id": t["user_id"],
+                            "n_events": t["n_events"],
+                            "sum_running": _iscale(t["s"], 10000)}),
+        batch_format="pyarrow").sort("user_id")
+
+
+def curation_v2(sf_dir: str):
+    """Capstone composition of the round-4b operators: drop benchmark-
+    contaminated docs (3-gram overlap vs doc_id%100==0 benchmark), drop
+    blocklisted sources, keep a deterministic 25% md5 sample, then
+    per-lang survivor stats.  The WHOLE chain is one SQL oracle."""
+    from ..stages.contamination import (benchmark_gram_set,
+                                        contamination_check)
+    from ..stages.relational import filter_not_in
+    from ..stages.sampling import hash_sample
+
+    docs = _read(sf_dir, "documents",
+                 ["doc_id", "text", "lang", "source", "n_chars"])
+
+    def split(pred):
+        def f(t: pa.Table) -> pa.Table:
+            m = (t["doc_id"].to_numpy() % 100 == 0)
+            return t.filter(pa.array(m if pred else ~m))
+        return f
+
+    bench = docs.map_batches(split(True), batch_format="pyarrow")
+    rest = docs.map_batches(split(False), batch_format="pyarrow")
+    grams = benchmark_gram_set(bench, n=3)
+    # anti-join on DIRTY ids (not semi on clean): docs too short to have
+    # grams emit no contamination row but are trivially clean — the SQL
+    # NOT IN (dirty) semantics keeps them
+    dirty_ids = contamination_check(rest, grams, n=3).map_batches(
+        lambda t: t.filter(pc.greater(t["n_hits"], 0)).select(["doc_id"]),
+        batch_format="pyarrow")
+    kept = filter_not_in(rest, "source", ["src1", "src7", "src13"])
+    kept = hash_sample(kept, "doc_id", keep=25, buckets=100)
+    surv = kept.join(dirty_ids.repartition(2).materialize(),
+                     join_type="left_anti", num_partitions=8,
+                     on=("doc_id",))
+    agg = surv.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
+    return agg.sort("lang")
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -1692,6 +1759,8 @@ QUERIES = {
     "ntile_by_lang": ntile_by_lang,
     "bloom_antijoin_events": bloom_antijoin_events,
     "pagerank_custsupp": pagerank_custsupp,
+    "running_total_by_user": running_total_by_user,
+    "curation_v2": curation_v2,
 }
 
 ORACLES = {
@@ -2355,5 +2424,35 @@ ORACLES = {
                FROM nodes LEFT JOIN s2 ON nodes.n = s2.n)
         SELECT n AS node, CAST(ROUND(r * 1000000) AS BIGINT) AS rank_e6
         FROM r2 ORDER BY node
+    """,
+    "running_total_by_user": """
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(ROUND(SUM(r) * 10000) AS BIGINT) AS sum_running
+        FROM (SELECT user_id,
+                     SUM(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS r
+              FROM events)
+        GROUP BY user_id ORDER BY user_id
+    """,
+    "curation_v2": """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+        g AS (SELECT doc_id,
+                     UNNEST(list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+              FROM w),
+        bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 0),
+        dirty AS (SELECT DISTINCT doc_id FROM g
+                  WHERE doc_id % 100 <> 0
+                    AND gram IN (SELECT gram FROM bench))
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE doc_id % 100 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM dirty)
+          AND source NOT IN ('src1', 'src7', 'src13')
+          AND md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 < 25
+        GROUP BY lang ORDER BY lang
     """,
 }

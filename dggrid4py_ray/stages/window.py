@@ -151,3 +151,72 @@ def group_ntile(ds: ray.data.Dataset, group_col: str, order_cols: list,
                  .drop_columns(["_rn"]))
 
     return ranked.map_batches(tile, batch_format="pyarrow")
+
+
+def group_running_sum(ds: ray.data.Dataset, group_col: str, order_cols: list,
+                      value_col: str, out_col: str = "running") -> ray.data.Dataset:
+    """SQL ``SUM(value) OVER (PARTITION BY g ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)`` — same one-sort + O(#blocks) carry-chain shape as
+    ``group_row_number``, carrying the block's last-group VALUE SUM
+    instead of its row count.  Unique (group, *order) keys required."""
+    keys = [group_col] + list(order_cols)
+    srt = ds.sort(keys).materialize()
+
+    def summarize(t: pa.Table) -> pa.Table:
+        cols = {f"_k{i}": t[c].slice(0, min(1, t.num_rows))
+                for i, c in enumerate(keys)}
+        if t.num_rows == 0:
+            cols.update({"_key": pa.array([], pa.string()),
+                         "_first_g": pa.array([], pa.string()),
+                         "_last_g": pa.array([], pa.string()),
+                         "_s_last": pa.array([], pa.float64())})
+            return pa.table(cols)
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        last_start = 0 if g[0] == g[-1] else \
+            int(np.flatnonzero(g[:-1] != g[1:])[-1] + 1)
+        cols.update({
+            "_key": pa.array([repr(_first_key(t, keys))]),
+            "_first_g": pa.array([str(g[0])]),
+            "_last_g": pa.array([str(g[-1])]),
+            "_s_last": pa.array([float(v[last_start:].sum())], pa.float64()),
+        })
+        return pa.table(cols)
+
+    summ = (srt.map_batches(summarize, batch_format="pyarrow").to_pandas()
+            .sort_values([f"_k{i}" for i in range(len(keys))],
+                         ignore_index=True))
+    offsets = {}
+    carry_g, carry_s = None, 0.0
+    for _, r in summ.iterrows():
+        off = carry_s if r["_first_g"] == carry_g else 0.0
+        if r["_key"] in offsets:
+            raise ValueError("group_running_sum requires unique "
+                             f"(group, order) keys; duplicate {r['_key']}")
+        offsets[r["_key"]] = off
+        carry_s = (off + r["_s_last"] if r["_first_g"] == r["_last_g"]
+                   else float(r["_s_last"]))
+        carry_g = r["_last_g"]
+    off_ref = ray.put(offsets)
+
+    def local_scan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.float64()))
+        offs = ray.get(off_ref)
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(g)
+        new_seg = np.r_[True, g[1:] != g[:-1]]
+        starts = np.flatnonzero(new_seg)
+        csum = np.cumsum(v)
+        base = np.repeat(np.r_[0.0, csum[starts[1:] - 1]]
+                         if len(starts) > 1 else [0.0],
+                         np.diff(np.append(starts, n)))
+        run = csum - base
+        off = offs[repr(_first_key(t, keys))]
+        if off:
+            first_end = starts[1] if len(starts) > 1 else n
+            run[:first_end] += off
+        return t.append_column(out_col, pa.array(run))
+
+    return srt.map_batches(local_scan, batch_format="pyarrow")

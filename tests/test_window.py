@@ -77,3 +77,35 @@ def test_ntile_matches_duckdb(ray_session, n):
         "ORDER BY x, rid) AS b FROM df ORDER BY g, x, rid").fetchdf()
     np.testing.assert_array_equal(got["bucket"].to_numpy(),
                                   want["b"].to_numpy())
+
+
+def test_running_sum_matches_pandas(ray_session):
+    from dggrid4py_ray.stages.window import group_running_sum
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({"g": rng.choice(["a", "b", "hot"], 3000,
+                                       p=[.1, .1, .8]),
+                       "x": np.arange(3000),
+                       "v": rng.uniform(0, 10, 3000)})
+    ds = ray_session.data.from_pandas(df).repartition(8)
+    got = (group_running_sum(ds, "g", ["x"], "v").to_pandas()
+           .sort_values(["g", "x"], ignore_index=True))
+    want = df.sort_values(["g", "x"], ignore_index=True)
+    want["running"] = want.groupby("g")["v"].cumsum()
+    np.testing.assert_allclose(got["running"], want["running"], rtol=1e-12)
+
+
+def test_running_sum_matches_duckdb_window(ray_session):
+    from dggrid4py_ray.stages.window import group_running_sum
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({"g": rng.integers(0, 7, 800),
+                       "x": np.arange(800),
+                       "v": rng.integers(1, 100, 800).astype(np.float64)})
+    ds = ray_session.data.from_pandas(df).repartition(4)
+    got = (group_running_sum(ds, "g", ["x"], "v").to_pandas()
+           .sort_values(["g", "x"], ignore_index=True))
+    want = duckdb.connect().execute(
+        "SELECT g, x, SUM(v) OVER (PARTITION BY g ORDER BY x "
+        "ROWS UNBOUNDED PRECEDING) AS r FROM df ORDER BY g, x").fetchdf()
+    np.testing.assert_allclose(got["running"], want["r"], rtol=1e-12)
