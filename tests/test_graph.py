@@ -53,3 +53,20 @@ def test_pagerank_partitioning_invariance(ray_session):
     a = _run(ray_session, E, 2, 2)
     b = _run(ray_session, E, 2, 9)
     np.testing.assert_allclose(a["rank"], b["rank"], rtol=1e-13)
+
+
+def test_pagerank_join_engine_matches_broadcast(ray_session):
+    """The web-scale join engine and the bounded broadcast engine are the
+    same recurrence — results must agree to float precision."""
+    from dggrid4py_ray.stages.graph import pagerank
+
+    rng = np.random.default_rng(19)
+    E = pd.DataFrame({"u": rng.integers(0, 40, 300),
+                      "v": rng.integers(0, 40, 300)})
+    ds = ray_session.data.from_pandas(E).repartition(3)
+    a = (pagerank(ds, iters=2, broadcast_ranks=True).to_pandas()
+         .sort_values("node", ignore_index=True))
+    b = (pagerank(ds, iters=2, broadcast_ranks=False).to_pandas()
+         .sort_values("node", ignore_index=True))
+    np.testing.assert_array_equal(a["node"], b["node"])
+    np.testing.assert_allclose(a["rank"], b["rank"], rtol=1e-12)
