@@ -1695,10 +1695,74 @@ def curation_v2(sf_dir: str):
     return agg.sort("lang")
 
 
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape: pure pruned-read filter + global sum (one-row
+    answer, no shuffle beyond the final combine)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        m = ((sd >= np.datetime64("1996-01-01"))
+             & (sd < np.datetime64("1997-01-01"))
+             & (t["l_discount"].to_numpy() >= 0.05)
+             & (t["l_discount"].to_numpy() <= 0.07)
+             & (t["l_quantity"].to_numpy() < 24))
+        rev = (t["l_extendedprice"].to_numpy()[m]
+               * t["l_discount"].to_numpy()[m])
+        return pa.table({"s": pa.array([float(rev.sum())]),
+                         "n": pa.array([np.int64(m.sum())])})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(None).aggregate(Sum("s", alias_name="s"),
+                                      Sum("n", alias_name="n")))
+    return agg.map_batches(
+        lambda t: pa.table({"revenue": _iscale(t["s"], 10000),
+                            "n_items": t["n"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: part is the bounded dim side -> broadcast
+    partkey->is_promo lookup via ray.put; lineitem streams."""
+    import ray as _ray
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    promo_ref = _ray.put((part["p_partkey"].to_numpy(),
+                          part["p_type"].str.startswith("PROMO")
+                          .to_numpy()))
+    ds = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, is_promo = _ray.get(promo_ref)
+        order = np.argsort(keys)
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        m = ((sd >= np.datetime64("1996-01-01"))
+             & (sd < np.datetime64("1996-04-01")))
+        pk = t["l_partkey"].to_numpy()[m]
+        rev = (t["l_extendedprice"].to_numpy()[m]
+               * (1.0 - t["l_discount"].to_numpy()[m]))
+        pos = np.searchsorted(keys[order], pk)
+        promo = is_promo[order][pos]
+        return pa.table({"p": pa.array([float(rev[promo].sum())]),
+                         "a": pa.array([float(rev.sum())])})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(None).aggregate(Sum("p", alias_name="p"),
+                                      Sum("a", alias_name="a")))
+    return agg.map_batches(
+        lambda t: pa.table({"promo_pct": _iscale(
+            pa.array(100.0 * t["p"].to_numpy() / t["a"].to_numpy()),
+            10000)}),
+        batch_format="pyarrow")
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
     "q5_nation_revenue": q5_nation_revenue,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q14_promo_revenue": q14_promo_revenue,
     "events_daily": events_daily,
     "latlon_bin_events": latlon_bin_events,
     "presence_latlon_events": presence_latlon_events,
@@ -2424,6 +2488,26 @@ ORACLES = {
                FROM nodes LEFT JOIN s2 ON nodes.n = s2.n)
         SELECT n AS node, CAST(ROUND(r * 1000000) AS BIGINT) AS rank_e6
         FROM r2 ORDER BY node
+    """,
+    "q6_forecast_revenue": """
+        SELECT CAST(ROUND(SUM(l_extendedprice * l_discount) * 10000)
+                    AS BIGINT) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    "q14_promo_revenue": """
+        SELECT CAST(ROUND(100.0
+                 * SUM(CASE WHEN p_type LIKE 'PROMO%' THEN
+                            l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)) * 10000)
+               AS BIGINT) AS promo_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1996-04-01'
     """,
     "running_total_by_user": """
         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
