@@ -1757,6 +1757,133 @@ def q14_promo_revenue(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q4_priority_semijoin(sf_dir: str):
+    """TPC-H Q4 shape: EXISTS semi-join of two LARGE sides — distinct
+    flagged lineitem orderkeys via ``grouped_reduce`` (high-cardinality
+    safe, no hash Aggregate), then one distributed hash join onto orders
+    and a bounded-key priority count.  Neither fact table is broadcast or
+    driver-materialized."""
+    from ..stages.groupagg import grouped_reduce
+    from ..stages.join import _join_partitions
+
+    parts = _join_partitions()
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+
+    def flagged(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["l_returnflag"], pa.scalar("R"))
+        sub = t.filter(keep)
+        return pa.table({"l_orderkey": sub["l_orderkey"],
+                         "_one": pa.array(np.ones(sub.num_rows,
+                                                  dtype=np.int64))})
+
+    dk = grouped_reduce(li.map_batches(flagged, batch_format="pyarrow"),
+                        key="l_orderkey", col_map={"_one": "_m"},
+                        how="sum").repartition(parts)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = orders.join(dk, join_type="inner", num_partitions=parts,
+                         on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def pcount(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"o_orderpriority": t["o_orderpriority"].to_numpy(
+                zero_copy_only=False)})
+        g = df.groupby("o_orderpriority", sort=False).size() \
+              .rename("n").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (joined.map_batches(pcount, batch_format="pyarrow")
+                  .groupby("o_orderpriority")
+                  .aggregate(Sum("n", alias_name="n"))
+                  .map_batches(lambda t: pa.table(
+                      {"o_orderpriority": t["o_orderpriority"],
+                       "n": t["n"].cast(pa.int64())}),
+                      batch_format="pyarrow"))
+
+
+def rollup_pricing(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) in one streaming pass
+    (every batch emits partials for all three levels; one bounded
+    aggregate)."""
+    from ..stages.relational import rollup_aggregate
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice"])
+    out = rollup_aggregate(ds, ["l_returnflag", "l_linestatus"],
+                           sum_cols={"l_quantity": "sum_qty",
+                                     "l_extendedprice": "sum_price"})
+    return out.map_batches(
+        lambda t: pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": _iscale(t["sum_qty"], 10000),
+            "sum_price": _iscale(t["sum_price"], 100),
+            "n": t["n"],
+        }), batch_format="pyarrow")
+
+
+def paragraph_dedup_docs(sf_dir: str):
+    """Chunk-level exact dedup (Lee et al. 2022 granularity): every 8-word
+    chunk survives only at its globally first occurrence; docs reassembled
+    from surviving chunks.  Two range sorts, zero joins (see
+    stages/dedup.paragraph_dedup)."""
+    from ..stages.dedup import paragraph_dedup
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return paragraph_dedup(ds, words_per_chunk=8)
+
+
+def idw_grid_events(sf_dir: str):
+    """IDW interpolation of event values onto a 24x12 lon/lat site grid:
+    per-batch (points x sites) haversine partials, bounded-key aggregate —
+    point data never shuffles (stages/interp.idw_grid)."""
+    from ..stages.interp import idw_grid
+    pts = _event_points(sf_dir)
+    agg = idw_grid(pts, value_col="value", nx=24, ny=12, eps=1e-6)
+    return agg.map_batches(
+        lambda t: pa.table({
+            "si": t["si"], "sj": t["sj"],
+            "idw": _iscale(t["sum_wv"].to_numpy()
+                           / t["sum_w"].to_numpy(), 10000)}),
+        batch_format="pyarrow")
+
+
+def quality_gate_docs(sf_dir: str):
+    """Percentile quality gate: per-lang p25 of n_chars via the exact
+    two-pass histogram quantile (bounded group count), thresholds
+    broadcast, survivors counted per lang — the 'drop the bottom quartile'
+    curation step with no global sort."""
+    import ray as _ray
+    from ..stages.relational import exact_group_quantile
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    thr = exact_group_quantile(ds, "lang", "n_chars", q=0.25)
+    lut = {l: v for l, v in zip(thr["lang"].to_pylist(),
+                                thr["quantile"].to_pylist())}
+    ref = _ray.put(lut)
+
+    def survivors(t: pa.Table) -> pa.Table:
+        lut_ = _ray.get(ref)
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        n = t["n_chars"].to_numpy(zero_copy_only=False)
+        tvals = np.array([lut_[x] for x in lang], dtype=np.float64)
+        keep = n >= tvals
+        df = pd.DataFrame({"lang": lang[keep], "n_chars": n[keep]})
+        g = df.groupby("lang", sort=False).agg(
+            n_docs=("n_chars", "size"),
+            sum_chars=("n_chars", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(survivors, batch_format="pyarrow")
+              .groupby("lang")
+              .aggregate(Sum("n_docs", alias_name="n_docs"),
+                         Sum("sum_chars", alias_name="sum_chars"))
+              .map_batches(lambda t: pa.table(
+                  {"lang": t["lang"],
+                   "n_docs": t["n_docs"].cast(pa.int64()),
+                   "sum_chars": t["sum_chars"].cast(pa.int64())}),
+                  batch_format="pyarrow"))
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -1825,9 +1952,84 @@ QUERIES = {
     "pagerank_custsupp": pagerank_custsupp,
     "running_total_by_user": running_total_by_user,
     "curation_v2": curation_v2,
+    "q4_priority_semijoin": q4_priority_semijoin,
+    "rollup_pricing": rollup_pricing,
+    "paragraph_dedup_docs": paragraph_dedup_docs,
+    "idw_grid_events": idw_grid_events,
+    "quality_gate_docs": quality_gate_docs,
 }
 
 ORACLES = {
+    "paragraph_dedup_docs": """
+        WITH w AS (
+          SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS word,
+                 unnest(range(1, len(string_split(text, ' ')) + 1)) AS wi
+          FROM documents
+        ), ch AS (
+          SELECT doc_id, CAST((wi - 1) // 8 AS BIGINT) AS ci,
+                 string_agg(word, ' ' ORDER BY wi) AS chunk
+          FROM w GROUP BY doc_id, ci
+        ), kept AS (
+          SELECT doc_id, ci, chunk FROM (
+            SELECT doc_id, ci, chunk,
+                   MIN(doc_id * 1000000000 + ci)
+                       OVER (PARTITION BY chunk) AS win
+            FROM ch)
+          WHERE doc_id * 1000000000 + ci = win
+        )
+        SELECT doc_id, string_agg(chunk, ' ' ORDER BY ci) AS text
+        FROM kept GROUP BY doc_id
+    """,
+    "idw_grid_events": """
+        WITH sites AS (
+          SELECT i.range AS si, j.range AS sj,
+                 -180.0 + 360.0 * (i.range + 0.5) / 24 AS slon,
+                 -90.0 + 180.0 * (j.range + 0.5) / 12 AS slat
+          FROM range(24) i, range(12) j
+        ), pts AS (
+          SELECT CAST((event_id * 7919) % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon,
+                 CAST((event_id * 104729) % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat,
+                 value
+          FROM events
+        ), d AS (
+          SELECT si, sj, value,
+                 2 * asin(sqrt(LEAST(1.0,
+                     pow(sin(radians(lat - slat) / 2), 2)
+                     + cos(radians(slat)) * cos(radians(lat))
+                       * pow(sin(radians(lon - slon) / 2), 2)))) AS dist
+          FROM pts, sites
+        )
+        SELECT si, sj,
+               CAST(ROUND(SUM(value / (dist * dist + 1e-6))
+                          / SUM(1.0 / (dist * dist + 1e-6)) * 10000)
+                    AS BIGINT) AS idw
+        FROM d GROUP BY si, sj
+    """,
+    "quality_gate_docs": """
+        WITH thr AS (
+          SELECT lang, quantile_disc(n_chars, 0.25) AS t
+          FROM documents GROUP BY lang
+        )
+        SELECT d.lang, COUNT(*) AS n_docs,
+               CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+        FROM documents d JOIN thr ON d.lang = thr.lang
+        WHERE d.n_chars >= thr.t GROUP BY d.lang
+    """,
+    "q4_priority_semijoin": """
+        SELECT o_orderpriority, COUNT(*) AS n FROM orders
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             WHERE l_returnflag = 'R')
+        GROUP BY o_orderpriority
+    """,
+    "rollup_pricing": """
+        SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+               COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+               CAST(ROUND(SUM(l_quantity) * 10000) AS BIGINT) AS sum_qty,
+               CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT) AS sum_price,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
     "q1_pricing": """
         SELECT l_returnflag, l_linestatus,
                CAST(ROUND(SUM(l_quantity) * 10000) AS BIGINT) AS sum_qty,

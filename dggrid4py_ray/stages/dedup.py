@@ -605,3 +605,96 @@ def ngram_jaccard_pairs(pairs: ray.data.Dataset, docs: ray.data.Dataset,
                          "jaccard": pa.array(jac[keep])})
 
     return j.map_batches(verify, batch_format="pyarrow")
+
+
+def doc_chunks(ds: ray.data.Dataset, text_col: str = "text",
+               id_col: str = "doc_id",
+               words_per_chunk: int = 8) -> ray.data.Dataset:
+    """Explode documents into fixed-width word chunks: one row per
+    (doc_id, chunk_index, chunk_text), where chunk i holds words
+    [i*W, (i+1)*W).  Splitting is an Arrow kernel; the per-chunk joins are
+    output-proportional pandas string aggs (no per-word Python loop)."""
+    import pyarrow.compute as pc
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "chunk_idx": pa.array([], pa.int64()),
+                             "chunk": pa.array([], pa.string())})
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        words = pc.split_pattern(t[text_col].combine_chunks(), " ")
+        lens = pc.list_value_length(words).to_numpy().astype(np.int64)
+        flat = np.asarray(words.flatten(), dtype=object)
+        doc_pos = np.repeat(np.arange(len(ids)), lens)
+        starts = np.repeat(np.cumsum(lens) - lens, lens)
+        widx = np.arange(len(flat)) - starts
+        cid = widx // words_per_chunk
+        df = pd.DataFrame({"_d": doc_pos, "chunk_idx": cid, "_w": flat})
+        g = df.groupby(["_d", "chunk_idx"], sort=False)["_w"] \
+              .agg(" ".join).reset_index()
+        return pa.table({
+            id_col: pa.array(ids[g["_d"].to_numpy()], pa.int64()),
+            "chunk_idx": pa.array(g["chunk_idx"].to_numpy(), pa.int64()),
+            "chunk": pa.array(g["_w"].to_numpy(), pa.string())})
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def paragraph_dedup(ds: ray.data.Dataset, text_col: str = "text",
+                    id_col: str = "doc_id", words_per_chunk: int = 8,
+                    max_chunks_per_doc: int = 10**9) -> ray.data.Dataset:
+    """Chunk-level exact dedup (the Lee et al. 2022 "Deduplicating Training
+    Data" granularity, on fixed word windows): every W-word chunk survives
+    only at its globally FIRST occurrence (min doc_id, then min chunk_idx);
+    documents are reassembled from their surviving chunks.  Docs whose
+    chunks are all duplicates disappear.
+
+    Ray shape (two range sorts, ZERO joins, no high-cardinality hash
+    aggregate):
+      1. explode to chunks (``doc_chunks``), pack (doc_id, chunk_idx) into
+         one int64 order key;
+      2. block-local combiner: keep only the min-packed row per chunk per
+         batch, so a chunk duplicated 10^9 times contributes <= 1 row per
+         input block to the shuffle (hot-chunk skew bound);
+      3. ``window.group_row_number`` on (chunk, packed) — one range sort +
+         O(#blocks) driver carry — and keep rn == 1 (the global first);
+      4. reassemble with ``groupagg.grouped_string_agg`` on
+         (doc_id, chunk_idx) — the second range sort.
+
+    SQL equivalent: min(packed) OVER (PARTITION BY chunk) + string_agg.
+    """
+    from .groupagg import grouped_string_agg
+    from .window import group_row_number
+
+    chunks = doc_chunks(ds, text_col=text_col, id_col=id_col,
+                        words_per_chunk=words_per_chunk)
+    m = max_chunks_per_doc
+
+    def pack_and_combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"chunk": pa.array([], pa.string()),
+                             "packed": pa.array([], pa.int64())})
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        cid = t["chunk_idx"].to_numpy(zero_copy_only=False)
+        if cid.max(initial=0) >= m:
+            raise ValueError(f"chunk_idx >= max_chunks_per_doc ({m}); "
+                             "raise max_chunks_per_doc")
+        df = pd.DataFrame({"chunk": t["chunk"].to_numpy(zero_copy_only=False),
+                           "packed": ids * m + cid})
+        g = df.groupby("chunk", sort=False)["packed"].min().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    combined = chunks.map_batches(pack_and_combine, batch_format="pyarrow")
+    ranked = group_row_number(combined, "chunk", ["packed"], out_col="_rn")
+
+    def first_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = t.filter(pc.equal(t["_rn"], pa.scalar(1, pa.int64())))
+        packed = keep["packed"].to_numpy(zero_copy_only=False)
+        return pa.table({id_col: pa.array(packed // m, pa.int64()),
+                         "chunk_idx": pa.array(packed % m, pa.int64()),
+                         "chunk": keep["chunk"]})
+
+    kept = ranked.map_batches(first_only, batch_format="pyarrow")
+    return grouped_string_agg(kept, key=id_col, order_col="chunk_idx",
+                              text_col="chunk", sep=" ", out_col=text_col)

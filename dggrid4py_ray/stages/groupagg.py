@@ -86,3 +86,106 @@ def grouped_reduce(ds: ray.data.Dataset, key, col_map: dict,
         lambda t: t.select(keys + in_cols).rename_columns(
             keys + [col_map[c] for c in in_cols]),
         batch_format="pyarrow")
+
+
+def grouped_string_agg(ds: ray.data.Dataset, key: str, order_col: str,
+                       text_col: str, sep: str = " ",
+                       out_col: str = "text") -> ray.data.Dataset:
+    """SQL ``string_agg(text, sep ORDER BY order_col) GROUP BY key`` at
+    unbounded key cardinality: ONE range sort on (key, order_col), then a
+    block-local ordered join per group-run.  A group's rows are contiguous
+    after the sort, so the only cross-block state is the tail text of each
+    block's last group — an O(#blocks) driver carry chain (the
+    ``window.group_row_number`` shape), never O(#groups).  Each group is
+    emitted by the LAST block that holds any of its rows; interior blocks
+    contribute their tail through the carry.
+
+    Requires unique (key, order_col) pairs (the SQL determinism condition).
+    Driver state is bounded by #blocks x max-group-text — groups are
+    documents here, so the carry strings are document-sized.
+    """
+    import numpy as np
+    import ray as _ray
+
+    keys = [key, order_col]
+    srt = ds.sort(keys).materialize()
+
+    def summarize(t: pa.Table) -> pa.Table:
+        cols = {f"_k{i}": t[c].slice(0, min(1, t.num_rows))
+                for i, c in enumerate(keys)}
+        if t.num_rows == 0:
+            cols.update({"_key": pa.array([], pa.string()),
+                         "_first_g": pa.array([], pa.string()),
+                         "_last_g": pa.array([], pa.string()),
+                         "_last_ko": pa.array([], pa.string()),
+                         "_last_txt": pa.array([], pa.string())})
+            return pa.table(cols)
+        g = t[key].to_numpy(zero_copy_only=False)
+        o = t[order_col].to_numpy(zero_copy_only=False)
+        txt = t[text_col].to_numpy(zero_copy_only=False)
+        if t.num_rows > 1 and bool(
+                ((g[1:] == g[:-1]) & (o[1:] == o[:-1])).any()):
+            raise ValueError("grouped_string_agg requires unique "
+                             "(key, order) pairs; duplicate within block")
+        last_start = 0 if g[0] == g[-1] else \
+            int(np.flatnonzero(g[:-1] != g[1:])[-1] + 1)
+        cols.update({
+            "_key": pa.array([repr((t[key][0].as_py(),
+                                    t[order_col][0].as_py()))]),
+            "_first_g": pa.array([str(g[0])]),
+            "_last_g": pa.array([str(g[-1])]),
+            "_last_ko": pa.array([repr((t[key][-1].as_py(),
+                                        t[order_col][-1].as_py()))]),
+            "_last_txt": pa.array([sep.join(txt[last_start:])]),
+        })
+        return pa.table(cols)
+
+    summ = (srt.map_batches(summarize, batch_format="pyarrow").to_pandas()
+            .sort_values(["_k0", "_k1"], ignore_index=True))
+    # blocks tile the sorted order; walk them in order and hand each block
+    # (a) the accumulated text of its first group from earlier blocks and
+    # (b) whether its LAST group ends here (else the next block emits it)
+    plans = {}
+    carry_g, carry_txt, prev_last_ko = None, "", None
+    n_blocks = len(summ)
+    for i in range(n_blocks):                    # O(#blocks) driver rows
+        bkey = summ["_key"].iloc[i]
+        first_g, last_g = summ["_first_g"].iloc[i], summ["_last_g"].iloc[i]
+        last_txt = summ["_last_txt"].iloc[i]
+        prefix = carry_txt if first_g == carry_g else ""
+        if bkey in plans or bkey == prev_last_ko:
+            raise ValueError("grouped_string_agg requires unique "
+                             f"(key, order) pairs; duplicate {bkey}")
+        prev_last_ko = summ["_last_ko"].iloc[i]
+        emit_last = (i == n_blocks - 1
+                     or summ["_first_g"].iloc[i + 1] != last_g)
+        plans[bkey] = (prefix, emit_last)
+        carry_txt = (prefix + sep + last_txt
+                     if (prefix and first_g == last_g) else last_txt)
+        carry_g = last_g
+    plan_ref = _ray.put(plans)
+
+    def local_agg(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({key: t[key],
+                             out_col: pa.array([], pa.string())})
+        plans_ = _ray.get(plan_ref)
+        prefix, emit_last = plans_[repr((t[key][0].as_py(),
+                                         t[order_col][0].as_py()))]
+        g = t[key].to_numpy(zero_copy_only=False)
+        txt = t[text_col].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        ends = np.append(starts[1:], len(g))
+        out_idx, out_txt = [], []
+        for ri, (s, e) in enumerate(zip(starts, ends)):
+            if ri == len(starts) - 1 and not emit_last:
+                break
+            joined = sep.join(txt[s:e])
+            if ri == 0 and prefix:
+                joined = prefix + sep + joined
+            out_idx.append(int(s))
+            out_txt.append(joined)
+        return pa.table({key: t[key].take(pa.array(out_idx, pa.int64())),
+                         out_col: pa.array(out_txt, pa.string())})
+
+    return srt.map_batches(local_agg, batch_format="pyarrow")

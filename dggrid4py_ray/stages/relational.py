@@ -375,3 +375,61 @@ def filter_not_in(ds, col: str, values, broadcast_threshold: int = 10000):
         return batch.filter(_pc.invert(_pc.is_in(batch[col], value_set=vs)))
 
     return ds.map_batches(drop, batch_format="pyarrow")
+
+
+def rollup_aggregate(ds: ray.data.Dataset, keys: list,
+                     sum_cols: dict | None = None, count_col: str = "n",
+                     sentinel: str = "ALL") -> ray.data.Dataset:
+    """SQL ``GROUP BY ROLLUP(k1, k2, ...)`` in one streaming pass: every
+    batch emits its partial aggregate for ALL prefix levels (k1..kL,
+    k1..k(L-1), ..., ()) with rolled-up key columns set to ``sentinel``,
+    then ONE bounded hash aggregate combines the partials.  The multi-level
+    key space is the sum of the per-level cardinalities — use only for
+    bounded dims (flags, languages, coarse cells); per-document keys belong
+    in ``groupagg.grouped_reduce`` one level at a time.
+
+    ``sum_cols`` maps input column -> output column (summed); ``count_col``
+    is the per-level row count.  Matches
+    ``GROUP BY ROLLUP(...)`` with ``COALESCE(k, sentinel)`` on the keys
+    (exact when the key columns themselves contain no NULLs/sentinels).
+    """
+    from ray.data.aggregate import Sum
+
+    keys = list(keys)
+    sum_cols = dict(sum_cols or {})
+    in_cols = list(sum_cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {k: t[k].to_numpy(zero_copy_only=False) for k in keys}
+        for c in in_cols:
+            cols[c] = t[c].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(cols)
+        outs = []
+        for lvl in range(len(keys), -1, -1):
+            grp = keys[:lvl]
+            if grp:
+                g = df.groupby(grp, sort=False).agg(
+                    **{c: (c, "sum") for c in in_cols},
+                    **{"_n": (keys[0], "size")}).reset_index()
+            else:
+                g = pd.DataFrame({**{c: [df[c].sum()] for c in in_cols},
+                                  "_n": [len(df)]})
+            for k in keys[lvl:]:
+                g[k] = sentinel
+            outs.append(g[keys + in_cols + ["_n"]])
+        out = pd.concat(outs, ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(keys)
+             .aggregate(*[Sum(c, alias_name=c) for c in in_cols],
+                        Sum("_n", alias_name="_n")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = {k: t[k] for k in keys}
+        for c in in_cols:
+            cols[sum_cols[c]] = t[c]
+        cols[count_col] = t["_n"].cast(pa.int64())
+        return pa.table(cols)
+
+    return agg.map_batches(finish, batch_format="pyarrow")

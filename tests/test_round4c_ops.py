@@ -1,0 +1,144 @@
+"""Round-4c operators: rollup_aggregate, grouped_string_agg,
+paragraph_dedup (chunk-level exact dedup), idw_grid."""
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+
+def test_rollup_aggregate_matches_pandas():
+    from dggrid4py_ray.stages.relational import rollup_aggregate
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], n),
+        "b": rng.choice(["p", "q"], n),
+        "v": rng.uniform(0, 10, n),
+    })
+    ds = ray.data.from_pandas(df).repartition(6)
+    out = rollup_aggregate(ds, ["a", "b"], sum_cols={"v": "sum_v"}) \
+        .to_pandas().sort_values(["a", "b"], ignore_index=True)
+
+    levels = []
+    g2 = df.groupby(["a", "b"]).agg(sum_v=("v", "sum"),
+                                    n=("v", "size")).reset_index()
+    levels.append(g2)
+    g1 = df.groupby("a").agg(sum_v=("v", "sum"), n=("v", "size")) \
+        .reset_index().assign(b="ALL")
+    levels.append(g1[["a", "b", "sum_v", "n"]])
+    levels.append(pd.DataFrame({"a": ["ALL"], "b": ["ALL"],
+                                "sum_v": [df["v"].sum()], "n": [n]}))
+    want = pd.concat(levels, ignore_index=True) \
+        .sort_values(["a", "b"], ignore_index=True)
+    assert len(out) == len(want)
+    assert (out["a"] == want["a"]).all() and (out["b"] == want["b"]).all()
+    assert np.allclose(out["sum_v"], want["sum_v"])
+    assert (out["n"].to_numpy() == want["n"].to_numpy()).all()
+
+
+def test_grouped_string_agg_multiblock_groups():
+    """Groups spanning several sorted blocks reassemble exactly once, in
+    order, including a group larger than any single block."""
+    from dggrid4py_ray.stages.groupagg import grouped_string_agg
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for g in range(40):
+        n = 200 if g == 13 else int(rng.integers(1, 9))  # one giant group
+        for i in range(n):
+            rows.append((g, i, f"w{g}_{i}"))
+    df = pd.DataFrame(rows, columns=["g", "i", "t"])
+    df = df.sample(frac=1.0, random_state=5).reset_index(drop=True)
+    ds = ray.data.from_pandas(df).repartition(11)
+
+    out = grouped_string_agg(ds, key="g", order_col="i", text_col="t",
+                             sep=" ", out_col="t").to_pandas()
+    want = (df.sort_values(["g", "i"]).groupby("g")["t"]
+            .agg(" ".join).reset_index())
+    got = out.sort_values("g", ignore_index=True)
+    assert len(got) == 40
+    assert (got["g"].to_numpy() == want["g"].to_numpy()).all()
+    assert (got["t"].to_numpy() == want["t"].to_numpy()).all()
+
+
+def test_grouped_string_agg_duplicate_keys_raise():
+    from dggrid4py_ray.stages.groupagg import grouped_string_agg
+
+    df = pd.DataFrame({"g": [1, 1], "i": [0, 0], "t": ["a", "b"]})
+    ds = ray.data.from_pandas(df).repartition(2)
+    try:
+        grouped_string_agg(ds, "g", "i", "t").to_pandas()
+        raised = False
+    except Exception:
+        raised = True
+    assert raised
+
+
+def test_paragraph_dedup_planted_chunks():
+    """A chunk duplicated across docs survives only in the lowest
+    (doc_id, chunk_idx); fully-duplicated docs vanish."""
+    from dggrid4py_ray.stages.dedup import paragraph_dedup
+
+    w = "a b c d"  # words_per_chunk=4 -> this is one whole chunk
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "a b c d e f g h",      # chunks: [a b c d], [e f g h]
+            "a b c d x y z w",      # first chunk dup of doc0 -> dropped
+            "e f g h",              # whole doc dup of doc0 chunk 2 -> gone
+            "p q r s a b c d",      # [p q r s], [a b c d] dup -> partial
+        ],
+    })
+    ds = ray.data.from_pandas(docs).repartition(3)
+    out = paragraph_dedup(ds, words_per_chunk=4).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert out["doc_id"].tolist() == [0, 1, 3]
+    assert out["text"].tolist() == ["a b c d e f g h", "x y z w", "p q r s"]
+    assert w in out["text"][0]
+
+
+def test_paragraph_dedup_no_duplicates_is_identity():
+    from dggrid4py_ray.stages.dedup import paragraph_dedup
+
+    rng = np.random.default_rng(11)
+    docs = pd.DataFrame({
+        "doc_id": np.arange(50),
+        "text": [" ".join(f"u{d}w{i}" for i in range(int(rng.integers(1, 30))))
+                 for d in range(50)],
+    })
+    ds = ray.data.from_pandas(docs).repartition(5)
+    out = paragraph_dedup(ds, words_per_chunk=8).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert out["text"].tolist() == docs["text"].tolist()
+
+
+def test_idw_grid_partials_match_single_pass():
+    """Partial-sum decomposition across many blocks equals the one-shot
+    computation (associativity), and weights are sane."""
+    from dggrid4py_ray.stages.interp import grid_sites, idw_grid
+
+    rng = np.random.default_rng(23)
+    n = 2000
+    df = pd.DataFrame({"lon": rng.uniform(-180, 180, n),
+                       "lat": rng.uniform(-90, 90, n),
+                       "value": rng.uniform(0, 5, n)})
+    out = idw_grid(ray.data.from_pandas(df).repartition(9),
+                   nx=8, ny=4).to_pandas()
+    assert len(out) == 32
+
+    si, sj, slon, slat = grid_sites(8, 4)
+    lon, lat = np.radians(df["lon"].to_numpy()), np.radians(df["lat"].to_numpy())
+    a = (np.sin((lat[:, None] - np.radians(slat)[None, :]) / 2) ** 2
+         + np.cos(lat)[:, None] * np.cos(np.radians(slat))[None, :]
+         * np.sin((lon[:, None] - np.radians(slon)[None, :]) / 2) ** 2)
+    d = 2 * np.arcsin(np.sqrt(np.minimum(1.0, a)))
+    w = 1.0 / (d * d + 1e-6)
+    want = pd.DataFrame({"si": si, "sj": sj,
+                         "sum_wv": w.T @ df["value"].to_numpy(),
+                         "sum_w": w.sum(axis=0)})
+    m = out.merge(want, on=["si", "sj"], suffixes=("", "_w"))
+    assert len(m) == 32
+    assert np.allclose(m["sum_wv"], m["sum_wv_w"], rtol=1e-12)
+    assert np.allclose(m["sum_w"], m["sum_w_w"], rtol=1e-12)
