@@ -1884,6 +1884,71 @@ def quality_gate_docs(sf_dir: str):
                   batch_format="pyarrow"))
 
 
+def zonal_majority_events(sf_dir: str):
+    """Zonal MAJORITY (modal class per cell — the GIS majority-resample /
+    zonal-mode op): per-batch (cell, class) count partials →
+    ``grouped_reduce`` global counts (high-cardinality safe) →
+    ``topk_per_group`` k=1 with the deterministic (count desc, class asc)
+    tie-break."""
+    from ..stages.groupagg import grouped_reduce
+    from ..stages.relational import topk_per_group
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        cell = ((eid * 104729) % 18000 // 100) * 360 \
+            + ((eid * 7919) % 36000 // 100)
+        df = pd.DataFrame({"cell": cell,
+                           "event_type": t["event_type"].to_numpy(
+                               zero_copy_only=False)})
+        g = df.groupby(["cell", "event_type"], sort=False).size() \
+              .reset_index(name="pc")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = grouped_reduce(ds.map_batches(partial, batch_format="pyarrow"),
+                            key=["cell", "event_type"],
+                            col_map={"pc": "n"}, how="sum")
+    top = topk_per_group(counts, group_col="cell", value_col="n", k=1,
+                         id_col="event_type", descending=True)
+    return top.map_batches(
+        lambda t: pa.table({"cell": t["cell"],
+                            "majority_type": t["event_type"],
+                            "n": t["n"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def dilate_clip_box(sf_dir: str):
+    """Morphological dilation (1-ring buffer) of the 16-cell conformance
+    clip-box polyfill at res 5 (stages/encode.dilate_cells: k-ring
+    flat-emit + unique combiner + grouped_reduce distinct).  Oracle = the
+    34 Z7_STRING ids pinned as VALUES, cross-validated against an
+    independent driver-side neighbors() union
+    (tests/test_round4c_ops.py)."""
+    from ..config import dgselect
+    from ..dggs.codecs import AddressCodec
+    from ..stages.encode import dilate_cells, make_grid
+    from .highlevel import grid_cellids_for_extent
+
+    dggs = dgselect("IGEO7", resolution=5)
+    cells = grid_cellids_for_extent("IGEO7", 5,
+                                    clip_bbox=(27.2, 57.5, 29.3, 59.2))
+    dilated = dilate_cells(cells, dggs, k=1)
+
+    class ToStr:
+        def __init__(self):
+            self.codec = AddressCodec(make_grid(dggs), 5)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            z7 = t["cell_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            s = self.codec.emit(self.codec.parse(z7, "Z7"), "Z7_STRING")
+            return pa.table({"z7_string": pa.array(s, pa.string())})
+
+    return dilated.map_batches(ToStr, batch_format="pyarrow",
+                               concurrency=(1, 2))
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -1957,9 +2022,35 @@ QUERIES = {
     "paragraph_dedup_docs": paragraph_dedup_docs,
     "idw_grid_events": idw_grid_events,
     "quality_gate_docs": quality_gate_docs,
+    "zonal_majority_events": zonal_majority_events,
+    "dilate_clip_box": dilate_clip_box,
 }
 
 ORACLES = {
+    "dilate_clip_box": """
+        SELECT * FROM (VALUES
+          ('0001000'), ('0001002'), ('0001003'), ('0001006'), ('0001012'),
+          ('0001016'), ('0001020'), ('0001021'), ('0001022'), ('0001023'),
+          ('0001024'), ('0001025'), ('0001026'), ('0001030'), ('0001031'),
+          ('0001032'), ('0001033'), ('0001034'), ('0001035'), ('0001036'),
+          ('0001063'), ('0001240'), ('0001241'), ('0001243'), ('0001245'),
+          ('0001250'), ('0001251'), ('0001252'), ('0001253'), ('0001254'),
+          ('0001255'), ('0001256'), ('0001364'), ('0001366')
+        ) AS t(z7_string)
+    """,
+    "zonal_majority_events": """
+        WITH c AS (
+          SELECT ((event_id * 104729) % 18000 // 100) * 360
+                 + ((event_id * 7919) % 36000 // 100) AS cell,
+                 event_type, COUNT(*) AS n
+          FROM events GROUP BY 1, 2
+        )
+        SELECT cell, event_type AS majority_type, n FROM (
+          SELECT cell, event_type, n,
+                 ROW_NUMBER() OVER (PARTITION BY cell
+                                    ORDER BY n DESC, event_type) AS rn
+          FROM c) WHERE rn = 1
+    """,
     "paragraph_dedup_docs": """
         WITH w AS (
           SELECT doc_id,

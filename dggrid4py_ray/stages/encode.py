@@ -301,3 +301,37 @@ class NeighborKernel:
             vals = [r[r != z] for r, z in zip(rings, z7)]
         col = pa.array([v.tolist() for v in vals], type=pa.list_(pa.int64()))
         return batch.append_column(self.out_col, col)
+
+
+def dilate_cells(ds: "ray.data.Dataset", dggs: Dggs, k: int = 1,
+                 cell_col: str = "cell_id") -> "ray.data.Dataset":
+    """Morphological dilation of a DGGS cell set: buffer the region by
+    ``k`` neighbor rings (the raster 'buffer/expand' op on the hex grid;
+    erosion is its dual via complement on a bounded extent).
+
+    Ray shape: flat-emit each cell's k-ring (including itself) from the
+    per-process grid cache, block-local ``np.unique`` combiner (a cell
+    interior to a dense region is emitted by ~all 7 of its neighbors —
+    the combiner collapses those before the shuffle), then ONE
+    ``grouped_reduce`` distinct.  Output: one row per dilated cell id.
+    """
+    import ray.data  # noqa: F401  (type only)
+    from .groupagg import grouped_reduce
+    from ..dggs.igeo7 import INVALID_ID
+
+    def expand(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({cell_col: pa.array([], pa.int64()),
+                             "_one": pa.array([], pa.int64())})
+        grid = grid_for(dggs)
+        z7 = batch[cell_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        rings = grid.k_ring(z7, k)
+        flat = np.concatenate([np.asarray(r, dtype=np.int64).ravel()
+                               for r in rings])
+        flat = np.unique(flat[flat != INVALID_ID])
+        return pa.table({cell_col: pa.array(flat, pa.int64()),
+                         "_one": pa.array(np.ones(len(flat), np.int64))})
+
+    expanded = ds.map_batches(expand, batch_format="pyarrow")
+    return grouped_reduce(expanded, key=cell_col, col_map={"_one": "_n"},
+                          how="min").drop_columns(["_n"])

@@ -40,13 +40,19 @@ def grid_sites(nx: int, ny: int) -> tuple[np.ndarray, np.ndarray, np.ndarray, np
 
 def idw_grid(points: ray.data.Dataset, value_col: str = "value",
              lon_col: str = "lon", lat_col: str = "lat",
-             nx: int = 24, ny: int = 12,
-             eps: float = 1e-6) -> ray.data.Dataset:
+             nx: int = 24, ny: int = 12, eps: float = 1e-6,
+             batch_size: int = 8192) -> ray.data.Dataset:
     """IDW (power 2) of ``value_col`` onto the (nx x ny) site grid.
     Returns one row per site: (si, sj, sum_wv, sum_w) — callers divide
-    (kept as sums so the aggregate stays exactly associative)."""
+    (kept as sums so the aggregate stays exactly associative).
+
+    ``batch_size`` bounds the (batch x sites) distance matrix: the kernel
+    allocates ~3 float64 temporaries of that shape, so 8192 x 288 is
+    ~57 MB of scratch per task — an explicit cap because a whole-block
+    batch (hundreds of MB per temporary) pages instead of computing."""
     si, sj, slon, slat = grid_sites(nx, ny)
     srad_lat = np.radians(slat)
+    srad_lon = np.radians(slon)
     cos_slat = np.cos(srad_lat)
 
     def partial(t: pa.Table) -> pa.Table:
@@ -60,19 +66,28 @@ def idw_grid(points: ray.data.Dataset, value_col: str = "value",
         lat = np.radians(t[lat_col].to_numpy(zero_copy_only=False)
                          .astype(np.float64))
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        # (points x sites) haversine central angle, fully vectorized
-        dlat = lat[:, None] - srad_lat[None, :]
-        dlon = lon[:, None] - np.radians(slon)[None, :]
-        a = (np.sin(dlat / 2.0) ** 2
-             + np.cos(lat)[:, None] * cos_slat[None, :]
-             * np.sin(dlon / 2.0) ** 2)
-        d = 2.0 * np.arcsin(np.sqrt(np.minimum(1.0, a)))
-        w = 1.0 / (d * d + eps)
+        # (points x sites) haversine central angle; temporaries reused
+        # in place so the scratch stays at ~3 matrices
+        a = np.sin((lat[:, None] - srad_lat[None, :]) / 2.0)
+        np.square(a, out=a)
+        b = np.sin((lon[:, None] - srad_lon[None, :]) / 2.0)
+        np.square(b, out=b)
+        b *= np.cos(lat)[:, None]
+        b *= cos_slat[None, :]
+        a += b
+        np.minimum(a, 1.0, out=a)
+        np.sqrt(a, out=a)
+        np.arcsin(a, out=a)
+        a *= 2.0                       # central angle d
+        np.square(a, out=a)
+        a += eps
+        np.reciprocal(a, out=a)        # w = 1/(d^2 + eps)
         return pa.table({"si": pa.array(si), "sj": pa.array(sj),
-                         "swv": pa.array(w.T @ v),
-                         "sw": pa.array(w.sum(axis=0))})
+                         "swv": pa.array(a.T @ v),
+                         "sw": pa.array(a.sum(axis=0))})
 
-    return (points.map_batches(partial, batch_format="pyarrow")
+    return (points.map_batches(partial, batch_format="pyarrow",
+                               batch_size=batch_size)
                   .groupby(["si", "sj"])
                   .aggregate(Sum("swv", alias_name="sum_wv"),
                              Sum("sw", alias_name="sum_w")))

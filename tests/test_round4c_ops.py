@@ -142,3 +142,49 @@ def test_idw_grid_partials_match_single_pass():
     assert len(m) == 32
     assert np.allclose(m["sum_wv"], m["sum_wv_w"], rtol=1e-12)
     assert np.allclose(m["sum_w"], m["sum_w_w"], rtol=1e-12)
+
+
+def test_dilate_cells_matches_neighbor_union():
+    """dilate_cells(k=1) == { cells } ∪ { all edge-neighbors }, computed
+    independently with grid.neighbors on the driver."""
+    from dggrid4py_ray.config import dgselect
+    from dggrid4py_ray.dggs.igeo7 import INVALID_ID
+    from dggrid4py_ray.stages.encode import dilate_cells, grid_for
+
+    dggs = dgselect("IGEO7", resolution=3)
+    grid = grid_for(dggs)
+    rng = np.random.default_rng(5)
+    seq = rng.choice(np.arange(1, 3433), size=60, replace=False)
+    z7 = grid.from_seqnum(seq.astype(np.int64), 3)
+    ds = ray.data.from_pandas(pd.DataFrame({"cell_id": z7})).repartition(4)
+
+    got = np.sort(dilate_cells(ds, dggs, k=1).to_pandas()["cell_id"]
+                  .to_numpy())
+    want = set(int(v) for v in z7)
+    for row in grid.neighbors(np.asarray(z7, dtype=np.int64)):
+        want.update(int(v) for v in row if v != INVALID_ID)
+    assert got.tolist() == sorted(want)
+
+
+def test_zonal_majority_matches_pandas():
+    from dggrid4py_ray.stages.groupagg import grouped_reduce
+    from dggrid4py_ray.stages.relational import topk_per_group
+
+    rng = np.random.default_rng(9)
+    n = 20_000
+    df = pd.DataFrame({"cell": rng.integers(0, 300, n),
+                       "cls": rng.choice(list("abcde"), n)})
+    counts_pd = df.groupby(["cell", "cls"]).size().reset_index(name="n")
+    want = (counts_pd.sort_values(["n", "cls"],
+                                  ascending=[False, True])
+            .groupby("cell").head(1)
+            .sort_values("cell", ignore_index=True))
+
+    ds = ray.data.from_pandas(df.assign(pc=1)).repartition(8)
+    counts = grouped_reduce(ds, key=["cell", "cls"],
+                            col_map={"pc": "n"}, how="sum")
+    got = (topk_per_group(counts, "cell", "n", k=1, id_col="cls")
+           .to_pandas().sort_values("cell", ignore_index=True))
+    assert (got["cell"].to_numpy() == want["cell"].to_numpy()).all()
+    assert (got["cls"].to_numpy() == want["cls"].to_numpy()).all()
+    assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
