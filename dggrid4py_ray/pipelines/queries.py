@@ -1949,6 +1949,61 @@ def dilate_clip_box(sf_dir: str):
                                concurrency=(1, 2))
 
 
+def radius_join_events(sf_dir: str):
+    """Large-large distance-band spatial join: all (event point, site)
+    pairs within 500 km via lat/lon-bucket cogrouping
+    (stages/join.radius_join_via_buckets — exact arcsin lon-window cover,
+    ~9x site replication, ONE hash join, no broadcast)."""
+    from ..stages.join import radius_join_via_buckets
+
+    pts = _event_points(sf_dir).map_batches(
+        lambda t: t.select(["event_id", "lon", "lat"]),
+        batch_format="pyarrow")
+    sid = np.arange(200, dtype=np.int64)
+    sites = ray.data.from_arrow(pa.table({
+        "sid": pa.array(sid),
+        "slon": pa.array((sid * 37 % 360).astype(np.float64) - 180 + 0.5),
+        "slat": pa.array((sid * 53 % 170).astype(np.float64) - 85 + 0.25),
+    })).repartition(2)
+    j = radius_join_via_buckets(pts, sites, radius_km=500.0)
+    return j.map_batches(
+        lambda t: pa.table({"event_id": t["event_id"], "sid": t["sid"],
+                            "dist_km100": _iscale(t["dist_km"], 100)}),
+        batch_format="pyarrow")
+
+
+def erode_dilated_box(sf_dir: str):
+    """Morphological OPENING of the conformance clip-box polyfill:
+    erode(dilate(S)) with 1-ring structuring element
+    (stages/encode.erode_cells — per-member neighbor emission +
+    grouped_reduce in-set counts + one hash join against the member set).
+    For this convex region the opening is exactly S, so the oracle is the
+    SAME golden 16-id VALUES as ``polyfill_clip_box`` — an independent,
+    DGGRID-calibrated pin, not a self-pin."""
+    from ..config import dgselect
+    from ..dggs.codecs import AddressCodec
+    from ..stages.encode import dilate_cells, erode_cells, make_grid
+    from .highlevel import grid_cellids_for_extent
+
+    dggs = dgselect("IGEO7", resolution=5)
+    cells = grid_cellids_for_extent("IGEO7", 5,
+                                    clip_bbox=(27.2, 57.5, 29.3, 59.2))
+    opened = erode_cells(dilate_cells(cells, dggs, k=1), dggs, k=1)
+
+    class ToStr:
+        def __init__(self):
+            self.codec = AddressCodec(make_grid(dggs), 5)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            z7 = t["cell_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            s = self.codec.emit(self.codec.parse(z7, "Z7"), "Z7_STRING")
+            return pa.table({"z7_string": pa.array(s, pa.string())})
+
+    return opened.map_batches(ToStr, batch_format="pyarrow",
+                              concurrency=(1, 2))
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -2024,9 +2079,42 @@ QUERIES = {
     "quality_gate_docs": quality_gate_docs,
     "zonal_majority_events": zonal_majority_events,
     "dilate_clip_box": dilate_clip_box,
+    "radius_join_events": radius_join_events,
+    "erode_dilated_box": erode_dilated_box,
 }
 
 ORACLES = {
+    "erode_dilated_box": """
+        SELECT * FROM (VALUES
+            ('0001002'), ('0001020'), ('0001021'), ('0001022'), ('0001023'),
+            ('0001025'), ('0001030'), ('0001032'), ('0001034'), ('0001035'),
+            ('0001036'), ('0001241'), ('0001250'), ('0001251'), ('0001254'),
+            ('0001255')
+        ) AS t(z7_string)
+    """,
+    "radius_join_events": """
+        WITH sites AS (
+          SELECT CAST(range AS BIGINT) AS sid,
+                 CAST((range * 37) % 360 AS DOUBLE) - 180 + 0.5 AS slon,
+                 CAST((range * 53) % 170 AS DOUBLE) - 85 + 0.25 AS slat
+          FROM range(200)
+        ), pts AS (
+          SELECT event_id,
+                 CAST((event_id * 7919) % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon,
+                 CAST((event_id * 104729) % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat
+          FROM events
+        ), d AS (
+          SELECT event_id, sid,
+                 2 * 6371.0 * asin(sqrt(LEAST(1.0, GREATEST(0.0,
+                     pow(sin(radians(slat - lat) / 2), 2)
+                     + cos(radians(lat)) * cos(radians(slat))
+                       * pow(sin(radians(slon - lon) / 2), 2))))) AS dist
+          FROM pts, sites
+        )
+        SELECT event_id, sid,
+               CAST(ROUND(dist * 100) AS BIGINT) AS dist_km100
+        FROM d WHERE dist <= 500.0
+    """,
     "dilate_clip_box": """
         SELECT * FROM (VALUES
           ('0001000'), ('0001002'), ('0001003'), ('0001006'), ('0001012'),

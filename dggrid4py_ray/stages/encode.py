@@ -335,3 +335,59 @@ def dilate_cells(ds: "ray.data.Dataset", dggs: Dggs, k: int = 1,
     expanded = ds.map_batches(expand, batch_format="pyarrow")
     return grouped_reduce(expanded, key=cell_col, col_map={"_one": "_n"},
                           how="min").drop_columns(["_n"])
+
+
+def erode_cells(ds: "ray.data.Dataset", dggs: Dggs, k: int = 1,
+                cell_col: str = "cell_id") -> "ray.data.Dataset":
+    """Morphological erosion of a DGGS cell set: keep a cell only if its
+    whole k-ring is inside the set (the dual of ``dilate_cells``; under
+    the hex graph metric the k-ball erosion is k iterated 1-ring
+    erosions).
+
+    Ray shape per iteration: every member emits (neighbor, 1), a
+    ``grouped_reduce`` sums the in-set neighbor counts, and ONE hash join
+    back onto the member set keeps cells whose count equals their
+    neighbor degree (5 for pentagons, 6 for hexagons, 7 on seam
+    distortions) — no driver materialization of the set.
+    """
+    from .groupagg import grouped_reduce
+    from ..dggs.igeo7 import INVALID_ID
+
+    def emit_nb(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({cell_col: pa.array([], pa.int64()),
+                             "_one": pa.array([], pa.int64())})
+        grid = grid_for(dggs)
+        z7 = batch[cell_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = grid.neighbors(z7).ravel()
+        nb = nb[nb != INVALID_ID]
+        return pa.table({cell_col: pa.array(nb, pa.int64()),
+                         "_one": pa.array(np.ones(len(nb), np.int64))})
+
+    def with_degree(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("_deg", pa.array([], pa.int64()))
+        grid = grid_for(dggs)
+        z7 = batch[cell_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        deg = (grid.neighbors(z7) != INVALID_ID).sum(axis=1) \
+            .astype(np.int64)
+        return batch.append_column("_deg", pa.array(deg))
+
+    cur = ds
+    for _ in range(k):
+        counts = grouped_reduce(
+            cur.map_batches(emit_nb, batch_format="pyarrow"),
+            key=cell_col, col_map={"_one": "_n"}, how="sum") \
+            .repartition(4)
+        members = cur.map_batches(with_degree, batch_format="pyarrow") \
+                     .repartition(4)
+        j = members.join(counts.rename_columns(
+            {cell_col: "_nbcell", "_n": "_n"}),
+            join_type="inner", num_partitions=4,
+            on=(cell_col,), right_on=("_nbcell",))
+        cur = j.map_batches(
+            lambda t: t.filter(pa.compute.equal(t["_n"], t["_deg"]))
+                       .drop_columns([c for c in ("_n", "_deg", "_nbcell")
+                                      if c in t.column_names]),
+            batch_format="pyarrow")
+    return cur

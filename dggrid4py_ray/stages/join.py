@@ -234,3 +234,126 @@ def knn_join_broadcast(points: ray.data.Dataset, sites,
         })
 
     return points.map_batches(nearest, batch_format="pyarrow")
+
+
+def radius_join_via_buckets(points: ray.data.Dataset,
+                            sites: ray.data.Dataset,
+                            radius_km: float,
+                            point_lon: str = "lon", point_lat: str = "lat",
+                            site_lon: str = "slon", site_lat: str = "slat",
+                            dist_col: str = "dist_km",
+                            num_partitions: int | None = None) -> ray.data.Dataset:
+    """Distance-band spatial join of two LARGE sides: all (point, site)
+    pairs within ``radius_km`` great-circle km.
+
+    Shape (the cogroup pattern of ``spatial_join_via_cells``, keyed on a
+    radius-sized lat/lon bucket grid instead of DGGS cells so the cover
+    proof is closed-form):
+
+    * latitude bands of height >= R (R/110 deg — 1 deg lat is 111.2 km, so
+      the band over-covers); per band, longitude columns of angular width
+      >= R / cos(max |lat| in band), i.e. >= the max lon deviation of any
+      R-disc centered in the band.  Polar bands collapse to one column.
+    * each POINT maps to exactly one bucket (pure function of lon/lat);
+    * each SITE replicates to every bucket its R-disc can touch — the
+      3x3-ish neighborhood (more columns near the poles, where columns are
+      few), vectorized with two np.repeat fan-outs;
+    * ONE distributed hash join on the bucket id, then the exact
+      vectorized haversine filter.  Replication factor is ~9 regardless
+      of data size; skew is bounded by the densest R-disc.
+
+    Emits point columns + site columns + ``dist_col``.  The broadcast
+    alternative (``knn_join_broadcast``) wins when sites fit memory; this
+    is the both-sides-large path.
+    """
+    import pyarrow.compute as pc
+
+    from ..dggs.sphere import haversine_km
+
+    r_deg = radius_km / 110.0           # over-covering angular radius
+    nbands = max(1, int(np.ceil(180.0 / r_deg)))
+    dlat = 180.0 / nbands               # >= r_deg... only if nbands rounds down
+    # ensure band height >= r_deg: ceil gives dlat <= r_deg, so widen:
+    nbands = max(1, int(180.0 // r_deg))
+    dlat = 180.0 / nbands               # now dlat >= r_deg
+    edges = -90.0 + dlat * np.arange(nbands + 1)
+    # lon-deviation bound: for a pair within central angle <= r_deg with
+    # the POINT in this band, dLon <= r_deg / cos(max |lat| of the pair);
+    # the SITE may sit up to one band height outside, so take the cosine
+    # minimum over the band EXTENDED by dlat on both sides
+    lo_ext = np.maximum(-90.0, edges[:-1] - dlat)
+    hi_ext = np.minimum(90.0, edges[1:] + dlat)
+    cos_min = np.minimum(np.cos(np.radians(lo_ext)),
+                         np.cos(np.radians(hi_ext)))
+    polar = (np.abs(lo_ext) >= 90.0 - 1e-9) | \
+            (np.abs(hi_ext) >= 90.0 - 1e-9) | (cos_min < 1e-6)
+    # exact window: haversine gives sin^2(dLon/2) <= sin^2(rho/2) /
+    # (cos(lat_p) cos(lat_s)) <= sin^2(rho/2) / cos_min^2 — no small-angle
+    # approximation, valid at any latitude
+    rho = radius_km / 6371.0            # true angular radius (matches
+    y = np.sin(rho / 2.0) / np.maximum(cos_min, 1e-12)   # haversine_km R)
+    polar = polar | (y >= 1.0)
+    dlon_req = np.where(polar, 360.0,
+                        np.degrees(2.0 * np.arcsin(np.minimum(y, 1.0))))
+    nlon = np.maximum(1, (360.0 // np.maximum(dlon_req, 1e-6))
+                      .astype(np.int64))
+    width = 360.0 / nlon                # per-band column width >= dlon_req
+
+    def _band(lat: np.ndarray) -> np.ndarray:
+        return np.clip(((lat + 90.0) / dlat).astype(np.int64), 0, nbands - 1)
+
+    def _bucket(band: np.ndarray, lon: np.ndarray) -> np.ndarray:
+        lb = ((lon + 180.0) / width[band]).astype(np.int64) % nlon[band]
+        return band * (1 << 32) + lb
+
+    def tag_points(t: pa.Table) -> pa.Table:
+        lat = t[point_lat].to_numpy(zero_copy_only=False).astype(np.float64)
+        lon = t[point_lon].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column("_bucket",
+                               pa.array(_bucket(_band(lat), lon)))
+
+    def replicate_sites(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_bucket", pa.array([], pa.int64()))
+        lat = t[site_lat].to_numpy(zero_copy_only=False).astype(np.float64)
+        lon = t[site_lon].to_numpy(zero_copy_only=False).astype(np.float64)
+        b_lo = _band(lat - r_deg)
+        b_hi = _band(lat + r_deg)
+        reps1 = (b_hi - b_lo + 1)
+        row1 = np.repeat(np.arange(t.num_rows), reps1)
+        band = np.concatenate([np.arange(l, h + 1)
+                               for l, h in zip(b_lo, b_hi)]) \
+            if t.num_rows else np.zeros(0, np.int64)
+        w = dlon_req[band]              # exact per-band lon window (deg)
+        lb_lo = np.floor((lon[row1] - w + 180.0) / width[band]).astype(np.int64)
+        lb_hi = np.floor((lon[row1] + w + 180.0) / width[band]).astype(np.int64)
+        span = np.minimum(lb_hi - lb_lo + 1, nlon[band])
+        row2 = np.repeat(np.arange(len(row1)), span)
+        offs = np.concatenate([np.arange(s) for s in span]) \
+            if len(span) else np.zeros(0, np.int64)
+        lb = (lb_lo[row2] + offs) % nlon[band[row2]]
+        bucket = band[row2] * (1 << 32) + lb
+        out = t.take(pa.array(row1[row2], pa.int64()))
+        return out.append_column("_bucket", pa.array(bucket))
+
+    parts = num_partitions or _join_partitions()
+    p = points.map_batches(tag_points, batch_format="pyarrow")
+    s = sites.map_batches(replicate_sites, batch_format="pyarrow") \
+             .repartition(parts)
+    joined = p.join(s, join_type="inner", num_partitions=parts,
+                    on=("_bucket",))
+
+    def exact(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return (t.drop_columns(["_bucket"])
+                     .append_column(dist_col, pa.array([], pa.float64())))
+        d = haversine_km(
+            t[point_lon].to_numpy(zero_copy_only=False),
+            t[point_lat].to_numpy(zero_copy_only=False),
+            t[site_lon].to_numpy(zero_copy_only=False),
+            t[site_lat].to_numpy(zero_copy_only=False))
+        keep = d <= radius_km
+        out = t.filter(pa.array(keep)).drop_columns(["_bucket"])
+        return out.append_column(dist_col, pa.array(d[keep]))
+
+    return joined.map_batches(exact, batch_format="pyarrow")

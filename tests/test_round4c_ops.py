@@ -188,3 +188,60 @@ def test_zonal_majority_matches_pandas():
     assert (got["cell"].to_numpy() == want["cell"].to_numpy()).all()
     assert (got["cls"].to_numpy() == want["cls"].to_numpy()).all()
     assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
+
+
+def test_radius_join_matches_bruteforce_incl_polar():
+    from dggrid4py_ray.dggs.sphere import haversine_km
+    from dggrid4py_ray.stages.join import radius_join_via_buckets
+
+    rng = np.random.default_rng(17)
+    npts, nsites = 2000, 80
+    pts = pd.DataFrame({"pid": np.arange(npts),
+                        "lon": rng.uniform(-180, 180, npts),
+                        "lat": np.degrees(np.arcsin(rng.uniform(-1, 1, npts)))})
+    sites = pd.DataFrame({
+        "sid": np.arange(nsites),
+        "slon": rng.uniform(-180, 180, nsites),
+        "slat": np.concatenate([rng.uniform(-90, 90, nsites - 6),
+                                [89.5, -89.9, 88.0, -88.0, 90.0, -90.0]])})
+    d = haversine_km(pts["lon"].to_numpy()[:, None],
+                     pts["lat"].to_numpy()[:, None],
+                     sites["slon"].to_numpy()[None, :],
+                     sites["slat"].to_numpy()[None, :])
+    for R in [150.0, 800.0, 3000.0]:
+        out = radius_join_via_buckets(
+            ray.data.from_pandas(pts).repartition(5),
+            ray.data.from_pandas(sites).repartition(3),
+            radius_km=R).to_pandas()
+        assert out.duplicated(["pid", "sid"]).sum() == 0
+        assert len(out) == int((d <= R).sum())
+        got = set(zip(out["pid"], out["sid"]))
+        pi, si = np.nonzero(d <= R)
+        assert got == set(zip(pi.tolist(), si.tolist()))
+
+
+def test_erode_cells_matches_bruteforce_and_duality():
+    from dggrid4py_ray.config import dgselect
+    from dggrid4py_ray.dggs.igeo7 import INVALID_ID
+    from dggrid4py_ray.stages.encode import (dilate_cells, erode_cells,
+                                             grid_for)
+
+    dggs = dgselect("IGEO7", resolution=3)
+    grid = grid_for(dggs)
+    rng = np.random.default_rng(3)
+    seq = rng.choice(np.arange(1, 3433), size=1200, replace=False)
+    z7 = np.asarray(grid.from_seqnum(seq.astype(np.int64), 3),
+                    dtype=np.int64)
+    S = set(int(v) for v in z7)
+    ds = ray.data.from_pandas(pd.DataFrame({"cell_id": z7})).repartition(4)
+
+    got = np.sort(erode_cells(ds, dggs, k=1).to_pandas()["cell_id"]
+                  .to_numpy())
+    nb = grid.neighbors(z7)
+    want = sorted(int(c) for c, row in zip(z7, nb)
+                  if all(int(v) in S for v in row if v != INVALID_ID))
+    assert got.tolist() == want
+    # opening extensivity: S ⊆ erode(dilate(S))
+    opened = set(erode_cells(dilate_cells(ds, dggs, k=1), dggs, k=1)
+                 .to_pandas()["cell_id"])
+    assert S.issubset(opened)
