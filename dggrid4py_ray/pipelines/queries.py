@@ -2004,6 +2004,96 @@ def erode_dilated_box(sf_dir: str):
                               concurrency=(1, 2))
 
 
+def mad_by_flag(sf_dir: str):
+    """Median absolute deviation per group — TWO exact quantile passes
+    (median, then median of |x - m| with the 3-row median table broadcast
+    into the second pass), each the no-global-sort histogram-refine
+    quantile.  Robust-statistics building block, bit-exact vs
+    quantile_disc."""
+    import ray as _ray
+    from ..stages.relational import exact_group_quantile
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    med = exact_group_quantile(ds, "l_returnflag", "l_extendedprice", q=0.5)
+    lut = dict(zip(med["l_returnflag"].to_pylist(),
+                   med["quantile"].to_pylist()))
+    ref = _ray.put(lut)
+
+    def absdev(t: pa.Table) -> pa.Table:
+        lut_ = _ray.get(ref)
+        g = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        v = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        m = np.array([lut_[x] for x in g], dtype=np.float64)
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "dev": pa.array(np.abs(v - m))})
+
+    dev = ds.map_batches(absdev, batch_format="pyarrow")
+    mad = exact_group_quantile(dev, "l_returnflag", "dev", q=0.5)
+    return pa.table({"l_returnflag": mad["l_returnflag"],
+                     "mad100": _iscale(mad["quantile"].to_numpy(), 100)})
+
+
+def ohlc_daily_events(sf_dir: str):
+    """Daily OHLC rollup: open/close = value at the min/max event_id of
+    the day (deterministic arg_min/arg_max), high/low = max/min value.
+    Per-batch partials carry (argmin key, value) pairs — associative, so
+    the bounded-day final combine is one vectorized pass over partial
+    rows (no raw row ever leaves its batch)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day").to_pandas()
+        eid = t["event_id"].to_numpy()
+        v = t["value"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"day": day, "eid": eid, "v": v})
+        g = df.groupby("day", sort=False)
+        imin = g["eid"].idxmin()
+        imax = g["eid"].idxmax()
+        out = pd.DataFrame({
+            "day": imin.index,
+            "open_eid": df["eid"].iloc[imin].to_numpy(),
+            "open_v": df["v"].iloc[imin].to_numpy(),
+            "close_eid": df["eid"].iloc[imax].to_numpy(),
+            "close_v": df["v"].iloc[imax].to_numpy(),
+            "high": g["v"].max().to_numpy(),
+            "low": g["v"].min().to_numpy(),
+        })
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+               .repartition(1))  # bounded key space: one partial row per
+    # (day x input batch); the final combine sees answer-sized data
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"day": pa.array([], pa.timestamp("us")),
+                             "open100": pa.array([], pa.int64()),
+                             "high100": pa.array([], pa.int64()),
+                             "low100": pa.array([], pa.int64()),
+                             "close100": pa.array([], pa.int64())})
+        df = t.to_pandas()
+        g = df.groupby("day", sort=True)
+        imin = g["open_eid"].idxmin()
+        imax = g["close_eid"].idxmax()
+        out = pd.DataFrame({
+            "day": imin.index,
+            "open100": np.round(df["open_v"].iloc[imin].to_numpy()
+                                * 100).astype(np.int64),
+            "high100": np.round(g["high"].max().to_numpy()
+                                * 100).astype(np.int64),
+            "low100": np.round(g["low"].min().to_numpy()
+                               * 100).astype(np.int64),
+            "close100": np.round(df["close_v"].iloc[imax].to_numpy()
+                                 * 100).astype(np.int64),
+        })
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    # batch_size=None: the combine must see the whole (answer-sized)
+    # block, not 1024-row slices of it
+    return parts.map_batches(combine, batch_format="pyarrow",
+                             batch_size=None)
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -2081,9 +2171,30 @@ QUERIES = {
     "dilate_clip_box": dilate_clip_box,
     "radius_join_events": radius_join_events,
     "erode_dilated_box": erode_dilated_box,
+    "mad_by_flag": mad_by_flag,
+    "ohlc_daily_events": ohlc_daily_events,
 }
 
 ORACLES = {
+    "mad_by_flag": """
+        WITH m AS (
+          SELECT l_returnflag, quantile_disc(l_extendedprice, 0.5) AS med
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l.l_returnflag,
+               CAST(ROUND(quantile_disc(abs(l.l_extendedprice - m.med), 0.5)
+                          * 100) AS BIGINT) AS mad100
+        FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+        GROUP BY l.l_returnflag
+    """,
+    "ohlc_daily_events": """
+        SELECT date_trunc('day', ts) AS day,
+               CAST(ROUND(arg_min(value, event_id) * 100) AS BIGINT) AS open100,
+               CAST(ROUND(max(value) * 100) AS BIGINT) AS high100,
+               CAST(ROUND(min(value) * 100) AS BIGINT) AS low100,
+               CAST(ROUND(arg_max(value, event_id) * 100) AS BIGINT) AS close100
+        FROM events GROUP BY 1
+    """,
     "erode_dilated_box": """
         SELECT * FROM (VALUES
             ('0001002'), ('0001020'), ('0001021'), ('0001022'), ('0001023'),
