@@ -2094,6 +2094,59 @@ def ohlc_daily_events(sf_dir: str):
                              batch_size=None)
 
 
+def first_last_by_user(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE per partition at UNBOUNDED key
+    cardinality (the arg_min/arg_max dual of the bounded-key OHLC): two
+    ``group_row_number`` carry-chain passes (ascending and
+    negated-order), rn==1 filters keep whole rows, one user-sized hash
+    join zips them.  Driver state stays O(#blocks) — per-user partitions
+    at 10^9 users are fine."""
+    from ..stages.join import _join_partitions
+    from ..stages.window import group_row_number
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]") \
+            .astype(np.int64)
+        return pa.table({"user_id": t["user_id"],
+                         "k1": pa.array(ts), "k2": t["event_id"],
+                         "nk1": pa.array(-ts),
+                         "nk2": pa.array(-t["event_id"].to_numpy()),
+                         "value": t["value"]})
+
+    kd = ds.map_batches(keyed, batch_format="pyarrow")
+    first = group_row_number(
+        kd.map_batches(lambda t: t.select(["user_id", "k1", "k2", "value"]),
+                       batch_format="pyarrow"),
+        "user_id", ["k1", "k2"], out_col="_rn")
+    first = first.map_batches(
+        lambda t: pa.table({"user_id": t["user_id"],
+                            "first_v": t["value"]}).filter(
+            pc.equal(t["_rn"], pa.scalar(1, pa.int64()))),
+        batch_format="pyarrow")
+    last = group_row_number(
+        kd.map_batches(lambda t: t.select(["user_id", "nk1", "nk2",
+                                           "value"]),
+                       batch_format="pyarrow"),
+        "user_id", ["nk1", "nk2"], out_col="_rn")
+    last = last.map_batches(
+        lambda t: pa.table({"_u": t["user_id"],
+                            "last_v": t["value"]}).filter(
+            pc.equal(t["_rn"], pa.scalar(1, pa.int64()))),
+        batch_format="pyarrow")
+    parts = _join_partitions()
+    j = first.repartition(parts).join(last.repartition(parts),
+                                      join_type="inner",
+                                      num_partitions=parts,
+                                      on=("user_id",), right_on=("_u",))
+    return j.map_batches(
+        lambda t: pa.table({"user_id": t["user_id"],
+                            "first100": _iscale(t["first_v"], 100),
+                            "last100": _iscale(t["last_v"], 100)}),
+        batch_format="pyarrow")
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -2173,9 +2226,22 @@ QUERIES = {
     "erode_dilated_box": erode_dilated_box,
     "mad_by_flag": mad_by_flag,
     "ohlc_daily_events": ohlc_daily_events,
+    "first_last_by_user": first_last_by_user,
 }
 
 ORACLES = {
+    "first_last_by_user": """
+        SELECT DISTINCT user_id,
+               CAST(ROUND(first_value(value) OVER w * 100) AS BIGINT)
+                   AS first100,
+               CAST(ROUND(last_value(value) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING) * 100) AS BIGINT)
+                   AS last100
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
     "mad_by_flag": """
         WITH m AS (
           SELECT l_returnflag, quantile_disc(l_extendedprice, 0.5) AS med

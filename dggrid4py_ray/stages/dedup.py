@@ -662,6 +662,11 @@ def paragraph_dedup(ds: ray.data.Dataset, text_col: str = "text",
          (doc_id, chunk_idx) — the second range sort.
 
     SQL equivalent: min(packed) OVER (PARTITION BY chunk) + string_agg.
+
+    Packing bound: the order key is doc_id * max_chunks_per_doc +
+    chunk_idx in int64, so doc_id must stay below 2^63 / max_chunks_per_doc
+    (~9.2e9 at the 1e9 default — lower max_chunks_per_doc for larger id
+    spaces).
     """
     from .groupagg import grouped_string_agg
     from .window import group_row_number
