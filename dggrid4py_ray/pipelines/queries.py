@@ -2147,6 +2147,48 @@ def first_last_by_user(sf_dir: str):
         batch_format="pyarrow")
 
 
+def doc_embed_norms(sf_dir: str):
+    """Cross-table join of the two wide corpora: documents ⋈ embeddings
+    on doc_id = vec_id (distributed hash join — the vector payload is
+    projected to a scalar norm per batch BEFORE the exchange, so only
+    (id, norm) rows shuffle), then per-lang mean embedding L2 norm."""
+    from ..stages.cluster import _emb_matrix
+    from ..stages.join import _join_partitions
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def norms(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "norm": pa.array([], pa.float64())})
+        X = _emb_matrix(t, "embedding")
+        return pa.table({"vec_id": t["vec_id"],
+                         "norm": pa.array(np.sqrt((X * X).sum(axis=1)))})
+
+    nrm = emb.map_batches(norms, batch_format="pyarrow")
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    parts = _join_partitions()
+    j = docs.join(nrm.repartition(parts), join_type="inner",
+                  num_partitions=parts, on=("doc_id",),
+                  right_on=("vec_id",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"lang": t["lang"].to_numpy(zero_copy_only=False),
+                           "norm": t["norm"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("lang", sort=False).agg(
+            n=("norm", "size"), s=("norm", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (j.map_batches(partial, batch_format="pyarrow")
+             .groupby("lang")
+             .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+             .map_batches(lambda t: pa.table(
+                 {"lang": t["lang"], "n": t["n"].cast(pa.int64()),
+                  "avg_norm": _iscale(t["s"].to_numpy()
+                                      / t["n"].to_numpy(), 1000000)}),
+                 batch_format="pyarrow"))
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -2227,9 +2269,18 @@ QUERIES = {
     "mad_by_flag": mad_by_flag,
     "ohlc_daily_events": ohlc_daily_events,
     "first_last_by_user": first_last_by_user,
+    "doc_embed_norms": doc_embed_norms,
 }
 
 ORACLES = {
+    "doc_embed_norms": """
+        SELECT d.lang, COUNT(*) AS n,
+               CAST(ROUND(AVG(sqrt(list_sum(list_transform(
+                   CAST(e.embedding AS DOUBLE[]), x -> x * x))))
+                   * 1000000) AS BIGINT) AS avg_norm
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        GROUP BY d.lang
+    """,
     "first_last_by_user": """
         SELECT DISTINCT user_id,
                CAST(ROUND(first_value(value) OVER w * 100) AS BIGINT)
