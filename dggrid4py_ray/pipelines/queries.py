@@ -2189,6 +2189,29 @@ def doc_embed_norms(sf_dir: str):
                  batch_format="pyarrow"))
 
 
+def rank_docs_by_chars(sf_dir: str):
+    """Tie-aware RANK + DENSE_RANK per lang by n_chars (desc) at
+    unbounded key cardinality — stages/window.group_rank: tie-class
+    counts (grouped_reduce) → running count over the distinct table →
+    one hash join back; no per-group Python, no O(#groups) driver
+    state."""
+    from ..stages.window import group_rank
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    neg = ds.map_batches(
+        lambda t: t.append_column(
+            "_negchars", pa.array(-t["n_chars"].to_numpy())),
+        batch_format="pyarrow")
+    ranked = group_rank(neg, "lang", "_negchars", out_col="rank",
+                        dense_col="dense")
+    return ranked.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                            "n_chars": t["n_chars"],
+                            "rank": t["rank"].cast(pa.int64()),
+                            "dense": t["dense"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -2270,9 +2293,18 @@ QUERIES = {
     "ohlc_daily_events": ohlc_daily_events,
     "first_last_by_user": first_last_by_user,
     "doc_embed_norms": doc_embed_norms,
+    "rank_docs_by_chars": rank_docs_by_chars,
 }
 
 ORACLES = {
+    "rank_docs_by_chars": """
+        SELECT doc_id, lang, n_chars,
+               RANK() OVER (PARTITION BY lang ORDER BY n_chars DESC)
+                   AS rank,
+               DENSE_RANK() OVER (PARTITION BY lang ORDER BY n_chars DESC)
+                   AS dense
+        FROM documents
+    """,
     "doc_embed_norms": """
         SELECT d.lang, COUNT(*) AS n,
                CAST(ROUND(AVG(sqrt(list_sum(list_transform(

@@ -245,3 +245,23 @@ def test_erode_cells_matches_bruteforce_and_duality():
     opened = set(erode_cells(dilate_cells(ds, dggs, k=1), dggs, k=1)
                  .to_pandas()["cell_id"])
     assert S.issubset(opened)
+
+
+def test_group_rank_ties_match_pandas():
+    from dggrid4py_ray.stages.window import group_rank
+
+    rng = np.random.default_rng(1)
+    n = 30_000
+    df = pd.DataFrame({"g": rng.integers(0, 500, n),
+                       "v": rng.integers(0, 50, n),  # heavy ties
+                       "rid": np.arange(n)})
+    out = group_rank(ray.data.from_pandas(df).repartition(7), "g", "v",
+                     out_col="rank", dense_col="dense").to_pandas() \
+        .sort_values("rid", ignore_index=True)
+    assert len(out) == n
+    want_rank = df.groupby("g")["v"].rank(method="min").astype(np.int64)
+    want_dense = df.groupby("g")["v"].rank(method="dense").astype(np.int64)
+    ref = df.assign(rank=want_rank, dense=want_dense) \
+        .sort_values("rid", ignore_index=True)
+    assert (out["rank"].to_numpy() == ref["rank"].to_numpy()).all()
+    assert (out["dense"].to_numpy() == ref["dense"].to_numpy()).all()
