@@ -1865,13 +1865,18 @@ def quality_gate_docs(sf_dir: str):
         lut_ = _ray.get(ref)
         lang = t["lang"].to_numpy(zero_copy_only=False)
         n = t["n_chars"].to_numpy(zero_copy_only=False)
-        tvals = np.array([lut_[x] for x in lang], dtype=np.float64)
+        tvals = pd.Series(lang).map(lut_).to_numpy(dtype=np.float64)
         keep = n >= tvals
         df = pd.DataFrame({"lang": lang[keep], "n_chars": n[keep]})
         g = df.groupby("lang", sort=False).agg(
             n_docs=("n_chars", "size"),
             sum_chars=("n_chars", "sum")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # typed empty: pd->Arrow on an all-filtered batch infers lang:null
+        # (the known empty-block schema-loss pitfall)
+        return pa.table({
+            "lang": pa.array(g["lang"].to_numpy(), pa.string()),
+            "n_docs": pa.array(g["n_docs"].to_numpy(), pa.int64()),
+            "sum_chars": pa.array(g["sum_chars"].to_numpy(), pa.int64())})
 
     return (ds.map_batches(survivors, batch_format="pyarrow")
               .groupby("lang")
@@ -1918,6 +1923,21 @@ def zonal_majority_events(sf_dir: str):
         batch_format="pyarrow")
 
 
+class _Z7ToString:
+    """map_batches actor: cell_id (Z7 int) -> z7_string column (codec
+    built once per actor); shared by the morphology queries."""
+
+    def __init__(self, dggs, res: int):
+        from ..dggs.codecs import AddressCodec
+        from ..stages.encode import make_grid
+        self.codec = AddressCodec(make_grid(dggs), res)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        z7 = t["cell_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = self.codec.emit(self.codec.parse(z7, "Z7"), "Z7_STRING")
+        return pa.table({"z7_string": pa.array(s, pa.string())})
+
+
 def dilate_clip_box(sf_dir: str):
     """Morphological dilation (1-ring buffer) of the 16-cell conformance
     clip-box polyfill at res 5 (stages/encode.dilate_cells: k-ring
@@ -1926,27 +1946,15 @@ def dilate_clip_box(sf_dir: str):
     independent driver-side neighbors() union
     (tests/test_round4c_ops.py)."""
     from ..config import dgselect
-    from ..dggs.codecs import AddressCodec
-    from ..stages.encode import dilate_cells, make_grid
+    from ..stages.encode import dilate_cells
     from .highlevel import grid_cellids_for_extent
 
     dggs = dgselect("IGEO7", resolution=5)
     cells = grid_cellids_for_extent("IGEO7", 5,
                                     clip_bbox=(27.2, 57.5, 29.3, 59.2))
     dilated = dilate_cells(cells, dggs, k=1)
-
-    class ToStr:
-        def __init__(self):
-            self.codec = AddressCodec(make_grid(dggs), 5)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            z7 = t["cell_id"].to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
-            s = self.codec.emit(self.codec.parse(z7, "Z7"), "Z7_STRING")
-            return pa.table({"z7_string": pa.array(s, pa.string())})
-
-    return dilated.map_batches(ToStr, batch_format="pyarrow",
-                               concurrency=(1, 2))
+    return dilated.map_batches(_Z7ToString, fn_constructor_args=(dggs, 5),
+                               batch_format="pyarrow", concurrency=(1, 2))
 
 
 def radius_join_events(sf_dir: str):
@@ -1981,27 +1989,15 @@ def erode_dilated_box(sf_dir: str):
     SAME golden 16-id VALUES as ``polyfill_clip_box`` — an independent,
     DGGRID-calibrated pin, not a self-pin."""
     from ..config import dgselect
-    from ..dggs.codecs import AddressCodec
-    from ..stages.encode import dilate_cells, erode_cells, make_grid
+    from ..stages.encode import dilate_cells, erode_cells
     from .highlevel import grid_cellids_for_extent
 
     dggs = dgselect("IGEO7", resolution=5)
     cells = grid_cellids_for_extent("IGEO7", 5,
                                     clip_bbox=(27.2, 57.5, 29.3, 59.2))
     opened = erode_cells(dilate_cells(cells, dggs, k=1), dggs, k=1)
-
-    class ToStr:
-        def __init__(self):
-            self.codec = AddressCodec(make_grid(dggs), 5)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            z7 = t["cell_id"].to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
-            s = self.codec.emit(self.codec.parse(z7, "Z7"), "Z7_STRING")
-            return pa.table({"z7_string": pa.array(s, pa.string())})
-
-    return opened.map_batches(ToStr, batch_format="pyarrow",
-                              concurrency=(1, 2))
+    return opened.map_batches(_Z7ToString, fn_constructor_args=(dggs, 5),
+                              batch_format="pyarrow", concurrency=(1, 2))
 
 
 def mad_by_flag(sf_dir: str):
@@ -2023,11 +2019,13 @@ def mad_by_flag(sf_dir: str):
         lut_ = _ray.get(ref)
         g = t["l_returnflag"].to_numpy(zero_copy_only=False)
         v = t["l_extendedprice"].to_numpy(zero_copy_only=False)
-        m = np.array([lut_[x] for x in g], dtype=np.float64)
+        m = pd.Series(g).map(lut_).to_numpy(dtype=np.float64)
         return pa.table({"l_returnflag": t["l_returnflag"],
                          "dev": pa.array(np.abs(v - m))})
 
-    dev = ds.map_batches(absdev, batch_format="pyarrow")
+    # materialize: exact_group_quantile makes >=3 passes over its input —
+    # without this each pass would re-read lineitem and re-run absdev
+    dev = ds.map_batches(absdev, batch_format="pyarrow").materialize()
     mad = exact_group_quantile(dev, "l_returnflag", "dev", q=0.5)
     return pa.table({"l_returnflag": mad["l_returnflag"],
                      "mad100": _iscale(mad["quantile"].to_numpy(), 100)})

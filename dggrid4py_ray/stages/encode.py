@@ -351,7 +351,10 @@ def erode_cells(ds: "ray.data.Dataset", dggs: Dggs, k: int = 1,
     distortions) — no driver materialization of the set.
     """
     from .groupagg import grouped_reduce
+    from .join import _join_partitions
     from ..dggs.igeo7 import INVALID_ID
+
+    parts = _join_partitions()
 
     def emit_nb(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -378,12 +381,12 @@ def erode_cells(ds: "ray.data.Dataset", dggs: Dggs, k: int = 1,
         counts = grouped_reduce(
             cur.map_batches(emit_nb, batch_format="pyarrow"),
             key=cell_col, col_map={"_one": "_n"}, how="sum") \
-            .repartition(4)
+            .repartition(parts)
         members = cur.map_batches(with_degree, batch_format="pyarrow") \
-                     .repartition(4)
+                     .repartition(parts)
         j = members.join(counts.rename_columns(
             {cell_col: "_nbcell", "_n": "_n"}),
-            join_type="inner", num_partitions=4,
+            join_type="inner", num_partitions=parts,
             on=(cell_col,), right_on=("_nbcell",))
         cur = j.map_batches(
             lambda t: t.filter(pa.compute.equal(t["_n"], t["_deg"]))

@@ -271,11 +271,8 @@ def radius_join_via_buckets(points: ray.data.Dataset,
     from ..dggs.sphere import haversine_km
 
     r_deg = radius_km / 110.0           # over-covering angular radius
-    nbands = max(1, int(np.ceil(180.0 / r_deg)))
-    dlat = 180.0 / nbands               # >= r_deg... only if nbands rounds down
-    # ensure band height >= r_deg: ceil gives dlat <= r_deg, so widen:
     nbands = max(1, int(180.0 // r_deg))
-    dlat = 180.0 / nbands               # now dlat >= r_deg
+    dlat = 180.0 / nbands               # band height >= r_deg
     edges = -90.0 + dlat * np.arange(nbands + 1)
     # lon-deviation bound: for a pair within central angle <= r_deg with
     # the POINT in this band, dLon <= r_deg / cos(max |lat| of the pair);
@@ -321,16 +318,17 @@ def radius_join_via_buckets(points: ray.data.Dataset,
         b_hi = _band(lat + r_deg)
         reps1 = (b_hi - b_lo + 1)
         row1 = np.repeat(np.arange(t.num_rows), reps1)
-        band = np.concatenate([np.arange(l, h + 1)
-                               for l, h in zip(b_lo, b_hi)]) \
-            if t.num_rows else np.zeros(0, np.int64)
+        # vectorized ragged fan-out: arange within each row's band range
+        pos1 = (np.arange(reps1.sum(), dtype=np.int64)
+                - np.repeat(np.cumsum(reps1) - reps1, reps1))
+        band = b_lo[row1] + pos1
         w = dlon_req[band]              # exact per-band lon window (deg)
         lb_lo = np.floor((lon[row1] - w + 180.0) / width[band]).astype(np.int64)
         lb_hi = np.floor((lon[row1] + w + 180.0) / width[band]).astype(np.int64)
         span = np.minimum(lb_hi - lb_lo + 1, nlon[band])
         row2 = np.repeat(np.arange(len(row1)), span)
-        offs = np.concatenate([np.arange(s) for s in span]) \
-            if len(span) else np.zeros(0, np.int64)
+        offs = (np.arange(span.sum(), dtype=np.int64)
+                - np.repeat(np.cumsum(span) - span, span))
         lb = (lb_lo[row2] + offs) % nlon[band[row2]]
         bucket = band[row2] * (1 << 32) + lb
         out = t.take(pa.array(row1[row2], pa.int64()))

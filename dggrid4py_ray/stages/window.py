@@ -268,12 +268,8 @@ def group_rank(ds: ray.data.Dataset, group_col: str, order_col: str,
         ranks = group_row_number(ranks, group_col, ["_ord"],
                                  out_col=dense_col)
 
-    try:
-        import ray as _ray
-        cpus = int(_ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    parts = num_partitions or max(2, min(16, cpus // 2))
+    from .join import _join_partitions
+    parts = num_partitions or _join_partitions()
     return ds.join(ranks.repartition(parts), join_type="inner",
                    num_partitions=parts,
                    on=(group_col, order_col),
