@@ -677,32 +677,88 @@ class IGeo7Grid:
         _, verts = self._voronoi_from_cand(z7, nb, int(z7_resolution(z7)[0]))
         return verts
 
+    # axial 1-ring offsets of the hex lattice z = c0 + (a + b*omega)*m_r,
+    # omega = e^{i pi/3}: the six unit-distance steps
+    _AX_OFFS = np.array([(1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)],
+                        dtype=np.int64)
+
     def neighbors(self, z7: np.ndarray) -> np.ndarray:
         """(n, MAX_NEIGHBORS) edge-neighbor ids padded with INVALID_ID.
-        Hexagons have 6, pentagons 5; seam-distorted cells may have 7."""
-        nb, _ = self.local_voronoi(z7)
-        return nb
+        Hexagons have 6, pentagons 5; seam-distorted cells may have 7.
+
+        Fast path (the ``boundary`` interior/seam split): a cell whose
+        whole 1-ring sits strictly inside its face (edge margin > 2
+        lattice units) has exactly the six axial lattice neighbors —
+        pure (a, b) arithmetic + the flat->Z7 bridge, no Voronoi
+        clipping.  Face-edge / pentagon / seam cells fall back to the
+        exact local spherical Voronoi.  Equality of the two paths on the
+        interior is property-tested (tests/test_round4c_ops.py)."""
+        from .isea7h_flat import pack as _pack, unpack as _unpack
+
+        z7 = np.asarray(z7, dtype=np.int64)
+        n = z7.shape[0]
+        M = self.MAX_NEIGHBORS
+        if n == 0:
+            return np.full((0, M), INVALID_ID, dtype=np.int64)
+        res_arr = z7_resolution(z7)
+        out = np.full((n, M), INVALID_ID, dtype=np.int64)
+        flat = self._flat_ids(z7)
+        f, a, b = _unpack(flat)
+        for r in np.unique(res_arr):
+            m = np.nonzero(res_arr == r)[0]
+            if r == 0:
+                interior = np.zeros(len(m), dtype=bool)
+            else:
+                margin = self.bridge._edge_margin(a[m], b[m], int(r))
+                interior = margin > 2.0
+            im = m[interior]
+            if len(im):
+                da = self._AX_OFFS[:, 0][None, :]
+                db = self._AX_OFFS[:, 1][None, :]
+                packed = _pack(np.repeat(f[im], 6),
+                               (a[im][:, None] + da).ravel(),
+                               (b[im][:, None] + db).ravel())
+                nz = self.bridge.z7_of_flat(packed, int(r)).reshape(-1, 6)
+                out[im, :6] = nz
+            sm = m[~interior]
+            if len(sm):
+                nb, _ = self.local_voronoi(z7[sm])
+                out[sm] = nb
+        return out
 
     def k_ring(self, z7: np.ndarray, k: int) -> list[np.ndarray]:
-        """Per input id, all ids within k neighbor steps (incl. self)."""
+        """Per input id, all ids within k neighbor steps (incl. self).
+        Vectorized frontier expansion: per round, ONE deduped neighbors()
+        call + a pandas drop_duplicates/anti-merge over (input, cell)
+        pairs — no per-input Python loop."""
+        import pandas as pd
+
         z7 = np.asarray(z7, dtype=np.int64)
-        rings = [set([int(v)]) for v in z7]
-        frontier = [np.array([v], dtype=np.int64) for v in z7]
+        n = z7.shape[0]
+        acc = pd.DataFrame({"i": np.arange(n, dtype=np.int64), "c": z7})
+        frontier = acc
         for _ in range(k):
-            flat = np.concatenate(frontier) if frontier else np.zeros(0, dtype=np.int64)
-            if flat.size == 0:
+            if not len(frontier):
                 break
-            nb = self.neighbors(flat)
-            offs = np.cumsum([0] + [len(f) for f in frontier])
-            new_frontier = []
-            for i in range(len(z7)):
-                cand = nb[offs[i]:offs[i + 1]].reshape(-1)
-                cand = cand[cand != INVALID_ID]
-                fresh = [c for c in cand.tolist() if c not in rings[i]]
-                rings[i].update(fresh)
-                new_frontier.append(np.array(sorted(set(fresh)), dtype=np.int64))
-            frontier = new_frontier
-        return [np.array(sorted(r), dtype=np.int64) for r in rings]
+            fc = frontier["c"].to_numpy()
+            uc, uinv = np.unique(fc, return_inverse=True)
+            nb_u = self.neighbors(uc)
+            nb = nb_u[uinv]
+            Mw = nb.shape[1]
+            fi = np.repeat(frontier["i"].to_numpy(), Mw)
+            cand_c = nb.ravel()
+            v = cand_c != INVALID_ID
+            cand = pd.DataFrame({"i": fi[v], "c": cand_c[v]}) \
+                .drop_duplicates()
+            merged = cand.merge(acc, how="left", indicator=True)
+            fresh = merged[merged["_merge"] == "left_only"][["i", "c"]]
+            acc = pd.concat([acc, fresh], ignore_index=True)
+            frontier = fresh
+        acc = acc.sort_values(["i", "c"], ignore_index=True)
+        ci = acc["i"].to_numpy()
+        cc = acc["c"].to_numpy()
+        bounds = np.searchsorted(ci, np.arange(n + 1))
+        return [cc[bounds[j]:bounds[j + 1]].copy() for j in range(n)]
 
     def boundary(self, z7: np.ndarray) -> np.ndarray:
         """(n, MAX_NEIGHBORS + 1, 2) lon/lat closed rings (NaN-padded).

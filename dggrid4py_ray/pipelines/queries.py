@@ -2210,6 +2210,38 @@ def rank_docs_by_chars(sf_dir: str):
         batch_format="pyarrow")
 
 
+def props_k_stats(sf_dir: str):
+    """Semi-structured extraction: pull the integer 'k' field out of the
+    JSON props column with ONE vectorized Arrow extract_regex kernel per
+    batch (stages/text.extract_json_int_field — no per-row json.loads),
+    then per-type count/sum."""
+    from ..stages.text import extract_json_int_field
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+    kd = extract_json_int_field(ds, "props", "k")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "k": t["k"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("event_type", sort=False)["k"] \
+              .agg(n="size", sum_k="sum").reset_index()
+        return pa.table({
+            "event_type": pa.array(g["event_type"].to_numpy(), pa.string()),
+            "n": pa.array(g["n"].to_numpy(), pa.int64()),
+            "sum_k": pa.array(g["sum_k"].to_numpy(), pa.int64())})
+
+    return (kd.map_batches(partial, batch_format="pyarrow")
+              .groupby("event_type")
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("sum_k", alias_name="sum_k"))
+              .map_batches(lambda t: pa.table(
+                  {"event_type": t["event_type"],
+                   "n": t["n"].cast(pa.int64()),
+                   "sum_k": t["sum_k"].cast(pa.int64())}),
+                  batch_format="pyarrow"))
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -2292,9 +2324,16 @@ QUERIES = {
     "first_last_by_user": first_last_by_user,
     "doc_embed_norms": doc_embed_norms,
     "rank_docs_by_chars": rank_docs_by_chars,
+    "props_k_stats": props_k_stats,
 }
 
 ORACLES = {
+    "props_k_stats": """
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k
+        FROM events GROUP BY event_type
+    """,
     "rank_docs_by_chars": """
         SELECT doc_id, lang, n_chars,
                RANK() OVER (PARTITION BY lang ORDER BY n_chars DESC)

@@ -393,3 +393,29 @@ def inverted_index(ds, text_col: str = "text", id_col: str = "doc_id",
     return (ds.map_batches(pairs, batch_format="pyarrow")
               .groupby(["tok", "bucket"]).map_groups(assemble,
                                                      batch_format="pandas"))
+
+
+def extract_json_int_field(ds: "ray.data.Dataset", col: str, field: str,
+                           out_col: str | None = None) -> "ray.data.Dataset":
+    """Vectorized extraction of a flat integer field from a JSON-string
+    column (the semi-structured 'props' pattern): one Arrow
+    ``extract_regex`` kernel per batch — no per-row json.loads.  Nulls
+    and rows without the field become null int64.  For nested/typed JSON
+    use a real parser in an actor pool; this is the hot fast path for the
+    flat telemetry case."""
+    import re
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    pat = '"' + re.escape(field) + r'"\s*:\s*(?P<v>-?\d+)'
+
+    def extract(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col or field,
+                                   pa.array([], pa.int64()))
+        hit = pc.extract_regex(t[col].combine_chunks(), pat)
+        v = pc.cast(pc.struct_field(hit, "v"), pa.int64())
+        return t.append_column(out_col or field, v)
+
+    return ds.map_batches(extract, batch_format="pyarrow")

@@ -265,3 +265,45 @@ def test_group_rank_ties_match_pandas():
         .sort_values("rid", ignore_index=True)
     assert (out["rank"].to_numpy() == ref["rank"].to_numpy()).all()
     assert (out["dense"].to_numpy() == ref["dense"].to_numpy()).all()
+
+
+def test_neighbors_lattice_fast_path_equals_voronoi():
+    """The axial-lattice fast path (interior cells) must agree with the
+    exact local spherical Voronoi everywhere, including the seam/edge
+    fallback split."""
+    from dggrid4py_ray.config import dgselect
+    from dggrid4py_ray.dggs.igeo7 import INVALID_ID
+    from dggrid4py_ray.stages.encode import grid_for
+
+    g = grid_for(dgselect("IGEO7", resolution=5))
+    for res in (1, 2, 3, 5):
+        n_tot = 10 * 7 ** res + 2
+        rng = np.random.default_rng(res)
+        seq = rng.choice(np.arange(1, n_tot + 1),
+                         size=min(1500, n_tot), replace=False)
+        z7 = np.asarray(g.from_seqnum(seq.astype(np.int64), res),
+                        dtype=np.int64)
+        fast = g.neighbors(z7)
+        slow, _ = g.local_voronoi(z7)
+        for fr, sr in zip(fast, slow):
+            assert (set(int(v) for v in fr if v != INVALID_ID)
+                    == set(int(v) for v in sr if v != INVALID_ID))
+
+
+def test_k_ring_vectorized_matches_bruteforce():
+    from dggrid4py_ray.config import dgselect
+    from dggrid4py_ray.dggs.igeo7 import INVALID_ID
+    from dggrid4py_ray.stages.encode import grid_for
+
+    g = grid_for(dgselect("IGEO7", resolution=3))
+    rng = np.random.default_rng(2)
+    seq = rng.choice(np.arange(1, 3433), size=100, replace=False)
+    z7 = np.asarray(g.from_seqnum(seq.astype(np.int64), 3), dtype=np.int64)
+    got = g.k_ring(z7, 2)
+    # brute force: iterate neighbor closure per input
+    for zi, ring in zip(z7, got):
+        cur = {int(zi)}
+        for _ in range(2):
+            nb = g.neighbors(np.array(sorted(cur), dtype=np.int64))
+            cur |= {int(v) for row in nb for v in row if v != INVALID_ID}
+        assert sorted(cur) == ring.tolist()
