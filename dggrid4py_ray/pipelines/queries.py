@@ -2242,6 +2242,61 @@ def props_k_stats(sf_dir: str):
                   batch_format="pyarrow"))
 
 
+def lag_delta_events(sf_dir: str):
+    """Bounded-frame window family: LAG(ts) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id) via stages/window.group_shift (one sort +
+    O(#blocks) tail carry, vectorized shift) — inter-event gap in exact
+    integer microseconds, null for each user's first event."""
+    from ..stages.window import group_shift
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"], "user_id": t["user_id"],
+                         "ts_us": t["ts"].cast(pa.int64())})
+
+    lagged = group_shift(ds.map_batches(to_us, batch_format="pyarrow"),
+                         "user_id", ["ts_us", "event_id"], "ts_us",
+                         k=1, out_col="prev_us")
+
+    def finish(t: pa.Table) -> pa.Table:
+        # ts fits float64 exactly (microseconds since 1970 < 2^53)
+        prev = t["prev_us"]
+        delta = pc.subtract(pc.cast(t["ts_us"], pa.float64()), prev)
+        return pa.table({"event_id": t["event_id"],
+                         "delta_us": pc.cast(delta, pa.int64())})
+
+    return lagged.map_batches(finish, batch_format="pyarrow")
+
+
+def moving_avg_events(sf_dir: str):
+    """AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS
+    BETWEEN 2 PRECEDING AND CURRENT ROW) via
+    stages/window.group_rolling_mean (segmented cumsum difference, tail
+    carry of the last 2 values per block).  Scale 1000, not 100: with
+    2-decimal values and frames of 1-3 rows, mean*1000 has denominator
+    1, 2 or 3 -> never an exact .5, so numpy's half-to-even and DuckDB's
+    half-away rounding always agree (at *100 a 2-row frame ties)."""
+    from ..stages.window import group_rolling_mean
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"], "user_id": t["user_id"],
+                         "ts_us": t["ts"].cast(pa.int64()),
+                         "value": t["value"]})
+
+    rolled = group_rolling_mean(ds.map_batches(to_us, batch_format="pyarrow"),
+                                "user_id", ["ts_us", "event_id"], "value",
+                                window=3, out_col="mavg")
+    return rolled.map_batches(
+        lambda t: pa.table({"event_id": t["event_id"],
+                            "mavg1000": _iscale(
+                                t["mavg"].to_numpy(zero_copy_only=False),
+                                1000)}),
+        batch_format="pyarrow")
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -2325,9 +2380,26 @@ QUERIES = {
     "doc_embed_norms": doc_embed_norms,
     "rank_docs_by_chars": rank_docs_by_chars,
     "props_k_stats": props_k_stats,
+    "lag_delta_events": lag_delta_events,
+    "moving_avg_events": moving_avg_events,
 }
 
 ORACLES = {
+    "lag_delta_events": """
+        SELECT event_id,
+               CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS BIGINT) AS delta_us
+        FROM events
+    """,
+    "moving_avg_events": """
+        SELECT event_id,
+               CAST(ROUND(AVG(value) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 1000)
+                    AS BIGINT) AS mavg1000
+        FROM events
+    """,
     "props_k_stats": """
         SELECT event_type, COUNT(*) AS n,
                CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))

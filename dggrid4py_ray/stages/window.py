@@ -274,3 +274,132 @@ def group_rank(ds: ray.data.Dataset, group_col: str, order_col: str,
                    num_partitions=parts,
                    on=(group_col, order_col),
                    right_on=(group_col, "_ord"))
+
+
+def _tail_carry(srt: ray.data.Dataset, keys: list, group_col: str,
+                value_col: str, k: int):
+    """Shared machinery for bounded-frame windows (LAG k / ROWS k-1
+    PRECEDING): per sorted block, carry the last <=k VALUES of the
+    block's LAST group down the O(#blocks) driver chain, so each block
+    knows the frame prefix entering its FIRST group.  Returns an object
+    ref to {block_first_key_repr: np.ndarray tail}.  Same unique-key
+    requirement as ``group_running_sum``."""
+
+    def summarize(t: pa.Table) -> pa.Table:
+        cols = {f"_k{i}": t[c].slice(0, min(1, t.num_rows))
+                for i, c in enumerate(keys)}
+        if t.num_rows == 0:
+            cols.update({"_key": pa.array([], pa.string()),
+                         "_first_g": pa.array([], pa.string()),
+                         "_last_g": pa.array([], pa.string()),
+                         "_tail": pa.array([], pa.list_(pa.float64()))})
+            return pa.table(cols)
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        last_start = 0 if g[0] == g[-1] else \
+            int(np.flatnonzero(g[:-1] != g[1:])[-1] + 1)
+        cols.update({
+            "_key": pa.array([repr(_first_key(t, keys))]),
+            "_first_g": pa.array([str(g[0])]),
+            "_last_g": pa.array([str(g[-1])]),
+            "_tail": pa.array([v[last_start:][-k:].tolist()],
+                              pa.list_(pa.float64())),
+        })
+        return pa.table(cols)
+
+    summ = (srt.map_batches(summarize, batch_format="pyarrow").to_pandas()
+            .sort_values([f"_k{i}" for i in range(len(keys))],
+                         ignore_index=True))
+    tails = {}
+    carry_g, carry_t = None, np.zeros(0, np.float64)
+    for _, r in summ.iterrows():
+        inc = carry_t if r["_first_g"] == carry_g else np.zeros(0, np.float64)
+        if r["_key"] in tails:
+            raise ValueError("bounded-frame windows require unique "
+                             f"(group, order) keys; duplicate {r['_key']}")
+        tails[r["_key"]] = inc
+        block_tail = np.asarray(r["_tail"], np.float64)
+        carry_t = (np.concatenate([inc, block_tail])[-k:]
+                   if r["_first_g"] == r["_last_g"] else block_tail)
+        carry_g = r["_last_g"]
+    return ray.put(tails)
+
+
+def group_shift(ds: ray.data.Dataset, group_col: str, order_cols: list,
+                value_col: str, k: int = 1,
+                out_col: str = "lag") -> ray.data.Dataset:
+    """SQL ``LAG(value, k) OVER (PARTITION BY g ORDER BY ...)`` at
+    unbounded partition cardinality: one range sort, then the
+    ``_tail_carry`` chain hands each block the <=k frame values entering
+    its first group; the local pass is a pure vectorized shift (no
+    per-group Python).  Missing lags are Arrow nulls (float64 output).
+    LEAD(k) = group_shift over the reverse order (negate numeric order
+    columns).  Unique (group, *order) keys required."""
+    keys = [group_col] + list(order_cols)
+    srt = ds.sort(keys).materialize()
+    tails_ref = _tail_carry(srt, keys, group_col, value_col, k)
+
+    def local(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.float64()))
+        tail = ray.get(tails_ref)[repr(_first_key(t, keys))]
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        p = len(tail)
+        g2 = np.concatenate([np.repeat(g[:1], p), g])
+        v2 = np.concatenate([tail, v])
+        n2 = len(g2)
+        new_seg = np.r_[True, g2[1:] != g2[:-1]]
+        seg_start = np.flatnonzero(new_seg)
+        start_rep = np.repeat(seg_start,
+                              np.diff(np.append(seg_start, n2)))
+        idx = np.arange(n2)
+        ok = idx - start_rep >= k
+        lag = np.where(ok, v2[np.maximum(idx - k, 0)], np.nan)
+        out_v, out_ok = lag[p:], ok[p:]
+        return t.append_column(
+            out_col, pa.array(out_v, pa.float64(), mask=~out_ok))
+
+    return srt.map_batches(local, batch_format="pyarrow")
+
+
+def group_rolling_mean(ds: ray.data.Dataset, group_col: str,
+                       order_cols: list, value_col: str, window: int,
+                       out_col: str = "mavg") -> ray.data.Dataset:
+    """SQL ``AVG(value) OVER (PARTITION BY g ORDER BY ... ROWS BETWEEN
+    window-1 PRECEDING AND CURRENT ROW)``: same one-sort +
+    ``_tail_carry`` shape as ``group_shift`` (carry = last window-1
+    values of each block's last group), local pass = segmented
+    cumulative-sum difference, fully vectorized.  Frames shorter than
+    ``window`` average what exists (the SQL frame semantics).  Unique
+    (group, *order) keys required."""
+    keys = [group_col] + list(order_cols)
+    srt = ds.sort(keys).materialize()
+    tails_ref = _tail_carry(srt, keys, group_col, value_col, window - 1) \
+        if window > 1 else ray.put({})
+
+    def local(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.float64()))
+        tails = ray.get(tails_ref)
+        tail = tails.get(repr(_first_key(t, keys)),
+                         np.zeros(0, np.float64)) if window > 1 \
+            else np.zeros(0, np.float64)
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        p = len(tail)
+        g2 = np.concatenate([np.repeat(g[:1], p), g])
+        v2 = np.concatenate([tail, v])
+        n2 = len(g2)
+        new_seg = np.r_[True, g2[1:] != g2[:-1]]
+        seg_start = np.flatnonzero(new_seg)
+        start_rep = np.repeat(seg_start,
+                              np.diff(np.append(seg_start, n2)))
+        idx = np.arange(n2)
+        lo = np.maximum(start_rep, idx - window + 1)
+        csum0 = np.r_[0.0, np.cumsum(v2)]
+        cnt = idx - lo + 1
+        mean = (csum0[idx + 1] - csum0[lo]) / cnt
+        return t.append_column(out_col, pa.array(mean[p:], pa.float64()))
+
+    return srt.map_batches(local, batch_format="pyarrow")
