@@ -2297,6 +2297,105 @@ def moving_avg_events(sf_dir: str):
         batch_format="pyarrow")
 
 
+def corr_price_qty(sf_dir: str):
+    """Grouped bivariate statistics (stages/normalize.grouped_moments2):
+    Pearson corr + regression slope of extendedprice on quantity per
+    (returnflag, linestatus) — one-pass sufficient-statistic partials,
+    hash combine over the bounded 4-cell key space."""
+    from ..stages.normalize import grouped_moments2
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice"])
+    mom = grouped_moments2(ds, ["l_returnflag", "l_linestatus"],
+                           "l_quantity", "l_extendedprice")
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        sx = t["sx"].to_numpy(zero_copy_only=False)
+        sy = t["sy"].to_numpy(zero_copy_only=False)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False)
+        syy = t["syy"].to_numpy(zero_copy_only=False)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False)
+        cov = (sxy - sx * sy / n) / (n - 1)
+        vx = (sxx - sx * sx / n) / (n - 1)
+        vy = (syy - sy * sy / n) / (n - 1)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "n": pa.array(n.astype(np.int64)),
+            "corr10k": _iscale(cov / np.sqrt(vx * vy), 10000),
+            "slope100": _iscale(cov / vx, 100)})
+
+    return (mom.map_batches(finish, batch_format="pyarrow")
+               .sort(["l_returnflag", "l_linestatus"]))
+
+
+def cube_pricing(sf_dir: str):
+    """GROUP BY CUBE(l_returnflag, l_linestatus) in one streaming pass
+    (stages/relational.cube_aggregate): per-batch partials for all 4
+    grouping sets, one bounded hash combine — no second scan per set."""
+    from ..stages.relational import cube_aggregate
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"])
+    out = cube_aggregate(ds, ["l_returnflag", "l_linestatus"],
+                         sum_cols={"l_quantity": "qty"}, count_col="n")
+    return out.map_batches(
+        lambda t: pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "n": t["n"],
+            "sum_qty100": _iscale(
+                t["qty"].to_numpy(zero_copy_only=False), 100)}),
+        batch_format="pyarrow").sort(["l_returnflag", "l_linestatus"])
+
+
+_EVENT_CLASSES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_user_events(sf_dir: str):
+    """Conditional-aggregation PIVOT at unbounded key cardinality
+    (stages/relational.pivot_counts): per-user event_type counts as one
+    column per class — crosstab partials per batch, grouped_reduce
+    combine (no driver state per user).  Classes passed explicitly (the
+    synthetic vocabulary) so no discovery pass runs."""
+    from ..stages.relational import pivot_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return pivot_counts(ds, "user_id", "event_type",
+                        classes=_EVENT_CLASSES)
+
+
+def user_entropy(sf_dir: str):
+    """Shannon entropy (log2) of each user's event_type distribution,
+    computed vectorized from the pivot_counts wide table — the counts
+    are exact integers on both engines, so the float entropy agrees to
+    ~1e-15 and the *10^4 rounding is tie-free in practice."""
+    from ..stages.relational import pivot_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    wide = pivot_counts(ds, "user_id", "event_type",
+                        classes=_EVENT_CLASSES)
+
+    def ent(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"user_id": t["user_id"],
+                             "n_events": pa.array([], pa.int64()),
+                             "ent10k": pa.array([], pa.int64())})
+        c = np.stack([t[c].to_numpy(zero_copy_only=False)
+                      for c in _EVENT_CLASSES], axis=1).astype(np.float64)
+        n = c.sum(axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            p = c / n[:, None]
+            h = np.where(p > 0, -p * np.log2(p), 0.0).sum(axis=1)
+        return pa.table({"user_id": t["user_id"],
+                         "n_events": pa.array(n.astype(np.int64)),
+                         "ent10k": _iscale(h, 10000)})
+
+    return wide.map_batches(ent, batch_format="pyarrow")
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -2382,9 +2481,48 @@ QUERIES = {
     "props_k_stats": props_k_stats,
     "lag_delta_events": lag_delta_events,
     "moving_avg_events": moving_avg_events,
+    "corr_price_qty": corr_price_qty,
+    "cube_pricing": cube_pricing,
+    "pivot_user_events": pivot_user_events,
+    "user_entropy": user_entropy,
 }
 
 ORACLES = {
+    "pivot_user_events": """
+        SELECT user_id,
+               CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT)
+                   AS click,
+               CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT)
+                   AS error,
+               CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+                   AS purchase,
+               CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT)
+                   AS signup,
+               CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT)
+                   AS view
+        FROM events GROUP BY user_id
+    """,
+    "user_entropy": """
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(ROUND(entropy(event_type) * 10000) AS BIGINT)
+                   AS ent10k
+        FROM events GROUP BY user_id
+    """,
+    "cube_pricing": """
+        SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+               COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(l_quantity) * 100) AS BIGINT) AS sum_qty100
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    "corr_price_qty": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(ROUND(corr(l_extendedprice, l_quantity) * 10000)
+                    AS BIGINT) AS corr10k,
+               CAST(ROUND(regr_slope(l_extendedprice, l_quantity) * 100)
+                    AS BIGINT) AS slope100
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
     "lag_delta_events": """
         SELECT event_id,
                CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER

@@ -69,3 +69,76 @@ def group_zscore(ds: ray.data.Dataset, key: str, col: str,
     return ds.map_batches(_ZScorer, fn_constructor_args=(ref, key, col, out_col),
                           batch_format="pyarrow",
                           concurrency=concurrency or (1, 32))
+
+
+def grouped_moments2(ds: ray.data.Dataset, key, x_col: str, y_col: str,
+                     unbounded_keys: bool = False) -> ray.data.Dataset:
+    """Per-group bivariate moment partials (n, sx, sy, sxx, syy, sxy) —
+    the one-pass sufficient statistics for covariance / Pearson
+    correlation / regression slope.  Per batch ONE pandas groupby over
+    derived product columns; the global combine is a hash aggregate for
+    bounded key cardinality, or ``grouped_reduce`` (sort + segmented
+    combine) when ``unbounded_keys=True``.  Output columns:
+    key..., n, sx, sy, sxx, syy, sxy."""
+    from ray.data.aggregate import Sum
+
+    keys = [key] if isinstance(key, str) else list(key)
+    cols = ["n", "sx", "sy", "sxx", "syy", "sxy"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            out = {k: t[k] for k in keys}
+            out.update({c: pa.array([], pa.float64()) for c in cols})
+            return pa.table(out)
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = {k: t[k].to_numpy(zero_copy_only=False) for k in keys}
+        d.update({"n": np.ones_like(x), "sx": x, "sy": y,
+                  "sxx": x * x, "syy": y * y, "sxy": x * y})
+        g = pd.DataFrame(d).groupby(keys, sort=False)[cols].sum() \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    if unbounded_keys:
+        from .groupagg import grouped_reduce
+        return grouped_reduce(partials, key=keys,
+                              col_map={c: c for c in cols}, how="sum")
+    return partials.groupby(keys[0] if len(keys) == 1 else keys) \
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+
+
+def grouped_corr(ds: ray.data.Dataset, key, x_col: str, y_col: str,
+                 out_col: str = "corr",
+                 unbounded_keys: bool = False) -> ray.data.Dataset:
+    """SQL ``corr(x, y) GROUP BY key`` (sample correlation,
+    covar_samp / (stddev_samp * stddev_samp)) from the
+    ``grouped_moments2`` partials.  Groups with n < 2 or zero variance
+    get null."""
+    mom = grouped_moments2(ds, key, x_col, y_col,
+                           unbounded_keys=unbounded_keys)
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            out = {k: t[k] for k in keys}
+            out[out_col] = pa.array([], pa.float64())
+            return pa.table(out)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t["sx"].to_numpy(zero_copy_only=False)
+        sy = t["sy"].to_numpy(zero_copy_only=False)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False)
+        syy = t["syy"].to_numpy(zero_copy_only=False)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cov = (sxy - sx * sy / n) / (n - 1)
+            vx = (sxx - sx * sx / n) / (n - 1)
+            vy = (syy - sy * sy / n) / (n - 1)
+            r = cov / np.sqrt(vx * vy)
+        bad = (n < 2) | ~np.isfinite(r)
+        out = {k: t[k] for k in keys}
+        out[out_col] = pa.array(np.where(bad, np.nan, r), pa.float64(),
+                                mask=bad)
+        return pa.table(out)
+
+    return mom.map_batches(finish, batch_format="pyarrow")

@@ -433,3 +433,107 @@ def rollup_aggregate(ds: ray.data.Dataset, keys: list,
         return pa.table(cols)
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def grouping_sets_aggregate(ds: ray.data.Dataset, keys: list, sets: list,
+                            sum_cols: dict | None = None,
+                            count_col: str = "n",
+                            sentinel: str = "ALL") -> ray.data.Dataset:
+    """SQL ``GROUP BY GROUPING SETS (...)`` (and therefore CUBE — pass
+    every subset) in the same one-streaming-pass shape as
+    ``rollup_aggregate``: each batch emits its partial aggregate once per
+    grouping set with the absent keys set to ``sentinel``, ONE bounded
+    hash aggregate combines.  ``sets`` is a list of key-name tuples
+    (subsets of ``keys``); the combined key space must stay bounded
+    (sum of per-set cardinalities)."""
+    from ray.data.aggregate import Sum
+
+    keys = list(keys)
+    sets = [tuple(s) for s in sets]
+    for s in sets:
+        if not set(s) <= set(keys):
+            raise ValueError(f"grouping set {s} not a subset of {keys}")
+    sum_cols = dict(sum_cols or {})
+    in_cols = list(sum_cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {k: t[k].to_numpy(zero_copy_only=False) for k in keys}
+        for c in in_cols:
+            cols[c] = t[c].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(cols)
+        outs = []
+        for s in sets:
+            grp = [k for k in keys if k in s]
+            if grp:
+                g = df.groupby(grp, sort=False).agg(
+                    **{c: (c, "sum") for c in in_cols},
+                    **{"_n": (keys[0], "size")}).reset_index()
+            else:
+                g = pd.DataFrame({**{c: [df[c].sum()] for c in in_cols},
+                                  "_n": [len(df)]})
+            for k in keys:
+                if k not in s:
+                    g[k] = sentinel
+            outs.append(g[keys + in_cols + ["_n"]])
+        out = pd.concat(outs, ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(keys)
+             .aggregate(*[Sum(c, alias_name=c) for c in in_cols],
+                        Sum("_n", alias_name="_n")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = {k: t[k] for k in keys}
+        for c in in_cols:
+            cols[sum_cols[c]] = t[c]
+        cols[count_col] = t["_n"].cast(pa.int64())
+        return pa.table(cols)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def cube_aggregate(ds: ray.data.Dataset, keys: list,
+                   sum_cols: dict | None = None, count_col: str = "n",
+                   sentinel: str = "ALL") -> ray.data.Dataset:
+    """SQL ``GROUP BY CUBE(k1..kL)``: grouping_sets over ALL 2^L subsets."""
+    from itertools import combinations
+
+    keys = list(keys)
+    sets = [c for r in range(len(keys) + 1)
+            for c in combinations(keys, r)]
+    return grouping_sets_aggregate(ds, keys, sets, sum_cols=sum_cols,
+                                   count_col=count_col, sentinel=sentinel)
+
+
+def pivot_counts(ds: ray.data.Dataset, key: str, class_col: str,
+                 classes: list | None = None) -> ray.data.Dataset:
+    """SQL conditional-aggregation PIVOT: one output column of counts per
+    class value, rows keyed by ``key`` at UNBOUNDED key cardinality.
+    Per batch: one vectorized crosstab partial (fixed class columns);
+    global combine via ``grouped_reduce`` (sort + segmented sum) so no
+    driver state grows with the key count.  ``classes`` (the bounded
+    class vocabulary) is discovered with a small distinct pass when not
+    given — class count is the column count, keep it bounded."""
+    from .groupagg import grouped_reduce
+
+    if classes is None:
+        classes = sorted(ds.select_columns([class_col]).unique(class_col))
+    classes = [str(c) for c in classes]
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            out = {key: t[key]}
+            out.update({c: pa.array([], pa.int64()) for c in classes})
+            return pa.table(out)
+        k = t[key].to_numpy(zero_copy_only=False)
+        cls = t[class_col].to_numpy(zero_copy_only=False).astype(str)
+        df = pd.DataFrame({key: k})
+        for c in classes:
+            df[c] = (cls == c).astype(np.int64)
+        g = df.groupby(key, sort=False)[classes].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return grouped_reduce(ds.map_batches(partial, batch_format="pyarrow"),
+                          key=key, col_map={c: c for c in classes},
+                          how="sum")

@@ -62,3 +62,68 @@ def test_group_shift_single_giant_group():
            .to_pandas().sort_values("o", ignore_index=True))
     assert out["lag"].isna().sum() == 2
     assert np.allclose(out["lag"][2:], np.arange(n - 2, dtype=float))
+
+
+def test_grouped_corr_matches_pandas():
+    from dggrid4py_ray.stages.normalize import grouped_corr
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"g": rng.integers(0, 8, 5000),
+                       "x": rng.normal(0, 2, 5000)})
+    df["y"] = 0.5 * df["x"] + rng.normal(0, 1, 5000)
+    ds = ray.data.from_pandas(df).repartition(9)
+    for unb in (False, True):
+        out = (grouped_corr(ds, "g", "x", "y", unbounded_keys=unb)
+               .to_pandas().sort_values("g", ignore_index=True))
+        ref = df.groupby("g").apply(
+            lambda d: d["x"].corr(d["y"]), include_groups=False)
+        assert np.allclose(out["corr"].to_numpy(), ref.to_numpy(),
+                           atol=1e-9)
+
+
+def test_grouped_corr_degenerate_groups_null():
+    from dggrid4py_ray.stages.normalize import grouped_corr
+
+    df = pd.DataFrame({"g": [0, 1, 1, 2, 2],
+                       "x": [1.0, 2.0, 2.0, 1.0, 3.0],
+                       "y": [1.0, 5.0, 7.0, 2.0, 4.0]})
+    out = (grouped_corr(ray.data.from_pandas(df), "g", "x", "y")
+           .to_pandas().sort_values("g", ignore_index=True))
+    assert out["corr"].isna().tolist() == [True, True, False]
+    assert abs(out["corr"].iloc[2] - 1.0) < 1e-12
+
+
+def test_cube_aggregate_matches_pandas():
+    from dggrid4py_ray.stages.relational import cube_aggregate
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"a": rng.choice(list("xyz"), 4000),
+                       "b": rng.choice(list("pq"), 4000),
+                       "v": rng.integers(0, 10, 4000).astype(float)})
+    out = (cube_aggregate(ray.data.from_pandas(df).repartition(7),
+                          ["a", "b"], sum_cols={"v": "sv"})
+           .to_pandas().sort_values(["a", "b"], ignore_index=True))
+    assert len(out) == 3 * 2 + 3 + 2 + 1
+    tot = out[(out.a == "ALL") & (out.b == "ALL")]
+    assert tot["n"].iloc[0] == 4000
+    assert abs(tot["sv"].iloc[0] - df["v"].sum()) < 1e-9
+    cell = out[(out.a == "x") & (out.b == "p")]
+    ref = df[(df.a == "x") & (df.b == "p")]
+    assert cell["n"].iloc[0] == len(ref)
+    assert abs(cell["sv"].iloc[0] - ref["v"].sum()) < 1e-9
+
+
+def test_pivot_counts_matches_crosstab():
+    from dggrid4py_ray.stages.relational import pivot_counts
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({"k": rng.integers(0, 500, 20000),
+                       "c": rng.choice(["a", "b", "c"], 20000)})
+    out = (pivot_counts(ray.data.from_pandas(df).repartition(11),
+                        "k", "c")
+           .to_pandas().sort_values("k", ignore_index=True))
+    ref = (pd.crosstab(df["k"], df["c"]).reindex(
+        columns=["a", "b", "c"], fill_value=0)
+        .reset_index().sort_values("k", ignore_index=True))
+    for c in ["a", "b", "c"]:
+        assert (out[c].to_numpy() == ref[c].to_numpy()).all()
