@@ -2396,6 +2396,38 @@ def user_entropy(sf_dir: str):
     return wide.map_batches(ent, batch_format="pyarrow")
 
 
+def compact_box_cells(sf_dir: str):
+    """DGGS cell-set compaction (stages/encode.compact_cells, the H3
+    compact analog on the Z7 tree): take the golden 16-cell res-5
+    conformance-box cover, uncompact to res 7, punch one deterministic
+    hole per cell (descendant '..25'), compact back.  Expected: per
+    golden cell the '2' child stays expanded minus its '5' grandchild
+    (6 res-7 cells) and the other 6 children promote to res 6 -> 192
+    rows.  Oracle = the same two-level sibling-count compaction written
+    in SQL over digit cross-joins of the pinned VALUES."""
+    from ..stages.encode import compact_cells, uncompact_cells
+    from .highlevel import grid_cellids_for_extent
+
+    seed = grid_cellids_for_extent("IGEO7", 5,
+                                   clip_bbox=(27.2, 57.5, 29.3, 59.2))
+    fine = uncompact_cells(seed, 7)
+
+    def punch(t: pa.Table) -> pa.Table:
+        z = t["cell_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = ig.z7_to_string(z)
+        keep = np.array([not v.endswith("25") for v in s])
+        return pa.table({"cell_id": pa.array(z[keep], pa.int64())})
+
+    comp = compact_cells(fine.map_batches(punch, batch_format="pyarrow"))
+
+    def to_str(t: pa.Table) -> pa.Table:
+        z = t["cell_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"z7_string": pa.array(ig.z7_to_string(z),
+                                               pa.string())})
+
+    return comp.map_batches(to_str, batch_format="pyarrow").sort("z7_string")
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -2485,9 +2517,40 @@ QUERIES = {
     "cube_pricing": cube_pricing,
     "pivot_user_events": pivot_user_events,
     "user_entropy": user_entropy,
+    "compact_box_cells": compact_box_cells,
 }
 
 ORACLES = {
+    # two-level Z7-tree compaction law over the golden 16-cell cover:
+    # children strings = parent string + digit (prefix codec), so SQL can
+    # generate the res-7 set, punch the '..25' holes, and compact by
+    # sibling counts (no pentagons in these prefixes -> expected 7)
+    "compact_box_cells": """
+        WITH golden(s5) AS (VALUES
+            ('0001002'), ('0001020'), ('0001021'), ('0001022'), ('0001023'),
+            ('0001025'), ('0001030'), ('0001032'), ('0001034'), ('0001035'),
+            ('0001036'), ('0001241'), ('0001250'), ('0001251'), ('0001254'),
+            ('0001255')),
+        digits(d) AS (VALUES ('0'),('1'),('2'),('3'),('4'),('5'),('6')),
+        res7 AS (
+            SELECT s5 || d1.d || d2.d AS s
+            FROM golden, digits d1, digits d2
+            WHERE NOT (d1.d = '2' AND d2.d = '5')),
+        l7 AS (SELECT s, substr(s, 1, 8) AS p,
+                      COUNT(*) OVER (PARTITION BY substr(s, 1, 8)) AS cnt
+               FROM res7),
+        keep7 AS (SELECT s FROM l7 WHERE cnt < 7),
+        prom6 AS (SELECT DISTINCT p AS s FROM l7 WHERE cnt = 7),
+        l6 AS (SELECT s, substr(s, 1, 7) AS p,
+                      COUNT(*) OVER (PARTITION BY substr(s, 1, 7)) AS cnt
+               FROM prom6),
+        keep6 AS (SELECT s FROM l6 WHERE cnt < 7),
+        prom5 AS (SELECT DISTINCT p AS s FROM l6 WHERE cnt = 7)
+        SELECT s AS z7_string FROM keep7
+        UNION ALL SELECT s FROM keep6
+        UNION ALL SELECT s FROM prom5
+        ORDER BY z7_string
+    """,
     "pivot_user_events": """
         SELECT user_id,
                CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT)
