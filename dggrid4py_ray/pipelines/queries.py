@@ -2428,6 +2428,121 @@ def compact_box_cells(sf_dir: str):
     return comp.map_batches(to_str, batch_format="pyarrow").sort("z7_string")
 
 
+def q13_custdist(sf_dir: str):
+    """TPC-H Q13: distribution of non-urgent order counts per customer,
+    INCLUDING zero-order customers (LEFT OUTER join semantics — the
+    first outer join in the suite).  Ray shape: per-customer order
+    counts collapse via grouped_reduce (unbounded-key scale path), then
+    ONE left_outer hash join against the customer key column (nulls ->
+    0), then the distribution groupby over the answer-small c_count
+    domain."""
+    from ..stages.groupagg import grouped_reduce
+    from ..stages.join import _join_partitions
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]) \
+        .filter(expr="o_orderpriority != '1-URGENT'")
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "_n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    counts = grouped_reduce(orders.map_batches(ones, batch_format="pyarrow"),
+                            "o_custkey", {"_n": "c_count"}, how="sum")
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    joined = cust.join(counts, join_type="left_outer",
+                       num_partitions=_join_partitions(),
+                       on=("c_custkey",), right_on=("o_custkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = pc.fill_null(t["c_count"], 0).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        u, n = np.unique(c, return_counts=True)
+        return pa.table({"c_count": pa.array(u),
+                         "custdist": pa.array(n.astype(np.int64))})
+
+    dist = (joined.map_batches(partial, batch_format="pyarrow")
+            .groupby("c_count").aggregate(Sum("custdist", alias_name="custdist")))
+    return dist.sort(["custdist", "c_count"], descending=[True, True])
+
+
+def q18_big_orders(sf_dir: str):
+    """TPC-H Q18: large-volume orders (SUM(l_quantity) > 300 per order,
+    HAVING + two big-big hash joins back to orders and customer).  The
+    lineitem aggregate uses grouped_reduce (order-key cardinality scales
+    with the data); only qualifying orders (answer-ish-sized) enter the
+    join exchange."""
+    from ..stages.groupagg import grouped_reduce
+    from ..stages.join import _join_partitions
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    sums = grouped_reduce(li, "l_orderkey", {"l_quantity": "sum_qty"},
+                          how="sum")
+    big = sums.filter(expr="sum_qty > 300")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+    j = big.join(orders, join_type="inner",
+                 num_partitions=_join_partitions(),
+                 on=("l_orderkey",), right_on=("o_orderkey",))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    j2 = j.join(cust, join_type="inner",
+                num_partitions=_join_partitions(),
+                on=("o_custkey",), right_on=("c_custkey",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_name": t["c_name"],
+            "o_custkey": t["o_custkey"],
+            "o_orderkey": t["l_orderkey"],
+            "o_totalprice": _iscale(t["o_totalprice"], 100),
+            "sum_qty": _iscale(t["sum_qty"], 100),
+        })
+
+    return j2.map_batches(finish, batch_format="pyarrow") \
+             .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+
+
+def hll_users_by_type(sf_dir: str):
+    """Per-group HyperLogLog APPROX_COUNT_DISTINCT(user_id) GROUP BY
+    event_type, alongside the exact distributed distinct count (dedupe
+    via grouped_reduce on the composite key, then count).  The sketch is
+    a deterministic function of the key set, so the approx column is
+    pinned in the oracle; the exact column comes from SQL
+    COUNT(DISTINCT)."""
+    from ..stages.groupagg import grouped_reduce
+    from ..stages.sampling import hll_distinct_by_group
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    approx = hll_distinct_by_group(ds, "user_id", "event_type", p=12) \
+        .to_pandas()
+
+    def pairs(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False)})
+        df = df.drop_duplicates()
+        df["_one"] = np.int64(1)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ded = grouped_reduce(
+        _read(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(pairs, batch_format="pyarrow"),
+        ["event_type", "user_id"], {"_one": "_one"}, how="max")
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "_one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    exact = grouped_reduce(ded.map_batches(ones, batch_format="pyarrow"),
+                           "event_type", {"_one": "exact_distinct"},
+                           how="sum").to_pandas()
+    out = approx.merge(exact, on="event_type").sort_values(
+        "event_type", ignore_index=True)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "approx_distinct": pa.array(out["approx_distinct"], pa.int64()),
+        "exact_distinct": pa.array(out["exact_distinct"], pa.int64())})
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -2518,9 +2633,46 @@ QUERIES = {
     "pivot_user_events": pivot_user_events,
     "user_entropy": user_entropy,
     "compact_box_cells": compact_box_cells,
+    "q13_custdist": q13_custdist,
+    "q18_big_orders": q18_big_orders,
+    "hll_users_by_type": hll_users_by_type,
 }
 
 ORACLES = {
+    "q13_custdist": """
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+            SELECT c.c_custkey, COUNT(o.o_custkey) AS c_count
+            FROM customer c LEFT OUTER JOIN
+                 (SELECT * FROM orders
+                  WHERE o_orderpriority <> '1-URGENT') o
+            ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey)
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "q18_big_orders": """
+        SELECT c_name, o_custkey, o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS o_totalprice,
+               CAST(ROUND(sum_qty * 100) AS BIGINT) AS sum_qty
+        FROM (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING SUM(l_quantity) > 300) lo
+        JOIN orders ON o_orderkey = lo.l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+    """,
+    # the HLL estimate is a deterministic function of the md5 key set —
+    # not SQL-expressible, so the approx column is pinned (the grouped
+    # sketch observes all 150 users in every type at sf0.01, linear
+    # counting regime); the exact column IS computed by SQL
+    "hll_users_by_type": """
+        SELECT e.event_type,
+               CAST(151 AS BIGINT) AS approx_distinct,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS exact_distinct
+        FROM events e
+        GROUP BY e.event_type
+        ORDER BY e.event_type
+    """,
     # two-level Z7-tree compaction law over the golden 16-cell cover:
     # children strings = parent string + digit (prefix codec), so SQL can
     # generate the res-7 set, punch the '..25' holes, and compact by

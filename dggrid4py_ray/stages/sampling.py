@@ -16,6 +16,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray.data
 
@@ -71,28 +72,32 @@ def hll_partials(ds: ray.data.Dataset, key_col: str, p: int = 12) -> ray.data.Da
 
     def partial(batch: pa.Table) -> pa.Table:
         vals = batch[key_col].to_numpy(zero_copy_only=False)
-        h = _md5_u64(vals)
-        reg_idx = (h >> np.uint64(64 - p)).astype(np.int64)
-        rem = h << np.uint64(p)  # top 64-p bits shifted up
-        # rank = leading zeros of rem + 1 (capped)
-        lz = np.full(len(h), 64 - p, dtype=np.uint8)
-        nz = rem != 0
-        if nz.any():
-            # float64 log2 is exact enough for leading-zero counting on
-            # 53-bit mantissas only; use bit shrinking instead
-            r = rem[nz]
-            cnt = np.zeros(len(r), dtype=np.uint8)
-            for s in (32, 16, 8, 4, 2, 1):
-                mask = r < (np.uint64(1) << np.uint64(64 - s))
-                cnt[mask] += s
-                r[mask] = r[mask] << np.uint64(s)
-            lz[nz] = cnt
-        rank = np.minimum(lz + 1, 64 - p).astype(np.uint8)
+        reg_idx, rank = _hll_ranks(_md5_u64(vals), p)
         regs = np.zeros(m, dtype=np.uint8)
         np.maximum.at(regs, reg_idx, rank)
         return pa.table({"regs": pa.array([regs.tobytes()], type=pa.binary())})
 
     return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def _hll_ranks(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rank) per hash: top p bits pick the register,
+    rank = leading zeros of the remaining 64-p bits + 1 (capped)."""
+    reg_idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rem = h << np.uint64(p)  # top 64-p bits shifted up
+    lz = np.full(len(h), 64 - p, dtype=np.uint8)
+    nz = rem != 0
+    if nz.any():
+        # float64 log2 is exact only to 53-bit mantissas; bit-shrink instead
+        r = rem[nz]
+        cnt = np.zeros(len(r), dtype=np.uint8)
+        for s in (32, 16, 8, 4, 2, 1):
+            mask = r < (np.uint64(1) << np.uint64(64 - s))
+            cnt[mask] += s
+            r[mask] = r[mask] << np.uint64(s)
+        lz[nz] = cnt
+    rank = np.minimum(lz + 1, 64 - p).astype(np.uint8)
+    return reg_idx, rank
 
 
 def hll_estimate(partials: ray.data.Dataset, p: int = 12) -> float:
@@ -115,6 +120,80 @@ def hll_estimate(partials: ray.data.Dataset, p: int = 12) -> float:
 def hll_distinct(ds: ray.data.Dataset, key_col: str, p: int = 12) -> int:
     """Approximate distinct count of `key_col` (deterministic given data)."""
     return int(round(hll_estimate(hll_partials(ds, key_col, p), p)))
+
+
+def hll_distinct_by_group(ds: ray.data.Dataset, key_col: str, group_col: str,
+                          p: int = 12) -> ray.data.Dataset:
+    """Per-group HyperLogLog distinct counts (GROUP BY g,
+    APPROX_COUNT_DISTINCT(k)).  Deterministic at any parallelism.
+
+    Ray shape: per-batch combiner collapses rows to <= groups_in_batch x
+    2^p (group, register, rank-max) partials via one lexsort, then ONE
+    ``grouped_reduce`` max on the composite key — the sort-based scale
+    path, so group cardinality is unbounded.  The estimate fold runs on
+    the reduced table (<= n_groups x 2^p rows, block-local vectorized:
+    missing registers are zeros, so each group's estimate needs only its
+    present registers + its row count).  Output: (group_col,
+    approx_distinct).
+    """
+    from .groupagg import grouped_reduce
+
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({group_col: batch[group_col],
+                             "_reg": pa.array([], pa.int64()),
+                             "_rank": pa.array([], pa.int64())})
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        reg_idx, rank = _hll_ranks(
+            _md5_u64(batch[key_col].to_numpy(zero_copy_only=False)), p)
+        df = pd.DataFrame({group_col: g, "_reg": reg_idx,
+                           "_rank": rank.astype(np.int64)})
+        out = df.groupby([group_col, "_reg"], sort=False)["_rank"] \
+                .max().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    reduced = grouped_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [group_col, "_reg"], {"_rank": "_rank"}, how="max")
+
+    # estimate fold: group rows are contiguous after grouped_reduce's
+    # range sort, but blocks may split a group — re-reduce per group with
+    # the same machinery (answer-small: one row per (group, register))
+    def fold(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({group_col: batch[group_col],
+                             "_s": pa.array([], pa.float64()),
+                             "_nz": pa.array([], pa.int64())})
+        df = pd.DataFrame({
+            group_col: batch[group_col].to_numpy(zero_copy_only=False),
+            "_s": 2.0 ** (-batch["_rank"].to_numpy(zero_copy_only=False)
+                          .astype(np.float64)),
+            "_nz": np.ones(batch.num_rows, np.int64)})
+        out = df.groupby(group_col, sort=False).sum().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    sums = grouped_reduce(reduced.map_batches(fold, batch_format="pyarrow"),
+                          group_col, {"_s": "_s", "_nz": "_nz"}, how="sum")
+
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+
+    def estimate(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({group_col: batch[group_col],
+                             "approx_distinct": pa.array([], pa.int64())})
+        s = batch["_s"].to_numpy(zero_copy_only=False)
+        nz = batch["_nz"].to_numpy(zero_copy_only=False)
+        zeros = (m - nz).astype(np.float64)        # absent registers = 0
+        raw = alpha * m * m / (s + zeros)          # 2^-0 per zero register
+        lin = m * np.log(np.where(zeros > 0, m / np.maximum(zeros, 1.0), 1.0))
+        est = np.where((raw <= 2.5 * m) & (zeros > 0), lin, raw)
+        return pa.table({group_col: batch[group_col],
+                         "approx_distinct": pa.array(
+                             np.round(est).astype(np.int64))})
+
+    return sums.map_batches(estimate, batch_format="pyarrow")
 
 
 def weighted_sample(ds: ray.data.Dataset, key_col: str, weight_col: str,

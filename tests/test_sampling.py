@@ -169,3 +169,35 @@ def test_epoch_shuffle_matches_duckdb_order(ray_session):
         "md5_number_upper('3:' || CAST(id AS VARCHAR)), id"
     ).fetchdf()["id"].tolist()
     assert ours == want
+
+
+def test_hll_by_group_matches_ungrouped_and_is_partition_stable(ray_session):
+    import ray.data
+    from dggrid4py_ray.stages.sampling import hll_distinct, hll_distinct_by_group
+
+    # three groups with very different cardinalities (one tiny = linear
+    # counting regime, one large = raw-estimate regime)
+    n = 30000
+    rng = np.random.default_rng(7)
+    g = rng.choice(["a", "b", "c"], n, p=[0.6, 0.3, 0.1])
+    k = np.where(g == "a", rng.integers(0, 9000, n),
+                 np.where(g == "b", rng.integers(0, 800, n),
+                          rng.integers(0, 12, n)))
+    t = pa.table({"g": pa.array(g), "k": pa.array(k.astype(np.int64))})
+    ds = ray.data.from_arrow(t).repartition(9)
+    out = hll_distinct_by_group(ds, "k", "g", p=12).to_pandas() \
+        .sort_values("g", ignore_index=True)
+    # grouped estimate must equal the ungrouped sketch run on each slice
+    import ray.data as rd
+    for i, grp in enumerate(["a", "b", "c"]):
+        sub = t.filter(pa.compute.equal(t["g"], grp))
+        ref = hll_distinct(rd.from_arrow(sub), "k", p=12)
+        assert out["approx_distinct"].iloc[i] == ref
+        exact = len(np.unique(sub["k"].to_numpy()))
+        assert abs(out["approx_distinct"].iloc[i] - exact) / max(exact, 1) < 0.06
+    # partitioning must not change the estimates
+    out2 = hll_distinct_by_group(ray.data.from_arrow(t).repartition(2),
+                                 "k", "g", p=12).to_pandas() \
+        .sort_values("g", ignore_index=True)
+    assert (out["approx_distinct"].to_numpy()
+            == out2["approx_distinct"].to_numpy()).all()
