@@ -2543,6 +2543,17 @@ def hll_users_by_type(sf_dir: str):
         "exact_distinct": pa.array(out["exact_distinct"], pa.int64())})
 
 
+def tfidf_top3_docs(sf_dir: str):
+    """Top-3 TF-IDF terms per document (stages/text.tfidf_topk): one
+    vocab-bounded df aggregate, broadcast idf, one pure map over the
+    corpus — text never shuffles.  Integer-scaled scores; tie-break
+    (score desc, token asc) matches the oracle's ROW_NUMBER."""
+    from ..stages.text import tfidf_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_topk(ds, "text", "doc_id", k=3).sort(["doc_id", "tok"])
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -2636,9 +2647,29 @@ QUERIES = {
     "q13_custdist": q13_custdist,
     "q18_big_orders": q18_big_orders,
     "hll_users_by_type": hll_users_by_type,
+    "tfidf_top3_docs": tfidf_top3_docs,
 }
 
 ORACLES = {
+    "tfidf_top3_docs": """
+        WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                   FROM documents),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+               FROM t GROUP BY doc_id, tok),
+        df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df
+               FROM t GROUP BY tok),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        s AS (SELECT tf.doc_id, tf.tok,
+                     CAST(ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df)
+                                * 10000) AS BIGINT) AS score
+              FROM tf JOIN df USING (tok), n),
+        r AS (SELECT doc_id, tok, score,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                         ORDER BY score DESC, tok) AS rn
+              FROM s)
+        SELECT doc_id, tok, score FROM r WHERE rn <= 3
+        ORDER BY doc_id, tok
+    """,
     "q13_custdist": """
         SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
             SELECT c.c_custkey, COUNT(o.o_custkey) AS c_count

@@ -419,3 +419,69 @@ def extract_json_int_field(ds: "ray.data.Dataset", col: str, field: str,
         return t.append_column(out_col or field, v)
 
     return ds.map_batches(extract, batch_format="pyarrow")
+
+
+def tfidf_topk(ds: "ray.data.Dataset", text_col: str = "text",
+               id_col: str = "doc_id", k: int = 3,
+               scale: int = 10000) -> "ray.data.Dataset":
+    """Top-k TF-IDF terms per document (keyword extraction / relevance
+    features; reference scope is the binning/statistics analog — this is
+    the beyond-reference text surface).
+
+    Scale shape: ONE vocabulary-bounded aggregate
+    (``token_document_frequency`` — only (token, df) rows shuffle, never
+    text), idf table broadcast once via ``ray.put`` and loaded per actor
+    in ``__init__``; then a single pure map over the corpus computes
+    per-document tf and top-k with one lexsort per batch — the text
+    column never enters an exchange.  Scores are emitted integer-scaled
+    (round(tf * ln(N/df) * scale)) so the DuckDB oracle compares
+    bit-for-bit; ties break (score desc, token asc), matching
+    ROW_NUMBER() OVER (ORDER BY score DESC, tok).
+
+    Vocabulary is assumed driver-bounded (true for natural-language
+    corpora after the df aggregate; for adversarial vocabularies prune
+    with a min_df filter upstream)."""
+    import ray
+
+    import pandas as pd
+
+    dfs = token_document_frequency(ds, text_col, id_col).to_pandas()
+    n_docs = ds.count()
+    idf = np.log(float(n_docs) / dfs["df"].to_numpy(np.float64))
+    idf_ref = ray.put(pd.Series(idf, index=dfs["tok"].to_numpy()))
+
+    class TfidfScorer:
+        def __init__(self, ref, k_, scale_, text_c, id_c):
+            self.idf = ray.get(ref)
+            self.k, self.scale = k_, scale_
+            self.text_col, self.id_col = text_c, id_c
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({self.id_col: batch[self.id_col],
+                                 "tok": pa.array([], pa.string()),
+                                 "score": pa.array([], pa.int64())})
+            _, off, flat = _space_tokens(batch[self.text_col])
+            doc_of = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                               np.diff(off))
+            pdf = pd.DataFrame({"tok": flat.to_pandas(), "d": doc_of})
+            tf = (pdf.groupby(["d", "tok"], sort=False).size()
+                  .reset_index(name="tf"))
+            w = tf["tok"].map(self.idf).to_numpy(np.float64)
+            tf["score"] = np.round(
+                tf["tf"].to_numpy(np.float64) * w * self.scale
+            ).astype(np.int64)
+            tf = tf.sort_values(["d", "score", "tok"],
+                                ascending=[True, False, True],
+                                kind="stable")
+            top = tf.groupby("d", sort=False).head(self.k)
+            ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+            return pa.table({
+                self.id_col: pa.array(ids[top["d"].to_numpy()]),
+                "tok": pa.array(top["tok"].to_numpy(), pa.string()),
+                "score": pa.array(top["score"].to_numpy())})
+
+    return ds.map_batches(TfidfScorer,
+                          fn_constructor_args=(idf_ref, k, scale,
+                                               text_col, id_col),
+                          batch_format="pyarrow", concurrency=(1, 8))

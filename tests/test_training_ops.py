@@ -352,3 +352,35 @@ def test_redactor_matches_duckdb_regexp_replace(ray_session):
     # word-boundary pattern must not touch the concatenated token
     row = out[out["text"] == "keyhash unbounded"]["text_redacted"].iloc[0]
     assert row == "keyhash unbounded"
+
+
+def test_tfidf_topk_matches_hand_computed(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from dggrid4py_ray.stages.text import tfidf_topk
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["cat dog cat", "dog bird", "fish fish fish cat"]),
+    })
+    out = (tfidf_topk(ray.data.from_arrow(docs), k=2)
+           .to_pandas().sort_values(["doc_id", "tok"], ignore_index=True))
+    # hand-computed: N=3; df cat=2 dog=2 bird=1 fish=1
+    import math
+    def s(tf, df):
+        return round(tf * math.log(3 / df) * 10000)
+    exp = pd.DataFrame([
+        (1, "cat", s(2, 2)), (1, "dog", s(1, 2)),
+        (2, "bird", s(1, 1)), (2, "dog", s(1, 2)),
+        (3, "fish", s(3, 1)), (3, "cat", s(1, 2)),
+    ], columns=["doc_id", "tok", "score"]).sort_values(
+        ["doc_id", "tok"], ignore_index=True)
+    assert out.equals(exp.astype({"doc_id": "int64", "score": "int64"}))
+    # tie-break: equal scores order by token ascending
+    t2 = pa.table({"doc_id": pa.array([7], pa.int64()),
+                   "text": pa.array(["b a"])})
+    # corpus of one doc: idf = ln(1) = 0 for both -> scores tie at 0
+    out2 = tfidf_topk(ray.data.from_arrow(t2), k=1).to_pandas()
+    assert list(out2["tok"]) == ["a"]
