@@ -2554,6 +2554,105 @@ def tfidf_top3_docs(sf_dir: str):
     return tfidf_topk(ds, "text", "doc_id", k=3).sort(["doc_id", "tok"])
 
 
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15: supplier(s) achieving the maximum lineitem revenue —
+    aggregate (grouped_reduce, unbounded supplier keys) -> global max
+    (one scalar) -> filter -> one small hash join for the name.  The
+    'WHERE agg = (SELECT MAX(agg))' correlated-scalar shape."""
+    from ..stages.groupagg import grouped_reduce
+    from ..stages.join import _join_partitions
+
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_suppkey": t["l_suppkey"], "_rev": r})
+
+    per_supp = grouped_reduce(li.map_batches(rev, batch_format="pyarrow"),
+                              "l_suppkey", {"_rev": "total_rev"}, how="sum")
+    per_supp = per_supp.materialize()          # two consumers below
+    best = per_supp.max("total_rev")
+    # repartition coalesces reduce-derived empty schema-less blocks that
+    # poison the Arrow hash join (known engine pitfall)
+    top = per_supp.filter(expr=f"total_rev >= {best!r}") \
+                  .repartition(_join_partitions())
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    j = top.join(supp, join_type="inner",
+                 num_partitions=_join_partitions(),
+                 on=("l_suppkey",), right_on=("s_suppkey",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"s_suppkey": t["l_suppkey"], "s_name": t["s_name"],
+                         "total_rev": _iscale(t["total_rev"], 100)})
+
+    return j.map_batches(finish, batch_format="pyarrow").sort("s_suppkey")
+
+
+def q22_dormant_customers(sf_dir: str):
+    """TPC-H Q22 shape: above-average-balance customers with NO orders,
+    counted per nation.  Broadcast scalar (two-pass avg) + the bloom
+    anti-join scale path (order keys never broadcast; bloom-negative
+    customers skip the exchange) + answer-small nation groupby."""
+    from ..stages.bloom import bloom_anti_join
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+    pos = cust.filter(expr="c_acctbal > 0.0")
+    stats = pos.aggregate(Sum("c_acctbal", alias_name="s"),
+                          Count(alias_name="n"))
+    avg_bal = stats["s"] / stats["n"]
+    rich = cust.filter(expr=f"c_acctbal > {avg_bal!r}")
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]) \
+        .filter(expr="o_orderpriority == '1-URGENT'") \
+        .select_columns(["o_custkey"])
+    dormant = bloom_anti_join(rich, orders, "c_custkey", "o_custkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "c_nationkey": t["c_nationkey"].to_numpy(zero_copy_only=False),
+            "bal": t["c_acctbal"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("c_nationkey", sort=False)["bal"] \
+              .agg(numcust="size", totbal="sum").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (dormant.map_batches(partial, batch_format="pyarrow")
+           .groupby("c_nationkey")
+           .aggregate(Sum("numcust", alias_name="numcust"),
+                      Sum("totbal", alias_name="totbal")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+            "numcust": pc.cast(t["numcust"], pa.int64()),
+            "totbal": _iscale(t["totbal"], 100)})
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("c_nationkey")
+
+
+def dedup_prefer_source(sf_dir: str):
+    """Provenance-preferring candidate dedup: one kept document per
+    (lang, n_chars) candidate group, preferring the lowest source tier
+    (tier = numeric source suffix mod 3) then doc_id — the 'curated
+    source beats web crawl' rule as ONE packed-key grouped_reduce min
+    (stages/dedup.prefer_one_per_group)."""
+    from ..stages.dedup import prefer_one_per_group
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars", "source"])
+
+    def tier(t: pa.Table) -> pa.Table:
+        suf = pc.cast(pc.utf8_slice_codeunits(t["source"], 3, 99), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                         "n_chars": t["n_chars"],
+                         "tier": pa.array(suf % 3, pa.int64())})
+
+    kept = prefer_one_per_group(ds.map_batches(tier, batch_format="pyarrow"),
+                                ["lang", "n_chars"], "tier", "doc_id")
+    return kept.sort(["lang", "n_chars"])
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -2648,9 +2747,45 @@ QUERIES = {
     "q18_big_orders": q18_big_orders,
     "hll_users_by_type": hll_users_by_type,
     "tfidf_top3_docs": tfidf_top3_docs,
+    "q15_top_supplier": q15_top_supplier,
+    "q22_dormant_customers": q22_dormant_customers,
+    "dedup_prefer_source": dedup_prefer_source,
 }
 
 ORACLES = {
+    "q15_top_supplier": """
+        WITH rev AS (SELECT l_suppkey,
+                            SUM(l_extendedprice * (1 - l_discount))
+                                AS total_rev
+                     FROM lineitem GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name,
+               CAST(ROUND(total_rev * 100) AS BIGINT) AS total_rev
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+        ORDER BY s_suppkey
+    """,
+    "q22_dormant_customers": """
+        WITH avg_bal AS (SELECT AVG(c_acctbal) AS a FROM customer
+                         WHERE c_acctbal > 0)
+        SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(ROUND(SUM(c_acctbal) * 100) AS BIGINT) AS totbal
+        FROM customer, avg_bal
+        WHERE c_acctbal > a
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    "dedup_prefer_source": """
+        SELECT lang, n_chars, doc_id,
+               CAST(CAST(substr(source, 4) AS INT) % 3 AS BIGINT) AS tier
+        FROM documents
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY lang, n_chars
+            ORDER BY CAST(substr(source, 4) AS INT) % 3, doc_id) = 1
+        ORDER BY lang, n_chars
+    """,
     "tfidf_top3_docs": """
         WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
                    FROM documents),

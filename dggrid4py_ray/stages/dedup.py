@@ -703,3 +703,45 @@ def paragraph_dedup(ds: ray.data.Dataset, text_col: str = "text",
     kept = ranked.map_batches(first_only, batch_format="pyarrow")
     return grouped_string_agg(kept, key=id_col, order_col="chunk_idx",
                               text_col="chunk", sep=" ", out_col=text_col)
+
+
+def prefer_one_per_group(ds: "ray.data.Dataset", group_cols,
+                         priority_col: str, id_col: str = "doc_id",
+                         max_id: int = 1 << 47) -> "ray.data.Dataset":
+    """Provenance-preferring dedup: keep ONE row id per group — the one
+    with the smallest (priority, id) — the 'web < books < wiki' source
+    preference common in corpus curation (SQL: QUALIFY ROW_NUMBER() OVER
+    (PARTITION BY group ORDER BY priority, id) = 1).
+
+    Scale shape: (priority, id) packs into one int64 (priority * 2^47 +
+    id), so the whole argmin is ONE ``grouped_reduce`` min — sort-based,
+    unbounded group cardinality, payload never shuffles.  Output:
+    group_cols + id_col + priority_col of the kept row."""
+    import pandas as pd
+
+    from .groupagg import grouped_reduce
+
+    keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+
+    def pack(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pri = t[priority_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and (ids.max() >= max_id or ids.min() < 0
+                         or pri.min() < 0):
+            raise ValueError("prefer_one_per_group: id/priority out of "
+                             "packable range")
+        cols = {k: t[k] for k in keys}
+        cols["_packed"] = pa.array(pri * np.int64(max_id) + ids, pa.int64())
+        return pa.table(cols)
+
+    red = grouped_reduce(ds.map_batches(pack, batch_format="pyarrow"),
+                         keys, {"_packed": "_packed"}, how="min")
+
+    def unpack(t: pa.Table) -> pa.Table:
+        packed = t["_packed"].to_numpy(zero_copy_only=False)
+        cols = {k: t[k] for k in keys}
+        cols[id_col] = pa.array(packed % np.int64(max_id), pa.int64())
+        cols[priority_col] = pa.array(packed // np.int64(max_id), pa.int64())
+        return pa.table(cols)
+
+    return red.map_batches(unpack, batch_format="pyarrow")

@@ -384,3 +384,38 @@ def test_tfidf_topk_matches_hand_computed(ray_session):
     # corpus of one doc: idf = ln(1) = 0 for both -> scores tie at 0
     out2 = tfidf_topk(ray.data.from_arrow(t2), k=1).to_pandas()
     assert list(out2["tok"]) == ["a"]
+
+
+def test_prefer_one_per_group_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from dggrid4py_ray.stages.dedup import prefer_one_per_group
+
+    rng = np.random.default_rng(11)
+    n = 20000
+    df = pd.DataFrame({
+        "g1": rng.integers(0, 400, n),           # many groups, cross-block
+        "g2": rng.choice(["x", "y"], n),
+        "doc_id": rng.permutation(n).astype(np.int64),
+        "pri": rng.integers(0, 3, n).astype(np.int64),
+    })
+    out = (prefer_one_per_group(ray.data.from_pandas(df).repartition(13),
+                                ["g1", "g2"], "pri", "doc_id")
+           .to_pandas().sort_values(["g1", "g2"], ignore_index=True))
+    ref = (df.sort_values(["pri", "doc_id"])
+             .groupby(["g1", "g2"], sort=True).first().reset_index())
+    assert (out["doc_id"].to_numpy() == ref["doc_id"].to_numpy()).all()
+    assert (out["pri"].to_numpy() == ref["pri"].to_numpy()).all()
+
+
+def test_prefer_one_per_group_range_guard(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data
+    from dggrid4py_ray.stages.dedup import prefer_one_per_group
+
+    df = pd.DataFrame({"g": [1], "doc_id": [1 << 60], "pri": [0]})
+    with pytest.raises(Exception):
+        prefer_one_per_group(ray.data.from_pandas(df), "g", "pri",
+                             "doc_id").materialize()
