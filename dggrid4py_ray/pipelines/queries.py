@@ -2653,6 +2653,29 @@ def dedup_prefer_source(sf_dir: str):
     return kept.sort(["lang", "n_chars"])
 
 
+def funnel_events(sf_dir: str):
+    """Sequential conversion funnel view -> click -> purchase with a
+    12-hour step window (stages/temporal.funnel_stages): one
+    grouped_reduce min + one user-keyed hash join per step; outputs the
+    stage each funnel-entrant reached."""
+    from ..stages.temporal import funnel_stages
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    out = funnel_stages(ds, ["view", "click", "purchase"],
+                        window_us=12 * 3600 * 1_000_000)
+    return out.sort("user_id")
+
+
+def cohort_retention_events(sf_dir: str):
+    """Cohort retention matrix (first-activity-day cohorts x day offset,
+    distinct active users) — stages/temporal.cohort_retention: three
+    sort-path grouped_reduces + one user-keyed hash join."""
+    from ..stages.temporal import cohort_retention
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return cohort_retention(ds).sort(["d0", "day_offset"])
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -2750,9 +2773,42 @@ QUERIES = {
     "q15_top_supplier": q15_top_supplier,
     "q22_dormant_customers": q22_dormant_customers,
     "dedup_prefer_source": dedup_prefer_source,
+    "funnel_events": funnel_events,
+    "cohort_retention_events": cohort_retention_events,
 }
 
 ORACLES = {
+    "funnel_events": """
+        WITH t1 AS (SELECT user_id, MIN(ts) AS ts1 FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+        t2 AS (SELECT e.user_id, MIN(e.ts) AS ts2
+               FROM events e JOIN t1 ON e.user_id = t1.user_id
+               WHERE e.event_type = 'click' AND e.ts > t1.ts1
+                 AND e.ts <= t1.ts1 + INTERVAL 12 HOUR
+               GROUP BY e.user_id),
+        t3 AS (SELECT e.user_id, MIN(e.ts) AS ts3
+               FROM events e JOIN t2 ON e.user_id = t2.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+                 AND e.ts <= t2.ts2 + INTERVAL 12 HOUR
+               GROUP BY e.user_id)
+        SELECT t1.user_id,
+               CAST(1 + (CASE WHEN t2.user_id IS NULL THEN 0 ELSE 1 END)
+                      + (CASE WHEN t3.user_id IS NULL THEN 0 ELSE 1 END)
+                    AS BIGINT) AS stage
+        FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+                LEFT JOIN t3 ON t1.user_id = t3.user_id
+        ORDER BY t1.user_id
+    """,
+    "cohort_retention_events": """
+        WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0
+                   FROM events GROUP BY user_id)
+        SELECT f.d0 AS d0,
+               CAST(DATEDIFF('day', f.d0, CAST(e.ts AS DATE)) AS BIGINT)
+                   AS day_offset,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+        FROM events e JOIN f ON e.user_id = f.user_id
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     "q15_top_supplier": """
         WITH rev AS (SELECT l_suppkey,
                             SUM(l_extendedprice * (1 - l_discount))

@@ -295,3 +295,125 @@ def asof_join_via_buckets(events: ray.data.Dataset, markers: ray.data.Dataset,
     return res.map_batches(
         lambda t: t.filter(pc.greater_equal(t[out_col], 0)),
         batch_format="pyarrow")
+
+
+def funnel_stages(events: ray.data.Dataset, steps: list[str],
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type",
+                  window_us: int | None = None) -> ray.data.Dataset:
+    """Sequential conversion funnel: for each user, how far through
+    ``steps`` they progressed, where step i+1 must occur strictly AFTER
+    the user's first qualifying step-i event (and, if ``window_us`` is
+    set, within that many microseconds of it).  Output: (user_col,
+    stage) for every user who completed step 1, stage in 1..len(steps).
+
+    Scale shape: one ``grouped_reduce`` min per step (unbounded users)
+    plus one hash join per step to carry the previous step's anchor
+    timestamp — events and anchors shuffle keyed on user only; no
+    per-user Python, no whole-stream window.  Anchors are reduce-derived
+    so each join input is repartitioned (empty-block pitfall)."""
+    from .groupagg import grouped_reduce
+    from .join import _join_partitions
+
+    parts = _join_partitions()
+
+    def first_of(ds: ray.data.Dataset, etype: str) -> ray.data.Dataset:
+        sub = ds.filter(expr=f"{type_col} == {etype!r}") \
+                .select_columns([user_col, ts_col])
+        return grouped_reduce(sub, user_col, {ts_col: "_anchor"},
+                              how="min").repartition(parts)
+
+    anchors = first_of(events, steps[0])   # (user, _anchor)
+    stage_tables = [anchors.select_columns([user_col])]
+    for step in steps[1:]:
+        nxt = events.filter(expr=f"{type_col} == {step!r}") \
+                    .select_columns([user_col, ts_col]) \
+                    .join(anchors, join_type="inner",
+                          num_partitions=parts, on=(user_col,))
+
+        def qualify(t: pa.Table) -> pa.Table:
+            ts = t[ts_col].to_numpy(zero_copy_only=False).astype(
+                "datetime64[us]").astype(np.int64)
+            a = t["_anchor"].to_numpy(zero_copy_only=False).astype(
+                "datetime64[us]").astype(np.int64)
+            ok = ts > a
+            if window_us is not None:
+                ok &= ts <= a + window_us
+            return t.filter(pa.array(ok)).select([user_col, ts_col])
+
+        anchors = grouped_reduce(
+            nxt.map_batches(qualify, batch_format="pyarrow"),
+            user_col, {ts_col: "_anchor"}, how="min").repartition(parts)
+        stage_tables.append(anchors.select_columns([user_col]))
+
+    # stage = number of step tables containing the user: union + count
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({user_col: t[user_col],
+                         "_one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    allu = stage_tables[0].map_batches(ones, batch_format="pyarrow")
+    for st in stage_tables[1:]:
+        allu = allu.union(st.map_batches(ones, batch_format="pyarrow"))
+    stage = grouped_reduce(allu, user_col, {"_one": "stage"}, how="sum")
+    return stage
+
+
+def cohort_retention(events: ray.data.Dataset, user_col: str = "user_id",
+                     ts_col: str = "ts") -> ray.data.Dataset:
+    """Cohort retention matrix: users grouped by first-activity day
+    (cohort d0), counting distinct active users per (d0, day_offset).
+
+    Scale shape: first-day per user via grouped_reduce (one sort),
+    carried back onto the stream by ONE hash join keyed on user, then
+    exact distinct (d0, day_offset, user) via per-batch dedupe + a
+    second grouped_reduce, and the final (d0, offset) counts — every
+    wide op is the sort-based scale path; cohort keys are days x days
+    (bounded) but the distinct stage stays user-scale-safe."""
+    from .groupagg import grouped_reduce
+    from .join import _join_partitions
+
+    parts = _join_partitions()
+    DAY = np.int64(86_400_000_000)
+
+    def day_floor(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        return pa.table({user_col: t[user_col],
+                         "_day": pa.array(ts // DAY, pa.int64())})
+
+    days = events.select_columns([user_col, ts_col]) \
+                 .map_batches(day_floor, batch_format="pyarrow")
+    first = grouped_reduce(days, user_col, {"_day": "_d0"},
+                           how="min").repartition(parts)
+    j = days.join(first, join_type="inner", num_partitions=parts,
+                  on=(user_col,))
+
+    def offset_pairs(t: pa.Table) -> pa.Table:
+        d = t["_day"].to_numpy(zero_copy_only=False)
+        d0 = t["_d0"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"_d0": d0, "_off": d - d0,
+                           user_col: t[user_col].to_numpy(
+                               zero_copy_only=False)}).drop_duplicates()
+        df["_one"] = np.int64(1)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ded = grouped_reduce(j.map_batches(offset_pairs, batch_format="pyarrow"),
+                         ["_d0", "_off", user_col], {"_one": "_one"},
+                         how="max")
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({"_d0": t["_d0"], "_off": t["_off"],
+                         "_one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    counts = grouped_reduce(ded.map_batches(ones, batch_format="pyarrow"),
+                            ["_d0", "_off"], {"_one": "active_users"},
+                            how="sum")
+
+    def finish(t: pa.Table) -> pa.Table:
+        d0 = t["_d0"].to_numpy(zero_copy_only=False).astype(np.int32)
+        return pa.table({
+            "d0": pa.array(d0, pa.date32()),
+            "day_offset": t["_off"],
+            "active_users": t["active_users"]})
+
+    return counts.map_batches(finish, batch_format="pyarrow")

@@ -132,3 +132,55 @@ def test_asof_join_via_buckets_matches_broadcast(ray_session):
     assert (a["eid"].to_numpy() == b["eid"].to_numpy()).all()
     assert (a["marker_id"].to_numpy() == b["marker_id"].to_numpy()).all()
     assert list(b.dtypes[["uid", "eid"]]) == [np.int64, np.int64]
+
+
+def test_funnel_stages_hand_case(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from dggrid4py_ray.stages.temporal import funnel_stages
+
+    T = np.datetime64("2024-01-01T00:00:00", "us")
+    H = np.timedelta64(3600_000_000, "us")
+    rows = [
+        # u1: full funnel inside window
+        (1, T + 0 * H, "view"), (1, T + 1 * H, "click"), (1, T + 2 * H, "purchase"),
+        # u2: click too late (window 2h)
+        (2, T + 0 * H, "view"), (2, T + 5 * H, "click"),
+        # u3: purchase BEFORE click -> stage 2
+        (3, T + 0 * H, "view"), (3, T + 1 * H, "purchase"), (3, T + 2 * H, "click"),
+        # u4: never viewed -> absent
+        (4, T + 0 * H, "click"), (4, T + 1 * H, "purchase"),
+        # u5: click at exactly anchor ts (not strictly after) -> stage 1
+        (5, T + 0 * H, "view"), (5, T + 0 * H, "click"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = funnel_stages(ds, ["view", "click", "purchase"],
+                        window_us=2 * 3600 * 1_000_000) \
+        .to_pandas().sort_values("user_id", ignore_index=True)
+    assert list(out["user_id"]) == [1, 2, 3, 5]
+    assert list(out["stage"]) == [3, 1, 2, 1]
+
+
+def test_cohort_retention_hand_case(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from dggrid4py_ray.stages.temporal import cohort_retention
+
+    D = np.timedelta64(86_400_000_000, "us")
+    T = np.datetime64("2024-03-10T08:00:00", "us")
+    rows = [
+        (1, T), (1, T + D), (1, T + D),          # same day dup deduped
+        (2, T), (2, T + 2 * D),
+        (3, T + D),                               # later cohort
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    out = cohort_retention(ray.data.from_pandas(df).repartition(3)) \
+        .to_pandas().sort_values(["d0", "day_offset"], ignore_index=True)
+    got = [(str(r.d0), int(r.day_offset), int(r.active_users))
+           for r in out.itertuples()]
+    assert got == [("2024-03-10", 0, 2), ("2024-03-10", 1, 1),
+                   ("2024-03-10", 2, 1), ("2024-03-11", 0, 1)]
