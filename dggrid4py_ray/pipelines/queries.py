@@ -785,6 +785,18 @@ def quantiles_by_flag(sf_dir: str):
                      "median_price": _iscale(t["quantile"].to_numpy(), 100)})
 
 
+def quantile_cont_by_flag(sf_dir: str):
+    """EXACT per-group INTERPOLATED quantile (SQL quantile_cont /
+    PERCENTILE_CONT) at q=0.37 — the two bracketing ranks via the
+    histogram-refine finder, linear interpolation on the driver."""
+    from ..stages.relational import exact_group_quantile_cont
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    t = exact_group_quantile_cont(ds, "l_returnflag", "l_extendedprice",
+                                  q=0.37)
+    return pa.table({"l_returnflag": t["l_returnflag"],
+                     "p37_price": _iscale(t["quantile"].to_numpy(), 100)})
+
+
 def hash_sample_docs(sf_dir: str):
     """Deterministic md5-bucket sampling of documents (~5%): stable across
     runs and cluster sizes (resumable/auditable, unlike RNG sampling) and
@@ -2775,6 +2787,7 @@ QUERIES = {
     "dedup_prefer_source": dedup_prefer_source,
     "funnel_events": funnel_events,
     "cohort_retention_events": cohort_retention_events,
+    "quantile_cont_by_flag": quantile_cont_by_flag,
 }
 
 ORACLES = {
@@ -3388,6 +3401,12 @@ ORACLES = {
                CAST(ROUND(SUM(e.value) * 10000) AS BIGINT) AS sum_value
         FROM events e ASOF JOIN m ON e.ts >= m.mts
         GROUP BY m.marker_id
+    """,
+    "quantile_cont_by_flag": """
+        SELECT l_returnflag,
+               CAST(ROUND(quantile_cont(l_extendedprice, 0.37) * 100)
+                    AS BIGINT) AS p37_price
+        FROM lineitem GROUP BY l_returnflag
     """,
     "quantiles_by_flag": """
         SELECT l_returnflag,

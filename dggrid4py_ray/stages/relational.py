@@ -175,7 +175,8 @@ def range_join_via_buckets(points: ray.data.Dataset, intervals: ray.data.Dataset
 def exact_group_quantile(ds: ray.data.Dataset, group_col: str, value_col: str,
                          q: float = 0.5, bins: int = 1024,
                          max_groups: int = 100_000,
-                         collect_threshold: int = 65_536) -> pa.Table:
+                         collect_threshold: int = 65_536,
+                         rank_fn=None, include_n: bool = False) -> pa.Table:
     """Exact per-group quantile_disc(q): rank ceil(q*n)-1 on the sorted
     group.  Returns a small Arrow table (group, quantile).
 
@@ -243,8 +244,11 @@ def exact_group_quantile(ds: ray.data.Dataset, group_col: str, value_col: str,
     for _, row in st.iterrows():
         grp = row[group_col]
         n = int(row["n"])
-        rank = int(np.ceil(q * n)) - 1 if q > 0 else 0
-        rank = max(rank, 0)
+        if rank_fn is not None:                   # custom 0-based rank
+            rank = min(max(int(rank_fn(n)), 0), n - 1)
+        else:                                     # quantile_disc rank
+            rank = int(np.ceil(q * n)) - 1 if q > 0 else 0
+            rank = max(rank, 0)
         lo, hi = float(row["lo"]), float(row["hi"])
         if lo == hi:
             done[grp] = lo                       # constant group
@@ -349,8 +353,40 @@ def exact_group_quantile(ds: ray.data.Dataset, group_col: str, value_col: str,
             done[grp] = float(sub["v"].iloc[pos])
 
     rows = sorted(done.items())
-    return pa.table({group_col: pa.array([r[0] for r in rows]),
-                     "quantile": pa.array([float(r[1]) for r in rows])})
+    out = {group_col: pa.array([r[0] for r in rows]),
+           "quantile": pa.array([float(r[1]) for r in rows])}
+    if include_n:
+        n_map = dict(zip(st[group_col], st["n"]))
+        out["n"] = pa.array([int(n_map[r[0]]) for r in rows], pa.int64())
+    return pa.table(out)
+
+
+def exact_group_quantile_cont(ds: ray.data.Dataset, group_col: str,
+                              value_col: str, q: float = 0.5,
+                              **kw) -> pa.Table:
+    """Exact per-group interpolated quantile (SQL ``quantile_cont`` /
+    numpy 'linear'): h = q*(n-1), result = v[floor h] + (h - floor h) *
+    (v[ceil h] - v[floor h]) over the sorted group.
+
+    Runs the histogram-refinement rank finder twice (the two bracketing
+    ranks; same group-cardinality regime and guards as
+    ``exact_group_quantile``) and interpolates on the driver —
+    answer-small tables only."""
+    lo_t = exact_group_quantile(
+        ds, group_col, value_col, q,
+        rank_fn=lambda n: int(np.floor(q * (n - 1))), include_n=True, **kw)
+    hi_t = exact_group_quantile(
+        ds, group_col, value_col, q,
+        rank_fn=lambda n: int(np.ceil(q * (n - 1))), **kw)
+    lo = lo_t.to_pandas().rename(columns={"quantile": "_vlo"})
+    hi = hi_t.to_pandas().rename(columns={"quantile": "_vhi"})
+    m = lo.merge(hi, on=group_col)
+    h = q * (m["n"].to_numpy(np.float64) - 1.0)
+    frac = h - np.floor(h)
+    vlo = m["_vlo"].to_numpy(np.float64)
+    vhi = m["_vhi"].to_numpy(np.float64)
+    return pa.table({group_col: pa.array(m[group_col]),
+                     "quantile": pa.array(vlo + frac * (vhi - vlo))})
 
 
 def filter_not_in(ds, col: str, values, broadcast_threshold: int = 10000):

@@ -157,3 +157,26 @@ def test_knn_join_broadcast(ray_session):
     # rank-1 distances are the row minima
     r1 = out[out["rank"] == 1].sort_values("event_id")["dist_km"].to_numpy()
     assert np.allclose(r1, d.min(axis=1))
+
+
+def test_exact_group_quantile_cont_matches_numpy(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from dggrid4py_ray.stages.relational import exact_group_quantile_cont
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"g": rng.integers(0, 5, 30001),
+                       "v": rng.normal(100, 40, 30001)})
+    for q in (0.0, 0.37, 0.5, 0.9, 1.0):
+        out = exact_group_quantile_cont(
+            ray.data.from_pandas(df).repartition(7), "g", "v", q=q) \
+            .to_pandas().sort_values("g", ignore_index=True)
+        ref = df.groupby("g")["v"].quantile(q, interpolation="linear")
+        assert np.allclose(out["quantile"].to_numpy(), ref.to_numpy(),
+                           rtol=1e-12, atol=1e-9), q
+    # constant group + tiny group edge cases
+    df2 = pd.DataFrame({"g": ["a"] * 5 + ["b"], "v": [7.0] * 5 + [3.0]})
+    out2 = exact_group_quantile_cont(ray.data.from_pandas(df2), "g", "v",
+                                     q=0.25).to_pandas()
+    assert dict(zip(out2["g"], out2["quantile"])) == {"a": 7.0, "b": 3.0}
