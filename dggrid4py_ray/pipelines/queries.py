@@ -2688,6 +2688,77 @@ def cohort_retention_events(sf_dir: str):
     return cohort_retention(ds).sort(["d0", "day_offset"])
 
 
+def trajectory_length_by_user(sf_dir: str):
+    """Per-user trajectory length over the event stream: LAG(event_id)
+    OVER (PARTITION BY user ORDER BY ts, event_id) via the O(#blocks)
+    tail-carry chain (stages/window.group_shift — unbounded users, no
+    per-group Python), deterministic event->coord derivation, vectorized
+    haversine, grouped_reduce sum.  The trajectory = the interleaved
+    event stream read as an ordered geo path."""
+    from ..stages.groupagg import grouped_reduce
+    from ..stages.window import group_shift
+    from ..dggs.sphere import haversine_km
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    lag = group_shift(ds, "user_id", ["ts", "event_id"], "event_id",
+                      k=1, out_col="prev_eid")
+
+    def coords(e):
+        lon = ((e * 7919) % 36000) / 100.0 - 180.0
+        lat = ((e * 104729) % 18000) / 100.0 - 90.0
+        return lon, lat
+
+    def seglen(t: pa.Table) -> pa.Table:
+        prev = t["prev_eid"].to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(prev)
+        u = t["user_id"].to_numpy(zero_copy_only=False)[ok]
+        pe = prev[ok].astype(np.int64)
+        ce = t["event_id"].to_numpy(zero_copy_only=False)[ok]
+        lon1, lat1 = coords(pe)
+        lon2, lat2 = coords(ce)
+        km = haversine_km(lon1, lat1, lon2, lat2, radius_km=6371.0)
+        return pa.table({"user_id": pa.array(u),
+                         "_km": pa.array(km, pa.float64()),
+                         "_one": pa.array(np.ones(ok.sum(), np.int64))})
+
+    red = grouped_reduce(lag.map_batches(seglen, batch_format="pyarrow"),
+                         "user_id", {"_km": "_km", "_one": "n_segments"},
+                         how={"_km": "sum", "_one": "sum"})
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "n_segments": t["n_segments"],
+                         "total_km": _iscale(t["_km"].to_numpy(), 1000)})
+
+    return red.map_batches(finish, batch_format="pyarrow").sort("user_id")
+
+
+def geodesic_trace_res2(sf_dir: str):
+    """Great-circle cell trace (stages/trace.cells_along_geodesics, the
+    H3 gridPathCells analog): Tallinn -> New York at res 2, emitted as
+    (seq, z7_string).  The trace mechanism's adjacency law (consecutive
+    cells are edge neighbors at 0.25 x CLS sampling) is property-tested
+    in tests/test_trace.py; the driver oracle pins the path literals."""
+    from ..config import dgselect
+    from ..stages.trace import cells_along_geodesics
+
+    t = pa.table({"seg_id": pa.array([0], pa.int64()),
+                  "lon1": pa.array([24.75], pa.float64()),
+                  "lat1": pa.array([59.44], pa.float64()),
+                  "lon2": pa.array([-74.0], pa.float64()),
+                  "lat2": pa.array([40.7], pa.float64())})
+    dggs = dgselect("IGEO7", resolution=2)
+    out = cells_along_geodesics(ray.data.from_arrow(t), dggs, 2)
+
+    def to_str(tt: pa.Table) -> pa.Table:
+        z = tt["cell_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"seq": tt["seq"],
+                         "z7_string": pa.array(ig.z7_to_string(z),
+                                               pa.string())})
+
+    return out.map_batches(to_str, batch_format="pyarrow").sort("seq")
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -2788,9 +2859,49 @@ QUERIES = {
     "funnel_events": funnel_events,
     "cohort_retention_events": cohort_retention_events,
     "quantile_cont_by_flag": quantile_cont_by_flag,
+    "trajectory_length_by_user": trajectory_length_by_user,
+    "geodesic_trace_res2": geodesic_trace_res2,
 }
 
 ORACLES = {
+    "trajectory_length_by_user": """
+        WITH pts AS (
+          SELECT user_id, ts, event_id,
+                 CAST((event_id * 7919) % 36000 AS DOUBLE) / 100.0 - 180.0
+                     AS lon,
+                 CAST((event_id * 104729) % 18000 AS DOUBLE) / 100.0 - 90.0
+                     AS lat
+          FROM events),
+        lagged AS (
+          SELECT user_id, lon, lat,
+                 LAG(lon) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS plon,
+                 LAG(lat) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS plat
+          FROM pts)
+        SELECT user_id, CAST(COUNT(plon) AS BIGINT) AS n_segments,
+               CAST(ROUND(SUM(2 * 6371 * asin(sqrt(LEAST(1.0,
+                   pow(sin(radians(lat - plat) / 2), 2)
+                   + cos(radians(plat)) * cos(radians(lat))
+                     * pow(sin(radians(lon - plon) / 2), 2)))))
+                   * 1000) AS BIGINT) AS total_km
+        FROM lagged WHERE plon IS NOT NULL
+        GROUP BY user_id ORDER BY user_id
+    """,
+    # pinned great-circle trace (Tallinn -> New York, res 2); the trace
+    # MECHANISM (endpoint + consecutive-edge-neighbor laws at 0.25 CLS
+    # sampling) is property-tested against IGeo7Grid.neighbors over 40
+    # random segments in tests/test_trace.py — the pin freezes this path
+    "geodesic_trace_res2": """
+        SELECT * FROM (VALUES
+            (CAST(0 AS BIGINT), '0001'), (CAST(1 AS BIGINT), '0000'),
+            (CAST(2 AS BIGINT), '0005'), (CAST(3 AS BIGINT), '0004'),
+            (CAST(4 AS BIGINT), '0052'), (CAST(5 AS BIGINT), '0041'),
+            (CAST(6 AS BIGINT), '0056'), (CAST(7 AS BIGINT), '0045'),
+            (CAST(8 AS BIGINT), '0233'), (CAST(9 AS BIGINT), '0232'),
+            (CAST(10 AS BIGINT), '0236'), (CAST(11 AS BIGINT), '0203')
+        ) AS t(seq, z7_string) ORDER BY seq
+    """,
     "funnel_events": """
         WITH t1 AS (SELECT user_id, MIN(ts) AS ts1 FROM events
                     WHERE event_type = 'view' GROUP BY user_id),
