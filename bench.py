@@ -268,12 +268,17 @@ def run_scaling() -> dict:
                 best = rec
         results[n] = best
     r = {n: results[n]["assignments_per_sec"] for n in results}
-    l0, l1, l2 = legs
-    eff_lo = (r[l1] / r[l0]) / (l1 / l0)
-    eff_hi = (r[l2] / r[l1]) / (l2 / l1)
     q = {f"assignments_per_sec_cpus{n}": round(r[n], 1) for n in legs}
-    q[f"efficiency_{l0}_to_{l1}"] = round(eff_lo, 3)
-    q[f"efficiency_{l1}_to_{l2}_bandwidth_bound"] = round(eff_hi, 3)
+    effs = []
+    for lo, hi in zip(legs, legs[1:]):
+        eff = (r[hi] / r[lo]) / (hi / lo)
+        effs.append(eff)
+        # this box's shared ~5 GB/s bus saturates near 8 CPUs: pairs
+        # whose upper leg sits above it measure the machine, not the
+        # engine (see BASELINE.md)
+        suffix = "_bandwidth_bound" if hi > 8 else ""
+        q[f"efficiency_{lo}_to_{hi}{suffix}"] = round(eff, 3)
+    eff_lo = effs[0]
     return {
         "metric": "scaling_efficiency_N_to_4N",
         "value": round(eff_lo, 3),

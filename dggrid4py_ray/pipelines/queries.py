@@ -2459,7 +2459,8 @@ def q13_custdist(sf_dir: str):
                          "_n": pa.array(np.ones(t.num_rows, np.int64))})
 
     counts = grouped_reduce(orders.map_batches(ones, batch_format="pyarrow"),
-                            "o_custkey", {"_n": "c_count"}, how="sum")
+                            "o_custkey", {"_n": "c_count"}, how="sum") \
+        .repartition(_join_partitions())   # reduce-derived join input
     cust = _read(sf_dir, "customer", ["c_custkey"])
     joined = cust.join(counts, join_type="left_outer",
                        num_partitions=_join_partitions(),
@@ -2489,7 +2490,8 @@ def q18_big_orders(sf_dir: str):
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
     sums = grouped_reduce(li, "l_orderkey", {"l_quantity": "sum_qty"},
                           how="sum")
-    big = sums.filter(expr="sum_qty > 300")
+    big = sums.filter(expr="sum_qty > 300") \
+              .repartition(_join_partitions())   # reduce-derived join input
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_totalprice"])
     j = big.join(orders, join_type="inner",

@@ -726,10 +726,12 @@ def prefer_one_per_group(ds: "ray.data.Dataset", group_cols,
     def pack(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         pri = t[priority_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        max_pri = (np.iinfo(np.int64).max // max_id) - 1
         if len(ids) and (ids.max() >= max_id or ids.min() < 0
-                         or pri.min() < 0):
+                         or pri.min() < 0 or pri.max() > max_pri):
             raise ValueError("prefer_one_per_group: id/priority out of "
-                             "packable range")
+                             f"packable range (id < {max_id}, "
+                             f"0 <= priority <= {max_pri})")
         cols = {k: t[k] for k in keys}
         cols["_packed"] = pa.array(pri * np.int64(max_id) + ids, pa.int64())
         return pa.table(cols)
