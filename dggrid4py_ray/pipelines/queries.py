@@ -2491,7 +2491,13 @@ def q18_big_orders(sf_dir: str):
     sums = grouped_reduce(li, "l_orderkey", {"l_quantity": "sum_qty"},
                           how="sum")
     big = sums.filter(expr="sum_qty > 300") \
-              .repartition(_join_partitions())   # reduce-derived join input
+              .repartition(_join_partitions()).materialize()
+    if big.count() == 0:   # wholly-empty join side would poison the join
+        return pa.table({"c_name": pa.array([], pa.string()),
+                         "o_custkey": pa.array([], pa.int64()),
+                         "o_orderkey": pa.array([], pa.int64()),
+                         "o_totalprice": pa.array([], pa.int64()),
+                         "sum_qty": pa.array([], pa.int64())})
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_totalprice"])
     j = big.join(orders, join_type="inner",
@@ -2522,33 +2528,15 @@ def hll_users_by_type(sf_dir: str):
     a deterministic function of the key set, so the approx column is
     pinned in the oracle; the exact column comes from SQL
     COUNT(DISTINCT)."""
-    from ..stages.groupagg import grouped_reduce
+    from ..stages.groupagg import grouped_count_distinct
     from ..stages.sampling import hll_distinct_by_group
 
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
     approx = hll_distinct_by_group(ds, "user_id", "event_type", p=12) \
         .to_pandas()
-
-    def pairs(t: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
-            "user_id": t["user_id"].to_numpy(zero_copy_only=False)})
-        df = df.drop_duplicates()
-        df["_one"] = np.int64(1)
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    ded = grouped_reduce(
-        _read(sf_dir, "events", ["user_id", "event_type"])
-        .map_batches(pairs, batch_format="pyarrow"),
-        ["event_type", "user_id"], {"_one": "_one"}, how="max")
-
-    def ones(t: pa.Table) -> pa.Table:
-        return pa.table({"event_type": t["event_type"],
-                         "_one": pa.array(np.ones(t.num_rows, np.int64))})
-
-    exact = grouped_reduce(ded.map_batches(ones, batch_format="pyarrow"),
-                           "event_type", {"_one": "exact_distinct"},
-                           how="sum").to_pandas()
+    exact = grouped_count_distinct(
+        _read(sf_dir, "events", ["user_id", "event_type"]),
+        "event_type", "user_id", out_col="exact_distinct").to_pandas()
     out = approx.merge(exact, on="event_type").sort_values(
         "event_type", ignore_index=True)
     return pa.table({

@@ -508,6 +508,8 @@ def compact_cells(ds: "ray.data.Dataset", cell_col: str = "cell_id",
     for r in range(int(max_res), min_res, -1):
         active = cur.filter(expr=f"_res == {r}")
         rest = cur.filter(expr=f"_res < {r}")
+        if active.count() == 0:   # dead level: skip the sort + rebuild
+            continue
 
         def add_parent(t: pa.Table) -> pa.Table:
             z = t[cell_col].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -25,6 +25,7 @@ boundary-final decomposition is exact.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -189,3 +190,32 @@ def grouped_string_agg(ds: ray.data.Dataset, key: str, order_col: str,
                          out_col: pa.array(out_txt, pa.string())})
 
     return srt.map_batches(local_agg, batch_format="pyarrow")
+
+
+def grouped_count_distinct(ds: ray.data.Dataset, group_cols, distinct_col: str,
+                           out_col: str = "n_distinct") -> ray.data.Dataset:
+    """Exact ``COUNT(DISTINCT distinct_col) GROUP BY group_cols`` at
+    unbounded cardinality of both the groups and the distinct key:
+    per-batch drop_duplicates combiner (only distinct tuples leave the
+    batch) -> one composite-key ``grouped_reduce`` collapses the global
+    distinct set -> one keys-only ``grouped_reduce`` sum counts it.  Two
+    range sorts total; no hash aggregate, no per-group Python."""
+    keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    all_cols = keys + [distinct_col]
+
+    def dedup_batch(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({c: t[c].to_numpy(zero_copy_only=False)
+                           for c in all_cols}).drop_duplicates()
+        df["_one"] = np.int64(1)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ded = grouped_reduce(ds.map_batches(dedup_batch, batch_format="pyarrow"),
+                         all_cols, {"_one": "_one"}, how="max")
+
+    def ones(t: pa.Table) -> pa.Table:
+        cols = {k: t[k] for k in keys}
+        cols["_one"] = pa.array(np.ones(t.num_rows, np.int64))
+        return pa.table(cols)
+
+    return grouped_reduce(ded.map_batches(ones, batch_format="pyarrow"),
+                          keys, {"_one": out_col}, how="sum")

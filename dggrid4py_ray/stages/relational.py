@@ -368,17 +368,26 @@ def exact_group_quantile_cont(ds: ray.data.Dataset, group_col: str,
     numpy 'linear'): h = q*(n-1), result = v[floor h] + (h - floor h) *
     (v[ceil h] - v[floor h]) over the sorted group.
 
-    Runs the histogram-refinement rank finder twice (the two bracketing
-    ranks; same group-cardinality regime and guards as
-    ``exact_group_quantile``) and interpolates on the driver —
-    answer-small tables only."""
+    Runs the histogram-refinement rank finder for the lower bracketing
+    rank, and — only when some group actually needs interpolation
+    (q*(n-1) non-integral) — a second run for the upper rank; the upper
+    run is skipped entirely when every group's target lands on an exact
+    order statistic.  (The two ranks differ by at most 1; folding both
+    into ONE refinement state would halve the remaining 2x for the
+    interpolating case — not done yet, the passes are already few.)"""
     lo_t = exact_group_quantile(
         ds, group_col, value_col, q,
         rank_fn=lambda n: int(np.floor(q * (n - 1))), include_n=True, **kw)
+    lo = lo_t.to_pandas().rename(columns={"quantile": "_vlo"})
+    h = q * (lo["n"].to_numpy(np.float64) - 1.0)
+    frac = h - np.floor(h)
+    vlo = lo["_vlo"].to_numpy(np.float64)
+    if not (frac > 0).any():          # every target is an exact statistic
+        return pa.table({group_col: pa.array(lo[group_col]),
+                         "quantile": pa.array(vlo)})
     hi_t = exact_group_quantile(
         ds, group_col, value_col, q,
         rank_fn=lambda n: int(np.ceil(q * (n - 1))), **kw)
-    lo = lo_t.to_pandas().rename(columns={"quantile": "_vlo"})
     hi = hi_t.to_pandas().rename(columns={"quantile": "_vhi"})
     m = lo.merge(hi, on=group_col)
     h = q * (m["n"].to_numpy(np.float64) - 1.0)

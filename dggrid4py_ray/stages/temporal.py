@@ -323,13 +323,21 @@ def funnel_stages(events: ray.data.Dataset, steps: list[str],
         return grouped_reduce(sub, user_col, {ts_col: "_anchor"},
                               how="min").repartition(parts)
 
-    anchors = first_of(events, steps[0])   # (user, _anchor)
+    anchors = first_of(events, steps[0]).materialize()   # (user, _anchor)
+    if anchors.count() == 0:
+        # nobody entered the funnel: empty typed result (a wholly-empty
+        # reduce-derived side would poison the hash join — bloom.py:150)
+        return ray.data.from_arrow(pa.table(
+            {user_col: pa.array([], pa.int64()),
+             "stage": pa.array([], pa.int64())}))
     stage_tables = [anchors.select_columns([user_col])]
     for step in steps[1:]:
-        nxt = events.filter(expr=f"{type_col} == {step!r}") \
-                    .select_columns([user_col, ts_col]) \
-                    .join(anchors, join_type="inner",
-                          num_partitions=parts, on=(user_col,))
+        step_ev = events.filter(expr=f"{type_col} == {step!r}") \
+                        .select_columns([user_col, ts_col]).materialize()
+        if step_ev.count() == 0:
+            break      # no such events at all (empty side poisons joins)
+        nxt = step_ev.join(anchors, join_type="inner",
+                           num_partitions=parts, on=(user_col,))
 
         def qualify(t: pa.Table) -> pa.Table:
             ts = t[ts_col].to_numpy(zero_copy_only=False).astype(
@@ -343,7 +351,10 @@ def funnel_stages(events: ray.data.Dataset, steps: list[str],
 
         anchors = grouped_reduce(
             nxt.map_batches(qualify, batch_format="pyarrow"),
-            user_col, {ts_col: "_anchor"}, how="min").repartition(parts)
+            user_col, {ts_col: "_anchor"}, how="min") \
+            .repartition(parts).materialize()
+        if anchors.count() == 0:
+            break          # nobody reached this step; later steps can't add
         stage_tables.append(anchors.select_columns([user_col]))
 
     # stage = number of step tables containing the user: union + count
@@ -388,26 +399,17 @@ def cohort_retention(events: ray.data.Dataset, user_col: str = "user_id",
     j = days.join(first, join_type="inner", num_partitions=parts,
                   on=(user_col,))
 
-    def offset_pairs(t: pa.Table) -> pa.Table:
+    def with_offset(t: pa.Table) -> pa.Table:
         d = t["_day"].to_numpy(zero_copy_only=False)
         d0 = t["_d0"].to_numpy(zero_copy_only=False)
-        df = pd.DataFrame({"_d0": d0, "_off": d - d0,
-                           user_col: t[user_col].to_numpy(
-                               zero_copy_only=False)}).drop_duplicates()
-        df["_one"] = np.int64(1)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.table({"_d0": pa.array(d0, pa.int64()),
+                         "_off": pa.array(d - d0, pa.int64()),
+                         user_col: t[user_col]})
 
-    ded = grouped_reduce(j.map_batches(offset_pairs, batch_format="pyarrow"),
-                         ["_d0", "_off", user_col], {"_one": "_one"},
-                         how="max")
-
-    def ones(t: pa.Table) -> pa.Table:
-        return pa.table({"_d0": t["_d0"], "_off": t["_off"],
-                         "_one": pa.array(np.ones(t.num_rows, np.int64))})
-
-    counts = grouped_reduce(ded.map_batches(ones, batch_format="pyarrow"),
-                            ["_d0", "_off"], {"_one": "active_users"},
-                            how="sum")
+    from .groupagg import grouped_count_distinct
+    counts = grouped_count_distinct(
+        j.map_batches(with_offset, batch_format="pyarrow"),
+        ["_d0", "_off"], user_col, out_col="active_users")
 
     def finish(t: pa.Table) -> pa.Table:
         d0 = t["_d0"].to_numpy(zero_copy_only=False).astype(np.int32)

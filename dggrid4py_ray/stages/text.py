@@ -481,7 +481,9 @@ def tfidf_topk(ds: "ray.data.Dataset", text_col: str = "text",
                 "tok": pa.array(top["tok"].to_numpy(), pa.string()),
                 "score": pa.array(top["score"].to_numpy())})
 
+    # actor pool sized to the box (the repo's measured pitfall: text
+    # stages capped at 8 actors lose 2-3x on 32 CPUs)
     return ds.map_batches(TfidfScorer,
                           fn_constructor_args=(idf_ref, k, scale,
                                                text_col, id_col),
-                          batch_format="pyarrow", concurrency=(1, 8))
+                          batch_format="pyarrow", concurrency=(1, 32))

@@ -66,6 +66,11 @@ class GeodesicTracer:
         a, b = _unit(c[0], c[1]), _unit(c[2], c[3])
         dot = np.clip(np.einsum("ij,ij->i", a, b), -1.0, 1.0)
         theta = np.arccos(dot)
+        if (theta > np.pi - 1e-6).any():
+            raise ValueError(
+                "cells_along_geodesics: (near-)antipodal segment — the "
+                "great circle is ambiguous; split it with an explicit "
+                "intermediate waypoint")
         n = np.maximum(np.ceil(theta / self.step_rad).astype(np.int64) + 1, 2)
         # ragged flat expansion: sample j/(n_i-1) for j in 0..n_i-1
         offs = np.concatenate([[0], np.cumsum(n)])
@@ -100,10 +105,13 @@ class GeodesicTracer:
 def cells_along_geodesics(ds, dggs: Dggs, resolution: int | None = None,
                           id_col: str = "seg_id", step_frac: float = 0.25,
                           cols=("lon1", "lat1", "lon2", "lat2"),
-                          concurrency=(1, 8)):
+                          concurrency=None):
     """Trace each row's great-circle segment into an ordered cell path:
-    (id_col, seq, cell_id).  Pure map — segments never shuffle."""
-    return ds.map_batches(
-        GeodesicTracer,
-        fn_constructor_args=(dggs, resolution, id_col, step_frac, cols),
-        batch_format="pyarrow", concurrency=concurrency)
+    (id_col, seq, cell_id).  Pure map — segments never shuffle.
+
+    The tracer ships as a tiny picklable instance into a TASK pool (no
+    actor-pool cap — the measured 2-3x loss of capped pools on this box);
+    the grid engine itself is per-process cached by ``grid_for``."""
+    tracer = GeodesicTracer(dggs, resolution, id_col, step_frac, cols)
+    return ds.map_batches(tracer, batch_format="pyarrow",
+                          concurrency=concurrency)

@@ -11,8 +11,7 @@ import pytest
 import ray.data
 
 from dggrid4py_ray.dggs.igeo7 import (
-    z7_children, z7_from_string, z7_is_pentagon, z7_parent, z7_resolution,
-    z7_to_string, INVALID_ID,
+    z7_children, z7_from_string, z7_is_pentagon, z7_resolution, INVALID_ID,
 )
 from dggrid4py_ray.stages.encode import compact_cells, uncompact_cells
 
@@ -59,16 +58,8 @@ def test_compact_uncompact_roundtrip_mixed_res():
 
 
 def test_compact_pentagon_parent_needs_six():
-    # find a pentagon res-3 cell; its children number 6 (no dead digit row)
-    from dggrid4py_ray.dggs.igeo7 import z7_from_string as zfs
-    import dggrid4py_ray.dggs.igeo7 as ig
-    # scan res-3 strings under base 0 tail '000' style: pentagon cells are
-    # centers — base cell b with all-zero digits
-    pents = np.array([(np.int64(b) << np.int64(56)) | np.int64(
-        int.from_bytes(bytes([3]), "big")) for b in range(12)])
-    # build directly: resolution nibble placement differs; use parent of
-    # children of a known pentagon instead
-    p = zfs(np.array(["1000"]))  # base 1, digits 000 -> pentagon at res 3
+    # a pentagon res-3 cell (base cell + all-zero digits) has 6 children
+    p = z7_from_string(np.array(["1000"]))
     assert z7_is_pentagon(p).all()
     kids = z7_children(p).ravel()
     kids = kids[kids != INVALID_ID]

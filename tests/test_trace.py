@@ -54,3 +54,9 @@ def test_trace_endpoints_and_adjacency(ray_session):
 def test_trace_zero_length_segment(ray_session):
     out = _trace([(24.75, 59.44, 24.75, 59.44)], 5)
     assert len(out) == 1 and out["seq"].iloc[0] == 0
+
+
+def test_trace_antipodal_raises(ray_session):
+    import pytest
+    with pytest.raises(Exception, match="antipodal"):
+        _trace([(0.0, 0.0, 180.0, 0.0)], 3)
