@@ -261,3 +261,92 @@ def zonal_mean(ds: ray.data.Dataset, dggs_type: str = "IGEO7", resolution: int =
                             batch_format="pyarrow")
     return bin_point_vals(ds, dggs_type, resolution, value_col=value_col,
                           lon_col=lon_col, lat_col=lat_col, **kw)
+
+
+def adaptive_bin(ds: ray.data.Dataset, coarse_fn, fine_fn, threshold: int,
+                 value_col: str, lon_col: str = "lon", lat_col: str = "lat",
+                 hot_cap: int = 5_000_000) -> ray.data.Dataset:
+    """Adaptive (variable-resolution) binning: aggregate at the coarse
+    level, then REFINE only the cells whose point count exceeds
+    ``threshold`` to the fine level — the quadtree-style answer to skewed
+    point densities (dense cities at fine cells, empty ocean at coarse).
+    Output rows: (level 0 = coarse cell at or below threshold, level 1 =
+    fine cell inside a hot coarse cell) with n_points + sum_value.
+
+    ``coarse_fn`` / ``fine_fn``: vectorized (lon, lat) -> int64 cell ids.
+
+    Ray shape: two passes over the points (the minimum for
+    density-dependent refinement).  Pass 1: per-batch combiner +
+    ``grouped_reduce`` coarse counts; the hot set (bounded by the coarse
+    cell universe, NOT by the data — ``hot_cap`` guards the broadcast)
+    ships once via ``ray.put``; every task reads one object-store copy.
+    Pass 2: one pure map emits each point at its final (level, cell),
+    then ONE grouped_reduce on (level, cell).  Points never join."""
+    import ray
+
+    from ..stages.groupagg import grouped_reduce
+
+    def coarse_partial(t: pa.Table) -> pa.Table:
+        lon = t[lon_col].to_numpy(zero_copy_only=False)
+        lat = t[lat_col].to_numpy(zero_copy_only=False)
+        c = coarse_fn(lon, lat)
+        u, n = np.unique(c, return_counts=True)
+        return pa.table({"_c": pa.array(u, pa.int64()),
+                         "_n": pa.array(n.astype(np.int64))})
+
+    counts = grouped_reduce(
+        ds.map_batches(coarse_partial, batch_format="pyarrow"),
+        "_c", {"_n": "_n"}, how="sum")
+    hot_t = counts.filter(expr=f"_n > {int(threshold)}") \
+                  .select_columns(["_c"]).to_pandas()
+    if len(hot_t) > hot_cap:
+        raise ValueError(
+            f"adaptive_bin: {len(hot_t)} hot cells exceeds hot_cap="
+            f"{hot_cap}; raise the threshold or coarsen the base level "
+            "(the hot set is broadcast to every task)")
+    hot_ref = ray.put(np.sort(hot_t["_c"].to_numpy().astype(np.int64)))
+
+    def assign(t: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        lon = t[lon_col].to_numpy(zero_copy_only=False)
+        lat = t[lat_col].to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = coarse_fn(lon, lat)
+        idx = np.searchsorted(hot, c)
+        idx = np.minimum(idx, max(len(hot) - 1, 0))
+        is_hot = (hot[idx] == c) if len(hot) else np.zeros(len(c), bool)
+        cell = np.where(is_hot, fine_fn(lon, lat), c)
+        level = is_hot.astype(np.int64)
+        df = pd.DataFrame({"level": level, "cell": cell, "v": v})
+        g = df.groupby(["level", "cell"], sort=False)["v"] \
+              .agg(psum="sum", pcount="size").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = grouped_reduce(ds.map_batches(assign, batch_format="pyarrow"),
+                         ["level", "cell"],
+                         {"psum": "sum_value", "pcount": "n_points"},
+                         how="sum")
+    return agg
+
+
+def adaptive_bin_point_vals(ds: ray.data.Dataset, dggs_type: str = "IGEO7",
+                            coarse_res: int = 4, fine_res: int = 6,
+                            threshold: int = 10_000,
+                            value_col: str = "value", lon_col: str = "lon",
+                            lat_col: str = "lat", **kw) -> ray.data.Dataset:
+    """``adaptive_bin`` over a DGGS grid pair (coarse_res -> fine_res):
+    hot coarse cells re-bin their points at fine_res.  Uses the
+    per-process cached grid engine inside the cell functions."""
+    from ..stages.encode import grid_for
+
+    dggs_c = dgselect(dggs_type, resolution=coarse_res, **kw)
+    dggs_f = dgselect(dggs_type, resolution=fine_res, **kw)
+
+    def coarse_fn(lon, lat, _d=dggs_c, _r=coarse_res):
+        return np.asarray(grid_for(_d).encode(lon, lat, _r), np.int64)
+
+    def fine_fn(lon, lat, _d=dggs_f, _r=fine_res):
+        return np.asarray(grid_for(_d).encode(lon, lat, _r), np.int64)
+
+    return adaptive_bin(ds, coarse_fn, fine_fn, threshold, value_col,
+                        lon_col, lat_col)

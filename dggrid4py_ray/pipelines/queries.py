@@ -2749,6 +2749,45 @@ def geodesic_trace_res2(sf_dir: str):
     return out.map_batches(to_str, batch_format="pyarrow").sort("seq")
 
 
+def adaptive_bin_events(sf_dir: str):
+    """Adaptive variable-resolution binning (pipelines/binning.adaptive_bin)
+    on the SQL-expressible lat/lon grid pair (10-degree coarse -> 1-degree
+    fine, threshold 17): hot coarse cells re-bin their points at the fine
+    level; two passes, hot set broadcast once, points never join.  The
+    IGEO7 twin (adaptive_bin_point_vals) is pytest-gated on the same
+    invariants (mass conservation, every cold cell <= threshold)."""
+    from .binning import adaptive_bin
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def coords(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        lonc = (eid * 7919) % 36000
+        latc = (eid * 104729) % 18000
+        return pa.table({"lonc": pa.array(lonc.astype(np.int64)),
+                         "latc": pa.array(latc.astype(np.int64)),
+                         "value": t["value"]})
+
+    def coarse_fn(lonc, latc):
+        return (latc // 1000) * 36 + lonc // 1000
+
+    def fine_fn(lonc, latc):
+        return (latc // 100) * 360 + lonc // 100
+
+    out = adaptive_bin(ds.map_batches(coords, batch_format="pyarrow"),
+                       coarse_fn, fine_fn, threshold=17,
+                       value_col="value", lon_col="lonc", lat_col="latc")
+
+    def finish(t: pa.Table) -> pa.Table:
+        avg = np.asarray(t["sum_value"]) / np.asarray(t["n_points"])
+        return pa.table({"level": t["level"], "cell": t["cell"],
+                         "n_points": t["n_points"],
+                         "avg_value": _iscale(avg, 1000000)})
+
+    return out.map_batches(finish, batch_format="pyarrow") \
+              .sort(["level", "cell"])
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -2851,9 +2890,33 @@ QUERIES = {
     "quantile_cont_by_flag": quantile_cont_by_flag,
     "trajectory_length_by_user": trajectory_length_by_user,
     "geodesic_trace_res2": geodesic_trace_res2,
+    "adaptive_bin_events": adaptive_bin_events,
 }
 
 ORACLES = {
+    "adaptive_bin_events": """
+        WITH pts AS (SELECT (event_id * 104729) % 18000 AS latc,
+                            (event_id * 7919) % 36000 AS lonc, value
+                     FROM events),
+        c AS (SELECT latc // 1000 * 36 + lonc // 1000 AS ccell, COUNT(*) n
+              FROM pts GROUP BY 1),
+        hot AS (SELECT ccell FROM c WHERE n > 17)
+        SELECT CAST(0 AS BIGINT) AS level,
+               latc // 1000 * 36 + lonc // 1000 AS cell,
+               CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(ROUND(AVG(value) * 1000000) AS BIGINT) AS avg_value
+        FROM pts
+        WHERE latc // 1000 * 36 + lonc // 1000 NOT IN (SELECT ccell FROM hot)
+        GROUP BY 2
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), latc // 100 * 360 + lonc // 100,
+               CAST(COUNT(*) AS BIGINT),
+               CAST(ROUND(AVG(value) * 1000000) AS BIGINT)
+        FROM pts
+        WHERE latc // 1000 * 36 + lonc // 1000 IN (SELECT ccell FROM hot)
+        GROUP BY 2
+        ORDER BY level, cell
+    """,
     "trajectory_length_by_user": """
         WITH pts AS (
           SELECT user_id, ts, event_id,

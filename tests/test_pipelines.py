@@ -258,3 +258,53 @@ def test_read_documents_dispatch(ray_session, tmp_path):
     except ImportError:
         with _pt.raises(ImportError):
             read_documents(str(lance_dir))
+
+
+def test_adaptive_bin_igeo7_invariants(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from dggrid4py_ray.pipelines.binning import adaptive_bin_point_vals
+
+    rng = np.random.default_rng(4)
+    n = 40000
+    # skewed density: half the points cluster in a small patch
+    lon = np.where(rng.random(n) < 0.5, rng.uniform(24, 26, n),
+                   rng.uniform(-180, 180, n))
+    lat = np.where(rng.random(n) < 0.5, rng.uniform(58, 60, n),
+                   np.degrees(np.arcsin(rng.uniform(-1, 1, n))))
+    t = pa.table({"lon": pa.array(lon), "lat": pa.array(lat),
+                  "value": pa.array(rng.random(n))})
+    thr = 500
+    out = adaptive_bin_point_vals(ray.data.from_arrow(t).repartition(8),
+                                  coarse_res=2, fine_res=4,
+                                  threshold=thr).to_pandas()
+    # mass conservation across levels
+    assert out["n_points"].sum() == n
+    # every cold (level-0) cell is at or below the threshold
+    cold = out[out.level == 0]
+    assert (cold["n_points"] <= thr).all()
+    # refinement actually happened and fine cells are res-4 ids
+    from dggrid4py_ray.dggs.igeo7 import z7_resolution
+    fine = out[out.level == 1]
+    assert len(fine) > 0
+    assert (z7_resolution(fine["cell"].to_numpy().astype(np.int64)) == 4).all()
+    # exact replication of the rule in-process (note: aperture-7 is not
+    # perfectly nested, so hot membership is judged by each POINT's own
+    # coarse encode, not the fine cell's tree ancestor)
+    import pandas as pd
+    from dggrid4py_ray.dggs.igeo7 import IGeo7Grid
+    g = IGeo7Grid()
+    c2 = g.encode(lon, lat, 2)
+    u, cnt = np.unique(c2, return_counts=True)
+    hot = set(u[cnt > thr].tolist())
+    is_hot = np.isin(c2, list(hot))
+    c4 = g.encode(lon[is_hot], lat[is_hot], 4)
+    exp_cold = pd.Series(c2[~is_hot]).value_counts().sort_index()
+    exp_fine = pd.Series(c4).value_counts().sort_index()
+    got_cold = cold.set_index("cell")["n_points"].sort_index()
+    got_fine = fine.set_index("cell")["n_points"].sort_index()
+    assert (got_cold.index.to_numpy() == exp_cold.index.to_numpy()).all()
+    assert (got_cold.to_numpy() == exp_cold.to_numpy()).all()
+    assert (got_fine.index.to_numpy() == exp_fine.index.to_numpy()).all()
+    assert (got_fine.to_numpy() == exp_fine.to_numpy()).all()
