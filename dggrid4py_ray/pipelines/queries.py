@@ -2788,6 +2788,47 @@ def adaptive_bin_events(sf_dir: str):
               .sort(["level", "cell"])
 
 
+def weekly_wow_events(sf_dir: str):
+    """Calendar-week resample + week-over-week delta: distributed daily
+    combiner -> one tiny week-keyed groupby -> LAG over the answer-small
+    week table in one coalesced block (the sliding_window_daily shape —
+    the raw stream never re-shuffles for the window)."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    DAY_US = np.int64(86_400_000_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        day = ts // DAY_US
+        monday = (day + 3) // 7 * 7 - 3        # DATE_TRUNC('week') law
+        df = pd.DataFrame({"wk": monday,
+                           "v": t["value"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("wk", sort=False)["v"].agg(psum="sum", pcount="size") \
+              .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("wk").aggregate(Sum("psum", alias_name="s"),
+                                    Sum("pcount", alias_name="n")))
+
+    def window(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values("wk", ignore_index=True)
+        s = df["s"].to_numpy(np.float64)
+        prev = np.r_[np.nan, s[:-1]]
+        delta = s - prev
+        return pa.table({
+            "week": pa.array(df["wk"].to_numpy().astype(np.int32),
+                             pa.date32()),
+            "n_events": pa.array(df["n"].to_numpy(np.int64)),
+            "total": _iscale(s, 10000),
+            "wow_delta": pa.array(
+                np.where(np.isnan(delta), 0, np.round(delta * 10000))
+                .astype(np.int64),
+                mask=np.isnan(delta))})
+
+    return agg.repartition(1).map_batches(window, batch_format="pyarrow")
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -2891,9 +2932,21 @@ QUERIES = {
     "trajectory_length_by_user": trajectory_length_by_user,
     "geodesic_trace_res2": geodesic_trace_res2,
     "adaptive_bin_events": adaptive_bin_events,
+    "weekly_wow_events": weekly_wow_events,
 }
 
 ORACLES = {
+    "weekly_wow_events": """
+        WITH w AS (SELECT DATE_TRUNC('week', CAST(ts AS DATE)) AS week,
+                          CAST(COUNT(*) AS BIGINT) AS n_events,
+                          SUM(value) AS s
+                   FROM events GROUP BY 1)
+        SELECT week, n_events,
+               CAST(ROUND(s * 10000) AS BIGINT) AS total,
+               CAST(ROUND((s - LAG(s) OVER (ORDER BY week)) * 10000)
+                    AS BIGINT) AS wow_delta
+        FROM w ORDER BY week
+    """,
     "adaptive_bin_events": """
         WITH pts AS (SELECT (event_id * 104729) % 18000 AS latc,
                             (event_id * 7919) % 36000 AS lonc, value
