@@ -2829,6 +2829,34 @@ def weekly_wow_events(sf_dir: str):
     return agg.repartition(1).map_batches(window, batch_format="pyarrow")
 
 
+def streaming_dedup_events(sf_dir: str):
+    """ONLINE exact dedup against a shared mutable index
+    (state/dedup_index.py — the raw-actor case the Dataset API can't
+    express): first event per user admitted as the stream flows, no
+    global barrier.  WHICH event wins per user is arrival-order dependent
+    (documented), so the query returns the admitted KEY set + per-key
+    admission count — invariantly (user_id, 1) for every user."""
+    from ..state.dedup_index import streaming_dedup
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+    kept, _idx = streaming_dedup(ds, "user_id", n_shards=4)
+
+    def per_user(t: pa.Table) -> pa.Table:
+        u, n = np.unique(t["user_id"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"user_id": pa.array(u),
+                         "n_admitted": pa.array(n.astype(np.int64))})
+
+    out = (kept.map_batches(per_user, batch_format="pyarrow")
+           .groupby("user_id")
+           .aggregate(Sum("n_admitted", alias_name="n_admitted")))
+    return out.map_batches(
+        lambda t: pa.table({"user_id": t["user_id"],
+                            "n_admitted": pc.cast(t["n_admitted"],
+                                                  pa.int64())}),
+        batch_format="pyarrow").sort("user_id")
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -2933,9 +2961,17 @@ QUERIES = {
     "geodesic_trace_res2": geodesic_trace_res2,
     "adaptive_bin_events": adaptive_bin_events,
     "weekly_wow_events": weekly_wow_events,
+    "streaming_dedup_events": streaming_dedup_events,
 }
 
 ORACLES = {
+    # the shared index admits each key EXACTLY once regardless of
+    # arrival order / parallelism — so the admitted set is the distinct
+    # user set with per-key count pinned at 1
+    "streaming_dedup_events": """
+        SELECT user_id, CAST(1 AS BIGINT) AS n_admitted
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
     "weekly_wow_events": """
         WITH w AS (SELECT DATE_TRUNC('week', CAST(ts AS DATE)) AS week,
                           CAST(COUNT(*) AS BIGINT) AS n_events,
