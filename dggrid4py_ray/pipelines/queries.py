@@ -2857,6 +2857,26 @@ def streaming_dedup_events(sf_dir: str):
         batch_format="pyarrow").sort("user_id")
 
 
+def median_price_per_order(sf_dir: str):
+    """EXACT per-ORDER median price — per-group quantile at UNBOUNDED
+    group cardinality (stages/relational.exact_group_quantile_sorted:
+    row_number carry chain + counts + one hash join; no per-group driver
+    state, unlike the bounded-groups histogram path)."""
+    from ..stages.relational import exact_group_quantile_sorted
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+    t = exact_group_quantile_sorted(ds, "l_orderkey", "l_extendedprice",
+                                    q=0.5)
+
+    def finish(tt: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": tt["l_orderkey"],
+                         "median_price": _iscale(
+                             tt["quantile"].to_numpy(zero_copy_only=False),
+                             100)})
+
+    return t.map_batches(finish, batch_format="pyarrow").sort("l_orderkey")
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -2962,9 +2982,16 @@ QUERIES = {
     "adaptive_bin_events": adaptive_bin_events,
     "weekly_wow_events": weekly_wow_events,
     "streaming_dedup_events": streaming_dedup_events,
+    "median_price_per_order": median_price_per_order,
 }
 
 ORACLES = {
+    "median_price_per_order": """
+        SELECT l_orderkey,
+               CAST(ROUND(quantile_disc(l_extendedprice, 0.5) * 100)
+                    AS BIGINT) AS median_price
+        FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey
+    """,
     # the shared index admits each key EXACTLY once regardless of
     # arrival order / parallelism — so the admitted set is the distinct
     # user set with per-key count pinned at 1

@@ -582,3 +582,49 @@ def pivot_counts(ds: ray.data.Dataset, key: str, class_col: str,
     return grouped_reduce(ds.map_batches(partial, batch_format="pyarrow"),
                           key=key, col_map={c: c for c in classes},
                           how="sum")
+
+
+def exact_group_quantile_sorted(ds: ray.data.Dataset, group_col: str,
+                                value_col: str, q: float = 0.5,
+                                out_col: str = "quantile") -> ray.data.Dataset:
+    """Exact per-group quantile_disc at UNBOUNDED group cardinality — the
+    complement of ``exact_group_quantile`` (whose histogram refinement
+    keeps per-group driver state and is bounded by ``max_groups``).
+
+    Order-statistic selection as a pure composition of scale paths: one
+    range sort with per-group ROW_NUMBER (``group_row_number``, O(#blocks)
+    carry chain), per-group counts via ``grouped_reduce``, ONE hash join
+    of rank targets onto the numbered rows, and a vectorized filter
+    ``rn == ceil(q*n)``.  No per-group Python, no driver state — group
+    count scales with the data.  Duplicated values are fine: any row at
+    the target rank carries the correct order-statistic VALUE."""
+    from .groupagg import grouped_reduce
+    from .join import _join_partitions
+    from .window import group_row_number
+
+    rn = group_row_number(ds.select_columns([group_col, value_col]),
+                          group_col, [value_col], out_col="_rn")
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({group_col: t[group_col],
+                         "_one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    counts = grouped_reduce(ds.map_batches(ones, batch_format="pyarrow"),
+                            group_col, {"_one": "_n"}, how="sum") \
+        .repartition(_join_partitions())
+    j = rn.join(counts, join_type="inner",
+                num_partitions=_join_partitions(), on=(group_col,))
+
+    def pick(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({group_col: t[group_col],
+                             out_col: pa.array([], pa.float64())})
+        n = t["_n"].to_numpy(zero_copy_only=False)
+        rank = np.maximum(np.ceil(q * n), 1).astype(np.int64)
+        keep = t["_rn"].to_numpy(zero_copy_only=False) == rank
+        kept = t.filter(pa.array(keep))
+        return pa.table({group_col: kept[group_col],
+                         out_col: pa.compute.cast(kept[value_col],
+                                                  pa.float64())})
+
+    return j.map_batches(pick, batch_format="pyarrow")

@@ -180,3 +180,38 @@ def test_exact_group_quantile_cont_matches_numpy(ray_session):
     out2 = exact_group_quantile_cont(ray.data.from_pandas(df2), "g", "v",
                                      q=0.25).to_pandas()
     assert dict(zip(out2["g"], out2["quantile"])) == {"a": 7.0, "b": 3.0}
+
+
+def test_exact_group_quantile_sorted_unbounded_keys(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from dggrid4py_ray.stages.relational import exact_group_quantile_sorted
+
+    rng = np.random.default_rng(8)
+    df = pd.DataFrame({"g": rng.integers(0, 3000, 40000),   # many groups
+                       "v": rng.normal(0, 10, 40000)})
+    for q in (0.25, 0.5, 0.9):
+        out = exact_group_quantile_sorted(
+            ray.data.from_pandas(df).repartition(9), "g", "v", q=q) \
+            .to_pandas().sort_values("g", ignore_index=True)
+        ref = df.groupby("g")["v"].quantile(q, interpolation="lower")
+        # quantile_disc rank = ceil(q*n); pandas 'lower' matches for these q
+        ref2 = df.sort_values("v").groupby("g")["v"] \
+            .apply(lambda s: s.iloc[max(int(np.ceil(q * len(s))) - 1, 0)])
+        assert len(out) == df["g"].nunique()
+        assert np.allclose(out["quantile"].to_numpy(),
+                           ref2.sort_index().to_numpy())
+
+
+def test_exact_group_quantile_sorted_duplicate_values(ray_session):
+    import pandas as pd
+    import ray.data
+    from dggrid4py_ray.stages.relational import exact_group_quantile_sorted
+
+    df = pd.DataFrame({"g": ["a"] * 6 + ["b"],
+                       "v": [5.0, 5.0, 5.0, 1.0, 9.0, 5.0, 2.0]})
+    out = exact_group_quantile_sorted(ray.data.from_pandas(df), "g", "v",
+                                      q=0.5).to_pandas()
+    got = dict(zip(out["g"], out["quantile"]))
+    assert got == {"a": 5.0, "b": 2.0}
