@@ -2877,6 +2877,64 @@ def median_price_per_order(sf_dir: str):
     return t.map_batches(finish, batch_format="pyarrow").sort("l_orderkey")
 
 
+def percent_rank_docs(sf_dir: str):
+    """SQL PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_chars) =
+    (rank - 1) / (n - 1): tie-aware group_rank (grouped_reduce +
+    running-sum carry chain) + per-group counts + one hash join — the
+    final member of the window family, all at unbounded keys."""
+    from ..stages.groupagg import grouped_reduce
+    from ..stages.join import _join_partitions
+    from ..stages.window import group_rank
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    ranked = group_rank(ds, "lang", "n_chars", out_col="rank")
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({"lang": t["lang"],
+                         "_one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    counts = grouped_reduce(ds.map_batches(ones, batch_format="pyarrow"),
+                            "lang", {"_one": "_n"}, how="sum") \
+        .repartition(_join_partitions())
+    j = ranked.join(counts, join_type="inner",
+                    num_partitions=_join_partitions(), on=("lang",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        r = t["rank"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["_n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pr = np.where(n > 1, (r - 1.0) / np.maximum(n - 1.0, 1.0), 0.0)
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                         "pct_rank": _iscale(pr, 1000000)})
+
+    return j.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+def segment_users_events(sf_dir: str):
+    """User-set algebra at scale: users who clicked AND purchased but
+    never errored — INTERSECT via bloom semi-join x2, EXCEPT via bloom
+    anti-join, all on the distinct-user tables (exactly the runtime-
+    filter pattern: bloom negatives skip every exchange)."""
+    from ..stages.bloom import bloom_anti_join, bloom_semi_join
+    from ..stages.groupagg import grouped_reduce
+
+    def users_of(etype: str, min_value: float):
+        sub = _read(sf_dir, "events", ["user_id", "event_type", "value"]) \
+            .filter(expr=f"event_type == {etype!r} and value > {min_value}") \
+            .map_batches(lambda t: pa.table(
+                {"user_id": t["user_id"],
+                 "_one": pa.array(np.ones(t.num_rows, np.int64))}),
+                batch_format="pyarrow")
+        return grouped_reduce(sub, "user_id", {"_one": "_one"}, how="max") \
+            .select_columns(["user_id"])
+
+    clickers = users_of("click", 50.0)
+    buyers = users_of("purchase", 50.0)
+    erroring = users_of("error", 150.0)
+    both = bloom_semi_join(clickers, buyers, "user_id")
+    clean = bloom_anti_join(both, erroring, "user_id")
+    return clean.sort("user_id")
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -2983,9 +3041,29 @@ QUERIES = {
     "weekly_wow_events": weekly_wow_events,
     "streaming_dedup_events": streaming_dedup_events,
     "median_price_per_order": median_price_per_order,
+    "percent_rank_docs": percent_rank_docs,
+    "segment_users_events": segment_users_events,
 }
 
 ORACLES = {
+    "percent_rank_docs": """
+        SELECT doc_id, lang,
+               CAST(ROUND(PERCENT_RANK() OVER (
+                   PARTITION BY lang ORDER BY n_chars) * 1000000)
+                    AS BIGINT) AS pct_rank
+        FROM documents ORDER BY doc_id
+    """,
+    "segment_users_events": """
+        SELECT user_id FROM events
+        WHERE event_type = 'click' AND value > 50
+        INTERSECT
+        SELECT user_id FROM events
+        WHERE event_type = 'purchase' AND value > 50
+        EXCEPT
+        SELECT user_id FROM events
+        WHERE event_type = 'error' AND value > 150
+        ORDER BY user_id
+    """,
     "median_price_per_order": """
         SELECT l_orderkey,
                CAST(ROUND(quantile_disc(l_extendedprice, 0.5) * 100)
