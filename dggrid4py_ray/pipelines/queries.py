@@ -2935,6 +2935,28 @@ def segment_users_events(sf_dir: str):
     return clean.sort("user_id")
 
 
+def approx_median_chars_by_lang(sf_dir: str):
+    """Grouped APPROXIMATE quantile via deterministic bottom-k hash
+    sampling (stages/relational.grouped_approx_quantile): the k-smallest
+    md5(doc_id) rows per lang form a uniform mergeable sample (one
+    partial-top-k shuffle, k rows per group per batch), quantile over
+    the sample.  The sample is a pure function of the data, so the SQL
+    oracle reproduces it EXACTLY with md5_number_upper + ROW_NUMBER."""
+    from ..stages.relational import grouped_approx_quantile
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    t = grouped_approx_quantile(ds, "lang", "n_chars", "doc_id",
+                                q=0.5, k=32)
+
+    def finish(tt: pa.Table) -> pa.Table:
+        v = tt["approx_quantile"].to_numpy(zero_copy_only=False)
+        return pa.table({"lang": tt["lang"],
+                         "approx_median": pa.array(
+                             np.round(v).astype(np.int64))})
+
+    return t.map_batches(finish, batch_format="pyarrow").sort("lang")
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -3043,9 +3065,24 @@ QUERIES = {
     "median_price_per_order": median_price_per_order,
     "percent_rank_docs": percent_rank_docs,
     "segment_users_events": segment_users_events,
+    "approx_median_chars_by_lang": approx_median_chars_by_lang,
 }
 
 ORACLES = {
+    # the bottom-k hash sample is deterministic (md5 of doc_id), so the
+    # approximate answer is exactly reproducible in SQL
+    "approx_median_chars_by_lang": """
+        WITH s AS (
+            SELECT lang, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY md5_number_upper(CAST(doc_id AS VARCHAR)),
+                                n_chars) AS rn
+            FROM documents)
+        SELECT lang,
+               CAST(ROUND(quantile_disc(n_chars, 0.5)) AS BIGINT)
+                   AS approx_median
+        FROM s WHERE rn <= 32 GROUP BY lang ORDER BY lang
+    """,
     "percent_rank_docs": """
         SELECT doc_id, lang,
                CAST(ROUND(PERCENT_RANK() OVER (

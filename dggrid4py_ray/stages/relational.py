@@ -628,3 +628,50 @@ def exact_group_quantile_sorted(ds: ray.data.Dataset, group_col: str,
                                                   pa.float64())})
 
     return j.map_batches(pick, batch_format="pyarrow")
+
+
+def grouped_approx_quantile(ds: ray.data.Dataset, group_col: str,
+                            value_col: str, id_col: str, q: float = 0.5,
+                            k: int = 64,
+                            out_col: str = "approx_quantile") -> ray.data.Dataset:
+    """APPROXIMATE per-group quantile at unbounded group cardinality via
+    deterministic bottom-k hash sampling: each group keeps the k rows
+    whose md5(id) hashes are smallest (a uniform, merge-friendly sample —
+    min-k is an order statistic, so per-batch partial top-k combines
+    exactly), then takes quantile_disc over the sample.  Error is the
+    binomial rank error O(1/sqrt(k)); the sample — and therefore the
+    answer — is a pure function of the data (stable across runs,
+    partitioning and cluster size, and reproducible in SQL with
+    md5_number_upper + ROW_NUMBER, which is what makes it oracle-exact).
+
+    vs the exact paths: ``exact_group_quantile`` (bounded groups,
+    multi-pass) and ``exact_group_quantile_sorted`` (unbounded groups,
+    two sorts + join) — this one is ONE partial-top-k shuffle of k rows
+    per group per batch, the cheapest of the three, when approximate
+    rank is acceptable."""
+    from .sampling import _md5_u64
+
+    def hashed(t: pa.Table) -> pa.Table:
+        h = _md5_u64(t[id_col].to_numpy(zero_copy_only=False))
+        return pa.table({group_col: t[group_col],
+                         value_col: t[value_col],
+                         "_h": pa.array(h.view(np.int64))})
+
+    # bottom-k by unsigned hash: flip sign bit so int64 order == uint64
+    def flip(t: pa.Table) -> pa.Table:
+        h = t["_h"].to_numpy(zero_copy_only=False).view(np.uint64)
+        key = (h ^ np.uint64(1 << 63)).view(np.int64)
+        return pa.table({group_col: t[group_col],
+                         value_col: t[value_col],
+                         "_key": pa.array(key)})
+
+    sampled = topk_per_group(
+        ds.map_batches(hashed, batch_format="pyarrow")
+          .map_batches(flip, batch_format="pyarrow"),
+        group_col, "_key", k=k, id_col=value_col, descending=False)
+
+    # quantile over the k-row-per-group sample via the unbounded-key
+    # order-statistic path (no per-group Python)
+    return exact_group_quantile_sorted(
+        sampled.select_columns([group_col, value_col]),
+        group_col, value_col, q=q, out_col=out_col)

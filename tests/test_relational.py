@@ -215,3 +215,30 @@ def test_exact_group_quantile_sorted_duplicate_values(ray_session):
                                       q=0.5).to_pandas()
     got = dict(zip(out["g"], out["quantile"]))
     assert got == {"a": 5.0, "b": 2.0}
+
+
+def test_grouped_approx_quantile_deterministic_and_close(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from dggrid4py_ray.stages.relational import grouped_approx_quantile
+
+    rng = np.random.default_rng(13)
+    n = 60000
+    df = pd.DataFrame({"g": rng.integers(0, 12, n),
+                       "v": rng.normal(50, 20, n),
+                       "rid": np.arange(n)})
+    out = grouped_approx_quantile(
+        ray.data.from_pandas(df).repartition(9), "g", "v", "rid",
+        q=0.5, k=256).to_pandas().sort_values("g", ignore_index=True)
+    ref = df.groupby("g")["v"].median()
+    # binomial rank error at k=256 ~ a few percentiles; normal ->
+    # value error well under 0.25 sigma
+    assert np.abs(out["approx_quantile"].to_numpy()
+                  - ref.to_numpy()).max() < 5.0
+    # deterministic under different partitioning
+    out2 = grouped_approx_quantile(
+        ray.data.from_pandas(df).repartition(2), "g", "v", "rid",
+        q=0.5, k=256).to_pandas().sort_values("g", ignore_index=True)
+    assert (out["approx_quantile"].to_numpy()
+            == out2["approx_quantile"].to_numpy()).all()
