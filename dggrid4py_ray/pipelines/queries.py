@@ -2957,6 +2957,36 @@ def approx_median_chars_by_lang(sf_dir: str):
     return t.map_batches(finish, batch_format="pyarrow").sort("lang")
 
 
+def ann_sq8_top10(sf_dir: str):
+    """Cosine top-10 over SCALAR-QUANTIZED (SQ8, uint8) embeddings — the
+    8x-memory answer for a 100-TB embedding corpus (stages/ann.sq8_*):
+    global (min,max) in one narrow pass, corpus dequantized per batch
+    (asymmetric: query stays full precision), partial top-k.  The
+    floor(x+0.5) code function is SQL-reproducible, so the oracle is
+    exact, not pinned."""
+    from ..stages.ann import sq8_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = None
+    for b in ds.iter_batches(batch_size=1024, batch_format="pyarrow"):
+        ids = b["vec_id"].to_numpy()
+        hit = np.nonzero(ids == 0)[0]
+        if len(hit):
+            arr = b["embedding"]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            flat = np.asarray(arr.flatten(), dtype=np.float64)
+            dim = len(flat) // b.num_rows
+            q = flat.reshape(b.num_rows, dim)[hit[0]]
+            break
+    t = sq8_topk(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                 q, k=10)
+    return pa.table({"rank": t["rank"], "vec_id": t["vec_id"],
+                     "cosine": _iscale(
+                         t["cosine"].to_numpy(zero_copy_only=False),
+                         1000000)})
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -3066,6 +3096,7 @@ QUERIES = {
     "percent_rank_docs": percent_rank_docs,
     "segment_users_events": segment_users_events,
     "approx_median_chars_by_lang": approx_median_chars_by_lang,
+    "ann_sq8_top10": ann_sq8_top10,
 }
 
 ORACLES = {
@@ -3632,6 +3663,29 @@ ORACLES = {
                CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
                CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) AS BIGINT) AS sum_spaces
         FROM documents GROUP BY lang
+    """,
+    # SQ8 codes are floor(t*255 + 0.5) of the globally min-max-scaled
+    # value — reproduced exactly below; quantization on the corpus side
+    # only (asymmetric distance), query full precision
+    "ann_sq8_top10": """
+        WITH r AS (SELECT MIN(u) AS lo, MAX(u) AS hi FROM (
+                 SELECT UNNEST(CAST(embedding AS DOUBLE[])) AS u
+                 FROM embeddings)),
+        q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id = 0),
+        d AS (SELECT e.vec_id,
+                     list_transform(CAST(e.embedding AS DOUBLE[]),
+                         x -> r.lo + LEAST(GREATEST(FLOOR(
+                                  (x - r.lo) / (r.hi - r.lo) * 255 + 0.5),
+                                  0), 255) * (r.hi - r.lo) / 255.0) AS deq
+              FROM embeddings e, r)
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id)
+                    AS BIGINT) AS rank,
+               vec_id, CAST(ROUND(cosine * 1000000) AS BIGINT) AS cosine
+        FROM (SELECT d.vec_id,
+                     list_cosine_similarity(d.deq, q.qv) AS cosine
+              FROM d, q)
+        ORDER BY cosine DESC, vec_id LIMIT 10
     """,
     "ann_top10": """
         SELECT CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank,

@@ -18,11 +18,11 @@ import ray
 import ray.data
 
 
-def _emb_matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
+def _emb_matrix(batch: pa.Table, emb_col: str, dtype=np.float32) -> np.ndarray:
     arr = batch[emb_col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    flat = np.asarray(arr.flatten(), dtype=np.float32)
+    flat = np.asarray(arr.flatten(), dtype=dtype)
     n = batch.num_rows
     return flat.reshape(n, len(flat) // max(n, 1))
 
@@ -145,3 +145,89 @@ def ivf_topk(ds: ray.data.Dataset, queries: np.ndarray, k: int = 10,
         out["cosine"].extend(g["cosine"].tolist())
         out["rank"].extend(range(1, len(g) + 1))
     return pa.table({k2: pa.array(v) for k2, v in out.items()})
+
+
+def sq8_minmax(ds: ray.data.Dataset, emb_col: str = "embedding") -> tuple[float, float]:
+    """Global (min, max) over every embedding element — the SQ8 range.
+    One narrow pass: per-batch scalar partials, tiny driver reduce."""
+    def partial(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t, emb_col, dtype=np.float64)
+        if m.size == 0:
+            return pa.table({"lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        return pa.table({"lo": pa.array([float(m.min())]),
+                         "hi": pa.array([float(m.max())])})
+
+    p = ds.map_batches(partial, batch_format="pyarrow")
+    return float(p.min("lo")), float(p.max("hi"))
+
+
+def _sq8_codes(m: np.ndarray, lo: float, hi: float) -> np.ndarray:
+    """uint8 codes: floor(t*255 + 0.5) of the [0,1]-scaled value —
+    floor(x+0.5) rounding so SQL FLOOR(x+0.5) reproduces it exactly."""
+    t = (m.astype(np.float64) - lo) / (hi - lo if hi > lo else 1.0)
+    return np.clip(np.floor(t * 255.0 + 0.5), 0, 255).astype(np.uint8)
+
+
+def _sq8_dequant(codes: np.ndarray, lo: float, hi: float) -> np.ndarray:
+    return lo + codes.astype(np.float64) * ((hi - lo) / 255.0)
+
+
+def sq8_encode(ds: ray.data.Dataset, lo: float, hi: float,
+               emb_col: str = "embedding",
+               id_col: str = "vec_id") -> ray.data.Dataset:
+    """Scalar-quantize embeddings to uint8 code rows (8x smaller than
+    float64 storage; the memory answer for a 100-TB embedding corpus —
+    codes live in the object store / on disk, floats never do)."""
+    def enc(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t, emb_col, dtype=np.float64)
+        codes = _sq8_codes(m, lo, hi)
+        return pa.table({id_col: t[id_col],
+                         "codes": pa.array(list(codes),
+                                           pa.list_(pa.uint8()))})
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def sq8_topk(ds: ray.data.Dataset, query: np.ndarray, k: int = 10,
+             emb_col: str = "embedding", id_col: str = "vec_id",
+             lo: float | None = None, hi: float | None = None) -> pa.Table:
+    """Asymmetric top-k over SQ8-quantized vectors: the corpus side is
+    dequantized uint8 codes (quantization error on one side only — the
+    standard ADC trade), the query stays full-precision; per-batch
+    matmul + partial top-k, answer-sized driver merge.  Deterministic
+    given (data, query): the codes are a pure floor(x+0.5) function, so
+    a SQL oracle reproduces the result exactly."""
+    if lo is None or hi is None:
+        lo, hi = sq8_minmax(ds, emb_col)
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    ref = ray.put((qn, float(lo), float(hi)))
+
+    class Scorer:
+        def __init__(self):
+            self.qn, self.lo, self.hi = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = _emb_matrix(t, emb_col, dtype=np.float64)
+            deq = _sq8_dequant(_sq8_codes(m, self.lo, self.hi),
+                               self.lo, self.hi)
+            norms = np.linalg.norm(deq, axis=1)
+            sims = (deq @ self.qn) / np.where(norms == 0, 1.0, norms)
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            kk = min(k, len(sims))
+            if kk == 0:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            return pa.table({id_col: pa.array(ids[top]),
+                             "cosine": pa.array(sims[top])})
+
+    part = ds.map_batches(Scorer, batch_format="pyarrow",
+                          concurrency=(1, 32)).to_pandas()
+    part = part.sort_values(["cosine", id_col],
+                            ascending=[False, True]).head(k)
+    part["rank"] = np.arange(1, len(part) + 1, dtype=np.int64)
+    return pa.table({"rank": pa.array(part["rank"].to_numpy()),
+                     id_col: pa.array(part[id_col].to_numpy()),
+                     "cosine": pa.array(part["cosine"].to_numpy())})

@@ -419,3 +419,36 @@ def test_prefer_one_per_group_range_guard(ray_session):
     with pytest.raises(Exception):
         prefer_one_per_group(ray.data.from_pandas(df), "g", "pri",
                              "doc_id").materialize()
+
+
+def test_sq8_quantized_ann_recall_and_encode(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from dggrid4py_ray.stages.ann import (sq8_encode, sq8_minmax, sq8_topk,
+                                          _sq8_codes, _sq8_dequant)
+
+    rng = np.random.default_rng(21)
+    n, d = 4000, 32
+    emb = rng.normal(0, 1, (n, d))
+    t = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "embedding": pa.array(list(emb),
+                                        pa.list_(pa.float64()))})
+    ds = ray.data.from_arrow(t).repartition(6)
+    q = emb[17]
+    lo, hi = sq8_minmax(ds)
+    assert lo == emb.min() and hi == emb.max()
+    got = sq8_topk(ds, q, k=10, lo=lo, hi=hi).to_pandas()
+    # exact brute force reference
+    deq = _sq8_dequant(_sq8_codes(emb, lo, hi), lo, hi)
+    sims = (deq @ (q / np.linalg.norm(q))) / np.linalg.norm(deq, axis=1)
+    order = np.lexsort((np.arange(n), -sims))[:10]
+    assert list(got["vec_id"]) == list(order)
+    # quantized top-10 recalls >= 8 of the float top-10 at 32 dims
+    fs = (emb @ q) / (np.linalg.norm(emb, axis=1) * np.linalg.norm(q))
+    float_top = set(np.argsort(-fs)[:10].tolist())
+    assert len(float_top & set(got["vec_id"])) >= 8
+    # codes dataset: uint8, dim-length lists
+    codes = sq8_encode(ds, lo, hi).take_batch(5, batch_format="pyarrow")
+    assert codes["codes"].type == pa.list_(pa.uint8())
+    assert len(codes["codes"][0]) == d
