@@ -2987,6 +2987,32 @@ def ann_sq8_top10(sf_dir: str):
                          1000000)})
 
 
+def triangle_count_lineitem(sf_dir: str):
+    """Distributed triangle counting (stages/graph.triangle_count_per_vertex,
+    oriented node-iterator: one apex self-join + one closure join, each
+    triangle counted exactly once at its lowest vertex) over a
+    deterministic graph derived from lineitem."""
+    from ..stages.graph import triangle_count_per_vertex
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity"]) \
+        .filter(expr="l_quantity > 45.0")
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        p = t["l_partkey"].to_numpy(zero_copy_only=False)
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"u": pa.array((p % 300).astype(np.int64)),
+                         "v": pa.array(((s * 7) % 300).astype(np.int64))})
+
+    out = triangle_count_per_vertex(
+        li.map_batches(to_edges, batch_format="pyarrow"))
+    return out.map_batches(
+        lambda t: pa.table({"vertex": t["vertex"],
+                            "n_triangles": pc.cast(t["n_triangles"],
+                                                   pa.int64())}),
+        batch_format="pyarrow").sort("vertex")
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -3097,6 +3123,7 @@ QUERIES = {
     "segment_users_events": segment_users_events,
     "approx_median_chars_by_lang": approx_median_chars_by_lang,
     "ann_sq8_top10": ann_sq8_top10,
+    "triangle_count_lineitem": triangle_count_lineitem,
 }
 
 ORACLES = {
@@ -3663,6 +3690,19 @@ ORACLES = {
                CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
                CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) AS BIGINT) AS sum_spaces
         FROM documents GROUP BY lang
+    """,
+    "triangle_count_lineitem": """
+        WITH e0 AS (SELECT DISTINCT l_partkey % 300 AS a,
+                           (l_suppkey * 7) % 300 AS b
+                    FROM lineitem
+                    WHERE l_quantity > 45
+                      AND l_partkey % 300 <> (l_suppkey * 7) % 300),
+        e AS (SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v
+              FROM e0 GROUP BY 1, 2)
+        SELECT e1.u AS vertex, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+                  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+        GROUP BY e1.u ORDER BY vertex
     """,
     # SQ8 codes are floor(t*255 + 0.5) of the globally min-max-scaled
     # value — reproduced exactly below; quantization on the corpus side

@@ -170,3 +170,123 @@ def _pagerank_broadcast(ew: ray.data.Dataset, nodes: ray.data.Dataset,
 
     return ray.data.from_arrow(pa.table({"node": pa.array(node_ids),
                                          "rank": pa.array(r)}))
+
+
+def triangle_count_per_vertex(edges: ray.data.Dataset, u_col: str = "u",
+                              v_col: str = "v", order: str = "id",
+                              degree_cap: int = 50_000_000) -> ray.data.Dataset:
+    """Distributed triangle counting (node-iterator with edge
+    orientation): orient every undirected edge along a total vertex
+    order, build directed wedges with ONE self hash join on the apex,
+    close them with ONE more hash join on the (b, c) pair — each
+    triangle is counted exactly once, at its order-lowest vertex.
+    Output: (apex vertex, n_triangles).
+
+    ``order="id"`` uses the vertex id order (SQL-reproducible: apex =
+    numeric-lowest vertex).  ``order="degree"`` orients low-degree ->
+    high-degree (ties by id), the classic bound that caps every out-list
+    at O(sqrt(m)) so wedge fan-out on skewed graphs (stars, celebrities)
+    stays O(m^1.5) instead of O(sum d^2) — same total count, different
+    apex attribution.  Degrees are broadcast (one int per vertex,
+    ``degree_cap`` guards the driver); beyond the cap, orient via two
+    hash joins of a degree table instead.
+
+    Input edges need not be deduplicated or oriented; (u, v) with
+    u == v is dropped."""
+    import pandas as pd
+    import ray
+
+    parts = _join_parts()
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t[u_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[v_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        df = pd.DataFrame({"_u": np.minimum(a, b), "_v": np.maximum(a, b),
+                           "_one": np.int64(1)}).drop_duplicates(["_u", "_v"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ded = grouped_reduce(edges.map_batches(canon, batch_format="pyarrow"),
+                         ["_u", "_v"], {"_one": "_one"}, how="max") \
+        .drop_columns(["_one"]).materialize()
+
+    if order == "degree":
+        def explode(t: pa.Table) -> pa.Table:
+            u = t["_u"].to_numpy(zero_copy_only=False)
+            v = t["_v"].to_numpy(zero_copy_only=False)
+            df = pd.DataFrame({"_n": np.concatenate([u, v]),
+                               "_one": np.int64(1)})
+            g = df.groupby("_n", sort=False)["_one"].sum().reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        deg = grouped_reduce(ded.map_batches(explode, batch_format="pyarrow"),
+                             "_n", {"_one": "_d"}, how="sum").to_pandas()
+        if len(deg) > degree_cap:
+            raise ValueError(
+                f"triangle_count_per_vertex: {len(deg)} vertices exceeds "
+                f"degree_cap={degree_cap} for the broadcast orientation; "
+                "orient via a degree-table join instead")
+        dref = ray.put(pd.Series(deg["_d"].to_numpy(np.int64),
+                                 index=deg["_n"].to_numpy()))
+
+        def orient(t: pa.Table) -> pa.Table:
+            dmap = ray.get(dref)
+            u = t["_u"].to_numpy(zero_copy_only=False)
+            v = t["_v"].to_numpy(zero_copy_only=False)
+            du = pd.Series(u).map(dmap).to_numpy(np.int64)
+            dv = pd.Series(v).map(dmap).to_numpy(np.int64)
+            fwd = (du < dv) | ((du == dv) & (u < v))
+            return pa.table({"_a": pa.array(np.where(fwd, u, v)),
+                             "_b": pa.array(np.where(fwd, v, u))})
+
+        orc = ded.map_batches(orient, batch_format="pyarrow")
+    else:
+        orc = ded.map_batches(
+            lambda t: pa.table({"_a": t["_u"], "_b": t["_v"]}),
+            batch_format="pyarrow")
+    orc = orc.repartition(parts).materialize()
+
+    # wedges at each apex: self join on _a; keep (b, c) with b < c in the
+    # SAME total order the orientation used (id order after orientation:
+    # for "degree" the out-list order is (deg,id), but any consistent
+    # local order works because both wedge legs share the apex — use the
+    # oriented edge set itself for closure, so b -> c must exist oriented)
+    left = orc.map_batches(
+        lambda t: pa.table({"_a": t["_a"], "_b1": t["_b"]}),
+        batch_format="pyarrow")
+    right = orc.map_batches(
+        lambda t: pa.table({"_a": t["_a"], "_b2": t["_b"]}),
+        batch_format="pyarrow")
+    wedges = left.join(right, join_type="inner", num_partitions=parts,
+                       on=("_a",))
+
+    def keep_ordered(t: pa.Table) -> pa.Table:
+        # the self join emits each unordered out-pair twice ((b1,b2) and
+        # (b2,b1), possibly in different blocks) — keep b1 < b2 so every
+        # wedge survives exactly once, already in the id-canonical
+        # orientation the undirected closure set uses
+        b1 = t["_b1"].to_numpy(zero_copy_only=False)
+        b2 = t["_b2"].to_numpy(zero_copy_only=False)
+        keep = b1 < b2
+        return pa.table({
+            "_apex": pa.array(t["_a"].to_numpy(
+                zero_copy_only=False)[keep]),
+            "_x": pa.array(b1[keep]), "_y": pa.array(b2[keep])})
+
+    w = wedges.map_batches(keep_ordered, batch_format="pyarrow")
+    # closure: the oriented edge set contains (x -> y) for x lower in the
+    # total order; for degree order the closing edge may be stored as
+    # (y -> x), so probe the UNDIRECTED canonical set `ded` (_u < _v by id)
+    closing = ded.map_batches(
+        lambda t: pa.table({"_x": t["_u"], "_y": t["_v"]}),
+        batch_format="pyarrow").repartition(parts)
+    tri = w.join(closing, join_type="inner", num_partitions=parts,
+                 on=("_x", "_y"))
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({"vertex": t["_apex"],
+                         "_one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    return grouped_reduce(tri.map_batches(ones, batch_format="pyarrow"),
+                          "vertex", {"_one": "n_triangles"}, how="sum")

@@ -70,3 +70,49 @@ def test_pagerank_join_engine_matches_broadcast(ray_session):
          .sort_values("node", ignore_index=True))
     np.testing.assert_array_equal(a["node"], b["node"])
     np.testing.assert_allclose(a["rank"], b["rank"], rtol=1e-12)
+
+
+def test_triangle_count_matches_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from dggrid4py_ray.stages.graph import triangle_count_per_vertex
+
+    rng = np.random.default_rng(6)
+    n_v, n_e = 60, 500
+    a = rng.integers(0, n_v, n_e)
+    b = rng.integers(0, n_v, n_e)
+    df = pd.DataFrame({"u": a, "v": b})
+    ds = ray.data.from_pandas(df).repartition(7)
+    out = triangle_count_per_vertex(ds).to_pandas() \
+        .sort_values("vertex", ignore_index=True)
+    # brute force
+    E = set()
+    for x, y in zip(a, b):
+        if x != y:
+            E.add((min(x, y), max(x, y)))
+    adj = {}
+    for x, y in E:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    exp = {}
+    for x, y in E:
+        for z in adj[x] & adj[y]:
+            if x < y < z:
+                pass
+        # count triangles at their lowest vertex
+    tri = {}
+    for x, y in E:
+        common = adj[x] & adj[y]
+        for z in common:
+            t = tuple(sorted((x, y, z)))
+            tri[t] = True
+    exp_counts = {}
+    for t in tri:
+        exp_counts[t[0]] = exp_counts.get(t[0], 0) + 1
+    got = dict(zip(out["vertex"], out["n_triangles"]))
+    assert got == exp_counts
+    # degree orientation: same TOTAL, different attribution
+    out_d = triangle_count_per_vertex(ds, order="degree").to_pandas()
+    assert out_d["n_triangles"].sum() == sum(exp_counts.values())
