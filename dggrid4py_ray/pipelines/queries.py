@@ -3013,6 +3013,40 @@ def triangle_count_lineitem(sf_dir: str):
         batch_format="pyarrow").sort("vertex")
 
 
+def decayed_activity_by_user(sf_dir: str):
+    """Recency-weighted (exponentially time-decayed) activity per user —
+    the standard feature-engineering primitive: weight = exp(-(T - ts) /
+    tau), tau = 7 days, T = corpus max ts (one scalar aggregate,
+    broadcast in the task closure); then a single grouped_reduce of
+    (sum w*v, sum w).  One narrow pass + one sort; no window."""
+    from ..stages.groupagg import grouped_reduce
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    t_max = ds.max("ts")
+    T = np.datetime64(t_max, "us").astype(np.int64)
+    TAU = np.float64(7 * 86_400_000_000)
+
+    def weigh(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        w = np.exp(-(T - ts).astype(np.float64) / TAU)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": t["user_id"],
+                         "_wv": pa.array(w * v), "_w": pa.array(w)})
+
+    red = grouped_reduce(ds.map_batches(weigh, batch_format="pyarrow"),
+                         "user_id", {"_wv": "_wv", "_w": "_w"}, how="sum")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "decayed_value": _iscale(
+                             t["_wv"].to_numpy(zero_copy_only=False), 10000),
+                         "decayed_weight": _iscale(
+                             t["_w"].to_numpy(zero_copy_only=False), 10000)})
+
+    return red.map_batches(finish, batch_format="pyarrow").sort("user_id")
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -3124,6 +3158,7 @@ QUERIES = {
     "approx_median_chars_by_lang": approx_median_chars_by_lang,
     "ann_sq8_top10": ann_sq8_top10,
     "triangle_count_lineitem": triangle_count_lineitem,
+    "decayed_activity_by_user": decayed_activity_by_user,
 }
 
 ORACLES = {
@@ -3690,6 +3725,17 @@ ORACLES = {
                CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
                CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) AS BIGINT) AS sum_spaces
         FROM documents GROUP BY lang
+    """,
+    "decayed_activity_by_user": """
+        WITH mx AS (SELECT MAX(ts) AS T FROM events)
+        SELECT user_id,
+               CAST(ROUND(SUM(value * exp(-EPOCH_US(T - ts)
+                   / (7.0 * 86400000000))) * 10000) AS BIGINT)
+                   AS decayed_value,
+               CAST(ROUND(SUM(exp(-EPOCH_US(T - ts)
+                   / (7.0 * 86400000000))) * 10000) AS BIGINT)
+                   AS decayed_weight
+        FROM events, mx GROUP BY user_id ORDER BY user_id
     """,
     "triangle_count_lineitem": """
         WITH e0 AS (SELECT DISTINCT l_partkey % 300 AS a,
