@@ -242,3 +242,30 @@ def test_grouped_approx_quantile_deterministic_and_close(ray_session):
         q=0.5, k=256).to_pandas().sort_values("g", ignore_index=True)
     assert (out["approx_quantile"].to_numpy()
             == out2["approx_quantile"].to_numpy()).all()
+
+
+def test_salted_hash_join_equals_plain_join(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from dggrid4py_ray.stages.relational import salted_hash_join
+
+    rng = np.random.default_rng(17)
+    n = 30000
+    # celebrity skew: 60% of left rows hit key 7
+    k = np.where(rng.random(n) < 0.6, 7, rng.integers(0, 500, n))
+    left = pd.DataFrame({"k": k.astype(np.int64), "lv": np.arange(n)})
+    right = pd.DataFrame({"k": np.arange(500, dtype=np.int64),
+                          "rv": rng.integers(0, 9, 500)})
+    # key 7 also duplicated on the right (3 rows) to test fan-out
+    right = pd.concat([right, pd.DataFrame({"k": [7, 7], "rv": [91, 92]})],
+                      ignore_index=True)
+    out = salted_hash_join(ray.data.from_pandas(left).repartition(9),
+                           ray.data.from_pandas(right).repartition(3),
+                           on="k", hot_keys=[7], n_salt=8) \
+        .to_pandas().sort_values(["k", "lv", "rv"], ignore_index=True)
+    ref = left.merge(right, on="k").sort_values(
+        ["k", "lv", "rv"], ignore_index=True)
+    assert len(out) == len(ref)
+    assert (out[["k", "lv", "rv"]].to_numpy()
+            == ref[["k", "lv", "rv"]].to_numpy()).all()
