@@ -3047,6 +3047,24 @@ def decayed_activity_by_user(sf_dir: str):
     return red.map_batches(finish, batch_format="pyarrow").sort("user_id")
 
 
+def mixture_sample_docs(sf_dir: str):
+    """Deterministic pretraining data-mixture sampling
+    (stages/sampling.mixture_sample): per-source target counts (here
+    5 + src_num % 7 — weights vary by source), kept set = pure md5
+    function of (data, weights) — stable across epochs/cluster sizes and
+    SQL-reproducible exactly."""
+    from ..stages.sampling import mixture_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    srcs = ds.map_batches(
+        lambda t: pa.table({"source": pc.unique(
+            t["source"].combine_chunks())}),
+        batch_format="pyarrow").to_pandas()["source"].unique()
+    targets = {s: 5 + int(s[3:]) % 7 for s in srcs}
+    kept = mixture_sample(ds, "source", "doc_id", targets)
+    return kept.sort("doc_id")
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -3159,6 +3177,7 @@ QUERIES = {
     "ann_sq8_top10": ann_sq8_top10,
     "triangle_count_lineitem": triangle_count_lineitem,
     "decayed_activity_by_user": decayed_activity_by_user,
+    "mixture_sample_docs": mixture_sample_docs,
 }
 
 ORACLES = {
@@ -3725,6 +3744,16 @@ ORACLES = {
                CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
                CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) AS BIGINT) AS sum_spaces
         FROM documents GROUP BY lang
+    """,
+    "mixture_sample_docs": """
+        WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents
+                   GROUP BY source)
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN c ON d.source = c.source
+        WHERE md5_number_upper(CAST(d.doc_id AS VARCHAR)) % 10000
+              < LEAST(FLOOR((5 + CAST(substr(d.source, 4) AS INT) % 7)
+                            * 10000.0 / c.cnt), 10000)
+        ORDER BY d.doc_id
     """,
     "decayed_activity_by_user": """
         WITH mx AS (SELECT MAX(ts) AS T FROM events)

@@ -396,3 +396,42 @@ def stratified_sample(ds: ray.data.Dataset, key_col: str, group_col: str,
         return batch.filter(pa.array((h % np.uint64(buckets)) < keep))
 
     return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def mixture_sample(ds: ray.data.Dataset, group_col: str, id_col: str,
+                   targets: dict, buckets: int = 10_000) -> ray.data.Dataset:
+    """Deterministic data-mixture sampling (pretraining source-weight
+    mixing): per group g with n_g rows and target count t_g, keep a row
+    iff md5(id) % buckets < floor(t_g * buckets / n_g) — a stable
+    ~t_g-row sample per group, reproducible at any parallelism / across
+    epochs / in SQL (md5_number_upper parity).  Rates cap at 1 (a group
+    below its target keeps everything).
+
+    Ray shape: one grouped_reduce for the group counts (assumed
+    driver-bounded — source/domain mixtures are), thresholds broadcast
+    in the task closure, then one pure filter map."""
+    import ray
+
+    from .groupagg import grouped_reduce
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({group_col: t[group_col],
+                         "_one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    counts = grouped_reduce(ds.map_batches(ones, batch_format="pyarrow"),
+                            group_col, {"_one": "_n"}, how="sum").to_pandas()
+    thr = {}
+    for g, n in zip(counts[group_col], counts["_n"]):
+        t_g = float(targets.get(g, 0))
+        thr[g] = int(min(np.floor(t_g * buckets / max(int(n), 1)), buckets))
+    tref = ray.put(thr)
+
+    def keep(t: pa.Table) -> pa.Table:
+        th = ray.get(tref)
+        h = _md5_u64(t[id_col].to_numpy(zero_copy_only=False))
+        lim = pd.Series(t[group_col].to_numpy(zero_copy_only=False)) \
+            .map(th).fillna(0).to_numpy(np.int64)
+        return t.filter(pa.array((h % np.uint64(buckets)).astype(np.int64)
+                                 < lim))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
