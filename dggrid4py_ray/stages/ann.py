@@ -231,3 +231,128 @@ def sq8_topk(ds: ray.data.Dataset, query: np.ndarray, k: int = 10,
     return pa.table({"rank": pa.array(part["rank"].to_numpy()),
                      id_col: pa.array(part[id_col].to_numpy()),
                      "cosine": pa.array(part["cosine"].to_numpy())})
+
+
+def pq_train(ds: ray.data.Dataset, n_sub: int = 4, n_centroids: int = 16,
+             sample: int = 2048, iters: int = 8,
+             emb_col: str = "embedding") -> list[np.ndarray]:
+    """Train product-quantization codebooks: split the (L2-normalized)
+    vector into ``n_sub`` contiguous subspaces, run a small deterministic
+    Lloyd k-means per subspace on a driver-side sample (init = first
+    ``n_centroids`` distinct sample rows — a pure function of the data,
+    reproducible).  Returns one (n_centroids, d/n_sub) float64 codebook
+    per subspace.  n_centroids <= 256 so codes fit uint8."""
+    if n_centroids > 256:
+        raise ValueError("pq_train: n_centroids must fit uint8 (<=256)")
+    rows = []
+    need = sample
+    for b in ds.iter_batches(batch_size=1024, batch_format="pyarrow"):
+        rows.append(_emb_matrix(b, emb_col, dtype=np.float64))
+        need -= rows[-1].shape[0]
+        if need <= 0:
+            break
+    X = np.concatenate(rows)[:sample]
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    d = X.shape[1]
+    if d % n_sub:
+        raise ValueError(f"pq_train: dim {d} not divisible by {n_sub}")
+    dsub = d // n_sub
+    books = []
+    for s in range(n_sub):
+        Xs = X[:, s * dsub:(s + 1) * dsub]
+        # deterministic init: first n_centroids distinct rows
+        _, first = np.unique(np.round(Xs, 12), axis=0, return_index=True)
+        init = Xs[np.sort(first)[:n_centroids]]
+        if len(init) < n_centroids:       # tiny data: pad by repetition
+            init = Xs[np.arange(n_centroids) % len(Xs)]
+        C = init.copy()
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = d2.argmin(1)
+            for c in range(n_centroids):
+                m = a == c
+                if m.any():
+                    C[c] = Xs[m].mean(0)
+        books.append(C)
+    return books
+
+
+def pq_encode(ds: ray.data.Dataset, books: list[np.ndarray],
+              emb_col: str = "embedding",
+              id_col: str = "vec_id") -> ray.data.Dataset:
+    """uint8 PQ codes per vector (n_sub bytes instead of d floats — a
+    d*8/n_sub compression; 64x at d=32, n_sub=4).  Codebooks broadcast
+    once via ray.put."""
+    bref = ray.put([np.asarray(b, np.float64) for b in books])
+
+    class Enc:
+        def __init__(self):
+            self.books = ray.get(bref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            X = _emb_matrix(t, emb_col, dtype=np.float64)
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                               1e-12)
+            dsub = self.books[0].shape[1]
+            codes = np.empty((X.shape[0], len(self.books)), np.uint8)
+            for s, C in enumerate(self.books):
+                Xs = X[:, s * dsub:(s + 1) * dsub]
+                d2 = (Xs ** 2).sum(1)[:, None] - 2 * Xs @ C.T \
+                    + (C ** 2).sum(1)[None, :]
+                codes[:, s] = d2.argmin(1).astype(np.uint8)
+            return pa.table({id_col: t[id_col],
+                             "codes": pa.array(list(codes),
+                                               pa.list_(pa.uint8()))})
+
+    return ds.map_batches(Enc, batch_format="pyarrow", concurrency=(1, 32))
+
+
+def pq_topk(codes: ray.data.Dataset, query: np.ndarray,
+            books: list[np.ndarray], k: int = 10,
+            id_col: str = "vec_id") -> pa.Table:
+    """Asymmetric-distance top-k over PQ codes: ONE (n_sub x n_centroids)
+    lookup table of query-subvector inner products per query, similarity
+    = sum of table lookups — no float vectors touched at query time (the
+    classic ADC scan; Jegou et al. 2011).  Partial top-k per batch,
+    answer-sized driver merge."""
+    q = np.asarray(query, np.float64)
+    q = q / np.linalg.norm(q)
+    dsub = books[0].shape[1]
+    lut = np.stack([q[s * dsub:(s + 1) * dsub] @ np.asarray(b).T
+                    for s, b in enumerate(books)])     # (S, K)
+    lref = ray.put(lut)
+
+    class Scan:
+        def __init__(self):
+            self.lut = ray.get(lref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            arr = t["codes"]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            flat = np.asarray(arr.flatten(), np.int64)
+            n = t.num_rows
+            S = self.lut.shape[0]
+            c = flat.reshape(n, S)
+            sims = self.lut[np.arange(S)[None, :], c].sum(1)
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            kk = min(k, n)
+            if kk == 0:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "score": pa.array([], pa.float64())})
+            # total order (score desc, id asc): ADC scores tie en masse
+            # (identical codes), and a tie-broken partial top-k is what
+            # makes the global result partition-invariant
+            top = np.lexsort((ids, -sims))[:kk]
+            return pa.table({id_col: pa.array(ids[top]),
+                             "score": pa.array(sims[top])})
+
+    import pandas as pd
+    part = codes.map_batches(Scan, batch_format="pyarrow",
+                             concurrency=(1, 32)).to_pandas()
+    part = part.sort_values(["score", id_col],
+                            ascending=[False, True]).head(k)
+    part["rank"] = np.arange(1, len(part) + 1, dtype=np.int64)
+    return pa.table({"rank": pa.array(part["rank"].to_numpy()),
+                     id_col: pa.array(part[id_col].to_numpy()),
+                     "score": pa.array(part["score"].to_numpy())})

@@ -452,3 +452,44 @@ def test_sq8_quantized_ann_recall_and_encode(ray_session):
     codes = sq8_encode(ds, lo, hi).take_batch(5, batch_format="pyarrow")
     assert codes["codes"].type == pa.list_(pa.uint8())
     assert len(codes["codes"][0]) == d
+
+
+def test_pq_ann_recall_and_determinism(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from dggrid4py_ray.stages.ann import pq_train, pq_encode, pq_topk
+
+    rng = np.random.default_rng(23)
+    n, d = 3000, 32
+    # clustered data so PQ has structure to learn
+    centers = rng.normal(0, 1, (10, d))
+    emb = centers[rng.integers(0, 10, n)] + rng.normal(0, 0.15, (n, d))
+    t = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "embedding": pa.array(list(emb), pa.list_(pa.float64()))})
+    ds = ray.data.from_arrow(t).repartition(5)
+    books = pq_train(ds, n_sub=4, n_centroids=32, sample=1500)
+    assert len(books) == 4 and books[0].shape == (32, 8)
+    codes = pq_encode(ds, books).materialize()
+    q = emb[42]
+    got = pq_topk(codes, q, books, k=10).to_pandas()
+    # PQ codes capture cluster identity (within-cluster noise ranking is
+    # below the quantizer's resolution — that's the ADC trade): every
+    # returned neighbor must belong to the query's cluster
+    assign = ((emb[:, None, :] - centers[None, :, :]) ** 2).sum(-1).argmin(1)
+    q_cluster = assign[42]
+    assert (assign[got["vec_id"].to_numpy()] == q_cluster).all()
+    # and the ADC scores of returned items beat non-cluster items
+    X = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    sims = X @ (q / np.linalg.norm(q))
+    other = sims[assign != q_cluster].max()
+    assert sims[got["vec_id"].to_numpy()].min() > other - 0.05
+    # determinism: different partitioning, same codebooks + ranking
+    books2 = pq_train(ray.data.from_arrow(t).repartition(1),
+                      n_sub=4, n_centroids=32, sample=1500)
+    for b1, b2 in zip(books, books2):
+        assert np.allclose(b1, b2)
+    got2 = pq_topk(pq_encode(ray.data.from_arrow(t).repartition(2),
+                             books).materialize(), q, books,
+                   k=10).to_pandas()
+    assert list(got["vec_id"]) == list(got2["vec_id"])
