@@ -315,7 +315,11 @@ def adaptive_bin(ds: ray.data.Dataset, coarse_fn, fine_fn, threshold: int,
         idx = np.searchsorted(hot, c)
         idx = np.minimum(idx, max(len(hot) - 1, 0))
         is_hot = (hot[idx] == c) if len(hot) else np.zeros(len(c), bool)
-        cell = np.where(is_hot, fine_fn(lon, lat), c)
+        # fine-encode ONLY the hot points (the fine encode dominates
+        # per-point cost; np.where would evaluate it for every row)
+        cell = c.copy()
+        if is_hot.any():
+            cell[is_hot] = fine_fn(lon[is_hot], lat[is_hot])
         level = is_hot.astype(np.int64)
         df = pd.DataFrame({"level": level, "cell": cell, "v": v})
         g = df.groupby(["level", "cell"], sort=False)["v"] \

@@ -33,6 +33,24 @@ def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _query_vec(ds: ray.data.Dataset, vec_id: int = 0,
+               id_col: str = "vec_id",
+               emb_col: str = "embedding") -> np.ndarray:
+    """Fetch one embedding row as a float64 vector (streamed scan, stops
+    at the first batch containing it)."""
+    for b in ds.iter_batches(batch_size=1024, batch_format="pyarrow"):
+        ids = b[id_col].to_numpy()
+        hit = np.nonzero(ids == vec_id)[0]
+        if len(hit):
+            arr = b[emb_col]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            flat = np.asarray(arr.flatten(), dtype=np.float64)
+            dim = len(flat) // b.num_rows
+            return flat.reshape(b.num_rows, dim)[hit[0]]
+    raise ValueError(f"_query_vec: {id_col}={vec_id} not found")
+
+
 # ---------------------------------------------------------------------------
 # relational
 # ---------------------------------------------------------------------------
@@ -347,18 +365,8 @@ def ann_top10(sf_dir: str):
     match the DuckDB oracle)."""
     import ray
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q = None
-    for b in ds.iter_batches(batch_size=1024, batch_format="pyarrow"):
-        ids = b["vec_id"].to_numpy()
-        hit = np.nonzero(ids == 0)[0]
-        if len(hit):
-            arr = b["embedding"]
-            if isinstance(arr, pa.ChunkedArray):
-                arr = arr.combine_chunks()
-            flat = np.asarray(arr.flatten(), dtype=np.float64)
-            dim = len(flat) // b.num_rows
-            q = flat.reshape(b.num_rows, dim)[hit[0]]
-            break
+    q = _query_vec(ds)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     qref = ray.put(q)
 
     class Scorer:
@@ -2882,19 +2890,13 @@ def percent_rank_docs(sf_dir: str):
     (rank - 1) / (n - 1): tie-aware group_rank (grouped_reduce +
     running-sum carry chain) + per-group counts + one hash join — the
     final member of the window family, all at unbounded keys."""
-    from ..stages.groupagg import grouped_reduce
+    from ..stages.groupagg import grouped_count
     from ..stages.join import _join_partitions
     from ..stages.window import group_rank
 
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
     ranked = group_rank(ds, "lang", "n_chars", out_col="rank")
-
-    def ones(t: pa.Table) -> pa.Table:
-        return pa.table({"lang": t["lang"],
-                         "_one": pa.array(np.ones(t.num_rows, np.int64))})
-
-    counts = grouped_reduce(ds.map_batches(ones, batch_format="pyarrow"),
-                            "lang", {"_one": "_n"}, how="sum") \
+    counts = grouped_count(ds, "lang", out_col="_n") \
         .repartition(_join_partitions())
     j = ranked.join(counts, join_type="inner",
                     num_partitions=_join_partitions(), on=("lang",))
@@ -2966,19 +2968,7 @@ def ann_sq8_top10(sf_dir: str):
     exact, not pinned."""
     from ..stages.ann import sq8_topk
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q = None
-    for b in ds.iter_batches(batch_size=1024, batch_format="pyarrow"):
-        ids = b["vec_id"].to_numpy()
-        hit = np.nonzero(ids == 0)[0]
-        if len(hit):
-            arr = b["embedding"]
-            if isinstance(arr, pa.ChunkedArray):
-                arr = arr.combine_chunks()
-            flat = np.asarray(arr.flatten(), dtype=np.float64)
-            dim = len(flat) // b.num_rows
-            q = flat.reshape(b.num_rows, dim)[hit[0]]
-            break
+    q = _query_vec(_read(sf_dir, "embeddings", ["vec_id", "embedding"]))
     t = sq8_topk(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
                  q, k=10)
     return pa.table({"rank": t["rank"], "vec_id": t["vec_id"],

@@ -219,7 +219,10 @@ def sq8_topk(ds: ray.data.Dataset, query: np.ndarray, k: int = 10,
             if kk == 0:
                 return pa.table({id_col: pa.array([], pa.int64()),
                                  "cosine": pa.array([], pa.float64())})
-            top = np.argpartition(-sims, kk - 1)[:kk]
+            # total order (cosine desc, id asc): quantization produces
+            # identical codes -> mass ties; an un-tie-broken partial
+            # top-k would be partition-dependent (same fix as pq_topk)
+            top = np.lexsort((ids, -sims))[:kk]
             return pa.table({id_col: pa.array(ids[top]),
                              "cosine": pa.array(sims[top])})
 
@@ -251,6 +254,8 @@ def pq_train(ds: ray.data.Dataset, n_sub: int = 4, n_centroids: int = 16,
         need -= rows[-1].shape[0]
         if need <= 0:
             break
+    if not rows or sum(r.shape[0] for r in rows) == 0:
+        raise ValueError("pq_train: empty embedding dataset")
     X = np.concatenate(rows)[:sample]
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     d = X.shape[1]
@@ -263,8 +268,9 @@ def pq_train(ds: ray.data.Dataset, n_sub: int = 4, n_centroids: int = 16,
         # deterministic init: first n_centroids distinct rows
         _, first = np.unique(np.round(Xs, 12), axis=0, return_index=True)
         init = Xs[np.sort(first)[:n_centroids]]
-        if len(init) < n_centroids:       # tiny data: pad by repetition
-            init = Xs[np.arange(n_centroids) % len(Xs)]
+        if len(init) < n_centroids:       # tiny data: PAD the distinct
+            pad = Xs[np.arange(n_centroids - len(init)) % len(Xs)]
+            init = np.concatenate([init, pad])   # rows, don't discard them
         C = init.copy()
         for _ in range(iters):
             d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(-1)

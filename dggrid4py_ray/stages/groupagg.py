@@ -204,6 +204,11 @@ def grouped_count_distinct(ds: ray.data.Dataset, group_cols, distinct_col: str,
     all_cols = keys + [distinct_col]
 
     def dedup_batch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            # keep the INPUT's column types: pandas round-trips empty
+            # object columns as null-typed, poisoning the sort/union
+            return t.select(all_cols).append_column(
+                "_one", pa.array([], pa.int64()))
         df = pd.DataFrame({c: t[c].to_numpy(zero_copy_only=False)
                            for c in all_cols}).drop_duplicates()
         df["_one"] = np.int64(1)
@@ -218,4 +223,19 @@ def grouped_count_distinct(ds: ray.data.Dataset, group_cols, distinct_col: str,
         return pa.table(cols)
 
     return grouped_reduce(ded.map_batches(ones, batch_format="pyarrow"),
+                          keys, {"_one": out_col}, how="sum")
+
+
+def grouped_count(ds: ray.data.Dataset, key, out_col: str = "n") -> ray.data.Dataset:
+    """``COUNT(*) GROUP BY key`` on the sort-based scale path (unbounded
+    key cardinality): typed ones column + ``grouped_reduce`` sum.  The
+    shared implementation of the per-group row-count idiom."""
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def ones(t: pa.Table) -> pa.Table:
+        out = t.select(keys)
+        return out.append_column(
+            "_one", pa.array(np.ones(t.num_rows, np.int64)))
+
+    return grouped_reduce(ds.map_batches(ones, batch_format="pyarrow"),
                           keys, {"_one": out_col}, how="sum")

@@ -591,37 +591,43 @@ def exact_group_quantile_sorted(ds: ray.data.Dataset, group_col: str,
     complement of ``exact_group_quantile`` (whose histogram refinement
     keeps per-group driver state and is bounded by ``max_groups``).
 
-    Order-statistic selection as a pure composition of scale paths: one
-    range sort with per-group ROW_NUMBER (``group_row_number``, O(#blocks)
-    carry chain), per-group counts via ``grouped_reduce``, ONE hash join
-    of rank targets onto the numbered rows, and a vectorized filter
-    ``rn == ceil(q*n)``.  No per-group Python, no driver state — group
-    count scales with the data.  Duplicated values are fine: any row at
-    the target rank carries the correct order-statistic VALUE."""
-    from .groupagg import grouped_reduce
+    Order-statistic selection as a pure composition of scale paths,
+    DUPLICATE-SAFE (the carry-chain ops require unique keys, so the
+    selection runs over the DISTINCT (group, value) table):
+
+    1. (group, value, count) via ``grouped_reduce`` — one sort, unique
+       composite keys by construction;
+    2. cumulative count per group in value order via
+       ``group_running_sum`` (O(#blocks) carry chain);
+    3. per-group totals via ``grouped_reduce``, ONE hash join, and the
+       vectorized pick ``running - c < ceil(q*n) <= running``.
+
+    No per-group Python, no driver state — group count scales with the
+    data."""
+    from .groupagg import grouped_count, grouped_reduce
     from .join import _join_partitions
-    from .window import group_row_number
+    from .window import group_running_sum
 
-    rn = group_row_number(ds.select_columns([group_col, value_col]),
-                          group_col, [value_col], out_col="_rn")
-
-    def ones(t: pa.Table) -> pa.Table:
-        return pa.table({group_col: t[group_col],
-                         "_one": pa.array(np.ones(t.num_rows, np.int64))})
-
-    counts = grouped_reduce(ds.map_batches(ones, batch_format="pyarrow"),
-                            group_col, {"_one": "_n"}, how="sum") \
+    cnts = grouped_count(ds.select_columns([group_col, value_col]),
+                         [group_col, value_col], out_col="_c")
+    # both join inputs are reduce-derived (schema-less empty-block
+    # pitfall): coalesce each before the exchange
+    run = group_running_sum(cnts, group_col, [value_col], "_c",
+                            out_col="_run").repartition(_join_partitions())
+    totals = grouped_reduce(cnts, group_col, {"_c": "_n"}, how="sum") \
         .repartition(_join_partitions())
-    j = rn.join(counts, join_type="inner",
-                num_partitions=_join_partitions(), on=(group_col,))
+    j = run.join(totals, join_type="inner",
+                 num_partitions=_join_partitions(), on=(group_col,))
 
     def pick(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table({group_col: t[group_col],
                              out_col: pa.array([], pa.float64())})
-        n = t["_n"].to_numpy(zero_copy_only=False)
-        rank = np.maximum(np.ceil(q * n), 1).astype(np.int64)
-        keep = t["_rn"].to_numpy(zero_copy_only=False) == rank
+        n = t["_n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        rank = np.maximum(np.ceil(q * n), 1.0)
+        run_ = t["_run"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = t["_c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = (run_ - c < rank) & (rank <= run_)
         kept = t.filter(pa.array(keep))
         return pa.table({group_col: kept[group_col],
                          out_col: pa.compute.cast(kept[value_col],

@@ -412,14 +412,9 @@ def mixture_sample(ds: ray.data.Dataset, group_col: str, id_col: str,
     in the task closure, then one pure filter map."""
     import ray
 
-    from .groupagg import grouped_reduce
+    from .groupagg import grouped_count
 
-    def ones(t: pa.Table) -> pa.Table:
-        return pa.table({group_col: t[group_col],
-                         "_one": pa.array(np.ones(t.num_rows, np.int64))})
-
-    counts = grouped_reduce(ds.map_batches(ones, batch_format="pyarrow"),
-                            group_col, {"_one": "_n"}, how="sum").to_pandas()
+    counts = grouped_count(ds, group_col, out_col="_n").to_pandas()
     thr = {}
     for g, n in zip(counts[group_col], counts["_n"]):
         t_g = float(targets.get(g, 0))

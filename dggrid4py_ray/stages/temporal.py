@@ -326,9 +326,14 @@ def funnel_stages(events: ray.data.Dataset, steps: list[str],
     anchors = first_of(events, steps[0]).materialize()   # (user, _anchor)
     if anchors.count() == 0:
         # nobody entered the funnel: empty typed result (a wholly-empty
-        # reduce-derived side would poison the hash join — bloom.py:150)
+        # reduce-derived side would poison the hash join — bloom.py:150);
+        # preserve the INPUT's user-id type, don't assume int64
+        try:
+            utype = events.schema().base_schema.field(user_col).type
+        except Exception:
+            utype = pa.int64()
         return ray.data.from_arrow(pa.table(
-            {user_col: pa.array([], pa.int64()),
+            {user_col: pa.array([], utype),
              "stage": pa.array([], pa.int64())}))
     stage_tables = [anchors.select_columns([user_col])]
     for step in steps[1:]:

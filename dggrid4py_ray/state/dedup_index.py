@@ -98,6 +98,14 @@ def streaming_dedup(ds, key_col: str, index: DedupIndex | None = None,
     index across calls to dedup a sequence of streams against the union
     of everything admitted so far).  Returns (filtered dataset, index)."""
     idx = index or DedupIndex(n_shards)
+    # MATERIALIZE: the filter mutates the shared index as a side effect,
+    # so it is not idempotent — a lazy result re-executed (second
+    # consumption, task retry, lineage reconstruction) would re-probe
+    # already-admitted keys and silently drop its own rows.  Pinning the
+    # admitted rows makes consumption and retries safe; a mid-run worker
+    # loss still re-runs a batch (exactly-once admission holds for the
+    # KEY set, the winning row may differ) — checkpoint via
+    # state/checkpoint.py for stronger guarantees.
     out = ds.map_batches(StreamingDedupFilter(idx, key_col),
-                         batch_format="pyarrow")
+                         batch_format="pyarrow").materialize()
     return out, idx

@@ -96,12 +96,6 @@ def test_triangle_count_matches_bruteforce(ray_session):
     for x, y in E:
         adj.setdefault(x, set()).add(y)
         adj.setdefault(y, set()).add(x)
-    exp = {}
-    for x, y in E:
-        for z in adj[x] & adj[y]:
-            if x < y < z:
-                pass
-        # count triangles at their lowest vertex
     tri = {}
     for x, y in E:
         common = adj[x] & adj[y]

@@ -269,3 +269,21 @@ def test_salted_hash_join_equals_plain_join(ray_session):
     assert len(out) == len(ref)
     assert (out[["k", "lv", "rv"]].to_numpy()
             == ref[["k", "lv", "rv"]].to_numpy()).all()
+
+
+def test_exact_group_quantile_sorted_duplicates_span_blocks(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from dggrid4py_ray.stages.relational import exact_group_quantile_sorted
+
+    # one value duplicated 20k times in one group: duplicate (g, v) runs
+    # span many sorted blocks (the carry-chain unique-key hazard the
+    # distinct-table rewrite removes)
+    df = pd.DataFrame({
+        "g": np.r_[np.zeros(20000, np.int64), np.ones(1000, np.int64)],
+        "v": np.r_[np.full(20000, 5.0), np.arange(1000, dtype=np.float64)]})
+    out = exact_group_quantile_sorted(
+        ray.data.from_pandas(df).repartition(16), "g", "v", q=0.5) \
+        .to_pandas().sort_values("g", ignore_index=True)
+    assert list(out["quantile"]) == [5.0, 499.0]
