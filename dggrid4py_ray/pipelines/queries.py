@@ -3055,6 +3055,27 @@ def mixture_sample_docs(sf_dir: str):
     return kept.sort("doc_id")
 
 
+def ann_pq_top10(sf_dir: str):
+    """Product-quantization ANN (stages/ann.pq_*): deterministic
+    per-subspace codebooks (distinct-row init + fixed Lloyd iterations on
+    a deterministic sample), uint8 codes, ADC lookup-table scan — no
+    float vector is touched at query time.  The whole pipeline is a pure
+    function of the data, so the oracle pins the top-10; recall and
+    partition-invariance are pytest-gated (tests/test_training_ops.py)."""
+    from ..stages.ann import pq_encode, pq_topk, pq_train
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    books = pq_train(ds, n_sub=4, n_centroids=32)
+    codes = pq_encode(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                      books).materialize()
+    q = _query_vec(_read(sf_dir, "embeddings", ["vec_id", "embedding"]))
+    t = pq_topk(codes, q, books, k=10)
+    return pa.table({"rank": t["rank"], "vec_id": t["vec_id"],
+                     "score": _iscale(
+                         t["score"].to_numpy(zero_copy_only=False),
+                         1000000)})
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -3168,6 +3189,7 @@ QUERIES = {
     "triangle_count_lineitem": triangle_count_lineitem,
     "decayed_activity_by_user": decayed_activity_by_user,
     "mixture_sample_docs": mixture_sample_docs,
+    "ann_pq_top10": ann_pq_top10,
 }
 
 ORACLES = {
@@ -3734,6 +3756,23 @@ ORACLES = {
                CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
                CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) AS BIGINT) AS sum_spaces
         FROM documents GROUP BY lang
+    """,
+    # PQ is a pure function of the data (deterministic sample, init and
+    # Lloyd steps) — k-means is not SQL-expressible, so the top-10 is
+    # pinned; top-1 = the query vector itself is the sanity anchor
+    "ann_pq_top10": """
+        SELECT * FROM (VALUES
+            (CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(506025 AS BIGINT)),
+            (CAST(2 AS BIGINT), CAST(423 AS BIGINT), CAST(374830 AS BIGINT)),
+            (CAST(3 AS BIGINT), CAST(108 AS BIGINT), CAST(308577 AS BIGINT)),
+            (CAST(4 AS BIGINT), CAST(388 AS BIGINT), CAST(298241 AS BIGINT)),
+            (CAST(5 AS BIGINT), CAST(483 AS BIGINT), CAST(241866 AS BIGINT)),
+            (CAST(6 AS BIGINT), CAST(415 AS BIGINT), CAST(237130 AS BIGINT)),
+            (CAST(7 AS BIGINT), CAST(391 AS BIGINT), CAST(224151 AS BIGINT)),
+            (CAST(8 AS BIGINT), CAST(190 AS BIGINT), CAST(208212 AS BIGINT)),
+            (CAST(9 AS BIGINT), CAST(56 AS BIGINT), CAST(201319 AS BIGINT)),
+            (CAST(10 AS BIGINT), CAST(334 AS BIGINT), CAST(200631 AS BIGINT))
+        ) AS t(rank, vec_id, score) ORDER BY rank
     """,
     "mixture_sample_docs": """
         WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents
