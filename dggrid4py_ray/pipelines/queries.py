@@ -3076,6 +3076,26 @@ def ann_pq_top10(sf_dir: str):
                          1000000)})
 
 
+def wau_purchases(sf_dir: str):
+    """Rolling 7-day DISTINCT active purchasers per day (the WAU metric;
+    stages/temporal.rolling_distinct_daily).  Rolling DISTINCT does not
+    decompose like rolling SUM, so each distinct (day, user) activity is
+    expanded to the 7 window-days it counts toward (bounded fan-out),
+    then ONE grouped_count_distinct — no per-day rescan."""
+    from ..stages.temporal import rolling_distinct_daily
+
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type", "value"]) \
+        .filter(expr="event_type == 'purchase' and value > 100.0")
+    out = rolling_distinct_daily(ds, "ts", "user_id", window_days=7)
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = t["_wday"].to_numpy(zero_copy_only=False).astype(np.int32)
+        return pa.table({"day": pa.array(d, pa.date32()),
+                         "wau": pc.cast(t["active"], pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("day")
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -3190,6 +3210,7 @@ QUERIES = {
     "decayed_activity_by_user": decayed_activity_by_user,
     "mixture_sample_docs": mixture_sample_docs,
     "ann_pq_top10": ann_pq_top10,
+    "wau_purchases": wau_purchases,
 }
 
 ORACLES = {
@@ -3756,6 +3777,18 @@ ORACLES = {
                CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
                CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) AS BIGINT) AS sum_spaces
         FROM documents GROUP BY lang
+    """,
+    # days where qualifying purchases occur; WAU = distinct purchasers in
+    # the trailing 7 days (note the engine emits a row per day with ANY
+    # qualifying activity, the same day set as this oracle's d)
+    "wau_purchases": """
+        WITH p AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events
+                   WHERE event_type = 'purchase' AND value > 100),
+        d AS (SELECT DISTINCT day FROM p)
+        SELECT d.day,
+               (SELECT CAST(COUNT(DISTINCT p2.user_id) AS BIGINT) FROM p p2
+                WHERE p2.day BETWEEN d.day - 6 AND d.day) AS wau
+        FROM d ORDER BY d.day
     """,
     # PQ is a pure function of the data (deterministic sample, init and
     # Lloyd steps) — k-means is not SQL-expressible, so the top-10 is

@@ -424,3 +424,61 @@ def cohort_retention(events: ray.data.Dataset, user_col: str = "user_id",
             "active_users": t["active_users"]})
 
     return counts.map_batches(finish, batch_format="pyarrow")
+
+
+def rolling_distinct_daily(events: ray.data.Dataset, ts_col: str = "ts",
+                           key_col: str = "user_id",
+                           window_days: int = 7) -> ray.data.Dataset:
+    """Rolling W-day DISTINCT count per day (WAU/MAU): for each day d,
+    the number of distinct keys active in [d-W+1, d].  Rolling DISTINCT
+    does not decompose like a rolling SUM (dailies can't be added), so
+    the scale shape is contribution expansion: each distinct (day, key)
+    activity covers the W window-days it counts toward (a bounded W-fold
+    flat emit of small rows, keys never carry payload), then ONE
+    ``grouped_count_distinct`` on (window_day, key).  Output restricted
+    to days that actually occur (day domain is bounded -> broadcast).
+    Columns: (_day epoch-day int64, active int64)."""
+    import ray
+
+    from .groupagg import grouped_count, grouped_count_distinct
+
+    DAY = np.int64(86_400_000_000)
+
+    def day_pairs(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({"_day": ts // DAY,
+                           key_col: t[key_col].to_numpy(
+                               zero_copy_only=False)}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = events.select_columns([ts_col, key_col]) \
+                  .map_batches(day_pairs, batch_format="pyarrow")
+
+    def expand(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"_wday": pa.array([], pa.int64()),
+                             key_col: t[key_col]})
+        d = t["_day"].to_numpy(zero_copy_only=False)
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        rep = np.repeat(np.arange(len(d)), window_days)
+        off = np.tile(np.arange(window_days, dtype=np.int64), len(d))
+        return pa.table({"_wday": pa.array(d[rep] + off),
+                         key_col: pa.array(k[rep])})
+
+    counts = grouped_count_distinct(
+        pairs.map_batches(expand, batch_format="pyarrow"),
+        "_wday", key_col, out_col="active")
+    # the expansion invents wdays past the data's last day: keep only
+    # real days (bounded domain, one small aggregate + broadcast)
+    real = grouped_count(pairs, "_day").to_pandas()["_day"].to_numpy()
+    rref = ray.put(np.sort(real.astype(np.int64)))
+
+    def keep_real(t: pa.Table) -> pa.Table:
+        days = ray.get(rref)
+        w = t["_wday"].to_numpy(zero_copy_only=False)
+        i = np.clip(np.searchsorted(days, w), 0, max(len(days) - 1, 0))
+        ok = (days[i] == w) if len(days) else np.zeros(len(w), bool)
+        return t.filter(pa.array(ok))
+
+    return counts.map_batches(keep_real, batch_format="pyarrow")

@@ -207,3 +207,31 @@ def test_funnel_stages_empty_step_returns_partial(ray_session):
     # Ray drops schema on fully-empty datasets in to_pandas (documented
     # sandbox pitfall) — assert emptiness via the dataset itself
     assert out2.count() == 0
+
+
+def test_rolling_distinct_daily_hand_case(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from dggrid4py_ray.stages.temporal import rolling_distinct_daily
+
+    D = np.timedelta64(86_400_000_000, "us")
+    T = np.datetime64("2024-05-01T10:00:00", "us")
+    rows = [
+        (1, T), (2, T),                  # day 0: users 1,2
+        (1, T + D), (1, T + D),          # day 1: user 1 (dup within day)
+        (3, T + 3 * D),                  # day 3: user 3
+        (1, T + 9 * D),                  # day 9: user 1 (window resets)
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    out = rolling_distinct_daily(ray.data.from_pandas(df).repartition(3),
+                                 "ts", "user_id", window_days=3) \
+        .to_pandas().sort_values("_wday", ignore_index=True)
+    base = int(T.astype("datetime64[us]").astype(np.int64)
+               // 86_400_000_000)
+    got = {int(w) - base: int(a)
+           for w, a in zip(out["_wday"], out["active"])}
+    # only days with actual activity are emitted: 0,1,3,9
+    # day 0: {1,2}; day 1: {1,2} (window 0-1); day 3: {1,3} (days 1-3);
+    # day 9: {1}
+    assert got == {0: 2, 1: 2, 3: 2, 9: 1}
