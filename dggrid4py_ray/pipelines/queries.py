@@ -3096,6 +3096,25 @@ def wau_purchases(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow").sort("day")
 
 
+def ewma_value_by_user(sf_dir: str):
+    """Final per-user EWMA of event values in (ts, event_id) order
+    (stages/window.group_ewma): the sequential recurrence y_i = a*v_i +
+    (1-a)*y_{i-1} solved by its closed-form weights — ROW_NUMBER carry
+    chain + counts + one weighted grouped_reduce, no ordered scan."""
+    from ..stages.window import group_ewma
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    t = group_ewma(ds, "user_id", ["ts", "event_id"], "value", alpha=0.3)
+
+    def finish(tt: pa.Table) -> pa.Table:
+        return pa.table({"user_id": tt["user_id"],
+                         "ewma": _iscale(
+                             tt["ewma"].to_numpy(zero_copy_only=False),
+                             10000)})
+
+    return t.map_batches(finish, batch_format="pyarrow").sort("user_id")
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -3211,6 +3230,7 @@ QUERIES = {
     "mixture_sample_docs": mixture_sample_docs,
     "ann_pq_top10": ann_pq_top10,
     "wau_purchases": wau_purchases,
+    "ewma_value_by_user": ewma_value_by_user,
 }
 
 ORACLES = {
@@ -3777,6 +3797,21 @@ ORACLES = {
                CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
                CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) AS BIGINT) AS sum_spaces
         FROM documents GROUP BY lang
+    """,
+    # EWMA recurrence solved in closed form: weight (1-a)^(n-1) on the
+    # first value, a*(1-a)^(n-i) on the rest, in (ts, event_id) order
+    "ewma_value_by_user": """
+        WITH o AS (SELECT user_id, value,
+                          ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS i,
+                          COUNT(*) OVER (PARTITION BY user_id) AS n
+                   FROM events)
+        SELECT user_id,
+               CAST(ROUND(SUM(CASE WHEN i = 1
+                   THEN POWER(0.7, n - 1) * value
+                   ELSE 0.3 * POWER(0.7, n - i) * value END) * 10000)
+                   AS BIGINT) AS ewma
+        FROM o GROUP BY user_id ORDER BY user_id
     """,
     # days where qualifying purchases occur; WAU = distinct purchasers in
     # the trailing 7 days (note the engine emits a row per day with ANY

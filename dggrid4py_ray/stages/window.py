@@ -403,3 +403,45 @@ def group_rolling_mean(ds: ray.data.Dataset, group_col: str,
         return t.append_column(out_col, pa.array(mean[p:], pa.float64()))
 
     return srt.map_batches(local, batch_format="pyarrow")
+
+
+def group_ewma(ds: ray.data.Dataset, group_col: str, order_cols: list,
+               value_col: str, alpha: float = 0.3,
+               out_col: str = "ewma") -> ray.data.Dataset:
+    """FINAL exponentially-weighted moving average per group over the
+    (order_cols)-ordered values: y_1 = v_1, y_i = alpha*v_i +
+    (1-alpha)*y_{i-1}; returns (group, ewma=y_n).
+
+    The recurrence has a closed form — y_n = (1-a)^(n-1) v_1 +
+    sum_{i>=2} a (1-a)^(n-i) v_i — so no sequential scan is needed:
+    ROW_NUMBER via the carry chain + per-group counts + ONE weighted
+    grouped_reduce sum.  Unbounded group cardinality, no per-group
+    Python; weights underflow harmlessly for astronomically long
+    groups.  Unique (group, *order) keys required (the row-number
+    contract)."""
+    from .groupagg import grouped_count, grouped_reduce
+
+    rn = group_row_number(
+        ds.select_columns([group_col] + list(order_cols) + [value_col]),
+        group_col, list(order_cols), out_col="_rn")
+    from .join import _join_partitions
+    counts = grouped_count(ds, group_col, out_col="_n") \
+        .repartition(_join_partitions())
+    j = rn.join(counts, join_type="inner",
+                num_partitions=_join_partitions(), on=(group_col,))
+    a = float(alpha)
+
+    def weigh(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({group_col: t[group_col],
+                             "_wv": pa.array([], pa.float64())})
+        i = t["_rn"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["_n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = np.where(i == 1.0, (1.0 - a) ** (n - 1.0),
+                     a * (1.0 - a) ** (n - i))
+        return pa.table({group_col: t[group_col],
+                         "_wv": pa.array(w * v)})
+
+    return grouped_reduce(j.map_batches(weigh, batch_format="pyarrow"),
+                          group_col, {"_wv": out_col}, how="sum")

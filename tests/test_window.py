@@ -109,3 +109,30 @@ def test_running_sum_matches_duckdb_window(ray_session):
         "SELECT g, x, SUM(v) OVER (PARTITION BY g ORDER BY x "
         "ROWS UNBOUNDED PRECEDING) AS r FROM df ORDER BY g, x").fetchdf()
     np.testing.assert_allclose(got["running"], want["r"], rtol=1e-12)
+
+
+def test_group_ewma_matches_sequential(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from dggrid4py_ray.stages.window import group_ewma
+
+    rng = np.random.default_rng(19)
+    n = 20000
+    df = pd.DataFrame({"g": rng.integers(0, 800, n),
+                       "o": np.arange(n),
+                       "v": rng.normal(5, 2, n)})
+    out = group_ewma(ray.data.from_pandas(df).repartition(9),
+                     "g", ["o"], "v", alpha=0.3) \
+        .to_pandas().sort_values("g", ignore_index=True)
+
+    def seq(vals, a=0.3):
+        y = vals[0]
+        for x in vals[1:]:
+            y = a * x + (1 - a) * y
+        return y
+
+    ref = df.sort_values("o").groupby("g")["v"].apply(
+        lambda s: seq(s.to_numpy()))
+    assert np.allclose(out["ewma"].to_numpy(),
+                       ref.sort_index().to_numpy(), rtol=1e-10, atol=1e-9)
