@@ -3115,6 +3115,37 @@ def ewma_value_by_user(sf_dir: str):
     return t.map_batches(finish, batch_format="pyarrow").sort("user_id")
 
 
+def snapshot_diff_orders(sf_dir: str):
+    """Change-data-capture diff of two deterministic orders snapshots
+    (stages/diff.table_diff): snapshot A drops keys %97==0, snapshot B
+    drops keys %89==0 and shifts price by +1000 where key %101==0.
+    Payloads never shuffle — each side reduces to (key, side counts,
+    vectorized value fingerprint) and ONE grouped_reduce merges them."""
+    from ..stages.diff import table_diff
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+
+    def snap_a(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy()
+        return t.filter(pa.array(k % 97 != 0))
+
+    def snap_b(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy()
+        t = t.filter(pa.array(k % 89 != 0))
+        k = t["o_orderkey"].to_numpy()
+        p = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        p2 = np.where(k % 101 == 0, p + 1000.0, p)
+        return t.set_column(t.schema.get_field_index("o_totalprice"),
+                            "o_totalprice", pa.array(p2))
+
+    a = _read(sf_dir, "orders", cols).map_batches(
+        snap_a, batch_format="pyarrow")
+    b = _read(sf_dir, "orders", cols).map_batches(
+        snap_b, batch_format="pyarrow")
+    out = table_diff(a, b, "o_orderkey", ["o_orderstatus", "o_totalprice"])
+    return out.sort("o_orderkey")
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -3231,6 +3262,7 @@ QUERIES = {
     "ann_pq_top10": ann_pq_top10,
     "wau_purchases": wau_purchases,
     "ewma_value_by_user": ewma_value_by_user,
+    "snapshot_diff_orders": snapshot_diff_orders,
 }
 
 ORACLES = {
@@ -3824,6 +3856,27 @@ ORACLES = {
                (SELECT CAST(COUNT(DISTINCT p2.user_id) AS BIGINT) FROM p p2
                 WHERE p2.day BETWEEN d.day - 6 AND d.day) AS wau
         FROM d ORDER BY d.day
+    """,
+    # CDC classification = FULL OUTER JOIN of the two derived snapshots;
+    # +1000.0 is an exact IEEE double op so 'changed' is float-exact on
+    # both engines
+    "snapshot_diff_orders": """
+        WITH a AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                   FROM orders WHERE o_orderkey % 97 <> 0),
+             b AS (SELECT o_orderkey, o_orderstatus,
+                          CASE WHEN o_orderkey % 101 = 0
+                               THEN o_totalprice + 1000.0
+                               ELSE o_totalprice END AS o_totalprice
+                   FROM orders WHERE o_orderkey % 89 <> 0)
+        SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+               CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                    WHEN b.o_orderkey IS NULL THEN 'removed'
+                    ELSE 'changed' END AS change
+        FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+        WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+           OR a.o_orderstatus <> b.o_orderstatus
+           OR a.o_totalprice <> b.o_totalprice
+        ORDER BY 1
     """,
     # PQ is a pure function of the data (deterministic sample, init and
     # Lloyd steps) — k-means is not SQL-expressible, so the top-10 is
