@@ -3146,6 +3146,33 @@ def snapshot_diff_orders(sf_dir: str):
     return out.sort("o_orderkey")
 
 
+def interval_coverage_users(sf_dir: str):
+    """Per-user UNION length of overlapping activity intervals
+    (stages/temporal.interval_union_length — the islands-and-gaps
+    aggregate): each event spans [ts, ts + round(value*10) minutes);
+    overlaps within a user count once.  One range sort + block-local
+    sweep + running-max carry chain."""
+    from ..stages.temporal import interval_union_length
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value", "event_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        # floor(x+0.5), not np.round: value*10 has one decimal, so .5
+        # ties are common and half-even vs half-away diverges per user
+        dur = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                       * 10 + 0.5).astype(np.int64) * 60_000_000
+        return pa.table({"user_id": t["user_id"], "s": pa.array(ts),
+                         "e": pa.array(ts + dur), "event_id": t["event_id"]})
+
+    iv = ds.map_batches(mk, batch_format="pyarrow")
+    out = interval_union_length(iv, "user_id", "s", "e",
+                                uniq_cols=["event_id"],
+                                out_col="covered_us")
+    return out.sort("user_id")
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -3263,6 +3290,7 @@ QUERIES = {
     "wau_purchases": wau_purchases,
     "ewma_value_by_user": ewma_value_by_user,
     "snapshot_diff_orders": snapshot_diff_orders,
+    "interval_coverage_users": interval_coverage_users,
 }
 
 ORACLES = {
@@ -3856,6 +3884,30 @@ ORACLES = {
                (SELECT CAST(COUNT(DISTINCT p2.user_id) AS BIGINT) FROM p p2
                 WHERE p2.day BETWEEN d.day - 6 AND d.day) AS wau
         FROM d ORDER BY d.day
+    """,
+    # islands-and-gaps: running MAX(e) over preceding rows marks island
+    # starts; union length = sum of island extents
+    "interval_coverage_users": """
+        WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                           epoch_us(ts)
+                           + CAST(FLOOR(value*10 + 0.5) AS BIGINT)
+                             * 60000000 AS e
+                    FROM events),
+        m AS (SELECT user_id, s, e,
+                     MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS pm
+              FROM iv),
+        g AS (SELECT *, SUM(CASE WHEN pm IS NULL OR s > pm THEN 1
+                                 ELSE 0 END)
+                        OVER (PARTITION BY user_id
+                              ORDER BY s, e) AS island
+              FROM m),
+        isl AS (SELECT user_id, island, MIN(s) AS s0,
+                       GREATEST(MAX(e), MIN(s)) AS e1
+                FROM g GROUP BY 1, 2)
+        SELECT user_id, CAST(SUM(e1 - s0) AS BIGINT) AS covered_us
+        FROM isl GROUP BY user_id ORDER BY user_id
     """,
     # CDC classification = FULL OUTER JOIN of the two derived snapshots;
     # +1000.0 is an exact IEEE double op so 'changed' is float-exact on

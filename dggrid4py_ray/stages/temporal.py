@@ -482,3 +482,99 @@ def rolling_distinct_daily(events: ray.data.Dataset, ts_col: str = "ts",
         return t.filter(pa.array(ok))
 
     return counts.map_batches(keep_real, batch_format="pyarrow")
+
+
+def interval_union_length(ds: ray.data.Dataset, group_col: str,
+                          start_col: str, end_col: str,
+                          uniq_cols: list | None = None,
+                          out_col: str = "covered") -> ray.data.Dataset:
+    """Per-group UNION length of (possibly overlapping) integer intervals
+    [start, end) — SQL's islands-and-gaps aggregate (distinct covered
+    time across overlapping sessions, total on-air seconds, etc.).
+
+    One range sort on (group, start, end[, uniq]); then, per sorted
+    block, the classic sweep: contribution_i = max(0, e_i - max(s_i,
+    prevmax_i)) with prevmax = segmented shifted cummax of e (pandas
+    compiled cummax — no Python per row).  The cross-block seam is a
+    running-MAX carry chain over O(#blocks) driver rows (the
+    ``group_running_sum`` shape with max instead of sum).  Block-local
+    per-group partial sums then ONE ``grouped_reduce`` — works at
+    unbounded group cardinality; interval payloads shuffle once as
+    (group, start, end) triples only.
+
+    ``uniq_cols``: extra sort columns to make the key unique when exact
+    duplicate (group, start, end) rows are possible (duplicates across a
+    block seam would make the carry chain ambiguous, and are rejected).
+    """
+    from .groupagg import grouped_reduce
+
+    keys = [group_col, start_col, end_col] + list(uniq_cols or [])
+    srt = ds.sort(keys).materialize()
+    NEG = np.int64(-(2 ** 62))
+
+    def summarize(t: pa.Table) -> pa.Table:
+        cols = {f"_k{i}": t[c].slice(0, min(1, t.num_rows))
+                for i, c in enumerate(keys)}
+        if t.num_rows == 0:
+            cols.update({"_key": pa.array([], pa.string()),
+                         "_first_g": pa.array([], pa.string()),
+                         "_last_g": pa.array([], pa.string()),
+                         "_maxe_last": pa.array([], pa.int64())})
+            return pa.table(cols)
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        e = t[end_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        last_start = 0 if g[0] == g[-1] else \
+            int(np.flatnonzero(g[:-1] != g[1:])[-1] + 1)
+        from .window import _first_key
+        cols.update({
+            "_key": pa.array([repr(_first_key(t, keys))]),
+            "_first_g": pa.array([str(g[0])]),
+            "_last_g": pa.array([str(g[-1])]),
+            "_maxe_last": pa.array([int(e[last_start:].max())], pa.int64()),
+        })
+        return pa.table(cols)
+
+    summ = (srt.map_batches(summarize, batch_format="pyarrow").to_pandas()
+            .sort_values([f"_k{i}" for i in range(len(keys))],
+                         ignore_index=True))
+    carries = {}
+    carry_g, carry_m = None, NEG
+    for _, r in summ.iterrows():          # O(#blocks) driver rows
+        inc = carry_m if r["_first_g"] == carry_g else NEG
+        if r["_key"] in carries:
+            raise ValueError("interval_union_length requires unique sort "
+                             f"keys; duplicate {r['_key']} (pass uniq_cols)")
+        carries[r["_key"]] = int(inc)
+        carry_m = (max(inc, int(r["_maxe_last"]))
+                   if r["_first_g"] == r["_last_g"]
+                   else int(r["_maxe_last"]))
+        carry_g = r["_last_g"]
+    c_ref = ray.put(carries)
+
+    def local_sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({group_col: t[group_col],
+                             out_col: pa.array([], pa.int64())})
+        from .window import _first_key
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        s = t[start_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = t[end_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(g)
+        new_seg = np.r_[True, g[1:] != g[:-1]]
+        starts = np.flatnonzero(new_seg)
+        codes = np.cumsum(new_seg) - 1
+        cm = pd.Series(e).groupby(codes).cummax().to_numpy()
+        prevmax = np.r_[NEG, cm[:-1]]
+        prevmax[starts] = NEG
+        carry = ray.get(c_ref)[repr(_first_key(t, keys))]
+        first_end = starts[1] if len(starts) > 1 else n
+        prevmax[:first_end] = np.maximum(prevmax[:first_end],
+                                         np.int64(carry))
+        contrib = np.maximum(e - np.maximum(s, prevmax), 0)
+        sums = np.add.reduceat(contrib, starts)
+        return pa.table({group_col: t[group_col].take(pa.array(starts)),
+                         out_col: pa.array(sums.astype(np.int64))})
+
+    partials = srt.map_batches(local_sweep, batch_format="pyarrow")
+    return grouped_reduce(partials, group_col, {out_col: out_col},
+                          how="sum")

@@ -67,3 +67,60 @@ def test_table_diff_identical_snapshots_empty():
     # all-empty dataset drops columns — a Ray quirk, not an engine one)
     assert [f for f in out.schema().names] == ["k", "change"]
     assert out.count() == 0
+
+
+def _brute_union(df: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for g, grp in df.groupby("g"):
+        iv = sorted(zip(grp["s"], grp["e"]))
+        tot, cs, ce = 0, None, None
+        for s, e in iv:
+            if cs is None:
+                cs, ce = s, max(s, e)
+            elif s > ce:
+                tot += ce - cs
+                cs, ce = s, max(s, e)
+            else:
+                ce = max(ce, e)
+        if cs is not None:
+            tot += ce - cs
+        rows.append({"g": g, "covered": tot})
+    return pd.DataFrame(rows)
+
+
+def test_interval_union_length_matches_bruteforce():
+    from dggrid4py_ray.stages.temporal import interval_union_length
+
+    rng = np.random.default_rng(3)
+    n = 30_000
+    df = pd.DataFrame({
+        "g": rng.integers(0, 400, n),
+        "s": rng.integers(0, 100_000, n).astype(np.int64),
+        "u": np.arange(n, dtype=np.int64),
+    })
+    df["e"] = df["s"] + rng.integers(0, 500, n).astype(np.int64)
+    out = (interval_union_length(
+        ray.data.from_pandas(df).repartition(17), "g", "s", "e",
+        uniq_cols=["u"]).to_pandas()
+        .sort_values("g", ignore_index=True))
+    exp = _brute_union(df).sort_values("g", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        out.astype({"covered": np.int64}), exp.astype({"covered": np.int64}))
+
+
+def test_interval_union_group_spanning_many_blocks():
+    from dggrid4py_ray.stages.temporal import interval_union_length
+
+    # one hot group spanning every block: the running-max carry chain
+    # must propagate through multiple seams
+    n = 5_000
+    df = pd.DataFrame({
+        "g": np.zeros(n, dtype=np.int64),
+        "s": np.arange(n, dtype=np.int64) * 10,
+        "u": np.arange(n, dtype=np.int64),
+    })
+    df["e"] = df["s"] + 15          # each overlaps the next
+    out = interval_union_length(
+        ray.data.from_pandas(df).repartition(23), "g", "s", "e",
+        uniq_cols=["u"]).to_pandas()
+    assert out["covered"].iloc[0] == (n - 1) * 10 + 15
