@@ -3173,6 +3173,25 @@ def interval_coverage_users(sf_dir: str):
     return out.sort("user_id")
 
 
+def skyline_parts(sf_dir: str):
+    """Pareto skyline of parts — cheapest-for-their-size frontier
+    (stages/skyline.skyline: minimize p_retailprice, maximize p_size).
+    Block-local skylines + one answer-sized merge; no shuffle."""
+    from ..stages.skyline import skyline
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+    out = skyline(ds, min_cols=["p_retailprice"], max_cols=["p_size"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": t["p_partkey"],
+            "price_cents": _iscale(
+                t["p_retailprice"].to_numpy(zero_copy_only=False), 100),
+            "p_size": pc.cast(t["p_size"], pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("p_partkey")
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -3291,6 +3310,7 @@ QUERIES = {
     "ewma_value_by_user": ewma_value_by_user,
     "snapshot_diff_orders": snapshot_diff_orders,
     "interval_coverage_users": interval_coverage_users,
+    "skyline_parts": skyline_parts,
 }
 
 ORACLES = {
@@ -3884,6 +3904,21 @@ ORACLES = {
                (SELECT CAST(COUNT(DISTINCT p2.user_id) AS BIGINT) FROM p p2
                 WHERE p2.day BETWEEN d.day - 6 AND d.day) AS wau
         FROM d ORDER BY d.day
+    """,
+    # skyline = NOT EXISTS dominance: some row <= on price, >= on size,
+    # strictly better on one; ties survive together
+    "skyline_parts": """
+        SELECT p.p_partkey,
+               CAST(ROUND(p.p_retailprice * 100) AS BIGINT) AS price_cents,
+               CAST(p.p_size AS BIGINT) AS p_size
+        FROM part p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part q
+            WHERE q.p_retailprice <= p.p_retailprice
+              AND q.p_size >= p.p_size
+              AND (q.p_retailprice < p.p_retailprice
+                   OR q.p_size > p.p_size))
+        ORDER BY p.p_partkey
     """,
     # islands-and-gaps: running MAX(e) over preceding rows marks island
     # starts; union length = sum of island extents

@@ -124,3 +124,64 @@ def test_interval_union_group_spanning_many_blocks():
         ray.data.from_pandas(df).repartition(23), "g", "s", "e",
         uniq_cols=["u"]).to_pandas()
     assert out["covered"].iloc[0] == (n - 1) * 10 + 15
+
+
+def _brute_skyline(crit: np.ndarray) -> np.ndarray:
+    n = len(crit)
+    keep = np.ones(n, dtype=bool)
+    for i in range(n):
+        le = (crit <= crit[i]).all(axis=1)
+        lt = (crit < crit[i]).any(axis=1)
+        if (le & lt).any():
+            keep[i] = False
+    return keep
+
+
+def test_skyline_2d_matches_bruteforce():
+    from dggrid4py_ray.stages.skyline import skyline
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "price": rng.integers(0, 300, n).astype(np.float64),  # many ties
+        "size": rng.integers(0, 50, n).astype(np.int64),
+    })
+    out = (skyline(ray.data.from_pandas(df).repartition(11),
+                   ["price"], ["size"]).to_pandas()
+           .sort_values("id", ignore_index=True))
+    crit = np.column_stack([df["price"], -df["size"].astype(np.float64)])
+    exp = df[_brute_skyline(crit)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, exp)
+
+
+def test_skyline_3d_matches_bruteforce():
+    from dggrid4py_ray.stages.skyline import skyline
+
+    rng = np.random.default_rng(9)
+    n = 2000
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "a": rng.integers(0, 40, n).astype(np.float64),
+        "b": rng.integers(0, 40, n).astype(np.float64),
+        "c": rng.integers(0, 40, n).astype(np.float64),
+    })
+    out = (skyline(ray.data.from_pandas(df).repartition(7),
+                   ["a", "b"], ["c"]).to_pandas()
+           .sort_values("id", ignore_index=True))
+    crit = np.column_stack([df["a"], df["b"], -df["c"]])
+    exp = df[_brute_skyline(crit)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, exp)
+
+
+def test_skyline_duplicate_points_all_survive():
+    from dggrid4py_ray.stages.skyline import skyline
+
+    df = pd.DataFrame({"id": np.arange(6, dtype=np.int64),
+                       "x": [1.0, 1.0, 1.0, 2.0, 2.0, 3.0],
+                       "y": [9, 9, 9, 9, 10, 1]})
+    # (1,9) x3 are mutually non-dominating; (2,9) dominated by (1,9);
+    # (2,10) survives; (3,1) dominated
+    out = skyline(ray.data.from_pandas(df).repartition(3),
+                  ["x"], ["y"]).to_pandas()
+    assert sorted(out["id"].tolist()) == [0, 1, 2, 4]
