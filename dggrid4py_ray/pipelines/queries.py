@@ -3192,6 +3192,36 @@ def skyline_parts(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow").sort("p_partkey")
 
 
+def winsorized_price_by_status(sf_dir: str):
+    """Robust mean: o_totalprice winsorized at the exact global
+    [p05, p95] (stages/normalize.winsorize — two streaming quantile
+    scans + broadcast clamp), then mean per order status."""
+    from ..stages.normalize import winsorize
+    from ..stages.groupagg import grouped_reduce
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+    w = winsorize(ds, "o_totalprice", 0.05, 0.95, out_col="_w")
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderstatus": t["o_orderstatus"],
+                         "_w": t["_w"],
+                         "_n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    agg = grouped_reduce(w.map_batches(partial, batch_format="pyarrow"),
+                         "o_orderstatus", {"_w": "s", "_n": "n"},
+                         how="sum")
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"o_orderstatus": t["o_orderstatus"],
+                         "wmean_cents": _iscale(s / n, 100),
+                         "n": pc.cast(t["n"], pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort("o_orderstatus")
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -3311,6 +3341,7 @@ QUERIES = {
     "snapshot_diff_orders": snapshot_diff_orders,
     "interval_coverage_users": interval_coverage_users,
     "skyline_parts": skyline_parts,
+    "winsorized_price_by_status": winsorized_price_by_status,
 }
 
 ORACLES = {
@@ -3904,6 +3935,18 @@ ORACLES = {
                (SELECT CAST(COUNT(DISTINCT p2.user_id) AS BIGINT) FROM p p2
                 WHERE p2.day BETWEEN d.day - 6 AND d.day) AS wau
         FROM d ORDER BY d.day
+    """,
+    # winsorize at exact global quantile_disc p05/p95, then group mean
+    "winsorized_price_by_status": """
+        WITH q AS (SELECT quantile_disc(o_totalprice, 0.05) AS lo,
+                          quantile_disc(o_totalprice, 0.95) AS hi
+                   FROM orders)
+        SELECT o_orderstatus,
+               CAST(ROUND(AVG(LEAST(GREATEST(o_totalprice, lo), hi))
+                          * 100) AS BIGINT) AS wmean_cents,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders, q
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
     # skyline = NOT EXISTS dominance: some row <= on price, >= on size,
     # strictly better on one; ties survive together

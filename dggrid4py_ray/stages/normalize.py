@@ -142,3 +142,36 @@ def grouped_corr(ds: ray.data.Dataset, key, x_col: str, y_col: str,
         return pa.table(out)
 
     return mom.map_batches(finish, batch_format="pyarrow")
+
+
+def winsorize(ds: ray.data.Dataset, col: str, q_lo: float = 0.05,
+              q_hi: float = 0.95, out_col: str | None = None
+              ) -> ray.data.Dataset:
+    """Clamp ``col`` to its exact global [quantile(q_lo), quantile(q_hi)]
+    (quantile_disc semantics) — the robust-statistics guard against
+    outliers before means/regressions.  Two streaming exact-quantile
+    scans (stages/relational.exact_group_quantile with a constant group;
+    no global sort, no materialization) broadcast two scalars; the clamp
+    is a pure vectorized map."""
+    from .relational import exact_group_quantile
+
+    out_col = out_col or col
+
+    def const_g(t: pa.Table) -> pa.Table:
+        return pa.table({"_g": pa.array(np.zeros(t.num_rows, np.int8)),
+                         col: t[col]})
+
+    gds = ds.map_batches(const_g, batch_format="pyarrow")
+    lo = float(exact_group_quantile(gds, "_g", col, q=q_lo)
+               .column("quantile")[0].as_py())
+    hi = float(exact_group_quantile(gds, "_g", col, q=q_hi)
+               .column("quantile")[0].as_py())
+
+    def clamp(t: pa.Table) -> pa.Table:
+        v = np.clip(t[col].to_numpy(zero_copy_only=False), lo, hi)
+        if out_col in t.column_names:
+            return t.set_column(t.schema.get_field_index(out_col),
+                                out_col, pa.array(v))
+        return t.append_column(out_col, pa.array(v))
+
+    return ds.map_batches(clamp, batch_format="pyarrow")

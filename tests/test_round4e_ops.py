@@ -185,3 +185,21 @@ def test_skyline_duplicate_points_all_survive():
     out = skyline(ray.data.from_pandas(df).repartition(3),
                   ["x"], ["y"]).to_pandas()
     assert sorted(out["id"].tolist()) == [0, 1, 2, 4]
+
+
+def test_winsorize_matches_numpy_quantiles():
+    from dggrid4py_ray.stages.normalize import winsorize
+
+    rng = np.random.default_rng(13)
+    v = np.round(rng.lognormal(3, 1.5, 20_000), 2)
+    df = pd.DataFrame({"x": v})
+    out = winsorize(ray.data.from_pandas(df).repartition(9), "x",
+                    0.05, 0.95, out_col="w").to_pandas()
+    sv = np.sort(v)
+    # quantile_disc: element at rank ceil(q*n)-1
+    lo = sv[int(np.ceil(0.05 * len(v))) - 1]
+    hi = sv[int(np.ceil(0.95 * len(v))) - 1]
+    exp = np.clip(df["x"].to_numpy(), lo, hi)
+    np.testing.assert_array_equal(
+        np.sort(out["w"].to_numpy()), np.sort(exp))
+    assert out["w"].min() == lo and out["w"].max() == hi
