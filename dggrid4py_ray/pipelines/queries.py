@@ -3222,6 +3222,47 @@ def winsorized_price_by_status(sf_dir: str):
         .sort("o_orderstatus")
 
 
+def stencil_focal_events(sf_dir: str):
+    """Focal (neighborhood) statistics over a binned integer grid
+    (stages/interp.stencil_smooth — the raster "focal sum"): events bin
+    to a 90x45 synthetic lat/lon lattice (same event_id hash layout as
+    latlon_bin_events, coarser), per-cell values are made integer cents
+    BEFORE the stencil so the 3x3 window sum is exact integer
+    arithmetic at any parallelism.  Shift-and-aggregate: each occupied
+    cell emits to its 9 neighbor positions, ONE grouped sum; no join."""
+    from ..stages.groupagg import grouped_reduce
+    from ..stages.interp import stencil_smooth
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def binp(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        gx = (eid * 7919) % 36000 // 400
+        gy = (eid * 104729) % 18000 // 400
+        cents = np.round(
+            t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"gx": pa.array(gx), "gy": pa.array(gy),
+                         "n": pa.array(np.ones(t.num_rows, np.int64)),
+                         "cents": pa.array(cents)})
+
+    cells = grouped_reduce(ds.map_batches(binp, batch_format="pyarrow"),
+                           ["gx", "gy"], {"n": "n", "cents": "cents"},
+                           how="sum")
+    out = stencil_smooth(cells, "gx", "gy",
+                         {"n": "focal_n", "cents": "focal_cents"}, radius=1)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "gx": pc.cast(t["gx"], pa.int64()),
+            "gy": pc.cast(t["gy"], pa.int64()),
+            "focal_n": pc.cast(t["focal_n"], pa.int64()),
+            "focal_cents": pc.cast(t["focal_cents"], pa.int64()),
+            "own_n": pc.cast(t["own_n"], pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow") \
+        .sort(["gx", "gy"])
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -3342,6 +3383,7 @@ QUERIES = {
     "interval_coverage_users": interval_coverage_users,
     "skyline_parts": skyline_parts,
     "winsorized_price_by_status": winsorized_price_by_status,
+    "stencil_focal_events": stencil_focal_events,
 }
 
 ORACLES = {
@@ -4726,5 +4768,27 @@ ORACLES = {
           AND source NOT IN ('src1', 'src7', 'src13')
           AND md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 < 25
         GROUP BY lang ORDER BY lang
+    """,
+    # focal sum = self-join of the binned grid on the 9 (dx, dy) window
+    # offsets; per-cell cents are integers before the window sum so the
+    # comparison is exact (non-periodic lattice on both sides)
+    "stencil_focal_events": """
+        WITH b AS (
+            SELECT (event_id * 7919) % 36000 // 400 AS gx,
+                   (event_id * 104729) % 18000 // 400 AS gy,
+                   COUNT(*) AS n,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+            FROM events GROUP BY 1, 2),
+        o AS (SELECT dxr.range AS dx, dyr.range AS dy
+              FROM range(-1, 2) dxr, range(-1, 2) dyr)
+        SELECT CAST(c.gx AS BIGINT) AS gx, CAST(c.gy AS BIGINT) AS gy,
+               CAST(SUM(nb.n) AS BIGINT) AS focal_n,
+               CAST(SUM(nb.cents) AS BIGINT) AS focal_cents,
+               CAST(c.n AS BIGINT) AS own_n
+        FROM b c
+        CROSS JOIN o
+        JOIN b nb ON nb.gx = c.gx + o.dx AND nb.gy = c.gy + o.dy
+        GROUP BY c.gx, c.gy, c.n
+        ORDER BY gx, gy
     """,
 }

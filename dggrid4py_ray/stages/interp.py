@@ -91,3 +91,79 @@ def idw_grid(points: ray.data.Dataset, value_col: str = "value",
                   .groupby(["si", "sj"])
                   .aggregate(Sum("swv", alias_name="sum_wv"),
                              Sum("sw", alias_name="sum_w")))
+
+
+def stencil_smooth(cells: ray.data.Dataset, x_col: str, y_col: str,
+                   val_cols: dict, radius: int = 1,
+                   unbounded_cells: bool = True) -> ray.data.Dataset:
+    """(2r+1)^2 neighborhood aggregation on an integer grid — kernel
+    smoothing / focal statistics over binned cells (the raster "focal
+    sum" in DGGS clothing).  Input: one row per OCCUPIED cell (x, y,
+    values); output: the same cells with each value column replaced by
+    its window SUM over the (2r+1)^2 neighborhood (``val_cols`` maps
+    input -> output names), plus the cell's own columns preserved as
+    ``own_<col>``.
+
+    Shape: shift-and-aggregate, the dual of a stencil convolution — each
+    occupied cell EMITS its value to its (2r+1)^2 neighbor positions
+    (bounded fan-out, vectorized repeat+tile), then ONE grouped sum; the
+    identity shift carries an occupancy flag so the output is restricted
+    to occupied cells without a join.  Works on any integer lattice; the
+    grid is treated as non-periodic (no lon wraparound — callers with a
+    periodic axis pre-wrap the emitted coordinates).
+    """
+    from .groupagg import grouped_reduce
+    from ray.data.aggregate import Sum
+
+    R = 2 * radius + 1
+    in_cols = list(val_cols)
+    dx = np.tile(np.arange(-radius, radius + 1), R)
+    dy = np.repeat(np.arange(-radius, radius + 1), R)
+    ident = np.flatnonzero((dx == 0) & (dy == 0))[0]
+
+    def emit(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            out = {x_col: t[x_col], y_col: t[y_col],
+                   "_occ": pa.array([], pa.int64())}
+            for c in in_cols:
+                out[f"_w_{c}"] = pa.array([], pa.float64())
+                out[f"_o_{c}"] = pa.array([], pa.float64())
+            return pa.table(out)
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        rep = np.repeat(np.arange(n), R * R)
+        sx = x[rep] + np.tile(dx, n)
+        sy = y[rep] + np.tile(dy, n)
+        occ = np.zeros(n * R * R, dtype=np.int64)
+        occ[np.arange(n) * R * R + ident] = 1
+        out = {x_col: pa.array(sx), y_col: pa.array(sy),
+               "_occ": pa.array(occ)}
+        for c in in_cols:
+            v = t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            out[f"_w_{c}"] = pa.array(v[rep])
+            out[f"_o_{c}"] = pa.array(v[rep] * occ)
+        return pa.table(out)
+
+    emitted = cells.map_batches(emit, batch_format="pyarrow")
+    col_map = {"_occ": "_occ"}
+    for c in in_cols:
+        col_map[f"_w_{c}"] = f"_w_{c}"
+        col_map[f"_o_{c}"] = f"_o_{c}"
+    if unbounded_cells:
+        agg = grouped_reduce(emitted, [x_col, y_col], col_map, how="sum")
+    else:
+        agg = emitted.groupby([x_col, y_col]).aggregate(
+            *[Sum(c, alias_name=c) for c in col_map])
+
+    def finish(t: pa.Table) -> pa.Table:
+        keep = pa.array(
+            t["_occ"].to_numpy(zero_copy_only=False) > 0)
+        t = t.filter(keep)
+        out = {x_col: t[x_col], y_col: t[y_col]}
+        for c in in_cols:
+            out[val_cols[c]] = t[f"_w_{c}"]
+            out[f"own_{c}"] = t[f"_o_{c}"]
+        return pa.table(out)
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -203,3 +203,60 @@ def test_winsorize_matches_numpy_quantiles():
     np.testing.assert_array_equal(
         np.sort(out["w"].to_numpy()), np.sort(exp))
     assert out["w"].min() == lo and out["w"].max() == hi
+
+
+def _brute_focal(df: pd.DataFrame, vals: list, radius: int) -> pd.DataFrame:
+    cell = {(x, y): tuple(df[v].iloc[i] for v in vals)
+            for i, (x, y) in enumerate(zip(df["x"], df["y"]))}
+    rows = []
+    for (x, y), own in cell.items():
+        acc = [0.0] * len(vals)
+        for dx in range(-radius, radius + 1):
+            for dy in range(-radius, radius + 1):
+                nb = cell.get((x + dx, y + dy))
+                if nb is not None:
+                    for j in range(len(vals)):
+                        acc[j] += nb[j]
+        rows.append({"x": x, "y": y,
+                     **{f"f_{v}": acc[j] for j, v in enumerate(vals)},
+                     **{f"own_{v}": own[j] for j, v in enumerate(vals)}})
+    return pd.DataFrame(rows).sort_values(["x", "y"], ignore_index=True)
+
+
+@pytest.mark.parametrize("radius,unbounded", [(1, True), (1, False), (2, True)])
+def test_stencil_smooth_matches_bruteforce(radius, unbounded):
+    from dggrid4py_ray.stages.interp import stencil_smooth
+
+    rng = np.random.default_rng(7)
+    # ~40% occupancy on a 40x25 lattice -> rich neighborhoods + edges
+    xs, ys = np.meshgrid(np.arange(40), np.arange(25))
+    keep = rng.random(xs.size) < 0.4
+    df = pd.DataFrame({
+        "x": xs.ravel()[keep].astype(np.int64),
+        "y": ys.ravel()[keep].astype(np.int64),
+        "n": rng.integers(1, 9, keep.sum()).astype(np.int64),
+        "v": np.round(rng.uniform(0, 100, keep.sum()), 2),
+    })
+    out = (stencil_smooth(ray.data.from_pandas(df).repartition(13),
+                          "x", "y", {"n": "f_n", "v": "f_v"},
+                          radius=radius, unbounded_cells=unbounded)
+           .to_pandas().sort_values(["x", "y"], ignore_index=True))
+    exp = _brute_focal(df, ["n", "v"], radius)
+    exp = exp.rename(columns={"f_n": "f_n", "f_v": "f_v"})
+    assert len(out) == len(df)
+    np.testing.assert_allclose(out["f_n"], exp["f_n"], rtol=1e-12)
+    np.testing.assert_allclose(out["f_v"], exp["f_v"], rtol=1e-12)
+    np.testing.assert_allclose(out["own_n"], exp["own_n"], rtol=0)
+    np.testing.assert_allclose(out["own_v"], exp["own_v"], rtol=0)
+
+
+def test_stencil_smooth_isolated_cell_is_identity():
+    from dggrid4py_ray.stages.interp import stencil_smooth
+
+    df = pd.DataFrame({"x": [0, 100], "y": [0, 100],
+                       "n": [3.0, 5.0]})
+    out = (stencil_smooth(ray.data.from_pandas(df), "x", "y",
+                          {"n": "f_n"}, radius=1)
+           .to_pandas().sort_values("x", ignore_index=True))
+    np.testing.assert_array_equal(out["f_n"], [3.0, 5.0])
+    np.testing.assert_array_equal(out["own_n"], [3.0, 5.0])
