@@ -3263,6 +3263,40 @@ def stencil_focal_events(sf_dir: str):
         .sort(["gx", "gy"])
 
 
+def density_clusters_events(sf_dir: str):
+    """Grid-density clustering (distributed DBSCAN on the cell lattice,
+    stages/density.density_clusters): purchase events bin to the 90x45
+    synthetic lattice, cells with >= 2 purchases are dense, 8-adjacent
+    dense cells form clusters labeled by their lexicographically-first
+    member.  Filter -> probe emit -> one hash join -> alternating-star
+    connected components -> one grouped min; no driver materialization."""
+    from ..stages.density import density_clusters
+    from ..stages.groupagg import grouped_reduce
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def binp(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        eid = t["event_id"].to_numpy()
+        return pa.table({"gx": pa.array((eid * 7919) % 36000 // 400),
+                         "gy": pa.array((eid * 104729) % 18000 // 400),
+                         "n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    cells = grouped_reduce(ds.map_batches(binp, batch_format="pyarrow"),
+                           ["gx", "gy"], {"n": "n"}, how="sum")
+    out = density_clusters(cells, "gx", "gy", "n", min_weight=2, diag=True)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "gx": pc.cast(t["gx"], pa.int64()),
+            "gy": pc.cast(t["gy"], pa.int64()),
+            "n": pc.cast(t["n"], pa.int64()),
+            "cell_pk": t["cell_pk"],
+            "cluster_pk": t["cluster_pk"]})
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("cell_pk")
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -3384,6 +3418,7 @@ QUERIES = {
     "skyline_parts": skyline_parts,
     "winsorized_price_by_status": winsorized_price_by_status,
     "stencil_focal_events": stencil_focal_events,
+    "density_clusters_events": density_clusters_events,
 }
 
 ORACLES = {
@@ -4790,5 +4825,29 @@ ORACLES = {
         JOIN b nb ON nb.gx = c.gx + o.dx AND nb.gy = c.gy + o.dy
         GROUP BY c.gx, c.gy, c.n
         ORDER BY gx, gy
+    """,
+    # DBSCAN-on-the-lattice: dense cells, 8-neighbor adjacency, cluster =
+    # MIN pk reachable (recursive transitive closure; components are small)
+    "density_clusters_events": """
+        WITH RECURSIVE d AS (
+            SELECT gx, gy, n, (gx + 1048576) * 2097152 + (gy + 1048576) AS pk
+            FROM (SELECT (event_id * 7919) % 36000 // 400 AS gx,
+                         (event_id * 104729) % 18000 // 400 AS gy,
+                         COUNT(*) AS n
+                  FROM events WHERE event_type = 'purchase'
+                  GROUP BY 1, 2 HAVING COUNT(*) >= 2)),
+        e AS (SELECT a.pk AS src, c.pk AS dst
+              FROM d a JOIN d c
+                ON abs(a.gx - c.gx) <= 1 AND abs(a.gy - c.gy) <= 1
+               AND a.pk <> c.pk),
+        reach AS (
+            SELECT pk AS src, pk AS dst FROM d
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst)
+        SELECT CAST(d.gx AS BIGINT) AS gx, CAST(d.gy AS BIGINT) AS gy,
+               CAST(d.n AS BIGINT) AS n, d.pk AS cell_pk, m.cluster_pk
+        FROM d JOIN (SELECT src AS pk, MIN(dst) AS cluster_pk
+                     FROM reach GROUP BY src) m ON m.pk = d.pk
+        ORDER BY cell_pk
     """,
 }

@@ -260,3 +260,86 @@ def test_stencil_smooth_isolated_cell_is_identity():
            .to_pandas().sort_values("x", ignore_index=True))
     np.testing.assert_array_equal(out["f_n"], [3.0, 5.0])
     np.testing.assert_array_equal(out["own_n"], [3.0, 5.0])
+
+
+def _brute_density_clusters(df: pd.DataFrame, min_w, diag=True):
+    from dggrid4py_ray.stages.density import pack_xy
+
+    dense = df[df["w"] >= min_w].reset_index(drop=True)
+    pos = {(x, y): i for i, (x, y) in enumerate(zip(dense["x"], dense["y"]))}
+    parent = list(range(len(dense)))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0),
+            (1, 1)] if diag else [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    for (x, y), i in pos.items():
+        for ox, oy in offs:
+            j = pos.get((x + ox, y + oy))
+            if j is not None:
+                parent[find(i)] = find(j)
+    pk = pack_xy(dense["x"].to_numpy(), dense["y"].to_numpy())
+    roots = {}
+    for i in range(len(dense)):
+        roots.setdefault(find(i), []).append(i)
+    lab = np.empty(len(dense), dtype=np.int64)
+    for members in roots.values():
+        m = min(pk[i] for i in members)
+        for i in members:
+            lab[i] = m
+    out = dense.copy()
+    out["cell_pk"] = pk
+    out["cluster_pk"] = lab
+    return out.sort_values("cell_pk", ignore_index=True)
+
+
+@pytest.mark.parametrize("diag", [True, False])
+def test_density_clusters_matches_unionfind(diag):
+    from dggrid4py_ray.stages.density import density_clusters
+
+    rng = np.random.default_rng(21)
+    xs, ys = np.meshgrid(np.arange(60), np.arange(40))
+    df = pd.DataFrame({
+        "x": xs.ravel().astype(np.int64),
+        "y": ys.ravel().astype(np.int64),
+        "w": rng.poisson(3, xs.size).astype(np.int64),
+    })
+    out = (density_clusters(ray.data.from_pandas(df).repartition(11),
+                            "x", "y", "w", min_weight=5, diag=diag)
+           .to_pandas().sort_values("cell_pk", ignore_index=True)
+           [["x", "y", "w", "cell_pk", "cluster_pk"]])
+    exp = _brute_density_clusters(df, 5, diag=diag)
+    pd.testing.assert_frame_equal(out, exp)
+    # sanity: multi-cell clusters AND singletons both occurred
+    sizes = out.groupby("cluster_pk").size()
+    assert (sizes == 1).any() and (sizes > 1).any()
+
+
+def test_density_clusters_negative_coords_and_all_singletons():
+    from dggrid4py_ray.stages.density import density_clusters
+
+    # far-apart dense cells incl. negative coords -> every cell its own label
+    df = pd.DataFrame({"x": np.array([-50, 0, 50], dtype=np.int64),
+                       "y": np.array([-7, 0, 7], dtype=np.int64),
+                       "w": np.array([9, 9, 9], dtype=np.int64)})
+    out = density_clusters(ray.data.from_pandas(df), "x", "y", "w",
+                           min_weight=5).to_pandas()
+    assert (out["cluster_pk"] == out["cell_pk"]).all() and len(out) == 3
+
+
+def test_density_clusters_snake_spans_blocks():
+    from dggrid4py_ray.stages.density import density_clusters, pack_xy
+
+    # one 500-cell horizontal snake: a single component spanning every block
+    n = 500
+    df = pd.DataFrame({"x": np.arange(n, dtype=np.int64),
+                       "y": np.zeros(n, dtype=np.int64),
+                       "w": np.full(n, 10, dtype=np.int64)})
+    out = density_clusters(ray.data.from_pandas(df).repartition(19),
+                           "x", "y", "w", min_weight=1).to_pandas()
+    root = pack_xy(np.array([0]), np.array([0]))[0]
+    assert (out["cluster_pk"] == root).all() and len(out) == n
