@@ -3297,6 +3297,19 @@ def density_clusters_events(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow").sort("cell_pk")
 
 
+def cooccurrence_docs(sf_dir: str):
+    """Token co-occurrence over the top-16 vocabulary
+    (stages/text.token_cooccurrence): doc-level pair counts + per-token
+    document frequencies (PMI derivable exactly).  Vocabulary fixed first
+    (vocab-bounded df shuffle, answer-sized top-V broadcast); pair space
+    <= V^2; text never shuffles; pair emission vectorized by
+    token-count class."""
+    from ..stages.text import token_cooccurrence
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return token_cooccurrence(ds, vocab_size=16).sort(["tok_a", "tok_b"])
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -3419,6 +3432,7 @@ QUERIES = {
     "winsorized_price_by_status": winsorized_price_by_status,
     "stencil_focal_events": stencil_focal_events,
     "density_clusters_events": density_clusters_events,
+    "cooccurrence_docs": cooccurrence_docs,
 }
 
 ORACLES = {
@@ -4849,5 +4863,26 @@ ORACLES = {
         FROM d JOIN (SELECT src AS pk, MIN(dst) AS cluster_pk
                      FROM reach GROUP BY src) m ON m.pk = d.pk
         ORDER BY cell_pk
+    """,
+    # doc-level pair counts over the top-16 vocabulary (df desc, cf desc,
+    # tok asc — the token_df_top10 ordering), pairs lexicographic
+    "cooccurrence_docs": """
+        WITH raw AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                     FROM documents),
+        stats AS (SELECT tok, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS cf
+                  FROM raw GROUP BY tok),
+        top AS (SELECT tok, df FROM stats
+                ORDER BY df DESC, cf DESC, tok LIMIT 16),
+        dt AS (SELECT DISTINCT doc_id, tok FROM raw
+               WHERE tok IN (SELECT tok FROM top))
+        SELECT a.tok AS tok_a, b.tok AS tok_b,
+               CAST(sa.df AS BIGINT) AS df_a, CAST(sb.df AS BIGINT) AS df_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM dt a
+        JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        JOIN top sa ON sa.tok = a.tok
+        JOIN top sb ON sb.tok = b.tok
+        GROUP BY a.tok, b.tok, sa.df, sb.df
+        ORDER BY tok_a, tok_b
     """,
 }

@@ -487,3 +487,84 @@ def tfidf_topk(ds: "ray.data.Dataset", text_col: str = "text",
                           fn_constructor_args=(idf_ref, k, scale,
                                                text_col, id_col),
                           batch_format="pyarrow", concurrency=(1, 32))
+
+
+def token_cooccurrence(ds, text_col: str = "text", id_col: str = "doc_id",
+                       vocab_size: int = 32):
+    """Document-level token co-occurrence over the top-``vocab_size``
+    vocabulary: one row per unordered token pair (tok_a < tok_b) with the
+    number of documents containing BOTH, plus each token's document
+    frequency (so PMI = log(n_both * N / (df_a * df_b)) is derivable
+    exactly downstream).
+
+    Scale shape: the vocabulary is fixed FIRST (token_document_frequency —
+    vocab-bounded shuffle — then an answer-sized top-V pull broadcast into
+    the pair stage), so the pair space is <= V^2 regardless of corpus
+    size; text never shuffles.  Pair emission is vectorized by token-count
+    class: docs with c in-vocab tokens stack into an (m, c) matrix and one
+    triu_indices(c, 1) emits all m*c*(c-1)/2 pairs — no per-doc Python."""
+    from ray.data.aggregate import Sum
+
+    top = (token_document_frequency(ds, text_col, id_col)
+           .sort(["df", "cf", "tok"], descending=[True, True, False])
+           .limit(vocab_size).to_pandas())          # answer-sized pull
+    vocab = top["tok"].tolist()
+    dfs = top["df"].to_numpy().astype(np.int64)
+    vocab_pa = pa.array(vocab, pa.string())
+    V = len(vocab)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        out_a, out_b = [], []
+        if batch.num_rows:
+            _, off, flat = _space_tokens(batch[text_col])
+            doc_of = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                               np.diff(off))
+            idx = pc.index_in(flat, value_set=vocab_pa)
+            valid = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+            tid = idx.to_numpy(zero_copy_only=False)[valid].astype(np.int64)
+            # distinct (doc, tok), sorted by (doc, tok) — one np.unique
+            key = np.unique(doc_of[valid] * V + tid)
+            docs, cnt = np.unique(key // V, return_counts=True)
+            toks = key % V
+            start = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+            for c in np.unique(cnt):
+                if c < 2:
+                    continue
+                s = start[cnt == c]
+                mat = toks[s[:, None] + np.arange(c)]
+                iu, ju = np.triu_indices(int(c), 1)
+                out_a.append(mat[:, iu].ravel())
+                out_b.append(mat[:, ju].ravel())
+        if out_a:
+            a = np.concatenate(out_a)
+            b = np.concatenate(out_b)
+            key, n = np.unique(a * V + b, return_counts=True)
+            return pa.table({"ia": pa.array(key // V),
+                             "ib": pa.array(key % V),
+                             "n_both": pa.array(n.astype(np.int64))})
+        return pa.table({"ia": pa.array([], pa.int64()),
+                         "ib": pa.array([], pa.int64()),
+                         "n_both": pa.array([], pa.int64())})
+
+    agg = (ds.map_batches(pairs, batch_format="pyarrow")
+             .groupby(["ia", "ib"])
+             .aggregate(Sum("n_both", alias_name="n_both")))
+
+    vocab_arr = np.array(vocab, dtype=object)
+
+    def finish(t: pa.Table) -> pa.Table:
+        ia = t["ia"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ib = t["ib"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # canonicalize to LEXICOGRAPHIC pair order (tok_a < tok_b), not
+        # vocabulary-rank order — the SQL-expressible contract
+        swap = vocab_arr[ia] > vocab_arr[ib]
+        a = np.where(swap, ib, ia)
+        b = np.where(swap, ia, ib)
+        return pa.table({
+            "tok_a": pa.array(vocab_arr[a].tolist(), pa.string()),
+            "tok_b": pa.array(vocab_arr[b].tolist(), pa.string()),
+            "df_a": pa.array(dfs[a]),
+            "df_b": pa.array(dfs[b]),
+            "n_both": pc.cast(t["n_both"], pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -343,3 +343,53 @@ def test_density_clusters_snake_spans_blocks():
                            "x", "y", "w", min_weight=1).to_pandas()
     root = pack_xy(np.array([0]), np.array([0]))[0]
     assert (out["cluster_pk"] == root).all() and len(out) == n
+
+
+def test_token_cooccurrence_matches_bruteforce():
+    from dggrid4py_ray.stages.text import token_cooccurrence
+
+    rng = np.random.default_rng(17)
+    words = [f"w{i}" for i in range(60)]
+    # Zipf-ish draw so the top-V vocabulary is a strict subset
+    p = 1.0 / np.arange(1, 61); p /= p.sum()
+    docs = [" ".join(rng.choice(words, size=rng.integers(3, 25), p=p))
+            for _ in range(800)]
+    df = pd.DataFrame({"doc_id": np.arange(800, dtype=np.int64),
+                       "text": docs})
+    V = 12
+    out = (token_cooccurrence(ray.data.from_pandas(df).repartition(7),
+                              vocab_size=V)
+           .to_pandas().sort_values(["tok_a", "tok_b"], ignore_index=True))
+
+    # brute force: df per token, top-V by (df desc, cf desc, tok), pair doc
+    # counts over distinct in-vocab tokens per doc
+    toks = [d.split(" ") for d in docs]
+    from collections import Counter
+    dfc, cfc = Counter(), Counter()
+    for t in toks:
+        cfc.update(t)
+        dfc.update(set(t))
+    top = sorted(dfc, key=lambda w: (-dfc[w], -cfc[w], w))[:V]
+    tset = set(top)
+    pairc = Counter()
+    for t in toks:
+        s = sorted(set(t) & tset)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                pairc[(s[i], s[j])] += 1
+    exp = pd.DataFrame(
+        [{"tok_a": a, "tok_b": b, "df_a": dfc[a], "df_b": dfc[b],
+          "n_both": n} for (a, b), n in pairc.items()]) \
+        .sort_values(["tok_a", "tok_b"], ignore_index=True) \
+        .astype({"df_a": np.int64, "df_b": np.int64, "n_both": np.int64})
+    pd.testing.assert_frame_equal(out, exp)
+
+
+def test_token_cooccurrence_no_pairs():
+    from dggrid4py_ray.stages.text import token_cooccurrence
+
+    # single-token docs -> no co-occurrence rows, typed empty result
+    df = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64),
+                       "text": ["a", "b", "a", "c", "b"]})
+    out = token_cooccurrence(ray.data.from_pandas(df), vocab_size=3)
+    assert out.count() == 0
