@@ -3310,6 +3310,166 @@ def cooccurrence_docs(sf_dir: str):
     return token_cooccurrence(ds, vocab_size=16).sort(["tok_a", "tok_b"])
 
 
+def _distinct_strings(ds, col: str) -> list:
+    """Answer-sized distinct pull for a low-cardinality string column:
+    per-batch pc.unique partials, set-union on the driver."""
+    parts = ds.map_batches(
+        lambda t: pa.table({col: pc.unique(
+            t[col].combine_chunks()
+            if isinstance(t[col], pa.ChunkedArray) else t[col])}),
+        batch_format="pyarrow").to_pandas()
+    return sorted(set(parts[col]))
+
+
+def transition_counts_events(sf_dir: str):
+    """Markov transition matrix of per-user event sequences:
+    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+    via the stages/window.group_shift carry chain on integer-coded
+    types, then one bounded |types|^2 aggregate.  The transition counts
+    feed sessionized behavioral models; types never shuffle as strings."""
+    from ..stages.window import group_shift
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    types = _distinct_strings(ds, "event_type")
+    types_pa = pa.array(types, pa.string())
+    types_np = np.array(types, dtype=object)
+
+    def enc(t: pa.Table) -> pa.Table:
+        arr = t["event_type"]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts_us": t["ts"].cast(pa.int64()),
+            "event_id": t["event_id"],
+            "code": pc.cast(pc.index_in(arr, value_set=types_pa),
+                            pa.int64())})
+
+    lag = group_shift(ds.map_batches(enc, batch_format="pyarrow"),
+                      "user_id", ["ts_us", "event_id"], "code",
+                      k=1, out_col="prev")
+
+    def pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["prev"]))
+        prev = t["prev"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cur = t["code"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "prev_type": pa.array(types_np[prev].tolist(), pa.string()),
+            "next_type": pa.array(types_np[cur].tolist(), pa.string()),
+            "n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    return (lag.map_batches(pairs, batch_format="pyarrow")
+            .groupby(["prev_type", "next_type"])
+            .aggregate(Sum("n", alias_name="n"))
+            .map_batches(lambda t: t.set_column(
+                t.schema.get_field_index("n"), "n",
+                pc.cast(t["n"], pa.int64())), batch_format="pyarrow")
+            .sort(["prev_type", "next_type"]))
+
+
+def pivot_event_types(sf_dir: str):
+    """PIVOT / crosstab: one row per user with per-event-type counts
+    (stages/relational.pivot_counts — indicator widening + ONE
+    grouped_reduce at unbounded user cardinality; no join, no per-group
+    Python)."""
+    from ..stages.relational import pivot_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    types = _distinct_strings(ds, "event_type")
+    out = pivot_counts(ds, "user_id", "event_type", types)
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = {"user_id": t["user_id"]}
+        for ty in types:
+            cols[f"n_{ty}"] = pc.cast(t[f"n_{ty}"], pa.int64())
+        return pa.table(cols)
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("user_id")
+
+
+def twap_value_by_user(sf_dir: str):
+    """Time-weighted average value per user (TWAP): LEAD(ts) via
+    group_shift over the NEGATED order, integer segment weights
+    w = next_ts - ts in microseconds, twap = sum(cents*w)/sum(w) — all
+    partials exact int64, one grouped_reduce.  Single-event users have
+    no segment and drop out (the SQL LEAD semantics)."""
+    from ..stages.window import group_shift
+    from ..stages.groupagg import grouped_reduce
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def enc(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64())
+        tsn = ts.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"], "ts_us": ts,
+            "event_id": t["event_id"],
+            "nts": pa.array(-tsn),
+            "neid": pa.array(-t["event_id"].to_numpy()),
+            "cents": pa.array(np.round(
+                t["value"].to_numpy(zero_copy_only=False) * 100)
+                .astype(np.int64))})
+
+    led = group_shift(ds.map_batches(enc, batch_format="pyarrow"),
+                      "user_id", ["nts", "neid"], "ts_us",
+                      k=1, out_col="next_us")
+
+    def seg(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["next_us"]))
+        w = (t["next_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+             - t["ts_us"].to_numpy(zero_copy_only=False))
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": t["user_id"],
+                         "num": pa.array(cents * w),
+                         "den": pa.array(w)})
+
+    agg = grouped_reduce(led.map_batches(seg, batch_format="pyarrow"),
+                         "user_id", {"num": "num", "den": "den"}, how="sum")
+
+    def finish(t: pa.Table) -> pa.Table:
+        num = t["num"].to_numpy(zero_copy_only=False).astype(np.float64)
+        den = t["den"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "user_id": t["user_id"],
+            "twap_e4": _iscale(num / (den * 100.0), 10000),
+            "span_us": pc.cast(t["den"], pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("user_id")
+
+
+def entropy_by_lang(sf_dir: str):
+    """Shannon entropy of the source distribution within each language
+    (corpus-mixture diagnostics): bounded (lang, source) counts via
+    grouped_reduce, then the answer-sized fold computes
+    H = -sum(p ln p) in one coalesced block."""
+    from ..stages.groupagg import grouped_reduce
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    counts = grouped_reduce(
+        ds.map_batches(lambda t: pa.table({
+            "lang": t["lang"], "source": t["source"],
+            "n": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        ["lang", "source"], {"n": "n"}, how="sum")
+
+    def fold(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+        rows = []
+        for lang, grp in df.groupby("lang", sort=True):
+            n = grp["n"].to_numpy().astype(np.float64)
+            tot = n.sum()
+            p = n / tot
+            h = -(p * np.log(p)).sum()
+            rows.append({"lang": lang,
+                         "entropy_e6": np.int64(np.round(h * 1e6)),
+                         "n_docs": np.int64(tot)})
+        return pd.DataFrame(rows)
+
+    return (counts.repartition(1)
+            .map_batches(fold, batch_format="pandas")
+            .sort("lang"))
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -3433,6 +3593,10 @@ QUERIES = {
     "stencil_focal_events": stencil_focal_events,
     "density_clusters_events": density_clusters_events,
     "cooccurrence_docs": cooccurrence_docs,
+    "transition_counts_events": transition_counts_events,
+    "pivot_event_types": pivot_event_types,
+    "twap_value_by_user": twap_value_by_user,
+    "entropy_by_lang": entropy_by_lang,
 }
 
 ORACLES = {
@@ -4884,5 +5048,53 @@ ORACLES = {
         JOIN top sb ON sb.tok = b.tok
         GROUP BY a.tok, b.tok, sa.df, sb.df
         ORDER BY tok_a, tok_b
+    """,
+    # Markov transitions: LAG window, bounded |types|^2 output
+    "transition_counts_events": """
+        WITH o AS (SELECT user_id, event_type,
+                          LAG(event_type) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev
+                   FROM events)
+        SELECT prev AS prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM o WHERE prev IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    # crosstab via conditional aggregation (type set pinned to testdata)
+    "pivot_event_types": """
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    # TWAP: LEAD segment weights, exact integer partials, one division
+    "twap_value_by_user": """
+        WITH o AS (SELECT user_id, value, epoch_us(ts) AS ts_us,
+                          LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS next_us
+                   FROM events)
+        SELECT user_id,
+               CAST(ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                              * (next_us - ts_us))
+                          / (SUM(next_us - ts_us) * 100.0) * 10000)
+                    AS BIGINT) AS twap_e4,
+               CAST(SUM(next_us - ts_us) AS BIGINT) AS span_us
+        FROM o WHERE next_us IS NOT NULL
+        GROUP BY user_id ORDER BY user_id
+    """,
+    # Shannon entropy of the source mixture per language
+    "entropy_by_lang": """
+        WITH c AS (SELECT lang, source, COUNT(*) AS n
+                   FROM documents GROUP BY 1, 2),
+        t AS (SELECT lang, SUM(n) AS tot FROM c GROUP BY 1)
+        SELECT c.lang,
+               CAST(ROUND(-SUM((n / (1.0 * tot)) * LN(n / (1.0 * tot)))
+                          * 1000000) AS BIGINT) AS entropy_e6,
+               CAST(t.tot AS BIGINT) AS n_docs
+        FROM c JOIN t USING (lang)
+        GROUP BY c.lang, t.tot ORDER BY lang
     """,
 }

@@ -740,3 +740,43 @@ def salted_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
                 on=(on, "_salt"))
     return j.map_batches(lambda t: t.drop_columns(["_salt"]),
                          batch_format="pyarrow")
+
+
+def pivot_counts(ds: ray.data.Dataset, key, cat_col: str,
+                 categories: list, value_col: str | None = None,
+                 prefix: str = "n_") -> ray.data.Dataset:
+    """Crosstab / PIVOT: one output row per ``key`` with one column per
+    category — counts (``value_col=None``) or value sums.  Categories must
+    be a bounded KNOWN set (the SQL-PIVOT contract); rows with other
+    category values are ignored.
+
+    Scale shape: a pure map widens each batch to per-category indicator
+    columns, then ONE grouped_reduce sums them — unbounded key
+    cardinality, no per-group Python, no join, width = len(categories)."""
+    from .groupagg import grouped_reduce
+
+    keys = [key] if isinstance(key, str) else list(key)
+    cats = list(categories)
+    cat_pa = pa.array(cats, pa.string())
+    cols = [f"{prefix}{c}" for c in cats]
+
+    def widen(t: pa.Table) -> pa.Table:
+        out = {k: t[k] for k in keys}
+        idx = pa.compute.index_in(
+            t[cat_col].combine_chunks()
+            if isinstance(t[cat_col], pa.ChunkedArray) else t[cat_col],
+            value_set=cat_pa)
+        code = idx.to_numpy(zero_copy_only=False)
+        code = np.where(np.isnan(code.astype(np.float64)), -1,
+                        code).astype(np.int64) if code.dtype.kind == "f" \
+            else code.astype(np.int64)
+        if value_col is None:
+            v = np.ones(t.num_rows, np.int64)
+        else:
+            v = t[value_col].to_numpy(zero_copy_only=False)
+        for j, c in enumerate(cols):
+            out[c] = pa.array(np.where(code == j, v, 0))
+        return pa.table(out)
+
+    return grouped_reduce(ds.map_batches(widen, batch_format="pyarrow"),
+                          key, {c: c for c in cols}, how="sum")

@@ -393,3 +393,45 @@ def test_token_cooccurrence_no_pairs():
                        "text": ["a", "b", "a", "c", "b"]})
     out = token_cooccurrence(ray.data.from_pandas(df), vocab_size=3)
     assert out.count() == 0
+
+
+def test_pivot_counts_and_sums_match_pandas():
+    from dggrid4py_ray.stages.relational import pivot_counts
+
+    rng = np.random.default_rng(23)
+    n = 20_000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 3000, n),
+        "cat": rng.choice(["a", "b", "c", "zz"], n, p=[.5, .3, .15, .05]),
+        "v": rng.integers(1, 10, n).astype(np.int64),
+    })
+    # counts; "zz" deliberately excluded from the category list -> ignored
+    out = (pivot_counts(ray.data.from_pandas(df).repartition(9),
+                        "k", "cat", ["a", "b", "c"])
+           .to_pandas().sort_values("k", ignore_index=True))
+    exp = (df[df.cat != "zz"].pivot_table(index="k", columns="cat",
+                                          values="v", aggfunc="size",
+                                          fill_value=0)
+           .reindex(columns=["a", "b", "c"], fill_value=0)
+           .rename(columns={c: f"n_{c}" for c in "abc"})
+           .reindex(sorted(df.k.unique()), fill_value=0)
+           .reset_index().rename_axis(None, axis=1))
+    pd.testing.assert_frame_equal(
+        out.astype({c: np.int64 for c in ["n_a", "n_b", "n_c"]}),
+        exp.astype({c: np.int64 for c in ["n_a", "n_b", "n_c"]}))
+
+    # value sums
+    out2 = (pivot_counts(ray.data.from_pandas(df).repartition(9),
+                         "k", "cat", ["a", "b"], value_col="v",
+                         prefix="s_")
+            .to_pandas().sort_values("k", ignore_index=True))
+    exp2 = (df[df.cat.isin(["a", "b"])]
+            .pivot_table(index="k", columns="cat", values="v",
+                         aggfunc="sum", fill_value=0)
+            .reindex(columns=["a", "b"], fill_value=0)
+            .rename(columns={"a": "s_a", "b": "s_b"})
+            .reindex(sorted(df.k.unique()), fill_value=0)
+            .reset_index().rename_axis(None, axis=1))
+    pd.testing.assert_frame_equal(
+        out2.astype({"s_a": np.int64, "s_b": np.int64}),
+        exp2.astype({"s_a": np.int64, "s_b": np.int64}))
