@@ -3470,6 +3470,129 @@ def entropy_by_lang(sf_dir: str):
             .sort("lang"))
 
 
+def hotspot_gi_events(sf_dir: str):
+    """Getis-Ord Gi* hotspot z-scores over the binned event lattice
+    (stages/interp.gi_star): global moments from exact integer counts, a
+    3x3 stencil for the focal sum and occupied-neighbor count, one pure
+    map for z.  The classic spatial-statistics hotspot map, fully
+    distributed (no KDE driver pass)."""
+    from ..stages.groupagg import grouped_reduce
+    from ..stages.interp import gi_star
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def binp(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        return pa.table({"gx": pa.array((eid * 7919) % 36000 // 400),
+                         "gy": pa.array((eid * 104729) % 18000 // 400),
+                         "n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    cells = grouped_reduce(ds.map_batches(binp, batch_format="pyarrow"),
+                           ["gx", "gy"], {"n": "n"}, how="sum")
+    out = gi_star(cells, "gx", "gy", "n", radius=1)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "gx": pc.cast(t["gx"], pa.int64()),
+            "gy": pc.cast(t["gy"], pa.int64()),
+            "focal_sum": t["focal_sum"],
+            "n_neighbors": t["n_neighbors"],
+            "z_e6": _iscale(t["z"].to_numpy(zero_copy_only=False), 1000000)})
+
+    return out.map_batches(finish, batch_format="pyarrow") \
+        .sort(["gx", "gy"])
+
+
+def trend_cells_events(sf_dir: str):
+    """Emerging-hotspot trend (the space-time-cube Mann-Kendall S): weekly
+    event counts per coarse cell — zero-filled over the full observed week
+    range — and S = sum over week pairs i<j of sign(n_j - n_i).  Pivot by
+    week (bounded T categories, stages/relational.pivot_counts) turns the
+    per-cell time series into columns, so S is T(T-1)/2 vectorized column
+    ops; cells never re-shuffle."""
+    from ..stages.groupagg import grouped_reduce
+    from ..stages.relational import pivot_counts
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+    DAY_US = np.int64(86_400_000_000)
+
+    def binp(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        ts = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({"gx": pa.array((eid * 7919) % 36000 // 2000),
+                         "gy": pa.array((eid * 104729) % 18000 // 2000),
+                         "wk": pa.array((ts // DAY_US + 3) // 7),
+                         "n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    counts = grouped_reduce(ds.map_batches(binp, batch_format="pyarrow"),
+                            ["gx", "gy", "wk"], {"n": "n"}, how="sum")
+    wk_parts = counts.map_batches(
+        lambda t: pa.table({"wk": pc.unique(
+            t["wk"].combine_chunks()
+            if isinstance(t["wk"], pa.ChunkedArray) else t["wk"])}),
+        batch_format="pyarrow").to_pandas()
+    weeks = sorted(set(wk_parts["wk"].astype(np.int64)))
+    wide = pivot_counts(counts, ["gx", "gy"], "wk", weeks,
+                        value_col="n", prefix="w_")
+
+    def mk(t: pa.Table) -> pa.Table:
+        X = np.column_stack([
+            t[f"w_{w}"].to_numpy(zero_copy_only=False).astype(np.int64)
+            for w in weeks])
+        S = np.zeros(t.num_rows, np.int64)
+        for i in range(len(weeks)):
+            for j in range(i + 1, len(weeks)):
+                S += np.sign(X[:, j] - X[:, i]).astype(np.int64)
+        return pa.table({"gx": pc.cast(t["gx"], pa.int64()),
+                         "gy": pc.cast(t["gy"], pa.int64()),
+                         "mk_s": pa.array(S),
+                         "n_weeks": pa.array(
+                             np.full(t.num_rows, len(weeks), np.int64))})
+
+    return wide.map_batches(mk, batch_format="pyarrow").sort(["gx", "gy"])
+
+
+def od_matrix_events(sf_dir: str):
+    """Origin-destination matrix: per-user consecutive cell transitions
+    (LAG of the packed cell id via the group_shift carry chain), counted
+    per (origin, destination) pair — the trajectory-flow aggregate over
+    the 648-cell lattice."""
+    from ..stages.window import group_shift
+    from ..stages.groupagg import grouped_reduce
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def enc(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        gx = (eid * 7919) % 36000 // 1000
+        gy = (eid * 104729) % 18000 // 1000
+        pk = (gx + 1048576) * 2097152 + (gy + 1048576)
+        return pa.table({"user_id": t["user_id"],
+                         "ts_us": t["ts"].cast(pa.int64()),
+                         "event_id": t["event_id"],
+                         "pk": pa.array(pk)})
+
+    lag = group_shift(ds.map_batches(enc, batch_format="pyarrow"),
+                      "user_id", ["ts_us", "event_id"], "pk",
+                      k=1, out_col="prev")
+
+    def pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["prev"]))
+        return pa.table({
+            "prev_pk": pa.array(t["prev"].to_numpy(zero_copy_only=False)
+                                .astype(np.int64)),
+            "next_pk": t["pk"],
+            "n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    agg = grouped_reduce(lag.map_batches(pairs, batch_format="pyarrow"),
+                         ["prev_pk", "next_pk"], {"n": "n"}, how="sum")
+    return agg.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("n"), "n",
+                               pc.cast(t["n"], pa.int64())),
+        batch_format="pyarrow").sort(["prev_pk", "next_pk"])
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -3597,6 +3720,9 @@ QUERIES = {
     "pivot_event_types": pivot_event_types,
     "twap_value_by_user": twap_value_by_user,
     "entropy_by_lang": entropy_by_lang,
+    "hotspot_gi_events": hotspot_gi_events,
+    "trend_cells_events": trend_cells_events,
+    "od_matrix_events": od_matrix_events,
 }
 
 ORACLES = {
@@ -5096,5 +5222,74 @@ ORACLES = {
                CAST(t.tot AS BIGINT) AS n_docs
         FROM c JOIN t USING (lang)
         GROUP BY c.lang, t.tot ORDER BY lang
+    """,
+    # Getis-Ord Gi* over occupied cells: global moments from exact integer
+    # counts, binary 3x3 weights incl. self — the z expression mirrors the
+    # numpy evaluation order term by term (IEEE ops on identical doubles)
+    "hotspot_gi_events": """
+        WITH b AS (
+            SELECT (event_id * 7919) % 36000 // 400 AS gx,
+                   (event_id * 104729) % 18000 // 400 AS gy,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2),
+        m AS (SELECT COUNT(*) AS cnt, SUM(n) AS s, SUM(n * n) AS ss FROM b),
+        o AS (SELECT dxr.range AS dx, dyr.range AS dy
+              FROM range(-1, 2) dxr, range(-1, 2) dyr),
+        f AS (SELECT c.gx, c.gy, SUM(nb.n) AS g, COUNT(*) AS w
+              FROM b c
+              CROSS JOIN o
+              JOIN b nb ON nb.gx = c.gx + o.dx AND nb.gy = c.gy + o.dy
+              GROUP BY c.gx, c.gy)
+        SELECT CAST(f.gx AS BIGINT) AS gx, CAST(f.gy AS BIGINT) AS gy,
+               CAST(f.g AS BIGINT) AS focal_sum,
+               CAST(f.w AS BIGINT) AS n_neighbors,
+               CAST(ROUND(
+                   (f.g - (m.s / (1.0 * m.cnt)) * f.w)
+                   / (SQRT(m.ss / (1.0 * m.cnt)
+                           - (m.s / (1.0 * m.cnt)) * (m.s / (1.0 * m.cnt)))
+                      * SQRT((m.cnt * f.w - f.w * f.w) / (m.cnt - 1.0)))
+                   * 1000000) AS BIGINT) AS z_e6
+        FROM f, m ORDER BY gx, gy
+    """,
+    # Mann-Kendall S per coarse cell over weekly counts zero-filled across
+    # the globally observed week range (the space-time-cube trend input)
+    "trend_cells_events": """
+        WITH b AS (
+            SELECT (event_id * 7919) % 36000 // 2000 AS gx,
+                   (event_id * 104729) % 18000 // 2000 AS gy,
+                   (epoch_us(ts) // 86400000000 + 3) // 7 AS wk,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2, 3),
+        w AS (SELECT DISTINCT wk FROM b),
+        c AS (SELECT DISTINCT gx, gy FROM b),
+        f AS (SELECT c.gx, c.gy, w.wk, COALESCE(b.n, 0) AS n
+              FROM c CROSS JOIN w
+              LEFT JOIN b ON b.gx = c.gx AND b.gy = c.gy AND b.wk = w.wk),
+        p AS (SELECT a.gx, a.gy,
+                     SUM(CASE WHEN x.n > a.n THEN 1
+                              WHEN x.n < a.n THEN -1 ELSE 0 END) AS s
+              FROM f a
+              JOIN f x ON x.gx = a.gx AND x.gy = a.gy AND x.wk > a.wk
+              GROUP BY a.gx, a.gy)
+        SELECT CAST(c.gx AS BIGINT) AS gx, CAST(c.gy AS BIGINT) AS gy,
+               CAST(COALESCE(p.s, 0) AS BIGINT) AS mk_s,
+               CAST((SELECT COUNT(*) FROM w) AS BIGINT) AS n_weeks
+        FROM c LEFT JOIN p ON p.gx = c.gx AND p.gy = c.gy
+        ORDER BY gx, gy
+    """,
+    # origin-destination flows: LAG of the packed cell id per user
+    "od_matrix_events": """
+        WITH e AS (
+            SELECT user_id, ts, event_id,
+                   ((event_id * 7919) % 36000 // 1000 + 1048576) * 2097152
+                   + ((event_id * 104729) % 18000 // 1000 + 1048576) AS pk
+            FROM events),
+        o AS (SELECT pk, LAG(pk) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+              FROM e)
+        SELECT prev AS prev_pk, pk AS next_pk,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM o WHERE prev IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
     """,
 }

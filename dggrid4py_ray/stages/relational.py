@@ -757,7 +757,7 @@ def pivot_counts(ds: ray.data.Dataset, key, cat_col: str,
 
     keys = [key] if isinstance(key, str) else list(key)
     cats = list(categories)
-    cat_pa = pa.array(cats, pa.string())
+    cat_pa = pa.array(cats)          # natural type (string, int, ...)
     cols = [f"{prefix}{c}" for c in cats]
 
     def widen(t: pa.Table) -> pa.Table:

@@ -120,7 +120,7 @@ def test_pivot_counts_matches_crosstab():
     df = pd.DataFrame({"k": rng.integers(0, 500, 20000),
                        "c": rng.choice(["a", "b", "c"], 20000)})
     out = (pivot_counts(ray.data.from_pandas(df).repartition(11),
-                        "k", "c")
+                        "k", "c", ["a", "b", "c"], prefix="")
            .to_pandas().sort_values("k", ignore_index=True))
     ref = (pd.crosstab(df["k"], df["c"]).reindex(
         columns=["a", "b", "c"], fill_value=0)
