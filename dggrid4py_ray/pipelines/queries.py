@@ -29,6 +29,15 @@ def _iscale(arr, scale: int):
     return _pa.array(np.round(vals * scale).astype(np.int64))
 
 
+def _cents_half_up(arr, scale: int = 100) -> np.ndarray:
+    """Per-ROW positive-value integer scaling with DuckDB ROUND parity:
+    round-half-AWAY (floor(x+0.5) for x >= 0), not numpy's half-even.
+    Two-decimal inputs times two-decimal factors land exactly on .5
+    often enough that _iscale's half-even would drift by one."""
+    vals = np.asarray(arr, dtype=np.float64) * scale
+    return np.floor(vals + 0.5).astype(np.int64)
+
+
 def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
@@ -3593,6 +3602,247 @@ def od_matrix_events(sf_dir: str):
         batch_format="pyarrow").sort(["prev_pk", "next_pk"])
 
 
+def q10_returned_revenue(sf_dir: str):
+    """TPC-H Q10: top-20 customers by revenue of returned items in a
+    half-year window.  Ray shape: returned lineitems collapse to
+    per-order integer-cent revenue FIRST (grouped_reduce — the join
+    exchange ships pre-aggregated rows, not raw lineitems), the window
+    filter prunes orders before the hash join, a second grouped_reduce
+    gives per-customer revenue, and the global top-20 runs as a partial
+    top-k combiner (constant group) so the full customer aggregate never
+    sorts.  Names come from one answer-sized customer join + the 25-row
+    nation broadcast (the q5 pattern)."""
+    import ray as _ray
+
+    from ..stages.groupagg import grouped_reduce
+    from ..stages.join import _join_partitions
+    from ..stages.relational import topk_per_group
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice",
+                "l_discount"]).filter(expr="l_returnflag == 'R'")
+
+    def rev(t: pa.Table) -> pa.Table:
+        cents = _cents_half_up(t["l_extendedprice"].to_numpy()
+                               * (1.0 - t["l_discount"].to_numpy()))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "rev_c": pa.array(cents)})
+
+    per_order = grouped_reduce(li.map_batches(rev, batch_format="pyarrow"),
+                               "l_orderkey", {"rev_c": "rev_c"}, how="sum") \
+        .repartition(_join_partitions())   # reduce-derived join input
+
+    def owin(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        m = ((od >= np.datetime64("1996-01-01"))
+             & (od < np.datetime64("1996-07-01")))
+        return t.filter(pa.array(m)).select(["o_orderkey", "o_custkey"])
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(owin, batch_format="pyarrow")
+    j = per_order.join(orders, join_type="inner",
+                       num_partitions=_join_partitions(),
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+    per_cust = grouped_reduce(
+        j.map_batches(lambda t: t.select(["o_custkey", "rev_c"]),
+                      batch_format="pyarrow"),
+        "o_custkey", {"rev_c": "rev_c"}, how="sum")
+
+    top = topk_per_group(
+        per_cust.map_batches(
+            lambda t: t.append_column(
+                "_g", pa.array(np.zeros(t.num_rows, np.int64))),
+            batch_format="pyarrow"),
+        "_g", "rev_c", k=20, id_col="o_custkey") \
+        .repartition(_join_partitions()).materialize()
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_nationkey", "c_acctbal"])
+    j2 = top.join(cust, join_type="inner",
+                  num_partitions=_join_partitions(),
+                  on=("o_custkey",), right_on=("c_custkey",))
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    lut = np.empty(int(nation["n_nationkey"].max()) + 1, dtype=object)
+    lut[nation["n_nationkey"].to_numpy()] = nation["n_name"].to_numpy()
+    nref = _ray.put(lut)
+
+    def finish(t: pa.Table) -> pa.Table:
+        names = _ray.get(nref)[t["c_nationkey"].to_numpy()]
+        return pa.table({
+            "c_custkey": t["o_custkey"],
+            "c_name": t["c_name"],
+            "revenue_c": pc.cast(t["rev_c"], pa.int64()),
+            "acctbal_c": _iscale(t["c_acctbal"], 100),
+            "n_name": pa.array(names, pa.string()),
+            "rank": pc.cast(t["rank"], pa.int64())})
+
+    return j2.map_batches(finish, batch_format="pyarrow").sort("rank")
+
+
+def q12_priority_linestatus(sf_dir: str):
+    """TPC-H Q12 shape: lineitems shipped in 1996 counted per linestatus
+    x order-priority class (high = URGENT/HIGH).  Lineitems pre-collapse
+    to per-(orderkey, linestatus) counts (grouped_reduce) so the big-big
+    hash join against orders ships aggregated rows; the final groupby is
+    answer-small (2 rows)."""
+    from ..stages.groupagg import grouped_reduce
+    from ..stages.join import _join_partitions
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linestatus", "l_shipdate"])
+
+    def win(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        m = ((sd >= np.datetime64("1996-01-01"))
+             & (sd < np.datetime64("1997-01-01")))
+        t = t.filter(pa.array(m))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_linestatus": t["l_linestatus"],
+                         "n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    per_ok = grouped_reduce(li.map_batches(win, batch_format="pyarrow"),
+                            ["l_orderkey", "l_linestatus"], {"n": "n"},
+                            how="sum").repartition(_join_partitions())
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    j = per_ok.join(orders, join_type="inner",
+                    num_partitions=_join_partitions(),
+                    on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        pr = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = (pr == "1-URGENT") | (pr == "2-HIGH")
+        df = pd.DataFrame({
+            "l_linestatus": t["l_linestatus"].to_numpy(zero_copy_only=False),
+            "high_line_count": np.where(hi, n, 0),
+            "low_line_count": np.where(hi, 0, n)})
+        g = df.groupby("l_linestatus", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby("l_linestatus")
+           .aggregate(Sum("high_line_count", alias_name="high_line_count"),
+                      Sum("low_line_count", alias_name="low_line_count")))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "l_linestatus": t["l_linestatus"],
+            "high_line_count": pc.cast(t["high_line_count"], pa.int64()),
+            "low_line_count": pc.cast(t["low_line_count"], pa.int64())}),
+        batch_format="pyarrow").sort("l_linestatus")
+
+
+def q17_small_quantity(sf_dir: str):
+    """TPC-H Q17: revenue lost to small-quantity orders of one brand —
+    the correlated per-part AVG subquery.  The brand filter reduces part
+    to a dimension-sized key set (broadcast via ray.put; at larger brand
+    fan-outs swap in bloom_semi_join), the brand's lineitems materialize
+    ONCE for two consumers, the per-part average is a grouped_reduce,
+    and the avg joins back as a distributed hash join.  Integer-cent
+    revenue makes the one-row answer exact at any parallelism."""
+    import ray as _ray
+
+    from ..stages.groupagg import grouped_reduce
+    from ..stages.join import _join_partitions
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]) \
+        .filter(expr="p_brand == 'Brand#23'").to_pandas()
+    keys_ref = _ray.put(np.sort(part["p_partkey"].to_numpy()))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        keys = _ray.get(keys_ref)
+        pk = t["l_partkey"].to_numpy()
+        pos = np.clip(np.searchsorted(keys, pk), 0, len(keys) - 1)
+        t = t.filter(pa.array(keys[pos] == pk))
+        cents = _cents_half_up(t["l_extendedprice"].to_numpy())
+        return pa.table({"l_partkey": t["l_partkey"],
+                         "qty": t["l_quantity"],
+                         "cents": pa.array(cents),
+                         "n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    brand_li = li.map_batches(keep, batch_format="pyarrow").materialize()
+    avg = grouped_reduce(brand_li, "l_partkey",
+                         {"qty": "qty_sum", "n": "n_li"}, how="sum") \
+        .map_batches(
+            lambda t: pa.table({
+                "pk": t["l_partkey"],
+                "avg_qty": pa.array(
+                    t["qty_sum"].to_numpy(zero_copy_only=False)
+                    / t["n_li"].to_numpy(zero_copy_only=False))}),
+            batch_format="pyarrow").repartition(_join_partitions())
+    j = brand_li.join(avg, join_type="inner",
+                      num_partitions=_join_partitions(),
+                      on=("l_partkey",), right_on=("pk",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = (t["qty"].to_numpy(zero_copy_only=False)
+             < 0.2 * t["avg_qty"].to_numpy(zero_copy_only=False))
+        c = t["cents"].to_numpy(zero_copy_only=False)[m]
+        return pa.table({"s": pa.array([int(c.sum())], pa.int64()),
+                         "n": pa.array([np.int64(m.sum())])})
+
+    agg = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby(None).aggregate(Sum("s", alias_name="s"),
+                                    Sum("n", alias_name="n")))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "avg_yearly_c": pa.array(np.round(
+                t["s"].to_numpy(zero_copy_only=False) / 7.0)
+                .astype(np.int64)),
+            "n_small": pc.cast(t["n"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19: disjunctive brand/size/quantity predicate join — part
+    is the bounded dim side, so the whole query is ONE zero-shuffle
+    streaming pass: broadcast partkey->(brand-class, size) arrays via
+    ray.put, evaluate the three-way OR vectorized per batch, combine a
+    one-row integer-cent partial."""
+    import ray as _ray
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]) \
+        .to_pandas()
+    brand = part["p_brand"].to_numpy()
+    code = np.where(brand == "Brand#12", 1,
+                    np.where(brand == "Brand#23", 2,
+                             np.where(brand == "Brand#34", 3, 0)))
+    pref = _ray.put((np.sort(part["p_partkey"].to_numpy()),
+                     code[np.argsort(part["p_partkey"].to_numpy())],
+                     part["p_size"].to_numpy()[
+                         np.argsort(part["p_partkey"].to_numpy())]))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, codes, sizes = _ray.get(pref)
+        pk = t["l_partkey"].to_numpy()
+        pos = np.clip(np.searchsorted(keys, pk), 0, len(keys) - 1)
+        hit = keys[pos] == pk
+        c = np.where(hit, codes[pos], 0)
+        sz = np.where(hit, sizes[pos], 0)
+        q = t["l_quantity"].to_numpy()
+        m = (((c == 1) & (sz >= 1) & (sz <= 5) & (q >= 1) & (q <= 11))
+             | ((c == 2) & (sz >= 1) & (sz <= 10) & (q >= 10) & (q <= 20))
+             | ((c == 3) & (sz >= 1) & (sz <= 15) & (q >= 20) & (q <= 30)))
+        cents = _cents_half_up(t["l_extendedprice"].to_numpy()[m]
+                               * (1.0 - t["l_discount"].to_numpy()[m]))
+        return pa.table({"s": pa.array([int(cents.sum())], pa.int64()),
+                         "n": pa.array([np.int64(m.sum())])})
+
+    agg = (li.map_batches(partial, batch_format="pyarrow")
+           .groupby(None).aggregate(Sum("s", alias_name="s"),
+                                    Sum("n", alias_name="n")))
+    return agg.map_batches(
+        lambda t: pa.table({"revenue_c": pc.cast(t["s"], pa.int64()),
+                            "n_items": pc.cast(t["n"], pa.int64())}),
+        batch_format="pyarrow")
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -3723,6 +3973,10 @@ QUERIES = {
     "hotspot_gi_events": hotspot_gi_events,
     "trend_cells_events": trend_cells_events,
     "od_matrix_events": od_matrix_events,
+    "q10_returned_revenue": q10_returned_revenue,
+    "q12_priority_linestatus": q12_priority_linestatus,
+    "q17_small_quantity": q17_small_quantity,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
 }
 
 ORACLES = {
@@ -5291,5 +5545,72 @@ ORACLES = {
                CAST(COUNT(*) AS BIGINT) AS n
         FROM o WHERE prev IS NOT NULL
         GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    # TPC-H Q10: integer-cent revenue per row keeps the distributed sum
+    # exact; top-20 tie-break (revenue desc, custkey asc) = ROW_NUMBER
+    "q10_returned_revenue": """
+        WITH rev AS (
+            SELECT o_custkey,
+                   SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                            AS BIGINT)) AS rev_c
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+            GROUP BY o_custkey),
+        top AS (
+            SELECT o_custkey, rev_c,
+                   ROW_NUMBER() OVER (ORDER BY rev_c DESC, o_custkey)
+                       AS rank
+            FROM rev ORDER BY rev_c DESC, o_custkey LIMIT 20)
+        SELECT c_custkey, c_name, CAST(rev_c AS BIGINT) AS revenue_c,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_c,
+               n_name, CAST(rank AS BIGINT) AS rank
+        FROM top
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+        ORDER BY rank
+    """,
+    # TPC-H Q12 shape: linestatus x priority-class line counts
+    "q12_priority_linestatus": """
+        SELECT l_linestatus,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                   AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1997-01-01'
+        GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+    # TPC-H Q17: correlated per-part AVG; quantities are integral so the
+    # distributed avg is bit-exact against SQL AVG
+    "q17_small_quantity": """
+        WITH a AS (
+            SELECT l_partkey AS pk, AVG(l_quantity) AS avg_qty
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_brand = 'Brand#23')
+            GROUP BY 1)
+        SELECT CAST(ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                          / 7.0) AS BIGINT) AS avg_yearly_c,
+               CAST(COUNT(*) AS BIGINT) AS n_small
+        FROM lineitem JOIN a ON a.pk = l_partkey
+        WHERE l_quantity < 0.2 * avg_qty
+    """,
+    # TPC-H Q19: three-way disjunctive brand/size/quantity predicate
+    "q19_disjunctive_revenue": """
+        SELECT CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS revenue_c,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
     """,
 }
