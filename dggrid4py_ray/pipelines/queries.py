@@ -3843,6 +3843,257 @@ def q19_disjunctive_revenue(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q7_volume_shipping(sf_dir: str):
+    """TPC-H Q7: shipping volume between two nations by year.  Supplier
+    is the true dimension (broadcast suppkey->nationkey array); customer
+    prunes to the two nations BEFORE its hash join with orders; lineitem
+    prunes on the ship window and supplier nation before the second
+    join.  Answer-small (2 x years) final groupby from per-batch
+    partials; integer-cent revenue exact at any parallelism."""
+    import ray as _ray
+
+    from ..stages.join import _join_partitions
+
+    N1, N2 = 7, 17
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .to_pandas()
+    lut = np.full(int(supp["s_suppkey"].max()) + 1, -1, np.int64)
+    lut[supp["s_suppkey"].to_numpy()] = supp["s_nationkey"].to_numpy()
+    sref = _ray.put(lut)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .filter(expr=f"c_nationkey == {N1} or c_nationkey == {N2}")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    oc = orders.join(cust, join_type="inner",
+                     num_partitions=_join_partitions(),
+                     on=("o_custkey",), right_on=("c_custkey",))
+
+    def li_map(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        m = ((sd >= np.datetime64("1995-01-01"))
+             & (sd < np.datetime64("1997-01-01")))
+        t = t.filter(pa.array(m))
+        sn = _ray.get(sref)[t["l_suppkey"].to_numpy()]
+        keep = (sn == N1) | (sn == N2)
+        t = t.filter(pa.array(keep))
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        year = sd.astype("datetime64[Y]").astype(np.int64) + 1970
+        cents = _cents_half_up(t["l_extendedprice"].to_numpy()
+                               * (1.0 - t["l_discount"].to_numpy()))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "supp_nation": pa.array(sn[keep]),
+                         "l_year": pa.array(year),
+                         "cents": pa.array(cents)})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount"]) \
+        .map_batches(li_map, batch_format="pyarrow")
+    j = li.join(oc, join_type="inner", num_partitions=_join_partitions(),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        sn = t["supp_nation"].to_numpy(zero_copy_only=False)
+        cn = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        m = ((sn == N1) & (cn == N2)) | ((sn == N2) & (cn == N1))
+        df = pd.DataFrame({
+            "supp_nation": sn[m], "cust_nation": cn[m],
+            "l_year": t["l_year"].to_numpy(zero_copy_only=False)[m],
+            "revenue_c": t["cents"].to_numpy(zero_copy_only=False)[m]})
+        g = df.groupby(["supp_nation", "cust_nation", "l_year"],
+                       sort=False)["revenue_c"].agg(["sum", "size"]) \
+            .reset_index()
+        g.columns = ["supp_nation", "cust_nation", "l_year",
+                     "revenue_c", "n_items"]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby(["supp_nation", "cust_nation", "l_year"])
+           .aggregate(Sum("revenue_c", alias_name="revenue_c"),
+                      Sum("n_items", alias_name="n_items")))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "supp_nation": pc.cast(t["supp_nation"], pa.int64()),
+            "cust_nation": pc.cast(t["cust_nation"], pa.int64()),
+            "l_year": pc.cast(t["l_year"], pa.int64()),
+            "revenue_c": pc.cast(t["revenue_c"], pa.int64()),
+            "n_items": pc.cast(t["n_items"], pa.int64())}),
+        batch_format="pyarrow").sort(["supp_nation", "cust_nation",
+                                      "l_year"])
+
+
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8: one nation's market share of revenue sold to a region's
+    customers, by order year.  Nation->region and suppkey->nation are
+    broadcast dimension arrays; customers prune to the region before the
+    orders join; both num and den accumulate as exact integer cents so
+    the share division happens once per year row."""
+    import ray as _ray
+
+    from ..stages.join import _join_partitions
+
+    REGION, TARGET = 2, 7
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]) \
+        .to_pandas()
+    region_nations = set(nation.loc[nation["n_regionkey"] == REGION,
+                                    "n_nationkey"].tolist())
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .to_pandas()
+    lut = np.full(int(supp["s_suppkey"].max()) + 1, -1, np.int64)
+    lut[supp["s_suppkey"].to_numpy()] = supp["s_nationkey"].to_numpy()
+    sref = _ray.put(lut)
+
+    nk = " or ".join(f"c_nationkey == {k}" for k in sorted(region_nations))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .filter(expr=nk).select_columns(["c_custkey"])
+
+    def oyear(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": t["o_orderkey"], "o_custkey": t["o_custkey"],
+            "o_year": pa.array(od.astype("datetime64[Y]")
+                               .astype(np.int64) + 1970)})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(oyear, batch_format="pyarrow")
+    oc = orders.join(cust, join_type="inner",
+                     num_partitions=_join_partitions(),
+                     on=("o_custkey",), right_on=("c_custkey",))
+
+    def li_map(t: pa.Table) -> pa.Table:
+        sn = _ray.get(sref)[t["l_suppkey"].to_numpy()]
+        cents = _cents_half_up(t["l_extendedprice"].to_numpy()
+                               * (1.0 - t["l_discount"].to_numpy()))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "cents": pa.array(cents),
+                         "is_t": pa.array((sn == TARGET)
+                                          .astype(np.int64))})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"]).map_batches(li_map, batch_format="pyarrow")
+    j = li.join(oc, join_type="inner", num_partitions=_join_partitions(),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        it = t["is_t"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "o_year": t["o_year"].to_numpy(zero_copy_only=False),
+            "target_c": c * it, "total_c": c})
+        g = df.groupby("o_year", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby("o_year")
+           .aggregate(Sum("target_c", alias_name="target_c"),
+                      Sum("total_c", alias_name="total_c")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        num = t["target_c"].to_numpy(zero_copy_only=False)
+        den = t["total_c"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_year": pc.cast(t["o_year"], pa.int64()),
+            "share_e6": _iscale(num / den, 1000000),
+            "target_c": pc.cast(t["target_c"], pa.int64()),
+            "total_c": pc.cast(t["total_c"], pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("o_year")
+
+
+def q11_important_parts(sf_dir: str):
+    """TPC-H Q11 shape: per-part stocked value from one nation's
+    suppliers, HAVING value > fraction * global total.  Supplier nation
+    filter via broadcast array; per-part value is ONE grouped_reduce
+    (unbounded part keys), materialized once for the two consumers
+    (global scalar + threshold filter); the surviving answer-small set
+    sorts."""
+    import ray as _ray
+
+    from ..stages.groupagg import grouped_reduce
+
+    NATION, FRACTION = 9, 0.001
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .to_pandas()
+    lut = np.full(int(supp["s_suppkey"].max()) + 1, -1, np.int64)
+    lut[supp["s_suppkey"].to_numpy()] = supp["s_nationkey"].to_numpy()
+    sref = _ray.put(lut)
+
+    def li_map(t: pa.Table) -> pa.Table:
+        sn = _ray.get(sref)[t["l_suppkey"].to_numpy()]
+        t = t.filter(pa.array(sn == NATION))
+        cents = _cents_half_up(t["l_extendedprice"].to_numpy()
+                               * (1.0 - t["l_discount"].to_numpy()))
+        return pa.table({"l_partkey": t["l_partkey"],
+                         "value_c": pa.array(cents)})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(li_map, batch_format="pyarrow")
+    per_part = grouped_reduce(li, "l_partkey", {"value_c": "value_c"},
+                              how="sum").materialize()
+    total = per_part.sum("value_c")
+    thr = total * FRACTION
+    out = per_part.filter(expr=f"value_c > {thr!r}")
+    return out.map_batches(
+        lambda t: pa.table({"l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                            "value_c": pc.cast(t["value_c"], pa.int64())}),
+        batch_format="pyarrow").sort(["value_c", "l_partkey"],
+                                     descending=[True, False])
+
+
+def q16_supplier_count(sf_dir: str):
+    """TPC-H Q16 shape: distinct supplier count per (brand, size) for
+    parts outside one brand, excluding negative-balance ('complaint')
+    suppliers.  Part attributes and the supplier blocklist are broadcast
+    dimension arrays applied in the streaming pass; the exact distinct
+    count per group is grouped_count_distinct (two range sorts, no hash
+    aggregate, unbounded group keys)."""
+    import ray as _ray
+
+    from ..stages.groupagg import grouped_count_distinct
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]) \
+        .to_pandas().sort_values("p_partkey")
+    pref = _ray.put((part["p_partkey"].to_numpy(),
+                     part["p_brand"].to_numpy(),
+                     part["p_size"].to_numpy()))
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]) \
+        .to_pandas()
+    bad = np.sort(supp.loc[supp["s_acctbal"] < 0, "s_suppkey"].to_numpy())
+    bref = _ray.put(bad)
+
+    def attrs(t: pa.Table) -> pa.Table:
+        keys, brands, sizes = _ray.get(pref)
+        badk = _ray.get(bref)
+        sk = t["l_suppkey"].to_numpy()
+        if len(badk):
+            pos = np.clip(np.searchsorted(badk, sk), 0, len(badk) - 1)
+            t = t.filter(pa.array(badk[pos] != sk))
+        pk = t["l_partkey"].to_numpy()
+        pos = np.clip(np.searchsorted(keys, pk), 0, len(keys) - 1)
+        hit = keys[pos] == pk
+        brand = brands[pos]
+        keep = hit & (brand != "Brand#45")
+        t = t.filter(pa.array(keep))
+        return pa.table({"p_brand": pa.array(brand[keep], pa.string()),
+                         "p_size": pa.array(sizes[pos][keep]),
+                         "l_suppkey": t["l_suppkey"]})
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]) \
+        .map_batches(attrs, batch_format="pyarrow")
+    cnt = grouped_count_distinct(li, ["p_brand", "p_size"], "l_suppkey",
+                                 out_col="supplier_cnt")
+    return cnt.map_batches(
+        lambda t: pa.table({
+            "p_brand": t["p_brand"],
+            "p_size": pc.cast(t["p_size"], pa.int64()),
+            "supplier_cnt": pc.cast(t["supplier_cnt"], pa.int64())}),
+        batch_format="pyarrow").sort(["supplier_cnt", "p_brand", "p_size"],
+                                     descending=[True, False, False])
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -3977,6 +4228,10 @@ QUERIES = {
     "q12_priority_linestatus": q12_priority_linestatus,
     "q17_small_quantity": q17_small_quantity,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q11_important_parts": q11_important_parts,
+    "q16_supplier_count": q16_supplier_count,
 }
 
 ORACLES = {
@@ -5612,5 +5867,73 @@ ORACLES = {
                AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
                AND l_quantity BETWEEN 20 AND 30)
+    """,
+    # TPC-H Q7: volume between nations 7 and 17 by ship year
+    "q7_volume_shipping": """
+        SELECT CAST(s_nationkey AS BIGINT) AS supp_nation,
+               CAST(c_nationkey AS BIGINT) AS cust_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS revenue_c,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE l_shipdate >= DATE '1995-01-01'
+          AND l_shipdate < DATE '1997-01-01'
+          AND ((s_nationkey = 7 AND c_nationkey = 17)
+               OR (s_nationkey = 17 AND c_nationkey = 7))
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    # TPC-H Q8: nation 7's share of revenue to ASIA-region customers
+    "q8_market_share": """
+        WITH f AS (
+            SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+                   CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT) AS cents,
+                   CASE WHEN s_nationkey = 7 THEN 1 ELSE 0 END AS is_t
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE n_regionkey = 2)
+        SELECT CAST(o_year AS BIGINT) AS o_year,
+               CAST(ROUND(CAST(SUM(cents * is_t) AS BIGINT)
+                          / (1.0 * CAST(SUM(cents) AS BIGINT))
+                          * 1000000) AS BIGINT) AS share_e6,
+               CAST(SUM(cents * is_t) AS BIGINT) AS target_c,
+               CAST(SUM(cents) AS BIGINT) AS total_c
+        FROM f GROUP BY o_year ORDER BY o_year
+    """,
+    # TPC-H Q11 shape: per-part value from nation 9's suppliers, HAVING
+    # value > 0.001 * global total
+    "q11_important_parts": """
+        WITH v AS (
+            SELECT l_partkey,
+                   SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                            AS BIGINT)) AS value_c
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            WHERE s_nationkey = 9
+            GROUP BY 1)
+        SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+               CAST(value_c AS BIGINT) AS value_c
+        FROM v
+        WHERE value_c > (SELECT CAST(SUM(value_c) AS BIGINT) * 0.001
+                         FROM v)
+        ORDER BY value_c DESC, l_partkey
+    """,
+    # TPC-H Q16 shape: distinct suppliers per (brand, size), one brand
+    # excluded, negative-balance suppliers blocklisted
+    "q16_supplier_count": """
+        SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand != 'Brand#45'
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_size
     """,
 }
