@@ -4094,6 +4094,136 @@ def q16_supplier_count(sf_dir: str):
                                      descending=[True, False, False])
 
 
+def lisa_events(sf_dir: str):
+    """Local Moran's I (LISA) over the binned event lattice
+    (stages/interp.local_moran): the cluster/outlier classification
+    sibling of the Gi* hotspot map — positive I marks high-high / low-low
+    spatial clusters, negative I marks spatial outliers.  Same
+    distributed shape as hotspot_gi_events."""
+    from ..stages.groupagg import grouped_reduce
+    from ..stages.interp import local_moran
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def binp(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        return pa.table({"gx": pa.array((eid * 7919) % 36000 // 400),
+                         "gy": pa.array((eid * 104729) % 18000 // 400),
+                         "n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    cells = grouped_reduce(ds.map_batches(binp, batch_format="pyarrow"),
+                           ["gx", "gy"], {"n": "n"}, how="sum")
+    out = local_moran(cells, "gx", "gy", "n", radius=1)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "gx": pc.cast(t["gx"], pa.int64()),
+            "gy": pc.cast(t["gy"], pa.int64()),
+            "n": pc.cast(t["n"], pa.int64()),
+            "lag_sum": pc.cast(t["lag_sum"], pa.int64()),
+            "n_neighbors": pc.cast(t["n_neighbors"], pa.int64()),
+            "i_e6": _iscale(t["moran_i"].to_numpy(zero_copy_only=False),
+                            1000000)})
+
+    return out.map_batches(finish, batch_format="pyarrow") \
+        .sort(["gx", "gy"])
+
+
+def morton_range_events(sf_dir: str):
+    """Z-order (Morton) locality key over the binned event lattice
+    (stages/sfc.add_morton_key) + a key-range query: the 1-D range
+    [1024, 4096) corresponds to a spatially compact block of cells —
+    the locality-preserving partitioning trick that turns 2-D spatial
+    proximity into ONE sortable int64 column.  Pure streaming encode,
+    vectorized magic-number bit spreading, no per-row Python."""
+    from ..stages.groupagg import grouped_reduce
+    from ..stages.sfc import add_morton_key
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def binp(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        return pa.table({"gx": pa.array((eid * 7919) % 36000 // 400),
+                         "gy": pa.array((eid * 104729) % 18000 // 400),
+                         "n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    cells = grouped_reduce(ds.map_batches(binp, batch_format="pyarrow"),
+                           ["gx", "gy"], {"n": "n"}, how="sum")
+    keyed = add_morton_key(cells, "gx", "gy")
+    out = keyed.filter(expr="morton_key >= 1024 and morton_key < 4096")
+    return out.map_batches(
+        lambda t: pa.table({
+            "gx": pc.cast(t["gx"], pa.int64()),
+            "gy": pc.cast(t["gy"], pa.int64()),
+            "morton_key": pc.cast(t["morton_key"], pa.int64()),
+            "n": pc.cast(t["n"], pa.int64())}),
+        batch_format="pyarrow").sort("morton_key")
+
+
+def stay_segments_events(sf_dir: str):
+    """Stay-point / run-length segments: maximal runs of consecutive
+    same-zone events per user (zone = coarse spatial bin), keeping runs
+    of >= 2 events — the trajectory stay-detection shape.  Pure
+    composition of existing scale paths: group_shift (LAG zone) ->
+    change flag -> group_running_sum (segment id) -> ONE composite-key
+    grouped_reduce for (start, end, n) -> filter.  No per-group Python
+    at any step; user cardinality unbounded."""
+    from ..stages.groupagg import grouped_reduce
+    from ..stages.window import group_running_sum, group_shift
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def enc(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        return pa.table({"user_id": t["user_id"],
+                         "ts_us": t["ts"].cast(pa.int64()),
+                         "event_id": t["event_id"],
+                         "zone": pa.array((eid * 7919) % 36000 // 9000)})
+
+    lag = group_shift(ds.map_batches(enc, batch_format="pyarrow"),
+                      "user_id", ["ts_us", "event_id"], "zone",
+                      k=1, out_col="prev_zone")
+
+    def flag(t: pa.Table) -> pa.Table:
+        z = t["zone"].to_numpy(zero_copy_only=False).astype(np.float64)
+        p = t["prev_zone"].to_numpy(zero_copy_only=False)
+        chg = (np.isnan(p) | (p != z)).astype(np.int64)
+        return pa.table({"user_id": t["user_id"], "ts_us": t["ts_us"],
+                         "event_id": t["event_id"],
+                         "zone": t["zone"],
+                         "chg": pa.array(chg)})
+
+    seg = group_running_sum(lag.map_batches(flag, batch_format="pyarrow"),
+                            "user_id", ["ts_us", "event_id"], "chg",
+                            out_col="seg_id")
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "seg_id": pa.array(
+                             t["seg_id"].to_numpy(zero_copy_only=False)
+                             .astype(np.int64)),
+                         "zone": t["zone"],
+                         "ts_lo": t["ts_us"], "ts_hi": t["ts_us"],
+                         "n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    agg = grouped_reduce(seg.map_batches(pre, batch_format="pyarrow"),
+                         ["user_id", "seg_id"],
+                         {"zone": "zone", "ts_lo": "start_us",
+                          "ts_hi": "end_us", "n": "n_events"},
+                         how={"zone": "max", "ts_lo": "min",
+                              "ts_hi": "max", "n": "sum"})
+    out = agg.filter(expr="n_events >= 2")
+    return out.map_batches(
+        lambda t: pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "seg_id": pc.cast(t["seg_id"], pa.int64()),
+            "zone": pc.cast(t["zone"], pa.int64()),
+            "start_us": pc.cast(t["start_us"], pa.int64()),
+            "end_us": pc.cast(t["end_us"], pa.int64()),
+            "n_events": pc.cast(t["n_events"], pa.int64())}),
+        batch_format="pyarrow").sort(["user_id", "seg_id"])
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -4232,6 +4362,9 @@ QUERIES = {
     "q8_market_share": q8_market_share,
     "q11_important_parts": q11_important_parts,
     "q16_supplier_count": q16_supplier_count,
+    "lisa_events": lisa_events,
+    "morton_range_events": morton_range_events,
+    "stay_segments_events": stay_segments_events,
 }
 
 ORACLES = {
@@ -5935,5 +6068,76 @@ ORACLES = {
                                 WHERE s_acctbal < 0)
         GROUP BY p_brand, p_size
         ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+    # Local Moran's I over occupied cells, self excluded; the expression
+    # mirrors the numpy evaluation order term by term
+    "lisa_events": """
+        WITH b AS (
+            SELECT (event_id * 7919) % 36000 // 400 AS gx,
+                   (event_id * 104729) % 18000 // 400 AS gy,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2),
+        m AS (SELECT COUNT(*) AS cnt, SUM(n) AS s, SUM(n * n) AS ss FROM b),
+        o AS (SELECT dxr.range AS dx, dyr.range AS dy
+              FROM range(-1, 2) dxr, range(-1, 2) dyr),
+        f AS (SELECT c.gx, c.gy, c.n AS x, SUM(nb.n) AS g, COUNT(*) AS w
+              FROM b c
+              CROSS JOIN o
+              JOIN b nb ON nb.gx = c.gx + o.dx AND nb.gy = c.gy + o.dy
+              GROUP BY c.gx, c.gy, c.n)
+        SELECT CAST(f.gx AS BIGINT) AS gx, CAST(f.gy AS BIGINT) AS gy,
+               CAST(f.x AS BIGINT) AS n,
+               CAST(f.g - f.x AS BIGINT) AS lag_sum,
+               CAST(f.w - 1 AS BIGINT) AS n_neighbors,
+               CAST(ROUND(
+                   (f.x - m.s / (1.0 * m.cnt))
+                   * ((f.g - f.x) - (m.s / (1.0 * m.cnt)) * (f.w - 1))
+                   / (m.ss / (1.0 * m.cnt)
+                      - (m.s / (1.0 * m.cnt)) * (m.s / (1.0 * m.cnt)))
+                   * 1000000) AS BIGINT) AS i_e6
+        FROM f, m ORDER BY gx, gy
+    """,
+    # Morton key = bit interleave; reconstructed in SQL by summing the
+    # per-bit contributions over range(16)
+    "morton_range_events": """
+        WITH b AS (
+            SELECT (event_id * 7919) % 36000 // 400 AS gx,
+                   (event_id * 104729) % 18000 // 400 AS gy,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2),
+        bits AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 16)),
+        k AS (SELECT gx, gy, n,
+                     CAST(SUM((((gx >> i) & 1) << (2 * i))
+                              + (((gy >> i) & 1) << (2 * i + 1)))
+                          AS BIGINT) AS morton_key
+              FROM b CROSS JOIN bits GROUP BY gx, gy, n)
+        SELECT CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,
+               morton_key, CAST(n AS BIGINT) AS n
+        FROM k WHERE morton_key >= 1024 AND morton_key < 4096
+        ORDER BY morton_key
+    """,
+    # run-length stay segments: LAG change flag -> window SUM segment id
+    "stay_segments_events": """
+        WITH z AS (
+            SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                   (event_id * 7919) % 36000 // 9000 AS zone
+            FROM events),
+        l AS (SELECT *, LAG(zone) OVER (PARTITION BY user_id
+                                        ORDER BY ts_us, event_id) AS pz
+              FROM z),
+        s AS (SELECT *, SUM(CASE WHEN pz IS NULL OR pz != zone
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id
+                              ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS seg_id
+              FROM l)
+        SELECT user_id, CAST(seg_id AS BIGINT) AS seg_id,
+               CAST(MAX(zone) AS BIGINT) AS zone,
+               CAST(MIN(ts_us) AS BIGINT) AS start_us,
+               CAST(MAX(ts_us) AS BIGINT) AS end_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, seg_id
+        HAVING COUNT(*) >= 2
+        ORDER BY user_id, seg_id
     """,
 }
