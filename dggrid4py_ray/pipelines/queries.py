@@ -4224,6 +4224,60 @@ def stay_segments_events(sf_dir: str):
         batch_format="pyarrow").sort(["user_id", "seg_id"])
 
 
+def semivariogram_events(sf_dir: str):
+    """Empirical semivariogram (stages/geostats.semivariogram) over a
+    deterministic 1-in-5 sample of the formula-derived event coordinates:
+    12 bins x 250 km, pairs enumerated by the lat-band bucket cover (no
+    all-pairs stage on the Ray side; the oracle IS the all-pairs SQL)."""
+    from ..stages.geostats import semivariogram
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def pts(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        keep = (eid % 5) == 0
+        eid = eid[keep]
+        return pa.table({
+            "id": pa.array(eid),
+            "lon": pa.array((eid * 7919) % 36000 / 100.0 - 180.0),
+            "lat": pa.array((eid * 104729) % 18000 / 100.0 - 90.0),
+            "value": pa.array(t["value"].to_numpy(zero_copy_only=False)[keep])})
+
+    sv = semivariogram(ds.map_batches(pts, batch_format="pyarrow"),
+                       lag_width_km=250.0, n_bins=12)
+    return sv.map_batches(
+        lambda t: pa.table({"bin": t["bin"], "n_pairs": t["n_pairs"],
+                            "gamma1k": _iscale(t["gamma"].to_numpy(
+                                zero_copy_only=False), 1000)}),
+        batch_format="pyarrow")
+
+
+def rog_users_events(sf_dir: str):
+    """Per-user radius of gyration (stages/geostats.radius_of_gyration)
+    over the formula-derived event coordinates — both aggregate passes on
+    the grouped_reduce scale path, centroid zipped back by a key-sized
+    hash join (no driver broadcast)."""
+    from ..stages.geostats import radius_of_gyration
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def pts(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"],
+            "lon": pa.array((eid * 7919) % 36000 / 100.0 - 180.0),
+            "lat": pa.array((eid * 104729) % 18000 / 100.0 - 90.0)})
+
+    rog = radius_of_gyration(ds.map_batches(pts, batch_format="pyarrow"),
+                             key="user_id")
+    return rog.map_batches(
+        lambda t: pa.table({"user_id": t["user_id"],
+                            "n_points": t["n_points"],
+                            "rog_m": _iscale(t["rog_km"].to_numpy(
+                                zero_copy_only=False), 1000)}),
+        batch_format="pyarrow").sort("user_id")
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -4365,6 +4419,8 @@ QUERIES = {
     "lisa_events": lisa_events,
     "morton_range_events": morton_range_events,
     "stay_segments_events": stay_segments_events,
+    "semivariogram_events": semivariogram_events,
+    "rog_users_events": rog_users_events,
 }
 
 ORACLES = {
@@ -6139,5 +6195,53 @@ ORACLES = {
         FROM s GROUP BY user_id, seg_id
         HAVING COUNT(*) >= 2
         ORDER BY user_id, seg_id
+    """,
+    # all-pairs brute force over the 1-in-5 sample (2k pts at sf0.01) —
+    # the Ray side enumerates the same pair set via the lat-band bucket
+    # cover, so value equality proves the cover is exhaustive too
+    "semivariogram_events": """
+        WITH pts AS (
+          SELECT event_id AS id, value,
+                 CAST((event_id * 7919) % 36000 AS DOUBLE) / 100.0 - 180.0
+                     AS lon,
+                 CAST((event_id * 104729) % 18000 AS DOUBLE) / 100.0 - 90.0
+                     AS lat
+          FROM events WHERE event_id % 5 = 0),
+        pairs AS (
+          SELECT a.value - b.value AS dz,
+                 2 * 6371.0 * asin(sqrt(LEAST(1.0, GREATEST(0.0,
+                     pow(sin(radians(b.lat - a.lat) / 2), 2)
+                     + cos(radians(a.lat)) * cos(radians(b.lat))
+                       * pow(sin(radians(b.lon - a.lon) / 2), 2))))) AS d
+          FROM pts a, pts b WHERE a.id < b.id)
+        SELECT LEAST(CAST(FLOOR(d / 250.0) AS BIGINT), 11) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(ROUND(SUM(dz * dz) / (2 * COUNT(*)) * 1000) AS BIGINT)
+                   AS gamma1k
+        FROM pairs WHERE d <= 3000.0
+        GROUP BY 1 ORDER BY 1
+    """,
+    "rog_users_events": """
+        WITH pts AS (
+          SELECT user_id,
+                 CAST((event_id * 7919) % 36000 AS DOUBLE) / 100.0 - 180.0
+                     AS lon,
+                 CAST((event_id * 104729) % 18000 AS DOUBLE) / 100.0 - 90.0
+                     AS lat
+          FROM events),
+        cent AS (
+          SELECT user_id, AVG(lat) AS clat, AVG(lon) AS clon,
+                 COUNT(*) AS n
+          FROM pts GROUP BY user_id),
+        d AS (
+          SELECT p.user_id,
+                 2 * 6371.0 * asin(sqrt(LEAST(1.0, GREATEST(0.0,
+                     pow(sin(radians(c.clat - p.lat) / 2), 2)
+                     + cos(radians(p.lat)) * cos(radians(c.clat))
+                       * pow(sin(radians(c.clon - p.lon) / 2), 2))))) AS dk
+          FROM pts p JOIN cent c USING (user_id))
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(ROUND(sqrt(AVG(dk * dk)) * 1000) AS BIGINT) AS rog_m
+        FROM d GROUP BY user_id ORDER BY user_id
     """,
 }
