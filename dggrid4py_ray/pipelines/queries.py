@@ -4224,6 +4224,38 @@ def stay_segments_events(sf_dir: str):
         batch_format="pyarrow").sort(["user_id", "seg_id"])
 
 
+def hilbert_range_events(sf_dir: str):
+    """Hilbert-curve locality key over the binned event lattice
+    (stages/sfc.add_hilbert_key) + a key-range query — the stronger
+    sibling of morton_range_events: consecutive Hilbert keys are always
+    lattice NEIGHBORS (unit Manhattan steps, property-tested), so a
+    contiguous key range is a connected spatial region with no Z-seam
+    jumps.  Vectorized 16-pass bit walk; the oracle reproduces the walk
+    exactly with a recursive CTE."""
+    from ..stages.groupagg import grouped_reduce
+    from ..stages.sfc import add_hilbert_key
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def binp(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        return pa.table({"gx": pa.array((eid * 7919) % 36000 // 400),
+                         "gy": pa.array((eid * 104729) % 18000 // 400),
+                         "n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    cells = grouped_reduce(ds.map_batches(binp, batch_format="pyarrow"),
+                           ["gx", "gy"], {"n": "n"}, how="sum")
+    keyed = add_hilbert_key(cells, "gx", "gy")
+    out = keyed.filter(expr="hilbert_key >= 1024 and hilbert_key < 4096")
+    return out.map_batches(
+        lambda t: pa.table({
+            "gx": pc.cast(t["gx"], pa.int64()),
+            "gy": pc.cast(t["gy"], pa.int64()),
+            "hilbert_key": pc.cast(t["hilbert_key"], pa.int64()),
+            "n": pc.cast(t["n"], pa.int64())}),
+        batch_format="pyarrow").sort("hilbert_key")
+
+
 def semivariogram_events(sf_dir: str):
     """Empirical semivariogram (stages/geostats.semivariogram) over a
     deterministic 1-in-5 sample of the formula-derived event coordinates:
@@ -4421,6 +4453,7 @@ QUERIES = {
     "stay_segments_events": stay_segments_events,
     "semivariogram_events": semivariogram_events,
     "rog_users_events": rog_users_events,
+    "hilbert_range_events": hilbert_range_events,
 }
 
 ORACLES = {
@@ -6243,5 +6276,34 @@ ORACLES = {
         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
                CAST(ROUND(sqrt(AVG(dk * dk)) * 1000) AS BIGINT) AS rog_m
         FROM d GROUP BY user_id ORDER BY user_id
+    """,
+    # exact recursive-CTE replay of the iterative xy2d Hilbert bit walk
+    # (order 16, n-1 = 65535): rx=(x//s)%2, ry=(y//s)%2, d += s^2 *
+    # ((3 rx) XOR ry), then the reflect-and-swap rotation
+    "hilbert_range_events": """
+        WITH RECURSIVE b AS (
+            SELECT (event_id * 7919) % 36000 // 400 AS gx,
+                   (event_id * 104729) % 18000 // 400 AS gy,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+        h(gx, gy, n, x, y, s, d) AS (
+            SELECT gx, gy, n, gx, gy, CAST(32768 AS BIGINT),
+                   CAST(0 AS BIGINT)
+            FROM b
+            UNION ALL
+            SELECT gx, gy, n,
+                CASE WHEN (y // s) % 2 = 0 THEN
+                     CASE WHEN (x // s) % 2 = 1 THEN 65535 - y ELSE y END
+                     ELSE x END,
+                CASE WHEN (y // s) % 2 = 0 THEN
+                     CASE WHEN (x // s) % 2 = 1 THEN 65535 - x ELSE x END
+                     ELSE y END,
+                s // 2,
+                d + s * s * xor(3 * ((x // s) % 2), (y // s) % 2)
+            FROM h WHERE s > 0)
+        SELECT CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,
+               d AS hilbert_key, n
+        FROM h WHERE s = 0 AND d >= 1024 AND d < 4096
+        ORDER BY hilbert_key
     """,
 }

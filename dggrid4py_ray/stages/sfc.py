@@ -74,3 +74,72 @@ def add_morton_key(ds: ray.data.Dataset, x_col: str, y_col: str,
         return t.append_column(out_col, pa.array(key))
 
     return ds.map_batches(enc, batch_format="pyarrow")
+
+
+_HILBERT_ORDER = 16
+
+
+def hilbert_encode(gx: np.ndarray, gy: np.ndarray,
+                   order: int = _HILBERT_ORDER) -> np.ndarray:
+    """Hilbert-curve distance of 2-D lattice coordinates (the classic
+    iterative xy2d bit walk, vectorized over whole arrays — ``order``
+    numpy passes, no per-row Python).  Hilbert keys improve on Morton
+    for range partitioning: consecutive keys are always lattice
+    neighbors (unit Manhattan steps), so a contiguous key range never
+    jumps across the map the way Z-order's seam does."""
+    n = 1 << order
+    x = np.asarray(gx, dtype=np.int64).copy()
+    y = np.asarray(gy, dtype=np.int64).copy()
+    if x.size and (x.min() < 0 or x.max() >= n
+                   or y.min() < 0 or y.max() >= n):
+        raise ValueError(f"hilbert_encode coordinates must be in [0, 2^{order})")
+    d = np.zeros_like(x)
+    s = n >> 1
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        swap = ry == 0
+        refl = swap & (rx == 1)
+        xr = np.where(refl, n - 1 - x, x)
+        yr = np.where(refl, n - 1 - y, y)
+        x, y = np.where(swap, yr, xr), np.where(swap, xr, yr)
+        s >>= 1
+    return d
+
+
+def hilbert_decode(key: np.ndarray,
+                   order: int = _HILBERT_ORDER
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of hilbert_encode (the iterative d2xy walk, vectorized)."""
+    n = 1 << order
+    t = np.asarray(key, dtype=np.int64).copy()
+    x = np.zeros_like(t)
+    y = np.zeros_like(t)
+    s = 1
+    while s < n:
+        rx = 1 & (t >> 1)
+        ry = 1 & (t ^ rx)
+        swap = ry == 0
+        refl = swap & (rx == 1)
+        xr = np.where(refl, s - 1 - x, x)
+        yr = np.where(refl, s - 1 - y, y)
+        x, y = np.where(swap, yr, xr), np.where(swap, xr, yr)
+        x += s * rx
+        y += s * ry
+        t >>= 2
+        s <<= 1
+    return x, y
+
+
+def add_hilbert_key(ds: ray.data.Dataset, x_col: str, y_col: str,
+                    out_col: str = "hilbert_key",
+                    order: int = _HILBERT_ORDER) -> ray.data.Dataset:
+    """Append a Hilbert key column — a pure streaming map."""
+    def enc(t: pa.Table) -> pa.Table:
+        key = hilbert_encode(
+            t[x_col].to_numpy(zero_copy_only=False),
+            t[y_col].to_numpy(zero_copy_only=False), order=order)
+        return t.append_column(out_col, pa.array(key))
+
+    return ds.map_batches(enc, batch_format="pyarrow")
