@@ -4224,6 +4224,71 @@ def stay_segments_events(sf_dir: str):
         batch_format="pyarrow").sort(["user_id", "seg_id"])
 
 
+def interval_overlap_events(sf_dir: str):
+    """Large-large interval OVERLAP join
+    (stages/relational.interval_overlap_join): deterministic event-derived
+    interval sets on both sides, each pair emitted exactly once from the
+    bucket holding the overlap start — one hash join, no pair-dedup
+    aggregate, no broadcast."""
+    from ..stages.relational import interval_overlap_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def mk(left: bool):
+        def f(t: pa.Table) -> pa.Table:
+            eid = t["event_id"].to_numpy(zero_copy_only=False)
+            us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            keep = (eid % 2) == (0 if left else 1)
+            eid, us = eid[keep], us[keep]
+            span = (eid * (7919 if left else 104729)) % 2000000000
+            if left:
+                return pa.table({"lid": pa.array(eid), "ls": pa.array(us),
+                                 "le": pa.array(us + span)})
+            return pa.table({"rid": pa.array(eid), "rs": pa.array(us),
+                             "re_us": pa.array(us + span)})
+        return f
+
+    left = ev.map_batches(mk(True), batch_format="pyarrow")
+    right = ev.map_batches(mk(False), batch_format="pyarrow")
+    out = interval_overlap_join(left, right, l_start="ls", l_end="le",
+                                r_start="rs", r_end="re_us")
+    return out.map_batches(
+        lambda t: pa.table({
+            "lid": t["lid"], "rid": t["rid"],
+            "overlap_us": pa.array(
+                np.minimum(t["le"].to_numpy(zero_copy_only=False),
+                           t["re_us"].to_numpy(zero_copy_only=False))
+                - np.maximum(t["ls"].to_numpy(zero_copy_only=False),
+                             t["rs"].to_numpy(zero_copy_only=False)))}),
+        batch_format="pyarrow").sort(["lid", "rid"])
+
+
+def edit_pairs_docs(sf_dir: str):
+    """Blocked edit-distance similarity self-join
+    (stages/text.blocked_edit_join): blocking key = (lang, first 8 chars),
+    exact vectorized-row-DP Levenshtein inside each block — the
+    fuzzy-dedup verify stage with an exact SQL twin (DuckDB
+    levenshtein)."""
+    from ..stages.text import blocked_edit_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def key(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "bk": pc.binary_join_element_wise(
+                t["lang"].cast(pa.string()),
+                pc.utf8_slice_codeunits(t["text"], 0, 8), "\x1f"),
+            "doc_id": t["doc_id"], "text": t["text"]})
+
+    out = blocked_edit_join(ds.map_batches(key, batch_format="pyarrow"),
+                            block_col="bk", max_dist=400)
+    return out.map_batches(
+        lambda t: pa.table({"id_a": pc.cast(t["id_a"], pa.int64()),
+                            "id_b": pc.cast(t["id_b"], pa.int64()),
+                            "dist": pc.cast(t["dist"], pa.int64())}),
+        batch_format="pyarrow").sort(["id_a", "id_b"])
+
+
 def hilbert_range_events(sf_dir: str):
     """Hilbert-curve locality key over the binned event lattice
     (stages/sfc.add_hilbert_key) + a key-range query — the stronger
@@ -4454,6 +4519,8 @@ QUERIES = {
     "semivariogram_events": semivariogram_events,
     "rog_users_events": rog_users_events,
     "hilbert_range_events": hilbert_range_events,
+    "interval_overlap_events": interval_overlap_events,
+    "edit_pairs_docs": edit_pairs_docs,
 }
 
 ORACLES = {
@@ -6305,5 +6372,29 @@ ORACLES = {
                d AS hilbert_key, n
         FROM h WHERE s = 0 AND d >= 1024 AND d < 4096
         ORDER BY hilbert_key
+    """,
+    "interval_overlap_events": """
+        WITH l AS (
+          SELECT event_id AS lid, epoch_us(ts) AS ls,
+                 epoch_us(ts) + (event_id * 7919) % 2000000000 AS le
+          FROM events WHERE event_id % 2 = 0),
+        r AS (
+          SELECT event_id AS rid, epoch_us(ts) AS rs,
+                 epoch_us(ts) + (event_id * 104729) % 2000000000 AS re_us
+          FROM events WHERE event_id % 2 = 1)
+        SELECT lid, rid,
+               LEAST(le, re_us) - GREATEST(ls, rs) AS overlap_us
+        FROM l, r WHERE ls <= re_us AND rs <= le
+        ORDER BY lid, rid
+    """,
+    "edit_pairs_docs": """
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+        FROM documents a JOIN documents b
+          ON a.lang = b.lang
+         AND substr(a.text, 1, 8) = substr(b.text, 1, 8)
+         AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.text, b.text) <= 400
+        ORDER BY id_a, id_b
     """,
 }

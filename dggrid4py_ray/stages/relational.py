@@ -172,6 +172,83 @@ def range_join_via_buckets(points: ray.data.Dataset, intervals: ray.data.Dataset
     return joined.map_batches(exact, batch_format="pyarrow")
 
 
+def interval_overlap_join(left: ray.data.Dataset, right: ray.data.Dataset,
+                          l_start: str = "ls", l_end: str = "le",
+                          r_start: str = "rs", r_end: str = "re",
+                          bucket_width: int | None = None,
+                          num_partitions: int | None = None
+                          ) -> ray.data.Dataset:
+    """LARGE-LARGE interval x interval OVERLAP join: every (left, right)
+    row pair with ``l_start <= r_end AND r_start <= l_end`` (closed
+    intervals, int64 domain — e.g. epoch microseconds).
+
+    Both sides replicate to every coarse bucket their span touches
+    (replication ~ span/w + 1 per row, w defaulting to the larger mean
+    span so it stays ~2); ONE hash join on the bucket key; the exact
+    predicate filters locally.  Each matching pair is emitted EXACTLY
+    once — in the bucket containing the overlap start
+    ``max(l_start, r_start)``, which both copies share — so no pair-dedup
+    aggregate exists anywhere (the minhash first-matching-band trick on
+    a 1-D key).  Output: all left columns + all right columns.
+
+    Skew: a bucket with p left and q right spans inspects p*q candidate
+    pairs; fat spans should be pre-split or w lowered, as in
+    ``range_join_via_buckets``."""
+    from ray.data.aggregate import Mean
+
+    from .dedup import _join_partitions
+
+    def _mean_span(ds_, lo, hi):
+        st = ds_.map_batches(
+            lambda t: pa.table({"_span": pa.array(
+                t[hi].to_numpy(zero_copy_only=False).astype(np.float64)
+                - t[lo].to_numpy(zero_copy_only=False).astype(np.float64))}),
+            batch_format="pyarrow").aggregate(Mean("_span", alias_name="w"))
+        v = st.get("w")
+        return float(v) if v is not None and np.isfinite(float(v)) else 0.0
+
+    if bucket_width is None:
+        bucket_width = max(_mean_span(left, l_start, l_end),
+                           _mean_span(right, r_start, r_end), 1.0)
+    w = int(max(1, bucket_width))
+
+    def _replicate(lo_col: str, hi_col: str):
+        def rep(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t.append_column("_ob", pa.array([], pa.int64()))
+            lo = t[lo_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            hi = t[hi_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            b0, b1 = lo // w, hi // w
+            counts = b1 - b0 + 1
+            idx = np.repeat(np.arange(t.num_rows), counts)
+            buckets = b0[idx] + (np.arange(len(idx)) - np.repeat(
+                np.concatenate([[0], np.cumsum(counts)[:-1]]), counts))
+            return (t.take(pa.array(idx, type=pa.int64()))
+                     .append_column("_ob", pa.array(buckets)))
+        return rep
+
+    lrep = left.map_batches(_replicate(l_start, l_end),
+                            batch_format="pyarrow")
+    rrep = right.map_batches(_replicate(r_start, r_end),
+                             batch_format="pyarrow")
+    joined = lrep.join(rrep, join_type="inner",
+                       num_partitions=num_partitions or _join_partitions(),
+                       on=("_ob",))
+
+    def exact(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.drop_columns(["_ob"])
+        ls = t[l_start].to_numpy(zero_copy_only=False).astype(np.int64)
+        le = t[l_end].to_numpy(zero_copy_only=False).astype(np.int64)
+        rs = t[r_start].to_numpy(zero_copy_only=False).astype(np.int64)
+        re_ = t[r_end].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["_ob"].to_numpy(zero_copy_only=False)
+        keep = (ls <= re_) & (rs <= le) & (np.maximum(ls, rs) // w == b)
+        return t.filter(pa.array(keep)).drop_columns(["_ob"])
+
+    return joined.map_batches(exact, batch_format="pyarrow")
+
+
 def exact_group_quantile(ds: ray.data.Dataset, group_col: str, value_col: str,
                          q: float = 0.5, bins: int = 1024,
                          max_groups: int = 100_000,
