@@ -4224,6 +4224,47 @@ def stay_segments_events(sf_dir: str):
         batch_format="pyarrow").sort(["user_id", "seg_id"])
 
 
+def autocorr_value_by_user(sf_dir: str):
+    """Per-user lag-2 autocorrelation of the value series
+    (stages/normalize.grouped_autocorr): group_shift LAG pairing +
+    grouped bivariate moments, both on unbounded-key scale paths; the
+    oracle is SQL corr(v, LAG(v, 2)) per partition."""
+    from ..stages.normalize import grouped_autocorr
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "ts_us": t["ts"].cast(pa.int64()),
+                         "event_id": t["event_id"],
+                         "value": t["value"]})
+
+    ac = grouped_autocorr(ds.map_batches(to_us, batch_format="pyarrow"),
+                          "user_id", ["ts_us", "event_id"], "value", k=2)
+    return ac.map_batches(
+        lambda t: pa.table({"user_id": t["user_id"], "n": t["n"],
+                            "acf2_10k": _iscale(t["acf"].to_numpy(
+                                zero_copy_only=False), 10000)}),
+        batch_format="pyarrow").sort("user_id")
+
+
+def embedding_cov_entries(sf_dir: str):
+    """Distributed covariance of the 64-dim embedding column
+    (stages/linalg.covariance_stats): per-block (n, sum, X^T X) partials
+    — ONE BLAS matmul per block, vectors never shuffle, the driver folds
+    only #blocks x d^2 floats — emitted long-form (i <= j) so DuckDB
+    covar_samp can check every entry."""
+    from ..stages.linalg import covariance_stats
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    _, _, cov = covariance_stats(ds, "embedding")
+    d = cov.shape[0]
+    iu, ju = np.triu_indices(d)
+    return pa.table({"i": pa.array(iu.astype(np.int64)),
+                     "j": pa.array(ju.astype(np.int64)),
+                     "cov1e6": _iscale(cov[iu, ju], 1000000)})
+
+
 def interval_overlap_events(sf_dir: str):
     """Large-large interval OVERLAP join
     (stages/relational.interval_overlap_join): deterministic event-derived
@@ -4521,6 +4562,8 @@ QUERIES = {
     "hilbert_range_events": hilbert_range_events,
     "interval_overlap_events": interval_overlap_events,
     "edit_pairs_docs": edit_pairs_docs,
+    "autocorr_value_by_user": autocorr_value_by_user,
+    "embedding_cov_entries": embedding_cov_entries,
 }
 
 ORACLES = {
@@ -6396,5 +6439,28 @@ ORACLES = {
          AND a.doc_id < b.doc_id
         WHERE levenshtein(a.text, b.text) <= 400
         ORDER BY id_a, id_b
+    """,
+    "autocorr_value_by_user": """
+        WITH l AS (
+          SELECT user_id, value,
+                 LAG(value, 2) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS pv
+          FROM events)
+        SELECT user_id, CAST(COUNT(pv) AS BIGINT) AS n,
+               CAST(ROUND(corr(value, pv) * 10000) AS BIGINT) AS acf2_10k
+        FROM l WHERE pv IS NOT NULL
+        GROUP BY user_id
+        HAVING COUNT(pv) >= 2 AND corr(value, pv) IS NOT NULL
+        ORDER BY user_id
+    """,
+    "embedding_cov_entries": """
+        WITH d AS (SELECT CAST(range AS BIGINT) + 1 AS i FROM range(64))
+        SELECT a.i - 1 AS i, b.i - 1 AS j,
+               CAST(ROUND(covar_samp(CAST(e.embedding[a.i] AS DOUBLE),
+                                     CAST(e.embedding[b.i] AS DOUBLE))
+                          * 1000000) AS BIGINT) AS cov1e6
+        FROM embeddings e CROSS JOIN d a CROSS JOIN d b
+        WHERE a.i <= b.i
+        GROUP BY a.i, b.i ORDER BY i, j
     """,
 }

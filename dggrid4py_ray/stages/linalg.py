@@ -1,0 +1,97 @@
+"""Distributed linear algebra over an embedding column: covariance
+matrix and PCA projection.
+
+The sufficient statistics for a d-dim covariance are (n, sum x, X^T X):
+each batch contributes one d(+d^2)-sized partial (one numpy matmul —
+BLAS, not Python), and the driver folds the block partials, which are
+answer-sized (#blocks x ~d^2 floats), NOT data-sized — the vectors
+themselves never leave their blocks and never shuffle.  At d = 1024 a
+partial is 8 MB; for wider models compute covariance on a projected /
+sampled basis instead.
+
+PCA = driver-side eigh of the d x d covariance (d is model width, never
+data-sized) + broadcast components + a pure streaming matmul projection
+— the classic two-pass distributed PCA (cf. Halko et al. 2011 for the
+randomized variant when d itself is large).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _emb_matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
+    arr = batch[emb_col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = np.asarray(arr.flatten(), dtype=np.float64)
+    return flat.reshape(batch.num_rows, len(flat) // batch.num_rows)
+
+
+def covariance_stats(ds: ray.data.Dataset, emb_col: str = "embedding"
+                     ) -> tuple[int, np.ndarray, np.ndarray]:
+    """(n, mean, sample covariance) of the embedding column.  One pass;
+    per-block partials fold on the driver (answer-sized)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.list_(pa.float64())),
+                             "xtx": pa.array([], pa.list_(pa.float64()))})
+        x = _emb_matrix(batch, emb_col)
+        return pa.table({
+            "n": pa.array([x.shape[0]], pa.int64()),
+            "s": pa.array([x.sum(axis=0)]),
+            "xtx": pa.array([(x.T @ x).ravel()])})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if not rows:
+        raise ValueError("covariance_stats: empty dataset")
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    xtx_flat = np.sum([np.asarray(r["xtx"]) for r in rows], axis=0)
+    d = len(s)
+    mean = s / n
+    cov = (xtx_flat.reshape(d, d) - n * np.outer(mean, mean)) / (n - 1)
+    return int(n), mean, cov
+
+
+def pca_components(ds: ray.data.Dataset, k: int,
+                   emb_col: str = "embedding"
+                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Top-k principal axes: (mean, components (k, d), eigenvalues (k,)).
+    Deterministic sign convention: each component's largest-|.| entry is
+    made positive, so results are stable across BLAS builds."""
+    _, mean, cov = covariance_stats(ds, emb_col)
+    w, v = np.linalg.eigh(cov)            # ascending
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T
+    flip = np.sign(comps[np.arange(k), np.abs(comps).argmax(axis=1)])
+    comps *= flip[:, None]
+    return mean, comps, w[order]
+
+
+def pca_project(ds: ray.data.Dataset, mean: np.ndarray,
+                components: np.ndarray, emb_col: str = "embedding",
+                out_col: str = "pc") -> ray.data.Dataset:
+    """Append the k-dim PCA scores as a list column — broadcast
+    components via ``ray.put`` once, pure streaming matmul per batch."""
+    ref = ray.put((np.asarray(mean), np.asarray(components)))
+
+    class _Proj:
+        def __init__(self):
+            self.mean, self.comps = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch.append_column(
+                    out_col, pa.array([], pa.list_(pa.float64())))
+            x = _emb_matrix(batch, emb_col)
+            scores = (x - self.mean) @ self.comps.T
+            return batch.append_column(
+                out_col, pa.array(list(scores)))
+
+    return ds.map_batches(_Proj, batch_format="pyarrow",
+                          concurrency=(1, 16))

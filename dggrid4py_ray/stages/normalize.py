@@ -175,3 +175,49 @@ def winsorize(ds: ray.data.Dataset, col: str, q_lo: float = 0.05,
         return t.append_column(out_col, pa.array(v))
 
     return ds.map_batches(clamp, batch_format="pyarrow")
+
+
+def grouped_autocorr(ds: ray.data.Dataset, key: str, order_cols: list,
+                     value_col: str, k: int = 1, out_col: str = "acf",
+                     min_pairs: int = 2) -> ray.data.Dataset:
+    """Per-group lag-k autocorrelation: SQL ``corr(v, LAG(v, k) OVER
+    (PARTITION BY key ORDER BY ...)) GROUP BY key``.  Composition of two
+    proven scale paths: ``window.group_shift`` (one range sort +
+    O(#blocks) tail carry) pairs each value with its k-back neighbor,
+    then ``grouped_corr`` folds the bivariate moments — no per-group
+    Python anywhere.  Groups with < min_pairs complete pairs or zero
+    variance are dropped (where SQL corr is NULL).  Output: key, n
+    (pair count), out_col."""
+    import pyarrow.compute as pc
+
+    from .window import group_shift
+
+    lagged = group_shift(ds, key, order_cols, value_col, k=k,
+                         out_col="_lagv")
+    paired = lagged.map_batches(
+        lambda t: t.filter(pc.is_valid(t["_lagv"])),
+        batch_format="pyarrow")
+    mom = grouped_moments2(paired, key, value_col, "_lagv",
+                           unbounded_keys=True)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({key: t[key], "n": pa.array([], pa.int64()),
+                             out_col: pa.array([], pa.float64())})
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t["sx"].to_numpy(zero_copy_only=False)
+        sy = t["sy"].to_numpy(zero_copy_only=False)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False)
+        syy = t["syy"].to_numpy(zero_copy_only=False)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cov = (sxy - sx * sy / n) / (n - 1)
+            vx = (sxx - sx * sx / n) / (n - 1)
+            vy = (syy - sy * sy / n) / (n - 1)
+            r = cov / np.sqrt(vx * vy)
+        keep = (n >= min_pairs) & np.isfinite(r)
+        return pa.table({key: t[key].filter(pa.array(keep)),
+                         "n": pa.array(n[keep].astype(np.int64)),
+                         out_col: pa.array(r[keep])})
+
+    return mom.map_batches(finish, batch_format="pyarrow")
