@@ -29,6 +29,14 @@ def _iscale(arr, scale: int):
     return _pa.array(np.round(vals * scale).astype(np.int64))
 
 
+def _iscale_half_away(arr, scale: int) -> pa.Array:
+    """Signed DuckDB ROUND parity: round-half-AWAY-from-zero (numpy's
+    np.round is half-even and drifts by one on exact .5 products)."""
+    v = np.asarray(arr, dtype=np.float64) * scale
+    return pa.array((np.floor(np.abs(v) + 0.5)
+                     * np.sign(v)).astype(np.int64))
+
+
 def _cents_half_up(arr, scale: int = 100) -> np.ndarray:
     """Per-ROW positive-value integer scaling with DuckDB ROUND parity:
     round-half-AWAY (floor(x+0.5) for x >= 0), not numpy's half-even.
@@ -4224,6 +4232,73 @@ def stay_segments_events(sf_dir: str):
         batch_format="pyarrow").sort(["user_id", "seg_id"])
 
 
+def moments_by_type_events(sf_dir: str):
+    """Per-type sample stddev / skewness / excess kurtosis
+    (stages/normalize.grouped_higher_moments): one pass of raw power
+    sums s1..s4 per batch, DuckDB's bias corrections applied in the
+    finish — the 4th-order extension of the moments combiner."""
+    from ..stages.normalize import grouped_higher_moments
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    m = grouped_higher_moments(ds, "event_type", "value")
+    return m.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"], "n": t["n"],
+            "sd_1e6": _iscale(t["stddev"].to_numpy(zero_copy_only=False),
+                              1000000),
+            "skew_1e6": _iscale(t["skewness"].to_numpy(
+                zero_copy_only=False), 1000000),
+            "kurt_1e6": _iscale(t["kurtosis"].to_numpy(
+                zero_copy_only=False), 1000000)}),
+        batch_format="pyarrow").sort("event_type")
+
+
+def cusum_user_events(sf_dir: str):
+    """Per-user CUSUM change-point (stages/temporal.cusum_changepoint):
+    position of max |running sum of deviations from the user mean| —
+    grouped_reduce mean + running-sum carry chain + ROW_NUMBER pick,
+    ranked on the integer-rounded score so the cross-engine argmax is
+    ulp-stable."""
+    from ..stages.temporal import cusum_changepoint
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "ts_us": t["ts"].cast(pa.int64()),
+                         "event_id": t["event_id"],
+                         "value": t["value"]})
+
+    cp = cusum_changepoint(ds.map_batches(to_us, batch_format="pyarrow"),
+                           "user_id", ["ts_us", "event_id"], "value",
+                           score_scale=10000)
+    return cp.map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"], "ts_us": t["ts_us"],
+            "event_id": t["event_id"],
+            "cusum_10k": _iscale_half_away(t["cusum"].to_numpy(
+                zero_copy_only=False), 10000),
+            "n": t["n"]}),
+        batch_format="pyarrow").sort("user_id")
+
+
+def paginate_orders(sf_dir: str):
+    """Distributed ORDER BY ... LIMIT 20 OFFSET 100
+    (stages/relational.paginate): one range sort + block-count prefix —
+    deep pages never ship more than the page to the driver."""
+    from ..stages.relational import paginate
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    page = paginate(ds, ["o_totalprice", "o_orderkey"], offset=100,
+                    limit=20, descending=[True, False])
+    return page.map_batches(
+        lambda t: pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "price_c": pa.array(_cents_half_up(
+                t["o_totalprice"].to_numpy(zero_copy_only=False)))}),
+        batch_format="pyarrow")
+
+
 def autocorr_value_by_user(sf_dir: str):
     """Per-user lag-2 autocorrelation of the value series
     (stages/normalize.grouped_autocorr): group_shift LAG pairing +
@@ -4564,6 +4639,9 @@ QUERIES = {
     "edit_pairs_docs": edit_pairs_docs,
     "autocorr_value_by_user": autocorr_value_by_user,
     "embedding_cov_entries": embedding_cov_entries,
+    "moments_by_type_events": moments_by_type_events,
+    "cusum_user_events": cusum_user_events,
+    "paginate_orders": paginate_orders,
 }
 
 ORACLES = {
@@ -6462,5 +6540,39 @@ ORACLES = {
         FROM embeddings e CROSS JOIN d a CROSS JOIN d b
         WHERE a.i <= b.i
         GROUP BY a.i, b.i ORDER BY i, j
+    """,
+    "moments_by_type_events": """
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(ROUND(stddev_samp(value) * 1000000) AS BIGINT)
+                   AS sd_1e6,
+               CAST(ROUND(skewness(value) * 1000000) AS BIGINT)
+                   AS skew_1e6,
+               CAST(ROUND(kurtosis(value) * 1000000) AS BIGINT)
+                   AS kurt_1e6
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "cusum_user_events": """
+        WITH m AS (SELECT user_id, AVG(value) AS mu, COUNT(*) AS n
+                   FROM events GROUP BY user_id),
+        c AS (SELECT e.user_id, epoch_us(ts) AS ts_us, event_id, n,
+                     SUM(value - mu) OVER (PARTITION BY e.user_id
+                         ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS cusum
+              FROM events e JOIN m USING (user_id)),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY CAST(ROUND(abs(cusum) * 10000) AS BIGINT) DESC,
+                           ts_us, event_id) AS rn
+              FROM c)
+        SELECT user_id, ts_us, event_id,
+               CAST(ROUND(cusum * 10000) AS BIGINT) AS cusum_10k,
+               CAST(n AS BIGINT) AS n
+        FROM r WHERE rn = 1 ORDER BY user_id
+    """,
+    "paginate_orders": """
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20 OFFSET 100
     """,
 }

@@ -221,3 +221,75 @@ def grouped_autocorr(ds: ray.data.Dataset, key: str, order_cols: list,
                          out_col: pa.array(r[keep])})
 
     return mom.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_higher_moments(ds: ray.data.Dataset, key, value_col: str,
+                           unbounded_keys: bool = False
+                           ) -> ray.data.Dataset:
+    """Per-group sample stddev, skewness and excess kurtosis with
+    DuckDB's bias corrections (G1 = g1 sqrt(n(n-1))/(n-2),
+    G2 = ((n+1) g2 + 6)(n-1)/((n-2)(n-3))) from ONE pass of raw power
+    sums s1..s4 — the same combiner + grouped_reduce shape as
+    grouped_moments2, extended to 4th order.  Groups too small for a
+    correction (n < 2 / 3 / 4 respectively) get null in that column.
+    Output: key..., n, stddev, skewness, kurtosis."""
+    from ray.data.aggregate import Sum
+
+    keys = [key] if isinstance(key, str) else list(key)
+    cols = ["n", "s1", "s2", "s3", "s4"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            out = {k: t[k] for k in keys}
+            out.update({c: pa.array([], pa.float64()) for c in cols})
+            return pa.table(out)
+        x = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = {k: t[k].to_numpy(zero_copy_only=False) for k in keys}
+        x2 = x * x
+        d.update({"n": np.ones_like(x), "s1": x, "s2": x2,
+                  "s3": x2 * x, "s4": x2 * x2})
+        g = pd.DataFrame(d).groupby(keys, sort=False)[cols].sum() \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    if unbounded_keys:
+        from .groupagg import grouped_reduce
+        agg = grouped_reduce(partials, key=keys,
+                             col_map={c: c for c in cols}, how="sum")
+    else:
+        agg = partials.groupby(keys[0] if len(keys) == 1 else keys) \
+            .aggregate(*[Sum(c, alias_name=c) for c in cols])
+
+    def finish(t: pa.Table) -> pa.Table:
+        out = {k: t[k] for k in keys}
+        if t.num_rows == 0:
+            out["n"] = pa.array([], pa.int64())
+            for c in ("stddev", "skewness", "kurtosis"):
+                out[c] = pa.array([], pa.float64())
+            return pa.table(out)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s1 = t["s1"].to_numpy(zero_copy_only=False)
+        s2 = t["s2"].to_numpy(zero_copy_only=False)
+        s3 = t["s3"].to_numpy(zero_copy_only=False)
+        s4 = t["s4"].to_numpy(zero_copy_only=False)
+        m = s1 / n
+        with np.errstate(invalid="ignore", divide="ignore"):
+            m2 = np.maximum(s2 / n - m * m, 0.0)
+            m3 = s3 / n - 3 * m * s2 / n + 2 * m ** 3
+            m4 = (s4 / n - 4 * m * s3 / n + 6 * m * m * s2 / n
+                  - 3 * m ** 4)
+            sd = np.sqrt(m2 * n / (n - 1))
+            g1 = m3 / m2 ** 1.5
+            g2 = m4 / (m2 * m2) - 3.0
+            skew = g1 * np.sqrt(n * (n - 1)) / (n - 2)
+            kurt = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+        out["n"] = pa.array(n.astype(np.int64))
+        for name, v, minn in (("stddev", sd, 2), ("skewness", skew, 3),
+                              ("kurtosis", kurt, 4)):
+            bad = (n < minn) | ~np.isfinite(v)
+            out[name] = pa.array(np.where(bad, np.nan, v), pa.float64(),
+                                 mask=bad)
+        return pa.table(out)
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -857,3 +857,75 @@ def pivot_counts(ds: ray.data.Dataset, key, cat_col: str,
 
     return grouped_reduce(ds.map_batches(widen, batch_format="pyarrow"),
                           key, {c: c for c in cols}, how="sum")
+
+
+def paginate(ds: ray.data.Dataset, order_cols: list, offset: int,
+             limit: int, descending=None) -> ray.data.Dataset:
+    """Distributed ``ORDER BY ... LIMIT limit OFFSET offset``: one range
+    sort, per-block row counts keyed by the block's first order tuple
+    (answer-sized summaries), a driver exclusive prefix over the ordered
+    summaries, then a local global-rank slice — rows outside the page
+    never reach the driver, so deep pagination costs the same one sort
+    regardless of offset.  Requires the order tuple to be UNIQUE per row
+    (include a tiebreaker column, as SQL pagination must anyway to be
+    deterministic); raises if a duplicate tuple spans a block boundary."""
+    descending = descending or [False] * len(order_cols)
+    srt = ds.sort(order_cols, descending=descending).materialize()
+
+    def block_meta(t: pa.Table) -> pa.Table:
+        cols = {f"_k{i}": t[c].slice(0, min(1, t.num_rows))
+                for i, c in enumerate(order_cols)}
+        cols["_cnt"] = pa.array([t.num_rows][:t.num_rows or 0]
+                                if t.num_rows == 0 else [t.num_rows],
+                                pa.int64())
+        return pa.table(cols)
+
+    metas = srt.map_batches(block_meta, batch_format="pyarrow").take_all()
+    metas = [m for m in metas if m["_cnt"] > 0]
+
+    def sort_key(m):
+        out = []
+        for i, desc in enumerate(descending):
+            v = m[f"_k{i}"]
+            out.append(_NegOrder(v) if desc else v)
+        return tuple(out)
+
+    metas.sort(key=sort_key)
+    firsts = [tuple(m[f"_k{i}"] for i in range(len(order_cols)))
+              for m in metas]
+    if len(set(firsts)) != len(firsts):
+        raise ValueError("paginate requires a unique order tuple "
+                         "(duplicate first rows across blocks)")
+    starts = {}
+    acc = 0
+    for m, f in zip(metas, firsts):
+        starts[f] = acc
+        acc += m["_cnt"]
+
+    lo, hi = offset, offset + limit
+
+    def slice_page(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        f = tuple(t[c][0].as_py() for c in order_cols)
+        start = starts[f]
+        if start >= hi or start + t.num_rows <= lo:
+            return t.slice(0, 0)
+        return t.slice(max(0, lo - start),
+                       min(hi, start + t.num_rows) - max(lo, start))
+
+    return srt.map_batches(slice_page, batch_format="pyarrow")
+
+
+class _NegOrder:
+    """Reverses comparison order for driver-side mixed asc/desc sorting
+    of block summaries (numbers, strings, any comparable)."""
+
+    def __init__(self, v):
+        self.v = v
+
+    def __lt__(self, other):
+        return other.v < self.v
+
+    def __eq__(self, other):
+        return self.v == other.v

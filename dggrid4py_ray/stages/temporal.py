@@ -578,3 +578,67 @@ def interval_union_length(ds: ray.data.Dataset, group_col: str,
     partials = srt.map_batches(local_sweep, batch_format="pyarrow")
     return grouped_reduce(partials, group_col, {out_col: out_col},
                           how="sum")
+
+
+def cusum_changepoint(ds: ray.data.Dataset, key: str, order_cols: list,
+                      value_col: str,
+                      score_scale: float | None = None) -> ray.data.Dataset:
+    """Per-key CUSUM change-point: the order position where the running
+    sum of deviations from the key's mean attains its maximum |CUSUM|
+    (Page 1954's statistic in its offline scan form) — where the series'
+    level most decisively shifts.  Pure composition of proven scale
+    paths: grouped_reduce mean -> key-sized hash join -> running-sum
+    carry chain -> ROW_NUMBER pick ordered by (-|cusum|, *order).  One
+    wide sort dominates; no per-group Python.  Output: key, order cols
+    at the change point, cusum (signed), n (series length)."""
+    import pyarrow.compute as pc
+
+    from .groupagg import grouped_reduce
+    from .window import group_row_number, group_running_sum
+
+    def msum(t: pa.Table) -> pa.Table:
+        out = t.select([key])
+        return (out.append_column("_n", pa.array(
+                    np.ones(t.num_rows, np.int64)))
+                   .append_column("_s", t[value_col].cast(pa.float64())))
+
+    stats = grouped_reduce(ds.map_batches(msum, batch_format="pyarrow"),
+                           key=key, col_map={"_n": "_n", "_s": "_s"},
+                           how="sum")
+    from .dedup import _join_partitions
+    parts = _join_partitions()
+    withm = ds.select_columns([key, *order_cols, value_col]) \
+        .repartition(parts) \
+        .join(stats.repartition(parts), join_type="inner",
+              num_partitions=parts, on=(key,))
+
+    def dev(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        m = (t["_s"].to_numpy(zero_copy_only=False)
+             / t["_n"].to_numpy(zero_copy_only=False))
+        out = t.select([key, *order_cols, "_n"])
+        return out.append_column("_dev", pa.array(v - m))
+
+    run = group_running_sum(withm.map_batches(dev, batch_format="pyarrow"),
+                            key, order_cols, "_dev", out_col="_cusum")
+
+    def score(t: pa.Table) -> pa.Table:
+        c = np.abs(t["_cusum"].to_numpy(zero_copy_only=False))
+        if score_scale is not None:
+            # integer-rounded score (half-away, SQL ROUND parity): the
+            # argmax is then ulp-stable across engines whose running
+            # sums differ in the last bits
+            return t.append_column("_negabs", pa.array(
+                -np.floor(c * score_scale + 0.5).astype(np.int64)))
+        return t.append_column("_negabs", pa.array(-c))
+
+    ranked = group_row_number(
+        run.map_batches(score, batch_format="pyarrow"),
+        key, ["_negabs", *order_cols], out_col="_rn")
+    top = ranked.filter(expr="_rn == 1")
+    return top.map_batches(
+        lambda t: pa.table({key: t[key],
+                            **{c: t[c] for c in order_cols},
+                            "cusum": t["_cusum"],
+                            "n": pc.cast(t["_n"], pa.int64())}),
+        batch_format="pyarrow")
