@@ -2400,8 +2400,8 @@ def pivot_user_events(sf_dir: str):
     from ..stages.relational import pivot_counts
 
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
-    return pivot_counts(ds, "user_id", "event_type",
-                        classes=_EVENT_CLASSES)
+    return pivot_counts(ds, "user_id", "event_type", _EVENT_CLASSES,
+                        prefix="")
 
 
 def user_entropy(sf_dir: str):
@@ -2412,8 +2412,8 @@ def user_entropy(sf_dir: str):
     from ..stages.relational import pivot_counts
 
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
-    wide = pivot_counts(ds, "user_id", "event_type",
-                        classes=_EVENT_CLASSES)
+    wide = pivot_counts(ds, "user_id", "event_type", _EVENT_CLASSES,
+                          prefix="")
 
     def ent(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -4491,6 +4491,328 @@ def rog_users_events(sf_dir: str):
         batch_format="pyarrow").sort("user_id")
 
 
+def lm_perplexity_docs(sf_dir: str):
+    """CCNet-style bigram-LM quality scoring (stages/text.bigram_lm_score,
+    Wenzek et al. 2020): train an add-one bigram LM on the corpus, score
+    every document by integer-summed per-gram negative log-likelihood —
+    vocabulary-bounded count shuffle, broadcast LM table, text never
+    shuffles.  Per-gram e6 rounding makes the doc score an exact integer
+    SUM, so the SQL twin reproduces it bit-for-bit."""
+    from ..stages.text import bigram_lm_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = bigram_lm_score(ds, text_col="text", id_col="doc_id")
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_bigrams": pc.cast(t["n_bigrams"], pa.int64()),
+            "nll_sum_e6": pc.cast(t["nll_sum_e6"], pa.int64())}),
+        batch_format="pyarrow").sort("doc_id")
+
+
+def q9_profit_by_nation(sf_dir: str):
+    """TPC-H Q9 shape: product-line profit by supplier nation x order
+    year (the testdata has no partsupp, so unit cost is p_retailprice —
+    the same two-big-join + two-broadcast-dim dataflow as DGGRID's Q9).
+    Part (name-filtered keys + integer-cent retail cost) and
+    suppkey->nationkey are broadcast arrays; lineitem pre-collapses to
+    per-(orderkey, nation) integer-cent profit BEFORE the big-big hash
+    join with orders, so the exchange ships aggregated rows; the final
+    (nation, year) groupby is answer-small."""
+    import ray as _ray
+
+    from ..stages.groupagg import grouped_reduce
+    from ..stages.join import _join_partitions
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]) \
+        .to_pandas()
+    m = part["p_name"].str.contains("gear")
+    keys = np.sort(part.loc[m, "p_partkey"].to_numpy())
+    retail_c = _cents_half_up(part.loc[m, "p_retailprice"].to_numpy())[
+        np.argsort(part.loc[m, "p_partkey"].to_numpy())]
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .to_pandas()
+    lut = np.full(int(supp["s_suppkey"].max()) + 1, -1, np.int64)
+    lut[supp["s_suppkey"].to_numpy()] = supp["s_nationkey"].to_numpy()
+    pref = _ray.put((keys, retail_c, lut))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def profit(t: pa.Table) -> pa.Table:
+        keys, retail_c, lut = _ray.get(pref)
+        pk = t["l_partkey"].to_numpy()
+        pos = np.clip(np.searchsorted(keys, pk), 0, max(len(keys) - 1, 0))
+        hit = (keys[pos] == pk) if len(keys) else np.zeros(len(pk), bool)
+        t = t.filter(pa.array(hit))
+        pos = pos[hit]
+        rev_c = _cents_half_up(t["l_extendedprice"].to_numpy()
+                               * (1.0 - t["l_discount"].to_numpy()))
+        cost_c = retail_c[pos] * t["l_quantity"].to_numpy().astype(np.int64)
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "nation": pa.array(lut[t["l_suppkey"].to_numpy()]),
+            "profit_c": pa.array(rev_c - cost_c)})
+
+    per_ok = grouped_reduce(li.map_batches(profit, batch_format="pyarrow"),
+                            ["l_orderkey", "nation"],
+                            {"profit_c": "profit_c"}, how="sum") \
+        .repartition(_join_partitions())
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    j = per_ok.join(orders, join_type="inner",
+                    num_partitions=_join_partitions(),
+                    on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        year = od.astype("datetime64[Y]").astype(np.int64) + 1970
+        df = pd.DataFrame({
+            "nation": t["nation"].to_numpy(zero_copy_only=False),
+            "o_year": year,
+            "profit_c": t["profit_c"].to_numpy(zero_copy_only=False)})
+        g = df.groupby(["nation", "o_year"], sort=False)["profit_c"] \
+            .sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby(["nation", "o_year"])
+           .aggregate(Sum("profit_c", alias_name="profit_c")))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "nation": pc.cast(t["nation"], pa.int64()),
+            "o_year": pc.cast(t["o_year"], pa.int64()),
+            "profit_c": pc.cast(t["profit_c"], pa.int64())}),
+        batch_format="pyarrow").sort(["nation", "o_year"])
+
+
+def q2_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape: the correlated per-part MIN subquery — for every
+    LARGE part of size >= 25, the region-2 supplier with the lowest unit
+    price ever charged (testdata has no partsupp; unit price comes from
+    lineitem).  Part keys and the region-supplier mask broadcast; the
+    per-(part, supplier) min collapses via grouped_reduce; the per-part
+    argmin (with the ORDER BY cost, suppkey tie-break) is ONE packed-
+    int64 grouped_reduce min — no window shuffle, no join back."""
+    import ray as _ray
+
+    from ..stages.groupagg import grouped_reduce
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type", "p_size"]) \
+        .to_pandas()
+    m = (part["p_type"] == "LARGE") & (part["p_size"] >= 25)
+    keys = np.sort(part.loc[m, "p_partkey"].to_numpy())
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]) \
+        .to_pandas()
+    rn = set(nation.loc[nation["n_regionkey"] == 2, "n_nationkey"])
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey", "s_name"]).to_pandas()
+    in_region = np.zeros(int(supp["s_suppkey"].max()) + 1, bool)
+    in_region[supp.loc[supp["s_nationkey"].isin(rn),
+                       "s_suppkey"].to_numpy()] = True
+    names = dict(zip(supp["s_suppkey"].astype(int), supp["s_name"]))
+    pref = _ray.put((keys, in_region))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"])
+
+    def unit_cost(t: pa.Table) -> pa.Table:
+        keys, in_region = _ray.get(pref)
+        pk = t["l_partkey"].to_numpy()
+        sk = t["l_suppkey"].to_numpy()
+        pos = np.clip(np.searchsorted(keys, pk), 0, max(len(keys) - 1, 0))
+        keep = (keys[pos] == pk) & in_region[sk] if len(keys) \
+            else np.zeros(len(pk), bool)
+        t = t.filter(pa.array(keep))
+        cost_c = _cents_half_up(t["l_extendedprice"].to_numpy()
+                                / t["l_quantity"].to_numpy(), 100)
+        return pa.table({"p_partkey": t["l_partkey"],
+                         "s_suppkey": t["l_suppkey"],
+                         "cost_c": pa.array(cost_c)})
+
+    per_ps = grouped_reduce(li.map_batches(unit_cost, batch_format="pyarrow"),
+                            ["p_partkey", "s_suppkey"],
+                            {"cost_c": "cost_c"}, how="min")
+
+    def pack(t: pa.Table) -> pa.Table:
+        # (cost, suppkey) lexicographic min == min of cost*2^20 + suppkey
+        # (suppkey < 2^20 guaranteed by the dimension size)
+        c = t["cost_c"].to_numpy(zero_copy_only=False)
+        s = t["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(s) and (s.max() >= 1 << 20 or c.max() >= 1 << 42):
+            raise ValueError("q2 pack overflow: suppkey or cost too wide")
+        return pa.table({"p_partkey": t["p_partkey"],
+                         "packed": pa.array((c << 20) | s)})
+
+    best = grouped_reduce(per_ps.map_batches(pack, batch_format="pyarrow"),
+                          "p_partkey", {"packed": "packed"}, how="min")
+
+    def unpack(t: pa.Table) -> pa.Table:
+        p = t["packed"].to_numpy(zero_copy_only=False)
+        sk = (p & ((1 << 20) - 1)).astype(np.int64)
+        return pa.table({
+            "p_partkey": pc.cast(t["p_partkey"], pa.int64()),
+            "s_suppkey": pa.array(sk),
+            "s_name": pa.array(pd.Series(sk).map(names).to_numpy(),
+                               pa.string()),
+            "cost_c": pa.array((p >> 20).astype(np.int64))})
+
+    return best.map_batches(unpack, batch_format="pyarrow") \
+        .sort("p_partkey")
+
+
+def q20_top_shippers(sf_dir: str):
+    """TPC-H Q20 shape: suppliers holding an outsized share of a product
+    line — the nested IN-with-aggregate-threshold (no partsupp: 'share'
+    is shipped quantity; keep (supplier, part) pairs whose quantity
+    exceeds 15% of the part's total).  Red-part keys broadcast; ONE
+    grouped_reduce builds per-(supp, part) quantities; the per-part
+    total folds from that output (tiny); the threshold compare is exact
+    integer (100*qty > 15*tot).  Per-supplier distinct-part counts are
+    answer-small."""
+    import ray as _ray
+
+    from ..stages.groupagg import grouped_reduce
+    from ..stages.join import _join_partitions
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
+    keys = np.sort(
+        part.loc[part["p_name"].str.startswith("red"),
+                 "p_partkey"].to_numpy())
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    names = dict(zip(supp["s_suppkey"].astype(int), supp["s_name"]))
+    kref = _ray.put(keys)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        keys = _ray.get(kref)
+        pk = t["l_partkey"].to_numpy()
+        pos = np.clip(np.searchsorted(keys, pk), 0, max(len(keys) - 1, 0))
+        t = t.filter(pa.array(keys[pos] == pk) if len(keys)
+                     else pa.array(np.zeros(len(pk), bool)))
+        return pa.table({
+            "l_partkey": t["l_partkey"], "l_suppkey": t["l_suppkey"],
+            "qty": pa.array(t["l_quantity"].to_numpy().astype(np.int64))})
+
+    per_sp = grouped_reduce(li.map_batches(keep, batch_format="pyarrow"),
+                            ["l_partkey", "l_suppkey"], {"qty": "qty"},
+                            how="sum").materialize()
+    tot = grouped_reduce(per_sp, "l_partkey", {"qty": "tot"}, how="sum") \
+        .repartition(_join_partitions())
+    j = per_sp.repartition(_join_partitions()).join(
+        tot.map_batches(lambda t: t.rename_columns(["pk", "tot"]),
+                        batch_format="pyarrow"),
+        join_type="inner", num_partitions=_join_partitions(),
+        on=("l_partkey",), right_on=("pk",))
+
+    def thresh(t: pa.Table) -> pa.Table:
+        q = t["qty"].to_numpy(zero_copy_only=False)
+        tt = t["tot"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(100 * q > 15 * tt))
+        return pa.table({
+            "s_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    agg = (j.map_batches(thresh, batch_format="pyarrow")
+           .groupby("s_suppkey")
+           .aggregate(Sum("one", alias_name="n_parts")))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "s_suppkey": pc.cast(t["s_suppkey"], pa.int64()),
+            "s_name": pa.array(
+                pd.Series(t["s_suppkey"].to_numpy(
+                    zero_copy_only=False).astype(int)).map(names)
+                .to_numpy(), pa.string()),
+            "n_parts": pc.cast(t["n_parts"], pa.int64())}),
+        batch_format="pyarrow").sort("s_suppkey")
+
+
+def q21_late_suppliers(sf_dir: str):
+    """TPC-H Q21 shape: suppliers who alone kept multi-supplier orders
+    waiting — the EXISTS (another supplier in the order) + NOT EXISTS
+    (no OTHER supplier was late) pair (testdata has no receipt/commit
+    dates; 'late' = shipped > 60 days after the order date).  Finished
+    orders join lineitem once (big-big hash join on orderkey), collapse
+    to per-(order, supplier) late flags, fold per-order supplier/late
+    counts from that output, join back, and apply both EXISTS
+    predicates as a vectorized mask; the per-supplier wait count is
+    answer-small, supplier name + region filter broadcast."""
+    import ray as _ray
+
+    from ..stages.groupagg import grouped_reduce
+    from ..stages.join import _join_partitions
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]) \
+        .to_pandas()
+    rn = set(nation.loc[nation["n_regionkey"] == 2, "n_nationkey"])
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey", "s_name"]).to_pandas()
+    in_region = np.zeros(int(supp["s_suppkey"].max()) + 1, bool)
+    in_region[supp.loc[supp["s_nationkey"].isin(rn),
+                       "s_suppkey"].to_numpy()] = True
+    names = dict(zip(supp["s_suppkey"].astype(int), supp["s_name"]))
+    rref = _ray.put(in_region)
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderstatus", "o_orderdate"]) \
+        .filter(expr="o_orderstatus == 'F'") \
+        .select_columns(["o_orderkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate"])
+    j = li.join(orders, join_type="inner",
+                num_partitions=_join_partitions(),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def late_flag(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        late = (sd > od + np.timedelta64(60, "D")).astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "late": pa.array(late)})
+
+    f = grouped_reduce(j.map_batches(late_flag, batch_format="pyarrow"),
+                       ["l_orderkey", "l_suppkey"], {"late": "late"},
+                       how="max").materialize()
+    per_o = grouped_reduce(
+        f.map_batches(
+            lambda t: t.append_column(
+                "one", pa.array(np.ones(t.num_rows, np.int64))),
+            batch_format="pyarrow"),
+        "l_orderkey", {"one": "ns", "late": "nl"}, how="sum") \
+        .map_batches(lambda t: t.rename_columns(["ok", "ns", "nl"]),
+                     batch_format="pyarrow").repartition(_join_partitions())
+    jf = f.repartition(_join_partitions()).join(
+        per_o, join_type="inner", num_partitions=_join_partitions(),
+        on=("l_orderkey",), right_on=("ok",))
+
+    def waiters(t: pa.Table) -> pa.Table:
+        in_region = _ray.get(rref)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        m = ((t["late"].to_numpy(zero_copy_only=False) == 1)
+             & (t["ns"].to_numpy(zero_copy_only=False) > 1)
+             & (t["nl"].to_numpy(zero_copy_only=False) == 1)
+             & in_region[sk])
+        return pa.table({
+            "s_suppkey": pa.array(sk[m].astype(np.int64)),
+            "one": pa.array(np.ones(int(m.sum()), np.int64))})
+
+    agg = (jf.map_batches(waiters, batch_format="pyarrow")
+           .groupby("s_suppkey")
+           .aggregate(Sum("one", alias_name="numwait")))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "s_suppkey": pc.cast(t["s_suppkey"], pa.int64()),
+            "s_name": pa.array(
+                pd.Series(t["s_suppkey"].to_numpy(
+                    zero_copy_only=False).astype(int)).map(names)
+                .to_numpy(), pa.string()),
+            "numwait": pc.cast(t["numwait"], pa.int64())}),
+        batch_format="pyarrow").sort("s_suppkey")
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -4642,6 +4964,11 @@ QUERIES = {
     "moments_by_type_events": moments_by_type_events,
     "cusum_user_events": cusum_user_events,
     "paginate_orders": paginate_orders,
+    "lm_perplexity_docs": lm_perplexity_docs,
+    "q9_profit_by_nation": q9_profit_by_nation,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q20_top_shippers": q20_top_shippers,
+    "q21_late_suppliers": q21_late_suppliers,
 }
 
 ORACLES = {
@@ -6574,5 +6901,108 @@ ORACLES = {
         FROM orders
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 20 OFFSET 100
+    """,
+    # add-one bigram LM self-scoring: V = corpus vocabulary, prefix
+    # count folds from the bigram table, per-gram e6-rounded nats summed
+    # as integers per doc
+    "lm_perplexity_docs": """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+        g AS (SELECT doc_id,
+                     UNNEST(list_transform(range(1, len(w)),
+                         i -> w[i] || ' ' || w[i+1])) AS gram
+              FROM w),
+        v AS (SELECT COUNT(DISTINCT tok) AS vv
+              FROM (SELECT UNNEST(w) AS tok FROM w)),
+        cb AS (SELECT gram, COUNT(*) AS c FROM g GROUP BY gram),
+        cp AS (SELECT string_split(gram, ' ')[1] AS w1, SUM(c) AS p
+               FROM cb GROUP BY 1),
+        nll AS (SELECT gram,
+                       CAST(ROUND(ln((p + vv) / (1.0 * (c + 1)))
+                                  * 1000000) AS BIGINT) AS nll_e6
+                FROM cb JOIN cp ON string_split(cb.gram, ' ')[1] = cp.w1,
+                     v)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(nll_e6) AS BIGINT) AS nll_sum_e6
+        FROM g JOIN nll USING (gram)
+        GROUP BY doc_id ORDER BY doc_id
+    """,
+    # TPC-H Q9 shape: profit by supplier nation x order year; unit cost
+    # is p_retailprice (no partsupp in the testdata)
+    "q9_profit_by_nation": """
+        SELECT CAST(s_nationkey AS BIGINT) AS nation,
+               CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                   * 100 + 0.5) AS BIGINT)
+                        - CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)
+                          * CAST(l_quantity AS BIGINT)) AS BIGINT)
+                   AS profit_c
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        WHERE p_name LIKE '%gear%'
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    # TPC-H Q2 shape: per-part min unit cost among region-2 suppliers,
+    # tie-break on suppkey (the correlated MIN subquery)
+    "q2_min_cost_supplier": """
+        WITH c AS (
+            SELECT l_partkey, l_suppkey,
+                   MIN(CAST(FLOOR(l_extendedprice / l_quantity * 100 + 0.5)
+                            AS BIGINT)) AS cost_c
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            WHERE p_type = 'LARGE' AND p_size >= 25 AND n_regionkey = 2
+            GROUP BY 1, 2),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey
+                            ORDER BY cost_c, l_suppkey) AS rn
+              FROM c)
+        SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+               CAST(l_suppkey AS BIGINT) AS s_suppkey,
+               s_name, cost_c
+        FROM r JOIN supplier ON s_suppkey = l_suppkey
+        WHERE rn = 1 ORDER BY p_partkey
+    """,
+    # TPC-H Q20 shape: (supplier, red part) pairs shipping >15% of the
+    # part's total quantity, counted per supplier
+    "q20_top_shippers": """
+        WITH q AS (
+            SELECT l_suppkey, l_partkey,
+                   SUM(CAST(l_quantity AS BIGINT)) AS qty
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_name LIKE 'red%'
+            GROUP BY 1, 2),
+        t AS (SELECT l_partkey, SUM(qty) AS tot FROM q GROUP BY 1)
+        SELECT CAST(q.l_suppkey AS BIGINT) AS s_suppkey,
+               s_name, CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM q JOIN t USING (l_partkey)
+        JOIN supplier ON s_suppkey = q.l_suppkey
+        WHERE 100 * qty > 15 * tot
+        GROUP BY 1, 2 ORDER BY 1
+    """,
+    # TPC-H Q21 shape: region-2 suppliers solely late (ship > order
+    # date + 60d) on finished multi-supplier orders
+    "q21_late_suppliers": """
+        WITH f AS (
+            SELECT l_orderkey, l_suppkey,
+                   MAX(CASE WHEN l_shipdate > o_orderdate
+                                 + INTERVAL 60 DAY
+                            THEN 1 ELSE 0 END) AS late
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+            GROUP BY 1, 2),
+        o AS (SELECT l_orderkey, COUNT(*) AS ns, SUM(late) AS nl
+              FROM f GROUP BY 1)
+        SELECT CAST(f.l_suppkey AS BIGINT) AS s_suppkey,
+               s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM f
+        JOIN o USING (l_orderkey)
+        JOIN supplier ON s_suppkey = f.l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE f.late = 1 AND o.ns > 1 AND o.nl = 1 AND n_regionkey = 2
+        GROUP BY 1, 2 ORDER BY 1
     """,
 }

@@ -628,39 +628,6 @@ def cube_aggregate(ds: ray.data.Dataset, keys: list,
                                    count_col=count_col, sentinel=sentinel)
 
 
-def pivot_counts(ds: ray.data.Dataset, key: str, class_col: str,
-                 classes: list | None = None) -> ray.data.Dataset:
-    """SQL conditional-aggregation PIVOT: one output column of counts per
-    class value, rows keyed by ``key`` at UNBOUNDED key cardinality.
-    Per batch: one vectorized crosstab partial (fixed class columns);
-    global combine via ``grouped_reduce`` (sort + segmented sum) so no
-    driver state grows with the key count.  ``classes`` (the bounded
-    class vocabulary) is discovered with a small distinct pass when not
-    given — class count is the column count, keep it bounded."""
-    from .groupagg import grouped_reduce
-
-    if classes is None:
-        classes = sorted(ds.select_columns([class_col]).unique(class_col))
-    classes = [str(c) for c in classes]
-
-    def partial(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            out = {key: t[key]}
-            out.update({c: pa.array([], pa.int64()) for c in classes})
-            return pa.table(out)
-        k = t[key].to_numpy(zero_copy_only=False)
-        cls = t[class_col].to_numpy(zero_copy_only=False).astype(str)
-        df = pd.DataFrame({key: k})
-        for c in classes:
-            df[c] = (cls == c).astype(np.int64)
-        g = df.groupby(key, sort=False)[classes].sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    return grouped_reduce(ds.map_batches(partial, batch_format="pyarrow"),
-                          key=key, col_map={c: c for c in classes},
-                          how="sum")
-
-
 def exact_group_quantile_sorted(ds: ray.data.Dataset, group_col: str,
                                 value_col: str, q: float = 0.5,
                                 out_col: str = "quantile") -> ray.data.Dataset:

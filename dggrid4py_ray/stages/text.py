@@ -632,3 +632,116 @@ def blocked_edit_join(ds: "ray.data.Dataset", block_col: str,
                               "dist": np.asarray(out_d, dtype=np.int64)})
 
     return proj.groupby("_bk").map_groups(pairs, batch_format="pandas")
+
+
+def bigram_lm_score(ds: "ray.data.Dataset", text_col: str = "text",
+                    id_col: str = "doc_id", scale: int = 1_000_000):
+    """CCNet-style n-gram language-model quality scoring: train an
+    add-one-smoothed bigram LM on the corpus itself, then score every
+    document by its summed negative log-likelihood (high = surprising /
+    low-quality under the corpus LM — the Wikipedia-perplexity filter of
+    Wenzek et al. 2020, with the corpus standing in for the reference LM).
+
+    Dataflow (two scans, both vocabulary-bounded on the wire):
+      1. ONE pass emits per-batch partial bigram counts AND unigram
+         token counts (tagged with a ``\\x00`` sentinel second word) ->
+         one groupby over the vocab^2-bounded key space.  Only (word,
+         word, count) rows shuffle, never text.
+      2. The count table (answer-small) folds on the driver into a
+         per-bigram integer score ``nll_e6 = round(ln((c(w1 .) + V) /
+         (c(w1 w2) + 1)) * scale)`` (V = corpus vocabulary size) and
+         broadcasts via ray.put; a pure map then segment-sums the
+         integer scores per document — deterministic at any parallelism
+         (per-gram rounding makes the doc score an integer SUM, immune
+         to float summation order).
+
+    Every document bigram exists in the LM by construction (the model is
+    trained on the scored corpus); for scoring a stream against a fixed
+    reference LM, unseen bigrams would take the ``c=0`` smoothed score.
+    Returns (id_col, n_bigrams, nll_sum_e6); documents with fewer than
+    two tokens carry no bigram evidence and are omitted (SQL inner-join
+    semantics)."""
+    import pandas as pd
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    _SENT = "\x00"
+
+    def _doc_bigrams(batch: pa.Table):
+        """(words flat np object array, doc lens, valid bigram mask over
+        positions 0..total-2, per-doc bigram counts)."""
+        _, off, flat = _space_tokens(batch[text_col])
+        words = flat.to_pandas().to_numpy()
+        lens = np.diff(off)
+        total = len(words)
+        n_docs = batch.num_rows
+        per_doc = np.maximum(lens - 1, 0)
+        if total < 2 or per_doc.sum() == 0:
+            return words, lens, np.zeros(max(total - 1, 0), bool), per_doc
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        valid = doc_of[:-1] == doc_of[1:]
+        return words, lens, valid, per_doc
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        words, lens, valid, _ = _doc_bigrams(batch)
+        empty = pd.DataFrame({"w1": pd.Series([], dtype=object),
+                              "w2": pd.Series([], dtype=object),
+                              "c": pd.Series([], dtype=np.int64)})
+        frames = [empty]
+        if len(words):
+            uni = pd.DataFrame({"w1": words}).groupby(
+                "w1", sort=False).size().reset_index(name="c")
+            uni["w2"] = _SENT
+            frames.append(uni[["w1", "w2", "c"]])
+        if valid.any():
+            bi = pd.DataFrame({"w1": words[:-1][valid],
+                               "w2": words[1:][valid]})
+            frames.append(bi.groupby(["w1", "w2"], sort=False)
+                          .size().reset_index(name="c"))
+        out = pd.concat(frames, ignore_index=True)
+        if not len(out):
+            # typed empty (pd->Arrow turns empty object columns into
+            # null type, which poisons the downstream aggregate)
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    counts = (ds.map_batches(count_partial, batch_format="pyarrow")
+              .groupby(["w1", "w2"]).aggregate(Sum("c", alias_name="c"))
+              .to_pandas())
+    uni = counts[counts["w2"] == _SENT]
+    bi = counts[counts["w2"] != _SENT].copy()
+    vocab = len(uni)
+    prefix = bi.groupby("w1")["c"].sum()
+    cp = bi["w1"].map(prefix).to_numpy(np.float64)
+    nll_e6 = np.round(np.log((cp + vocab) / (bi["c"].to_numpy(np.float64)
+                                             + 1.0)) * scale).astype(np.int64)
+    lm = pd.Series(nll_e6,
+                   index=bi["w1"].to_numpy() + " " + bi["w2"].to_numpy())
+    lm_ref = ray.put(lm)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lm = ray.get(lm_ref)
+        words, lens, valid, per_doc = _doc_bigrams(batch)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        keep = per_doc > 0
+        if not valid.any():
+            return pa.table({id_col: ids[:0],
+                             "n_bigrams": pa.array([], pa.int64()),
+                             "nll_sum_e6": pa.array([], pa.int64())})
+        grams = pd.Series(words[:-1][valid]).str.cat(
+            pd.Series(words[1:][valid]), sep=" ")
+        nll_f = grams.map(lm).to_numpy(np.float64)
+        if np.isnan(nll_f).any():
+            raise ValueError("bigram_lm_score: gram missing from the LM "
+                             "(model trained on a different corpus?)")
+        nll = nll_f.astype(np.int64)
+        stops = np.cumsum(per_doc[keep])
+        sums = np.add.reduceat(nll, np.concatenate([[0], stops[:-1]]))
+        return pa.table({id_col: ids[keep],
+                         "n_bigrams": pa.array(per_doc[keep]),
+                         "nll_sum_e6": pa.array(sums.astype(np.int64))})
+
+    return ds.map_batches(score, batch_format="pyarrow")
