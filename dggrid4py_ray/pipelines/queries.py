@@ -3335,7 +3335,7 @@ def _distinct_strings(ds, col: str) -> list:
             t[col].combine_chunks()
             if isinstance(t[col], pa.ChunkedArray) else t[col])}),
         batch_format="pyarrow").to_pandas()
-    return sorted(set(parts[col]))
+    return sorted(set(parts[col].dropna()))
 
 
 def transition_counts_events(sf_dir: str):
@@ -3763,8 +3763,9 @@ def q17_small_quantity(sf_dir: str):
     def keep(t: pa.Table) -> pa.Table:
         keys = _ray.get(keys_ref)
         pk = t["l_partkey"].to_numpy()
-        pos = np.clip(np.searchsorted(keys, pk), 0, len(keys) - 1)
-        t = t.filter(pa.array(keys[pos] == pk))
+        pos = np.clip(np.searchsorted(keys, pk), 0, max(len(keys) - 1, 0))
+        hit = (keys[pos] == pk) if len(keys) else np.zeros(len(pk), bool)
+        t = t.filter(pa.array(hit))
         cents = _cents_half_up(t["l_extendedprice"].to_numpy())
         return pa.table({"l_partkey": t["l_partkey"],
                          "qty": t["l_quantity"],
@@ -4397,7 +4398,7 @@ def edit_pairs_docs(sf_dir: str):
             "doc_id": t["doc_id"], "text": t["text"]})
 
     out = blocked_edit_join(ds.map_batches(key, batch_format="pyarrow"),
-                            block_col="bk", max_dist=400)
+                            block_col="bk", max_dist=400, max_block=256)
     return out.map_batches(
         lambda t: pa.table({"id_a": pc.cast(t["id_a"], pa.int64()),
                             "id_b": pc.cast(t["id_b"], pa.int64()),
@@ -6835,14 +6836,22 @@ ORACLES = {
         FROM l, r WHERE ls <= re_us AND rs <= le
         ORDER BY lid, rid
     """,
+    # mirrors the engine's documented max_block=256 recall cap: only the
+    # 256 smallest doc_ids per blocking key enter the pair DP
     "edit_pairs_docs": """
+        WITH d AS (SELECT doc_id, text, lang,
+                          ROW_NUMBER() OVER (
+                              PARTITION BY lang, substr(text, 1, 8)
+                              ORDER BY doc_id) AS rn
+                   FROM documents)
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
-        FROM documents a JOIN documents b
+        FROM d a JOIN d b
           ON a.lang = b.lang
          AND substr(a.text, 1, 8) = substr(b.text, 1, 8)
          AND a.doc_id < b.doc_id
-        WHERE levenshtein(a.text, b.text) <= 400
+        WHERE a.rn <= 256 AND b.rn <= 256
+          AND levenshtein(a.text, b.text) <= 400
         ORDER BY id_a, id_b
     """,
     "autocorr_value_by_user": """

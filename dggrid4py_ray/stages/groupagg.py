@@ -36,17 +36,25 @@ _AGGS = {"sum": Sum, "min": Min, "max": Max}
 
 
 def grouped_reduce(ds: ray.data.Dataset, key, col_map: dict,
-                   how: dict | str = "sum") -> ray.data.Dataset:
+                   how: dict | str = "sum",
+                   presorted: bool = False) -> ray.data.Dataset:
     """Group ``ds`` on ``key`` (str or list[str]) and reduce the columns in
     ``col_map`` ({input_col: output_col}); ``how`` is a single reduction name
     or {input_col: "sum"|"min"|"max"}.  Output columns: key + renamed
-    reductions."""
+    reductions.
+
+    ``presorted=True`` skips the range sort: the caller guarantees the
+    input blocks TILE a global (key, ...) order (e.g. the output of
+    ``ds.sort`` or ``group_row_number``), so a key split across blocks
+    always sits at block edges where the boundary aggregate recombines
+    it.  Blocks that are merely locally grouped do NOT qualify (an
+    interior-of-block key repeated in another block would double-emit)."""
     keys = [key] if isinstance(key, str) else list(key)
     in_cols = list(col_map)
     if isinstance(how, str):
         how = {c: how for c in in_cols}
 
-    srt = ds.sort(keys)
+    srt = ds if presorted else ds.sort(keys)
 
     def block_reduce(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

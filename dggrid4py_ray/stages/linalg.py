@@ -50,6 +50,9 @@ def covariance_stats(ds: ray.data.Dataset, emb_col: str = "embedding"
     if not rows:
         raise ValueError("covariance_stats: empty dataset")
     n = sum(r["n"] for r in rows)
+    if n < 2:
+        raise ValueError("covariance_stats: sample covariance needs at "
+                         f"least 2 rows (got {n})")
     s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
     xtx_flat = np.sum([np.asarray(r["xtx"]) for r in rows], axis=0)
     d = len(s)

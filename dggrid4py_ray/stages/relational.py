@@ -805,7 +805,6 @@ def pivot_counts(ds: ray.data.Dataset, key, cat_col: str,
     cols = [f"{prefix}{c}" for c in cats]
 
     def widen(t: pa.Table) -> pa.Table:
-        out = {k: t[k] for k in keys}
         idx = pa.compute.index_in(
             t[cat_col].combine_chunks()
             if isinstance(t[cat_col], pa.ChunkedArray) else t[cat_col],
@@ -814,6 +813,14 @@ def pivot_counts(ds: ray.data.Dataset, key, cat_col: str,
         code = np.where(np.isnan(code.astype(np.float64)), -1,
                         code).astype(np.int64) if code.dtype.kind == "f" \
             else code.astype(np.int64)
+        keep = code >= 0
+        if not keep.all():
+            # rows with out-of-set categories are ignored (the SQL-PIVOT
+            # contract): a key whose rows are ALL out-of-set must not
+            # surface as an all-zero row
+            t = t.filter(pa.array(keep))
+            code = code[keep]
+        out = {k: t[k] for k in keys}
         if value_col is None:
             v = np.ones(t.num_rows, np.int64)
         else:
@@ -842,8 +849,7 @@ def paginate(ds: ray.data.Dataset, order_cols: list, offset: int,
     def block_meta(t: pa.Table) -> pa.Table:
         cols = {f"_k{i}": t[c].slice(0, min(1, t.num_rows))
                 for i, c in enumerate(order_cols)}
-        cols["_cnt"] = pa.array([t.num_rows][:t.num_rows or 0]
-                                if t.num_rows == 0 else [t.num_rows],
+        cols["_cnt"] = pa.array([] if t.num_rows == 0 else [t.num_rows],
                                 pa.int64())
         return pa.table(cols)
 

@@ -438,9 +438,10 @@ def rolling_distinct_daily(events: ray.data.Dataset, ts_col: str = "ts",
     ``grouped_count_distinct`` on (window_day, key).  Output restricted
     to days that actually occur (day domain is bounded -> broadcast).
     Columns: (_day epoch-day int64, active int64)."""
+    import pyarrow.compute as pc
     import ray
 
-    from .groupagg import grouped_count, grouped_count_distinct
+    from .groupagg import grouped_count_distinct
 
     DAY = np.int64(86_400_000_000)
 
@@ -470,9 +471,15 @@ def rolling_distinct_daily(events: ray.data.Dataset, ts_col: str = "ts",
         pairs.map_batches(expand, batch_format="pyarrow"),
         "_wday", key_col, out_col="active")
     # the expansion invents wdays past the data's last day: keep only
-    # real days (bounded domain, one small aggregate + broadcast)
-    real = grouped_count(pairs, "_day").to_pandas()["_day"].to_numpy()
-    rref = ray.put(np.sort(real.astype(np.int64)))
+    # real days (bounded domain): per-batch unique partials + driver
+    # union — one streaming pass, no sort shuffle just to list days
+    day_parts = pairs.map_batches(
+        lambda t: pa.table({"_day": pc.unique(
+            t["_day"].combine_chunks()
+            if isinstance(t["_day"], pa.ChunkedArray) else t["_day"])}),
+        batch_format="pyarrow").to_pandas()
+    real = np.unique(day_parts["_day"].to_numpy())
+    rref = ray.put(real.astype(np.int64))
 
     def keep_real(t: pa.Table) -> pa.Table:
         days = ray.get(rref)

@@ -644,9 +644,10 @@ def bigram_lm_score(ds: "ray.data.Dataset", text_col: str = "text",
 
     Dataflow (two scans, both vocabulary-bounded on the wire):
       1. ONE pass emits per-batch partial bigram counts AND unigram
-         token counts (tagged with a ``\\x00`` sentinel second word) ->
-         one groupby over the vocab^2-bounded key space.  Only (word,
-         word, count) rows shuffle, never text.
+         token counts (distinguished by an integer tag key column, so
+         no in-band sentinel can collide with a real token) -> one
+         groupby over the vocab^2-bounded key space.  Only (word, word,
+         tag, count) rows shuffle, never text.
       2. The count table (answer-small) folds on the driver into a
          per-bigram integer score ``nll_e6 = round(ln((c(w1 .) + V) /
          (c(w1 w2) + 1)) * scale)`` (V = corpus vocabulary size) and
@@ -665,8 +666,6 @@ def bigram_lm_score(ds: "ray.data.Dataset", text_col: str = "text",
     import ray
     import ray.data
     from ray.data.aggregate import Sum
-
-    _SENT = "\x00"
 
     def _doc_bigrams(batch: pa.Table):
         """(words flat np object array, doc lens, valid bigram mask over
@@ -687,32 +686,38 @@ def bigram_lm_score(ds: "ray.data.Dataset", text_col: str = "text",
         words, lens, valid, _ = _doc_bigrams(batch)
         empty = pd.DataFrame({"w1": pd.Series([], dtype=object),
                               "w2": pd.Series([], dtype=object),
+                              "tag": pd.Series([], dtype=np.int64),
                               "c": pd.Series([], dtype=np.int64)})
         frames = [empty]
         if len(words):
             uni = pd.DataFrame({"w1": words}).groupby(
                 "w1", sort=False).size().reset_index(name="c")
-            uni["w2"] = _SENT
-            frames.append(uni[["w1", "w2", "c"]])
+            uni["w2"] = ""
+            uni["tag"] = np.int64(0)
+            frames.append(uni[["w1", "w2", "tag", "c"]])
         if valid.any():
             bi = pd.DataFrame({"w1": words[:-1][valid],
                                "w2": words[1:][valid]})
-            frames.append(bi.groupby(["w1", "w2"], sort=False)
-                          .size().reset_index(name="c"))
+            bi = bi.groupby(["w1", "w2"], sort=False) \
+                .size().reset_index(name="c")
+            bi["tag"] = np.int64(1)
+            frames.append(bi[["w1", "w2", "tag", "c"]])
         out = pd.concat(frames, ignore_index=True)
         if not len(out):
             # typed empty (pd->Arrow turns empty object columns into
             # null type, which poisons the downstream aggregate)
             return pa.table({"w1": pa.array([], pa.string()),
                              "w2": pa.array([], pa.string()),
+                             "tag": pa.array([], pa.int64()),
                              "c": pa.array([], pa.int64())})
         return pa.Table.from_pandas(out, preserve_index=False)
 
     counts = (ds.map_batches(count_partial, batch_format="pyarrow")
-              .groupby(["w1", "w2"]).aggregate(Sum("c", alias_name="c"))
+              .groupby(["w1", "w2", "tag"])
+              .aggregate(Sum("c", alias_name="c"))
               .to_pandas())
-    uni = counts[counts["w2"] == _SENT]
-    bi = counts[counts["w2"] != _SENT].copy()
+    uni = counts[counts["tag"] == 0]
+    bi = counts[counts["tag"] == 1].copy()
     vocab = len(uni)
     prefix = bi.groupby("w1")["c"].sum()
     cp = bi["w1"].map(prefix).to_numpy(np.float64)

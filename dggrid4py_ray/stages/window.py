@@ -419,13 +419,17 @@ def group_ewma(ds: ray.data.Dataset, group_col: str, order_cols: list,
     Python; weights underflow harmlessly for astronomically long
     groups.  Unique (group, *order) keys required (the row-number
     contract)."""
-    from .groupagg import grouped_count, grouped_reduce
+    from .groupagg import grouped_reduce
 
     rn = group_row_number(
         ds.select_columns([group_col] + list(order_cols) + [value_col]),
         group_col, list(order_cols), out_col="_rn")
     from .join import _join_partitions
-    counts = grouped_count(ds, group_col, out_col="_n") \
+    # per-group n = max row number — folded from the ALREADY-sorted rn
+    # output (presorted grouped_reduce), not a second full range sort
+    counts = grouped_reduce(rn.select_columns([group_col, "_rn"]),
+                            group_col, {"_rn": "_n"}, how="max",
+                            presorted=True) \
         .repartition(_join_partitions())
     j = rn.join(counts, join_type="inner",
                 num_partitions=_join_partitions(), on=(group_col,))

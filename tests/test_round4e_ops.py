@@ -409,12 +409,15 @@ def test_pivot_counts_and_sums_match_pandas():
     out = (pivot_counts(ray.data.from_pandas(df).repartition(9),
                         "k", "cat", ["a", "b", "c"])
            .to_pandas().sort_values("k", ignore_index=True))
+    # keys whose rows are ALL out-of-set ("zz"-only) are omitted, not
+    # emitted as all-zero rows (the SQL-PIVOT contract)
     exp = (df[df.cat != "zz"].pivot_table(index="k", columns="cat",
                                           values="v", aggfunc="size",
                                           fill_value=0)
            .reindex(columns=["a", "b", "c"], fill_value=0)
            .rename(columns={c: f"n_{c}" for c in "abc"})
-           .reindex(sorted(df.k.unique()), fill_value=0)
+           .reindex(sorted(df.loc[df.cat != "zz", "k"].unique()),
+                    fill_value=0)
            .reset_index().rename_axis(None, axis=1))
     pd.testing.assert_frame_equal(
         out.astype({c: np.int64 for c in ["n_a", "n_b", "n_c"]}),
@@ -430,7 +433,8 @@ def test_pivot_counts_and_sums_match_pandas():
                          aggfunc="sum", fill_value=0)
             .reindex(columns=["a", "b"], fill_value=0)
             .rename(columns={"a": "s_a", "b": "s_b"})
-            .reindex(sorted(df.k.unique()), fill_value=0)
+            .reindex(sorted(df.loc[df.cat.isin(["a", "b"]), "k"].unique()),
+                     fill_value=0)
             .reset_index().rename_axis(None, axis=1))
     pd.testing.assert_frame_equal(
         out2.astype({"s_a": np.int64, "s_b": np.int64}),
