@@ -105,3 +105,36 @@ def haversine_km(lon1, lat1, lon2, lat2, radius_km=6371.0):
     phi2 = np.asarray(lat2, dtype=np.float64) * DEG
     h = np.sin((phi2 - phi1) / 2) ** 2 + np.cos(phi1) * np.cos(phi2) * np.sin((lam2 - lam1) / 2) ** 2
     return 2.0 * radius_km * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))
+
+
+def ring_solid_angle(verts: np.ndarray) -> np.ndarray:
+    """Solid angle (steradians) of NaN-padded closed lon/lat rings.
+
+    ``verts`` is (n, m, 2) degrees with each ring closed (last valid
+    vertex repeats the first) and NaN padding after it — the layout
+    ``IGeo7Grid.boundary`` emits.  Edges are treated as great-circle
+    arcs; the excess of each fan triangle (v0, vi, vi+1) comes from the
+    Oosterom-Strackee / Eriksson formula
+    ``E = 2 atan2(v0 . (v1 x v2), 1 + v0.v1 + v1.v2 + v2.v0)``
+    (numerically stable for the tiny triangles of fine cells, unlike
+    Girard's angle sum).  Fully vectorized over cells; multiply by
+    R^2 for area."""
+    verts = np.asarray(verts, dtype=np.float64)
+    n, m, _ = verts.shape
+    if n == 0:
+        return np.zeros(0)
+    valid = ~np.isnan(verts[:, :, 0])
+    k = valid.sum(axis=1) - 1            # ring length w/o closing vertex
+    U = lonlat_to_unit(np.nan_to_num(verts[:, :, 0]),
+                       np.nan_to_num(verts[:, :, 1]))
+    area = np.zeros(n)
+    v0 = U[:, 0, :]
+    for i in range(1, int(k.max()) - 1):
+        v1 = U[:, i, :]
+        v2 = U[:, i + 1, :]
+        trip = np.einsum("ij,ij->i", v0, np.cross(v1, v2))
+        den = (1.0 + np.einsum("ij,ij->i", v0, v1)
+               + np.einsum("ij,ij->i", v1, v2)
+               + np.einsum("ij,ij->i", v2, v0))
+        area += np.where(i + 1 <= k - 1, 2.0 * np.arctan2(trip, den), 0.0)
+    return np.abs(area)

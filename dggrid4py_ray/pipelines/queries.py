@@ -4492,6 +4492,64 @@ def rog_users_events(sf_dir: str):
         batch_format="pyarrow").sort("user_id")
 
 
+def cell_area_classes(sf_dir: str):
+    """True spherical cell areas for every res-2 cell
+    (stages/encode.CellAreaKernel: boundary rings -> vectorized fan
+    solid angle), summarized per cell class (12 pentagons / 480
+    hexagons).  The area-weighting operator for zonal densities, and a
+    numerical probe of the equal-area property (laws property-tested in
+    tests/test_round4g_ops.py; whole-earth closure ~3e-4 with
+    great-circle edge discretization).  Oracle = pinned VALUES."""
+    from ..config import dgselect
+    from ..stages.encode import CellAreaKernel
+
+    n = ig.num_cells(2)
+    ds = ray.data.range(n, override_num_blocks=4)
+    dggs = dgselect("IGEO7", resolution=2)
+
+    def to_cells(t: pa.Table) -> pa.Table:
+        from .highlevel import _grid_for
+        seq = t["id"].to_numpy() + 1
+        return pa.table({
+            "seqnum": pa.array(seq, type=pa.int64()),
+            "cell_id": pa.array(_grid_for(dggs).from_seqnum(seq, 2),
+                                type=pa.int64())})
+
+    out = ds.map_batches(to_cells, batch_format="pyarrow") \
+            .map_batches(CellAreaKernel(dggs, out_col="area_km2",
+                                        unit="km2"),
+                         batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        seq = t["seqnum"].to_numpy(zero_copy_only=False)
+        a = t["area_km2"].to_numpy(zero_copy_only=False)
+        pent = (seq % 41) == 1            # res-2 pentagons sit at 1 mod 41
+        df = pd.DataFrame({"cls": np.where(pent, "pentagon", "hexagon"),
+                           "n_cells": np.ones(len(seq), np.int64),
+                           "s": a, "mn": a, "mx": a})
+        g = df.groupby("cls", sort=False).agg(
+            n_cells=("n_cells", "sum"), s=("s", "sum"),
+            mn=("mn", "min"), mx=("mx", "max")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (out.map_batches(partial, batch_format="pyarrow")
+           .groupby("cls")
+           .aggregate(Sum("n_cells", alias_name="n_cells"),
+                      Sum("s", alias_name="s"),
+                      Min("mn", alias_name="mn"),
+                      Max("mx", alias_name="mx")))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "cls": t["cls"],
+            "n_cells": pc.cast(t["n_cells"], pa.int64()),
+            "mean_km2": _iscale(t["s"].to_numpy(zero_copy_only=False)
+                                / t["n_cells"].to_numpy(
+                                    zero_copy_only=False), 1),
+            "min_km2": _iscale(t["mn"].to_numpy(zero_copy_only=False), 1),
+            "max_km2": _iscale(t["mx"].to_numpy(zero_copy_only=False), 1)}),
+        batch_format="pyarrow").sort("cls")
+
+
 def lm_perplexity_docs(sf_dir: str):
     """CCNet-style bigram-LM quality scoring (stages/text.bigram_lm_score,
     Wenzek et al. 2020): train an add-one bigram LM on the corpus, score
@@ -4965,6 +5023,7 @@ QUERIES = {
     "moments_by_type_events": moments_by_type_events,
     "cusum_user_events": cusum_user_events,
     "paginate_orders": paginate_orders,
+    "cell_area_classes": cell_area_classes,
     "lm_perplexity_docs": lm_perplexity_docs,
     "q9_profit_by_nation": q9_profit_by_nation,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -6910,6 +6969,20 @@ ORACLES = {
         FROM orders
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 20 OFFSET 100
+    """,
+    # res-2 spherical cell-area summary: pinned golden VALUES (the laws —
+    # whole-earth closure, 12 identical pentagons, hex mean vs the
+    # closed form 4*pi*R^2/(10*7^r) — are property-tested in pytest;
+    # means verified >0.1 from the integer rounding boundary, so the
+    # pinned ints are parallelism- and summation-order-safe)
+    "cell_area_classes": """
+        SELECT * FROM (VALUES
+            ('hexagon',  CAST(480 AS BIGINT), CAST(1041935 AS BIGINT),
+             CAST(1028954 AS BIGINT), CAST(1048331 AS BIGINT)),
+            ('pentagon', CAST(12 AS BIGINT),  CAST(867656 AS BIGINT),
+             CAST(867656 AS BIGINT), CAST(867656 AS BIGINT)))
+            AS t(cls, n_cells, mean_km2, min_km2, max_km2)
+        ORDER BY cls
     """,
     # add-one bigram LM self-scoring: V = corpus vocabulary, prefix
     # count folds from the bigram table, per-gram e6-rounded nats summed

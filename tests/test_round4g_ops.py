@@ -5,6 +5,7 @@ import math
 
 import numpy as np
 import pandas as pd
+import pytest
 import ray.data
 
 
@@ -131,3 +132,57 @@ def test_group_ewma_matches_sequential_scan():
     ref = (df.sort_values(["g", "o"]).groupby("g")["v"]
            .apply(lambda s: seq(s.to_numpy())).reset_index(name="ewma"))
     np.testing.assert_allclose(out["ewma"], ref["ewma"], rtol=1e-9)
+
+
+def test_cell_area_laws():
+    """Equal-area laws over measured spherical cell areas: whole-earth
+    closure, 12 identical pentagons, hex mean vs the closed form
+    4*pi*R^2/(10*7^r), and aperture-7 scaling between resolutions."""
+    from dggrid4py_ray.dggs import igeo7 as ig
+    from dggrid4py_ray.dggs.igeo7 import IGeo7Grid
+    from dggrid4py_ray.dggs.sphere import ring_solid_angle
+
+    g = IGeo7Grid()
+    means = {}
+    for res in (2, 3):
+        n = ig.num_cells(res)
+        z = g.from_seqnum(np.arange(1, n + 1), res)
+        sr = ring_solid_angle(g.boundary(z))
+        # whole-earth closure (great-circle edge discretization ~3e-4)
+        assert abs(sr.sum() / (4 * np.pi) - 1.0) < 1e-3
+        # pentagon count and exact mutual equality (symmetric boundary)
+        pent = np.sort(sr)[:12]
+        assert pent.max() - pent.min() < 1e-9 * pent.mean()
+        hexes = np.sort(sr)[12:]
+        assert hexes.min() > pent.max()        # pentagons are smallest
+        # hex mean vs closed form
+        closed = 4 * np.pi / (10 * 7 ** res)
+        assert abs(hexes.mean() / closed - 1.0) < 2e-3
+        means[res] = sr.mean()
+    # aperture-7: mean cell area shrinks 7x per resolution (cell-count
+    # law exact: (10*7^2+2)/(10*7^3+2) adjusted)
+    ratio = means[2] / means[3]
+    expect = ig.num_cells(3) / ig.num_cells(2)
+    # the great-circle discretization error is resolution-dependent
+    # (coarser cells curve more), so the cross-res ratio carries the
+    # res-2 closure error (~1.2e-3), not the per-res one
+    assert abs(ratio / expect - 1.0) < 3e-3
+
+
+def test_cell_area_kernel_units():
+    from dggrid4py_ray.config import dgselect
+    from dggrid4py_ray.stages.encode import CellAreaKernel
+    from dggrid4py_ray.dggs.igeo7 import IGeo7Grid
+    import pyarrow as pa
+
+    g = IGeo7Grid()
+    z = g.from_seqnum(np.arange(1, 43), 1)
+    t = pa.table({"cell_id": pa.array(z, pa.int64())})
+    dggs = dgselect("IGEO7", resolution=1)
+    sr = CellAreaKernel(dggs, out_col="a", unit="sr")(t)["a"].to_numpy()
+    km2 = CellAreaKernel(dggs, out_col="a", unit="km2")(t)["a"].to_numpy()
+    m2 = CellAreaKernel(dggs, out_col="a", unit="m2")(t)["a"].to_numpy()
+    np.testing.assert_allclose(m2, km2 * 1e6, rtol=1e-12)
+    assert (km2 / sr > 4.05e7).all() and (km2 / sr < 4.06e7).all()  # R^2
+    with pytest.raises(ValueError):
+        CellAreaKernel(dgselect("IGEO7", resolution=1), unit="acres")
