@@ -4492,6 +4492,117 @@ def rog_users_events(sf_dir: str):
         batch_format="pyarrow").sort("user_id")
 
 
+def source_overlap_docs(sf_dir: str):
+    """Cross-source duplication audit (stages/text.source_gram_overlap):
+    pairwise distinct-3-gram overlap + Jaccard between corpus sources —
+    per-batch distinct (gram-hash, source) partials, one corpus-level
+    grouped_reduce, per-gram source bitmask fold, answer-sized per-mask
+    table on the driver.  SQL twin reconstructs the gram sets with
+    string_split + a distinct self-join."""
+    from ..stages.text import source_gram_overlap
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    return source_gram_overlap(ds, n=3)
+
+
+def locf_daily_value(sf_dir: str):
+    """Per-user daily resample with LOCF gap-fill: daily integer-cent
+    totals on a per-user day grid (first observation day .. global max
+    day), missing days carried forward
+    (stages/window.group_fill_forward — the LAST_VALUE IGNORE NULLS
+    carry chain).  Grid expansion is a vectorized per-user fan-out from
+    an answer-small bounds table; the observation join is one hash
+    join; users never serialize through the driver."""
+    from ..stages.groupagg import grouped_reduce
+    from ..stages.join import _join_partitions
+    from ..stages.window import group_fill_forward
+
+    DAY = np.int64(86_400_000_000)
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def daily(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "user_id": t["user_id"],
+            "day": pa.array(ts // DAY),
+            "c": pa.array(_cents_half_up(t["value"].to_numpy()))})
+
+    obs = grouped_reduce(ds.map_batches(daily, batch_format="pyarrow"),
+                         ["user_id", "day"], {"c": "c"},
+                         how="sum").materialize()
+    bounds = grouped_reduce(obs, "user_id", {"day": "min_day"}, how="min")
+    gmax = int(obs.max("day"))
+
+    def expand(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        d0 = t["min_day"].to_numpy(zero_copy_only=False)
+        cnt = (gmax - d0 + 1).astype(np.int64)
+        rep = np.repeat(np.arange(len(u)), cnt)
+        off = (np.arange(int(cnt.sum()), dtype=np.int64)
+               - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        return pa.table({"user_id": pa.array(u[rep]),
+                         "day": pa.array(d0[rep] + off)})
+
+    grid = bounds.map_batches(expand, batch_format="pyarrow") \
+        .repartition(_join_partitions())
+    j = grid.join(
+        obs.map_batches(lambda t: t.rename_columns(["u2", "d2", "c"]),
+                        batch_format="pyarrow")
+           .repartition(_join_partitions()),
+        join_type="left_outer", num_partitions=_join_partitions(),
+        on=("user_id", "day"), right_on=("u2", "d2"))
+    filled = group_fill_forward(j, "user_id", ["day"], "c",
+                                out_col="filled")
+    return filled.map_batches(
+        lambda t: pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "day": pc.cast(t["day"], pa.int64()),
+            "filled_c": pa.array(
+                t["filled"].to_numpy(zero_copy_only=False)
+                .astype(np.int64))}),
+        batch_format="pyarrow").sort(["user_id", "day"])
+
+
+def latlon_density_events(sf_dir: str):
+    """Area-normalized event density (events per km^2) on a 4-degree
+    lat/lon grid — the area-weighting pattern zonal statistics need on
+    any non-equal-area grid: bin counts via the standard combiner, then
+    divide by the closed-form spherical rectangle area
+    R^2 * d_lambda * (sin phi2 - sin phi1) per latitude band (pure map;
+    the SQL twin evaluates the identical expression)."""
+    from ..dggs.sphere import EARTH_RADIUS_KM
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        ix = (eid * 7919) % 36000 // 400
+        iy = (eid * 104729) % 18000 // 400
+        df = pd.DataFrame({"gx": ix, "gy": iy})
+        g = df.groupby(["gx", "gy"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["gx", "gy"]).aggregate(Sum("n", alias_name="n")))
+
+    def density(t: pa.Table) -> pa.Table:
+        gy = t["gy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lat1 = gy * 4.0 - 90.0
+        area = (EARTH_RADIUS_KM ** 2 * (4.0 * np.pi / 180.0)
+                * (np.sin(np.radians(lat1 + 4.0)) - np.sin(np.radians(lat1))))
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "gx": pc.cast(t["gx"], pa.int64()),
+            "gy": pc.cast(t["gy"], pa.int64()),
+            "n": pa.array(n.astype(np.int64)),
+            "dens_pe12": pa.array(np.round(n / area * 1e12)
+                                  .astype(np.int64))})
+
+    return agg.map_batches(density, batch_format="pyarrow") \
+        .sort(["gx", "gy"])
+
+
 def cell_area_classes(sf_dir: str):
     """True spherical cell areas for every res-2 cell
     (stages/encode.CellAreaKernel: boundary rings -> vectorized fan
@@ -5023,6 +5134,9 @@ QUERIES = {
     "moments_by_type_events": moments_by_type_events,
     "cusum_user_events": cusum_user_events,
     "paginate_orders": paginate_orders,
+    "source_overlap_docs": source_overlap_docs,
+    "locf_daily_value": locf_daily_value,
+    "latlon_density_events": latlon_density_events,
     "cell_area_classes": cell_area_classes,
     "lm_perplexity_docs": lm_perplexity_docs,
     "q9_profit_by_nation": q9_profit_by_nation,
@@ -6969,6 +7083,69 @@ ORACLES = {
         FROM orders
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 20 OFFSET 100
+    """,
+    # pairwise distinct-3-gram overlap between sources; engine gram
+    # identity is a 64-bit hash (collision-free here), SQL uses strings
+    "source_overlap_docs": """
+        WITH w AS (SELECT source, string_split(text, ' ') AS w
+                   FROM documents),
+        g AS (SELECT source,
+                     UNNEST(list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                         AS gram
+              FROM w),
+        d AS (SELECT DISTINCT source, gram FROM g),
+        s AS (SELECT source, COUNT(*) AS n FROM d GROUP BY 1),
+        p AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS shared
+              FROM d a JOIN d b USING (gram)
+              WHERE a.source < b.source GROUP BY 1, 2)
+        SELECT p.sa AS source_a, p.sb AS source_b,
+               CAST(shared AS BIGINT) AS shared_grams,
+               CAST(x.n + y.n - shared AS BIGINT) AS union_grams,
+               CAST(ROUND(shared / (1.0 * (x.n + y.n - shared))
+                          * 1000000) AS BIGINT) AS jaccard_e6
+        FROM p JOIN s x ON x.source = p.sa
+               JOIN s y ON y.source = p.sb
+        ORDER BY source_a, source_b
+    """,
+    # per-user daily LOCF: grid from first observation day to global max,
+    # daily cent totals, gaps = LAST_VALUE IGNORE NULLS
+    "locf_daily_value": """
+        WITH obs AS (
+            SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS c
+            FROM events GROUP BY 1, 2),
+        b AS (SELECT user_id, MIN(day) AS d0 FROM obs GROUP BY 1),
+        m AS (SELECT MAX(day) AS dmax FROM obs),
+        grid AS (SELECT user_id,
+                        UNNEST(generate_series(d0, (SELECT dmax FROM m)))
+                            AS day
+                 FROM b),
+        j AS (SELECT g.user_id, g.day, o.c
+              FROM grid g LEFT JOIN obs o
+                ON o.user_id = g.user_id AND o.day = g.day)
+        SELECT user_id, CAST(day AS BIGINT) AS day,
+               CAST(LAST_VALUE(c IGNORE NULLS) OVER (
+                    PARTITION BY user_id ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS filled_c
+        FROM j ORDER BY user_id, day
+    """,
+    # area-normalized density: the SQL twin evaluates the identical
+    # spherical-rectangle area expression (R = authalic 6371.007180918475)
+    "latlon_density_events": """
+        WITH b AS (
+            SELECT (event_id * 7919) % 36000 // 400 AS gx,
+                   (event_id * 104729) % 18000 // 400 AS gy,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2)
+        SELECT CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,
+               CAST(n AS BIGINT) AS n,
+               CAST(ROUND(n / (6371.007180918475 * 6371.007180918475
+                    * (4.0 * pi() / 180.0)
+                    * (sin(radians(gy * 4.0 - 90.0 + 4.0))
+                       - sin(radians(gy * 4.0 - 90.0)))) * 1e12)
+                    AS BIGINT) AS dens_pe12
+        FROM b ORDER BY gx, gy
     """,
     # res-2 spherical cell-area summary: pinned golden VALUES (the laws —
     # whole-earth closure, 12 identical pentagons, hex mean vs the

@@ -750,3 +750,91 @@ def bigram_lm_score(ds: "ray.data.Dataset", text_col: str = "text",
                          "nll_sum_e6": pa.array(sums.astype(np.int64))})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def source_gram_overlap(ds: "ray.data.Dataset", text_col: str = "text",
+                        source_col: str = "source", n: int = 3,
+                        scale: int = 1_000_000):
+    """Pairwise n-gram-set overlap between corpus sources — the
+    cross-source duplication audit run before mixing training sources
+    ("how much of source B already lives in source A").  Returns one row
+    per source pair with shared / union distinct-gram counts and
+    Jaccard (pairs sharing zero grams are omitted, SQL inner-join
+    semantics).
+
+    Scale shape: per-batch distinct (gram-hash, source) partials -> ONE
+    grouped_reduce for corpus-level distinctness -> per-gram source
+    BITMASK fold (sources are a bounded vocabulary, <= 62) -> the
+    pairwise matrix collapses to an answer-sized per-mask count table
+    folded on the driver.  Text never shuffles; gram identity is the
+    64-bit rolling hash (collisions vanishingly rare and purely
+    pessimistic on Jaccard)."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    sources = sorted(set().union(*[
+        set(b[source_col].to_pandas())
+        for b in ds.select_columns([source_col])
+        .map_batches(lambda t: pa.table({source_col: pa.compute.unique(
+            t[source_col].combine_chunks()
+            if isinstance(t[source_col], pa.ChunkedArray)
+            else t[source_col])}), batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")]))
+    if len(sources) > 62:
+        raise ValueError("source_gram_overlap: bitmask fold supports at "
+                         f"most 62 sources (got {len(sources)})")
+    src_idx = {s: i for i, s in enumerate(sources)}
+    ref = ray.put(src_idx)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        idx = ray.get(ref)
+        th, off, _ = _space_tokens(batch[text_col])
+        g, doc_of, _ = _gram_hashes(th, off, n)
+        if not len(g):
+            return pa.table({"gram": pa.array([], pa.int64()),
+                             "bit": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        src = batch[source_col].to_numpy(zero_copy_only=False)
+        pdf = pd.DataFrame({
+            "gram": g.view(np.int64),
+            "bit": pd.Series(src[doc_of]).map(idx).to_numpy(np.int64)}) \
+            .drop_duplicates()
+        pdf["bit"] = np.int64(1) << pdf["bit"].to_numpy()
+        pdf["b"] = pdf["bit"]     # reduce copy (a key can't also reduce)
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    from .groupagg import grouped_reduce
+    # corpus-level distinct (gram, source) then per-gram source mask
+    dist = grouped_reduce(ds.map_batches(pairs, batch_format="pyarrow"),
+                          ["gram", "bit"], {"b": "b"}, how="max") \
+        .map_batches(lambda t: t.select(["gram", "b"]),
+                     batch_format="pyarrow")
+    masks = grouped_reduce(dist, "gram", {"b": "mask"}, how="sum")
+    per_mask = (masks.map_batches(
+        lambda t: pa.table({"mask": t["mask"],
+                            "c": pa.array(np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow")
+        .groupby("mask").aggregate(Sum("c", alias_name="c")).to_pandas())
+
+    m = per_mask["mask"].to_numpy(np.int64)
+    c = per_mask["c"].to_numpy(np.int64)
+    rows = []
+    for a in range(len(sources)):
+        na = int(c[(m >> a) & 1 == 1].sum())
+        for b in range(a + 1, len(sources)):
+            nb = int(c[(m >> b) & 1 == 1].sum())
+            shared = int(c[((m >> a) & 1 == 1) & ((m >> b) & 1 == 1)].sum())
+            if shared == 0:
+                continue
+            union = na + nb - shared
+            rows.append({"source_a": sources[a], "source_b": sources[b],
+                         "shared_grams": shared, "union_grams": union,
+                         # floor(x+0.5): DuckDB ROUND half-away parity
+                         # (python round() is half-even)
+                         "jaccard_e6": int(np.floor(
+                             shared / union * scale + 0.5))})
+    out = pd.DataFrame(rows, columns=["source_a", "source_b",
+                                      "shared_grams", "union_grams",
+                                      "jaccard_e6"])
+    return pa.Table.from_pandas(out, preserve_index=False)

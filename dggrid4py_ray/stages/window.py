@@ -277,13 +277,15 @@ def group_rank(ds: ray.data.Dataset, group_col: str, order_col: str,
 
 
 def _tail_carry(srt: ray.data.Dataset, keys: list, group_col: str,
-                value_col: str, k: int):
+                value_col: str, k: int, dropna: bool = False):
     """Shared machinery for bounded-frame windows (LAG k / ROWS k-1
     PRECEDING): per sorted block, carry the last <=k VALUES of the
     block's LAST group down the O(#blocks) driver chain, so each block
     knows the frame prefix entering its FIRST group.  Returns an object
     ref to {block_first_key_repr: np.ndarray tail}.  Same unique-key
-    requirement as ``group_running_sum``."""
+    requirement as ``group_running_sum``.  ``dropna=True`` carries the
+    last <=k NON-NULL values (the LAST_VALUE IGNORE NULLS frame) — an
+    all-null tail segment then carries the incoming tail through."""
 
     def summarize(t: pa.Table) -> pa.Table:
         cols = {f"_k{i}": t[c].slice(0, min(1, t.num_rows))
@@ -298,11 +300,14 @@ def _tail_carry(srt: ray.data.Dataset, keys: list, group_col: str,
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
         last_start = 0 if g[0] == g[-1] else \
             int(np.flatnonzero(g[:-1] != g[1:])[-1] + 1)
+        seg = v[last_start:]
+        if dropna:
+            seg = seg[~np.isnan(seg)]
         cols.update({
             "_key": pa.array([repr(_first_key(t, keys))]),
             "_first_g": pa.array([str(g[0])]),
             "_last_g": pa.array([str(g[-1])]),
-            "_tail": pa.array([v[last_start:][-k:].tolist()],
+            "_tail": pa.array([seg[-k:].tolist()],
                               pa.list_(pa.float64())),
         })
         return pa.table(cols)
@@ -449,3 +454,52 @@ def group_ewma(ds: ray.data.Dataset, group_col: str, order_cols: list,
 
     return grouped_reduce(j.map_batches(weigh, batch_format="pyarrow"),
                           group_col, {"_wv": out_col}, how="sum")
+
+
+def group_fill_forward(ds: ray.data.Dataset, group_col: str,
+                       order_cols: list, value_col: str,
+                       out_col: str | None = None) -> ray.data.Dataset:
+    """SQL ``LAST_VALUE(value IGNORE NULLS) OVER (PARTITION BY g ORDER BY
+    ... ROWS UNBOUNDED PRECEDING)`` — forward-fill nulls within each
+    group (LOCF gap-filling for resampled series).  One range sort; per
+    block a vectorized segmented running-max index scan (no Python per
+    row); the cross-block seam carries each block's last non-null value
+    of its last group down the O(#blocks) driver chain
+    (``_tail_carry(dropna=True)``).  Rows before a group's first
+    observation stay null.  Unique (group, *order) keys required."""
+    out_col = out_col or value_col
+    keys = [group_col] + list(order_cols)
+    srt = ds.sort(keys).materialize()
+    tails_ref = _tail_carry(srt, keys, group_col, value_col, k=1,
+                            dropna=True)
+
+    def local_fill(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            if out_col == value_col:
+                return t
+            return t.append_column(out_col, pa.array([], pa.float64()))
+        tails = ray.get(tails_ref)
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(g)
+        new_seg = np.r_[True, g[1:] != g[:-1]]
+        seg_id = np.cumsum(new_seg) - 1
+        idx = np.where(~np.isnan(v), np.arange(n), -1)
+        # segmented running max of the last-valid index: monotone segment
+        # bases make one global maximum.accumulate per-segment exact
+        acc = np.maximum.accumulate(seg_id * (n + 1) + idx + 1)
+        pos = acc - seg_id * (n + 1) - 1
+        filled = np.where(pos >= 0, v[np.clip(pos, 0, n - 1)], np.nan)
+        seed = tails[repr(_first_key(t, keys))]
+        if len(seed):
+            first_end = int(np.flatnonzero(new_seg[1:])[0] + 1) \
+                if new_seg[1:].any() else n
+            head = filled[:first_end]
+            filled[:first_end] = np.where(np.isnan(head), seed[-1], head)
+        arr = pa.array(filled)
+        if out_col == value_col:
+            return t.set_column(t.schema.get_field_index(value_col),
+                                value_col, arr)
+        return t.append_column(out_col, arr)
+
+    return srt.map_batches(local_fill, batch_format="pyarrow")

@@ -186,3 +186,70 @@ def test_cell_area_kernel_units():
     assert (km2 / sr > 4.05e7).all() and (km2 / sr < 4.06e7).all()  # R^2
     with pytest.raises(ValueError):
         CellAreaKernel(dgselect("IGEO7", resolution=1), unit="acres")
+
+
+def test_group_fill_forward_matches_pandas_ffill():
+    from dggrid4py_ray.stages.window import group_fill_forward
+
+    rng = np.random.default_rng(9)
+    n = 4000
+    df = pd.DataFrame({"g": rng.integers(0, 60, n),
+                       "o": np.arange(n),
+                       "v": rng.normal(0, 5, n)})
+    df.loc[rng.random(n) < 0.55, "v"] = np.nan       # lots of gaps
+    out = (group_fill_forward(ray.data.from_pandas(df).repartition(13),
+                              "g", ["o"], "v", out_col="f")
+           .to_pandas().sort_values(["g", "o"], ignore_index=True))
+    ref = df.sort_values(["g", "o"], ignore_index=True)
+    ref["f"] = ref.groupby("g")["v"].ffill()
+    np.testing.assert_allclose(out["f"], ref["f"], rtol=0, atol=0,
+                               equal_nan=True)
+
+
+def test_group_fill_forward_all_null_group_and_block_spans():
+    from dggrid4py_ray.stages.window import group_fill_forward
+
+    # group 0: value only at the very start, then a long null run that
+    # spans many blocks (exercises the carry-through); group 1 all-null
+    df = pd.DataFrame({
+        "g": [0] * 500 + [1] * 100,
+        "o": list(range(500)) + list(range(100)),
+        "v": [7.5] + [np.nan] * 499 + [np.nan] * 100})
+    out = (group_fill_forward(ray.data.from_pandas(df).repartition(17),
+                              "g", ["o"], "v")
+           .to_pandas().sort_values(["g", "o"], ignore_index=True))
+    g0 = out[out.g == 0]["v"].to_numpy()
+    np.testing.assert_allclose(g0, 7.5)
+    assert out[out.g == 1]["v"].isna().all()
+
+
+def test_source_gram_overlap_matches_bruteforce():
+    from dggrid4py_ray.stages.text import source_gram_overlap
+
+    rng = np.random.default_rng(21)
+    words = ["w%d" % i for i in range(12)]
+    rows = []
+    for i in range(120):
+        src = ["s1", "s2", "s3"][i % 3]
+        rows.append({"doc_id": i, "source": src,
+                     "text": " ".join(rng.choice(words,
+                                                 rng.integers(3, 15)))})
+    df = pd.DataFrame(rows)
+    out = source_gram_overlap(
+        ray.data.from_pandas(df).repartition(7), n=3).to_pandas()
+
+    def gramset(sub):
+        s = set()
+        for t in sub["text"]:
+            ws = t.split(" ")
+            s.update(tuple(ws[i:i + 3]) for i in range(len(ws) - 2))
+        return s
+
+    sets = {s: gramset(df[df.source == s]) for s in ["s1", "s2", "s3"]}
+    for _, r in out.iterrows():
+        a, b = sets[r["source_a"]], sets[r["source_b"]]
+        assert r["shared_grams"] == len(a & b)
+        assert r["union_grams"] == len(a | b)
+        assert r["jaccard_e6"] == int(np.floor(
+            len(a & b) / len(a | b) * 1e6 + 0.5))
+    assert len(out) == 3
