@@ -4492,6 +4492,39 @@ def rog_users_events(sf_dir: str):
         batch_format="pyarrow").sort("user_id")
 
 
+def dedup_normalized_docs(sf_dir: str):
+    """Normalization-aware exact dedup
+    (stages/normalize.normalized_dedup): case/whitespace variants are
+    planted deterministically (doc_id % 3 -> uppercased, % 5 ->
+    double-spaced), then NFC + lower + whitespace-collapse + trim keys
+    the dedup — the planted variants merge back with their raw twins.
+    Both engines normalize through the same utf8proc/RE2 kernel
+    families, so the md5 of the normalized bytes matches the SQL twin
+    bit-for-bit."""
+    from ..stages.normalize import normalized_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def perturb(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        arr = t["text"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        up = pc.utf8_upper(arr)
+        sp = pc.replace_substring(arr, " ", "  ")
+        m3 = pa.array(ids % 3 == 0)
+        m5 = pa.array(ids % 5 == 0)
+        out = pc.if_else(m3, up, pc.if_else(m5, sp, arr))
+        return pa.table({"doc_id": t["doc_id"], "text": out})
+
+    out = normalized_dedup(ds.map_batches(perturb, batch_format="pyarrow"),
+                           text_col="text", id_col="doc_id")
+    return out.map_batches(
+        lambda t: pa.table({"text_md5": t["text_md5"],
+                            "keep_id": pc.cast(t["keep_id"], pa.int64())}),
+        batch_format="pyarrow").sort("keep_id")
+
+
 def source_overlap_docs(sf_dir: str):
     """Cross-source duplication audit (stages/text.source_gram_overlap):
     pairwise distinct-3-gram overlap + Jaccard between corpus sources —
@@ -5134,6 +5167,7 @@ QUERIES = {
     "moments_by_type_events": moments_by_type_events,
     "cusum_user_events": cusum_user_events,
     "paginate_orders": paginate_orders,
+    "dedup_normalized_docs": dedup_normalized_docs,
     "source_overlap_docs": source_overlap_docs,
     "locf_daily_value": locf_daily_value,
     "latlon_density_events": latlon_density_events,
@@ -7083,6 +7117,23 @@ ORACLES = {
         FROM orders
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 20 OFFSET 100
+    """,
+    # normalization-aware dedup: perturb deterministically, normalize
+    # (NFC + lower + \s+ collapse + trim), keep min id per key
+    "dedup_normalized_docs": """
+        WITH p AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN upper(text)
+                        WHEN doc_id % 5 = 0 THEN replace(text, ' ', '  ')
+                        ELSE text END AS t
+            FROM documents),
+        n AS (SELECT doc_id,
+                     trim(regexp_replace(lower(nfc_normalize(t)),
+                                         '\\s+', ' ', 'g')) AS tn
+              FROM p)
+        SELECT md5(tn) AS text_md5,
+               CAST(MIN(doc_id) AS BIGINT) AS keep_id
+        FROM n GROUP BY 1 ORDER BY keep_id
     """,
     # pairwise distinct-3-gram overlap between sources; engine gram
     # identity is a 64-bit hash (collision-free here), SQL uses strings

@@ -293,3 +293,50 @@ def grouped_higher_moments(ds: ray.data.Dataset, key, value_col: str,
         return pa.table(out)
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def normalize_text_column(ds: ray.data.Dataset, text_col: str = "text",
+                          out_col: str = "text_norm") -> ray.data.Dataset:
+    """Canonical text-normalization key: Unicode NFC, lowercase,
+    whitespace collapse, trim — the pre-key every normalization-aware
+    dedup uses so 'Foo  bar' and 'foo bar' merge.
+
+    Vectorized: lowercase + collapse + trim run as Arrow utf8proc/RE2
+    kernels (the SAME libraries DuckDB's lower / regexp_replace use, so
+    the bytes match the SQL twin); NFC recomposition falls back to
+    per-row unicodedata ONLY for rows containing non-ASCII (ASCII is
+    NFC-invariant), so the common case stays loop-free."""
+    import pyarrow.compute as pc
+    import unicodedata
+
+    def norm(t: pa.Table) -> pa.Table:
+        arr = t[text_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        non_ascii = pc.invert(pc.match_substring_regex(
+            arr, r"^[\x00-\x7F]*$"))
+        if pc.any(non_ascii).as_py():
+            idx = np.flatnonzero(non_ascii.to_numpy(zero_copy_only=False))
+            vals = arr.to_pylist()
+            for i in idx:
+                if vals[i] is not None:
+                    vals[i] = unicodedata.normalize("NFC", vals[i])
+            arr = pa.array(vals, pa.string())
+        low = pc.utf8_lower(arr)
+        coll = pc.replace_substring_regex(low, r"\s+", " ")
+        return t.append_column(out_col, pc.utf8_trim_whitespace(coll))
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def normalized_dedup(ds: ray.data.Dataset, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     hash: str = "md5") -> ray.data.Dataset:
+    """Exact dedup modulo normalization: NFC + casefold + whitespace
+    collapse first (``normalize_text_column``), then the scale-safe
+    exact_dedup (sort + segmented min, no hash Aggregate).  Returns one
+    row per distinct normalized text with the smallest surviving id."""
+    from .dedup import exact_dedup
+
+    normed = normalize_text_column(ds, text_col, out_col="_tn")
+    return exact_dedup(normed, text_col="_tn", id_col=id_col, hash=hash)

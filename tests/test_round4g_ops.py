@@ -253,3 +253,18 @@ def test_source_gram_overlap_matches_bruteforce():
         assert r["jaccard_e6"] == int(np.floor(
             len(a & b) / len(a | b) * 1e6 + 0.5))
     assert len(out) == 3
+
+
+def test_normalized_dedup_nfc_case_whitespace():
+    from dggrid4py_ray.stages.normalize import normalized_dedup
+
+    texts = ["Caf\u00e9  au lait",            # composed e-acute, 2 spaces
+             "cafe\u0301 au lait ",           # NFD decomposed + trail
+             "CAFE\u0301 AU LAIT",            # upper decomposed
+             "totally different"]
+    assert "\u00e9" not in texts[1]           # really decomposed
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [10, 11, 12, 13], "text": texts}))
+    out = normalized_dedup(ds).to_pandas()
+    assert len(out) == 2                      # 3 variants merge to one
+    assert set(out["keep_id"]) == {10, 13}
