@@ -4534,7 +4534,7 @@ def source_overlap_docs(sf_dir: str):
     string_split + a distinct self-join."""
     from ..stages.text import source_gram_overlap
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    ds = _read(sf_dir, "documents", ["text", "source"])
     return source_gram_overlap(ds, n=3)
 
 
@@ -4665,11 +4665,11 @@ def cell_area_classes(sf_dir: str):
                          batch_format="pyarrow")
 
     def partial(t: pa.Table) -> pa.Table:
-        seq = t["seqnum"].to_numpy(zero_copy_only=False)
         a = t["area_km2"].to_numpy(zero_copy_only=False)
-        pent = (seq % 41) == 1            # res-2 pentagons sit at 1 mod 41
+        pent = ig.z7_is_pentagon(
+            t["cell_id"].to_numpy(zero_copy_only=False))
         df = pd.DataFrame({"cls": np.where(pent, "pentagon", "hexagon"),
-                           "n_cells": np.ones(len(seq), np.int64),
+                           "n_cells": np.ones(len(pent), np.int64),
                            "s": a, "mn": a, "mx": a})
         g = df.groupby("cls", sort=False).agg(
             n_cells=("n_cells", "sum"), s=("s", "sum"),

@@ -303,9 +303,12 @@ def normalize_text_column(ds: ray.data.Dataset, text_col: str = "text",
 
     Vectorized: lowercase + collapse + trim run as Arrow utf8proc/RE2
     kernels (the SAME libraries DuckDB's lower / regexp_replace use, so
-    the bytes match the SQL twin); NFC recomposition falls back to
-    per-row unicodedata ONLY for rows containing non-ASCII (ASCII is
-    NFC-invariant), so the common case stays loop-free."""
+    the bytes match the SQL twin — the trim strips ASCII space only,
+    matching SQL ``trim()``; RE2's ``\\s`` is ASCII, so exotic Unicode
+    whitespace passes through identically on both engines); NFC
+    recomposition runs per-row unicodedata ONLY over the non-ASCII rows
+    (gathered with ``take``, scattered back with ``replace_with_mask``),
+    so ASCII rows stay zero-copy even in mixed batches."""
     import pyarrow.compute as pc
     import unicodedata
 
@@ -316,15 +319,17 @@ def normalize_text_column(ds: ray.data.Dataset, text_col: str = "text",
         non_ascii = pc.invert(pc.match_substring_regex(
             arr, r"^[\x00-\x7F]*$"))
         if pc.any(non_ascii).as_py():
-            idx = np.flatnonzero(non_ascii.to_numpy(zero_copy_only=False))
-            vals = arr.to_pylist()
-            for i in idx:
-                if vals[i] is not None:
-                    vals[i] = unicodedata.normalize("NFC", vals[i])
-            arr = pa.array(vals, pa.string())
+            mask = non_ascii.to_numpy(zero_copy_only=False)
+            mask = np.asarray(mask, dtype=bool)
+            idx = np.flatnonzero(mask)
+            fixed = [unicodedata.normalize("NFC", v) if v is not None
+                     else None
+                     for v in arr.take(pa.array(idx)).to_pylist()]
+            arr = pc.replace_with_mask(arr, pa.array(mask),
+                                       pa.array(fixed, pa.string()))
         low = pc.utf8_lower(arr)
         coll = pc.replace_substring_regex(low, r"\s+", " ")
-        return t.append_column(out_col, pc.utf8_trim_whitespace(coll))
+        return t.append_column(out_col, pc.utf8_trim(coll, " "))
 
     return ds.map_batches(norm, batch_format="pyarrow")
 

@@ -475,9 +475,13 @@ def group_fill_forward(ds: ray.data.Dataset, group_col: str,
 
     def local_fill(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
+            empty = pa.array([], pa.float64())
             if out_col == value_col:
-                return t
-            return t.append_column(out_col, pa.array([], pa.float64()))
+                # keep block schemas consistent: non-empty blocks emit
+                # the filled column as float64
+                return t.set_column(t.schema.get_field_index(value_col),
+                                    value_col, empty)
+            return t.append_column(out_col, empty)
         tails = ray.get(tails_ref)
         g = t[group_col].to_numpy(zero_copy_only=False)
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -496,7 +500,10 @@ def group_fill_forward(ds: ray.data.Dataset, group_col: str,
                 if new_seg[1:].any() else n
             head = filled[:first_end]
             filled[:first_end] = np.where(np.isnan(head), seed[-1], head)
-        arr = pa.array(filled)
+        # unfilled rows (no observation yet) are REAL nulls, matching the
+        # SQL LAST_VALUE IGNORE NULLS contract (NaN data inputs count as
+        # missing, exactly like pandas ffill)
+        arr = pa.array(filled, mask=np.isnan(filled))
         if out_col == value_col:
             return t.set_column(t.schema.get_field_index(value_col),
                                 value_col, arr)

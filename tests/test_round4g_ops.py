@@ -268,3 +268,36 @@ def test_normalized_dedup_nfc_case_whitespace():
     out = normalized_dedup(ds).to_pandas()
     assert len(out) == 2                      # 3 variants merge to one
     assert set(out["keep_id"]) == {10, 13}
+
+
+def test_group_fill_forward_unfilled_rows_are_real_nulls():
+    """Review finding: rows before a group's first observation must be
+    Arrow NULLs (the LAST_VALUE IGNORE NULLS contract), not NaN values."""
+    import pyarrow.compute as pc
+    from dggrid4py_ray.stages.window import group_fill_forward
+
+    df = pd.DataFrame({"g": [0, 0, 0], "o": [0, 1, 2],
+                       "v": [np.nan, 5.0, np.nan]})
+    out = group_fill_forward(ray.data.from_pandas(df), "g", ["o"], "v",
+                             out_col="f")
+    tbl = out.take_batch(10, batch_format="pyarrow")
+    assert pc.sum(pc.is_null(tbl["f"]).cast("int64")).as_py() == 1
+    vals = tbl.to_pandas().sort_values("o")["f"].tolist()
+    assert pd.isna(vals[0]) and vals[1] == 5.0 and vals[2] == 5.0
+
+
+def test_normalize_trim_matches_sql_trim_char_set():
+    """Review finding: Arrow utf8_trim_whitespace strips more characters
+    (VT/NEL/LS/PS) than SQL trim(); the key must strip ASCII space only
+    so both engines produce identical bytes on exotic whitespace."""
+    from dggrid4py_ray.stages.normalize import normalize_text_column
+    import duckdb
+
+    texts = ["a\x0b", "  padded  ", " line ", "x\x85"]
+    ds = ray.data.from_pandas(pd.DataFrame({"text": texts}))
+    eng = (normalize_text_column(ds).to_pandas()["text_norm"].tolist())
+    con = duckdb.connect()
+    sql = [con.execute(
+        "SELECT trim(regexp_replace(lower(nfc_normalize(?)),"
+        " '\\s+', ' ', 'g'))", [t]).fetchone()[0] for t in texts]
+    assert eng == sql
