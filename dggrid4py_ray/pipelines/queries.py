@@ -5016,6 +5016,219 @@ def q21_late_suppliers(sf_dir: str):
         batch_format="pyarrow").sort("s_suppkey")
 
 
+def ppjoin_pairs_docs(sf_dir: str):
+    """EXACT all-pairs word-set Jaccard >= 0.9 self-join via prefix
+    filtering (stages/dedup.set_similarity_join, the SSJoin/PPJoin
+    family) — the zero-recall-loss complement to the minhash sketch path
+    (reference semantics: dggrid4py has no similarity join; this is the
+    training-data-curation surface).  All-integer output (n_shared,
+    n_union), so the DuckDB distinct-token self-join twin matches
+    bit-exactly."""
+    from ..stages.dedup import set_similarity_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return set_similarity_join(ds, tau_1e6=900000).sort(["id_a", "id_b"])
+
+
+def bfs_hops_users(sf_dir: str):
+    """Multi-hop BFS shortest-hop counts (stages/graph.bfs_shortest_hops)
+    over a deterministic functional graph derived from the distinct event
+    users: u -> (2u+7) % M and u -> (3u+11) % M with M = max(user)+1,
+    source = min(user), hops <= 8.  The iterative-frontier traversal the
+    Dataset API can't express natively; oracle = bounded recursive-CTE
+    walk enumeration with MIN(hop)."""
+    from ..stages.graph import bfs_shortest_hops
+    from ..stages.groupagg import grouped_count
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    users = grouped_count(ev, "user_id").drop_columns(["n"])
+    lo = ev.min("user_id")
+    m = ev.max("user_id") + 1
+
+    def mk(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([u, u])),
+            "dst": pa.array(np.concatenate([(2 * u + 7) % m,
+                                            (3 * u + 11) % m]))})
+
+    edges = users.map_batches(mk, batch_format="pyarrow")
+    return bfs_shortest_hops(edges, [lo], max_hops=8).sort("node")
+
+
+def histogram_value_events(sf_dir: str):
+    """Equi-width 40-bucket histogram of event values in integer cents
+    (stages/relational.value_histogram): count + cents sum per bucket.
+    The bucket law is explicit integer arithmetic — (c*40)//50000 + 1 —
+    so the SQL twin reproduces it with no float boundary ulps."""
+    from ..stages.relational import value_histogram
+
+    ev = _read(sf_dir, "events", ["value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({"cents": pa.array(
+            _cents_half_up(t["value"].to_numpy(zero_copy_only=False)))})
+
+    out = value_histogram(ev.map_batches(cents, batch_format="pyarrow"),
+                          "cents", lo=0, hi=50000, n_buckets=40,
+                          agg_cols={"cents": "sum_cents"})
+    return out.sort("bucket")
+
+
+def dq_audit_events(sf_dir: str):
+    """Data-quality expectation audit (stages/validate.expectation_audit):
+    five vectorized checks + total rows + event_id uniqueness in one
+    narrow pass (only (check, count) partials leave the workers).  The
+    ingest-gate stage of a production corpus pipeline."""
+    from ..stages.validate import expectation_audit
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "value", "event_type"])
+    jan10 = np.datetime64("2024-01-10T00:00:00.000000")
+    allowed = pa.array(["click", "view", "signup"], pa.string())
+
+    checks = {
+        "null_value": lambda t: pc.is_null(t["value"]),
+        "value_out_of_range": lambda t: pc.or_(
+            pc.less(t["value"], 0.0), pc.greater(t["value"], 100.0)),
+        "user_id_negative": lambda t: pc.less(t["user_id"], 0),
+        "type_not_allowed": lambda t: pc.invert(
+            pc.is_in(t["event_type"], value_set=allowed)),
+        "stale_ts": lambda t: pc.less(
+            t["ts"], pa.scalar(jan10, pa.timestamp("us"))),
+    }
+    out = expectation_audit(ev, checks, unique_col="event_id")
+    return out.map_batches(
+        lambda t: t.select(["check", "n_bad"]), batch_format="pyarrow"
+    ).sort("check")
+
+
+def sssp_users(sf_dir: str):
+    """Bounded-hop weighted shortest paths (stages/graph.sssp_bounded,
+    Bellman-Ford rounds) over a deterministic weighted functional graph on
+    the distinct event users: u -> (2u+7) % M weight (u%7)+1 and
+    u -> (3u+11) % M weight (u%5)+3, source = min(user), <= 6 hops.  The
+    weighted generalization of bfs_hops_users — a node's dist can improve
+    after first touch, so the frontier is improved-last-round, not
+    never-seen.  Oracle = bounded recursive-CTE path enumeration with
+    MIN(total weight)."""
+    from ..stages.graph import sssp_bounded
+    from ..stages.groupagg import grouped_count
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    users = grouped_count(ev, "user_id").drop_columns(["n"])
+    lo = ev.min("user_id")
+    m = ev.max("user_id") + 1
+
+    def mk(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([u, u])),
+            "dst": pa.array(np.concatenate([(2 * u + 7) % m,
+                                            (3 * u + 11) % m])),
+            "w": pa.array(np.concatenate([u % 7 + 1, u % 5 + 3]))})
+
+    edges = users.map_batches(mk, batch_format="pyarrow")
+    return sssp_bounded(edges, [lo], max_hops=6).sort("node")
+
+
+def dup_window_docs(sf_dir: str):
+    """Cross-document duplicated 8-token-window counts per doc
+    (stages/dedup.duplicated_window_counts — the Lee et al. 2022 exact-
+    substring duplication signal).  Only docs with >= 8 tokens appear;
+    n_dup_windows counts window positions whose text occurs >= 2 times
+    corpus-wide."""
+    from ..stages.dedup import duplicated_window_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return duplicated_window_counts(ds, window=8).sort("doc_id")
+
+
+def split_assign_docs(sf_dir: str):
+    """Deterministic train/val/test split assignment (md5 bucket of
+    doc_id: <80 train, <90 val, else test — the hash_sample lane,
+    stable under retries/resume/cluster size) rolled up per (lang,
+    split): doc count + total chars.  The split-manifest stage of a
+    training-data pipeline."""
+    from ..stages.sampling import _md5_u64
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        if t.num_rows == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "split": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "sum_chars": pa.array([], pa.int64())})
+        b = _md5_u64(t["doc_id"].to_numpy(zero_copy_only=False)) % 100
+        split = np.where(b < 80, "train", np.where(b < 90, "val", "test"))
+        df = pd.DataFrame({
+            "lang": t["lang"].to_numpy(zero_copy_only=False),
+            "split": split,
+            "n_chars": t["n_chars"].to_numpy(zero_copy_only=False)})
+        g = df.groupby(["lang", "split"], sort=True)
+        out = g.agg(n_docs=("n_chars", "size"),
+                    sum_chars=("n_chars", "sum")).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+    return (docs.map_batches(assign, batch_format="pyarrow")
+                .groupby(["lang", "split"])
+                .aggregate(Sum("n_docs", alias_name="n_docs"),
+                           Sum("sum_chars", alias_name="sum_chars"))
+                .sort(["lang", "split"]))
+
+
+def iqr_outliers_events(sf_dir: str):
+    """Per-event-type Tukey-fence outlier audit: exact q1/q3
+    (stages/relational.exact_group_quantile, quantile_disc semantics)
+    -> driver-side fences q1 - 1.5*IQR / q3 + 1.5*IQR (3 groups) ->
+    one broadcast filter-count pass.  Counts compare exactly because the
+    fence arithmetic is the same IEEE-double expression on both sides."""
+    from ..stages.relational import exact_group_quantile
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    ev = ev.map_batches(
+        lambda t: t.filter(pc.is_valid(t["value"])),
+        batch_format="pyarrow")
+    q1 = exact_group_quantile(ev, "event_type", "value", q=0.25)
+    q3 = exact_group_quantile(ev, "event_type", "value", q=0.75)
+    d1 = {g: v for g, v in zip(q1["event_type"].to_pylist(),
+                               q1["quantile"].to_pylist())}
+    d3 = {g: v for g, v in zip(q3["event_type"].to_pylist(),
+                               q3["quantile"].to_pylist())}
+    fences = {g: (d1[g] - 1.5 * (d3[g] - d1[g]),
+                  d3[g] + 1.5 * (d3[g] - d1[g])) for g in d1}
+    fref = ray.put(fences)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        if t.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "n_outliers": pa.array([], pa.int64())})
+        fn = ray.get(fref)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        lo = pd.Series(et).map({g: f[0] for g, f in fn.items()}).to_numpy()
+        hi = pd.Series(et).map({g: f[1] for g, f in fn.items()}).to_numpy()
+        out = (v < lo) | (v > hi)
+        df = pd.DataFrame({"event_type": et, "out": out})
+        g = df.groupby("event_type", sort=True)
+        res = g.agg(n=("out", "size"), n_outliers=("out", "sum")
+                    ).reset_index()
+        res["n_outliers"] = res["n_outliers"].astype(np.int64)
+        return pa.Table.from_pandas(res, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+    return (ev.map_batches(partial, batch_format="pyarrow")
+              .groupby("event_type")
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("n_outliers", alias_name="n_outliers"))
+              .sort("event_type"))
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -5177,6 +5390,14 @@ QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q20_top_shippers": q20_top_shippers,
     "q21_late_suppliers": q21_late_suppliers,
+    "ppjoin_pairs_docs": ppjoin_pairs_docs,
+    "bfs_hops_users": bfs_hops_users,
+    "histogram_value_events": histogram_value_events,
+    "dq_audit_events": dq_audit_events,
+    "sssp_users": sssp_users,
+    "dup_window_docs": dup_window_docs,
+    "split_assign_docs": split_assign_docs,
+    "iqr_outliers_events": iqr_outliers_events,
 }
 
 ORACLES = {
@@ -7314,5 +7535,141 @@ ORACLES = {
         JOIN nation ON n_nationkey = s_nationkey
         WHERE f.late = 1 AND o.ns > 1 AND o.nl = 1 AND n_regionkey = 2
         GROUP BY 1, 2 ORDER BY 1
+    """,
+    "ppjoin_pairs_docs": """
+        WITH tok AS (
+          SELECT DISTINCT doc_id, u.tok
+          FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+          WHERE u.tok <> ''),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      COUNT(*) AS c
+               FROM tok a JOIN tok b
+                 ON a.tok = b.tok AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+        SELECT sh.id_a, sh.id_b, CAST(c AS BIGINT) AS n_shared,
+               CAST(sa.n + sb.n - c AS BIGINT) AS n_union
+        FROM sh
+        JOIN sz sa ON sa.doc_id = sh.id_a
+        JOIN sz sb ON sb.doc_id = sh.id_b
+        WHERE 1000000 * c >= 900000 * (sa.n + sb.n - c)
+        ORDER BY id_a, id_b
+    """,
+    # bounded recursive-CTE walk enumeration: fan-out 2, hop < 8, MIN(hop)
+    # per node == the engine's visited-pruned BFS hop
+    "bfs_hops_users": """
+        WITH RECURSIVE
+        u AS (SELECT DISTINCT user_id AS uid FROM events),
+        m AS (SELECT MAX(uid) + 1 AS mm, MIN(uid) AS s FROM u),
+        e AS (SELECT uid AS src, (2 * uid + 7) % mm AS dst FROM u, m
+              UNION ALL
+              SELECT uid, (3 * uid + 11) % mm FROM u, m),
+        w(node, hop) AS (
+          SELECT s, 0 FROM m
+          UNION ALL
+          SELECT e.dst, w.hop + 1
+          FROM w JOIN e ON e.src = w.node WHERE w.hop < 8)
+        SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
+        FROM w GROUP BY node ORDER BY node
+    """,
+    "histogram_value_events": """
+        WITH c AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents
+                   FROM events)
+        SELECT CASE WHEN cents < 0 THEN 0
+                    WHEN cents >= 50000 THEN 41
+                    ELSE (cents * 40) // 50000 + 1 END AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM c GROUP BY bucket ORDER BY bucket
+    """,
+    "dq_audit_events": """
+        SELECT "check", n_bad FROM (
+          SELECT '_rows' AS "check", CAST(COUNT(*) AS BIGINT) AS n_bad
+          FROM events
+          UNION ALL
+          SELECT 'null_value', CAST(COUNT(*) FILTER (value IS NULL)
+                                    AS BIGINT) FROM events
+          UNION ALL
+          SELECT 'value_out_of_range',
+                 CAST(COUNT(*) FILTER (value < 0 OR value > 100)
+                      AS BIGINT) FROM events
+          UNION ALL
+          SELECT 'user_id_negative',
+                 CAST(COUNT(*) FILTER (user_id < 0) AS BIGINT) FROM events
+          UNION ALL
+          SELECT 'type_not_allowed',
+                 CAST(COUNT(*) FILTER (event_type NOT IN
+                      ('click', 'view', 'signup')) AS BIGINT) FROM events
+          UNION ALL
+          SELECT 'stale_ts',
+                 CAST(COUNT(*) FILTER (ts < TIMESTAMP '2024-01-10')
+                      AS BIGINT) FROM events
+          UNION ALL
+          SELECT 'dup_event_id',
+                 CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
+          FROM events)
+        ORDER BY "check"
+    """,
+    # bounded recursive-CTE weighted-path enumeration: fan-out 2, <= 6
+    # edges, MIN(total weight) per node == the engine's Bellman-Ford
+    # fixpoint over the same hop budget
+    "sssp_users": """
+        WITH RECURSIVE
+        u AS (SELECT DISTINCT user_id AS uid FROM events),
+        m AS (SELECT MAX(uid) + 1 AS mm, MIN(uid) AS s FROM u),
+        e AS (SELECT uid AS src, (2 * uid + 7) % mm AS dst,
+                     uid % 7 + 1 AS w FROM u, m
+              UNION ALL
+              SELECT uid, (3 * uid + 11) % mm, uid % 5 + 3 FROM u, m),
+        p(node, d, hop) AS (
+          SELECT s, 0, 0 FROM m
+          UNION ALL
+          SELECT e.dst, p.d + e.w, p.hop + 1
+          FROM p JOIN e ON e.src = p.node WHERE p.hop < 6)
+        SELECT node, CAST(MIN(d) AS BIGINT) AS dist
+        FROM p GROUP BY node ORDER BY node
+    """,
+    "dup_window_docs": """
+        WITH t2 AS (
+          SELECT doc_id, string_split(text, ' ') AS ws,
+                 len(string_split(text, ' ')) AS n
+          FROM documents),
+        win AS (
+          SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS w
+          FROM t2, UNNEST(generate_series(1, n - 7)) AS g(i)),
+        cnt AS (SELECT w, COUNT(*) AS c FROM win GROUP BY w)
+        SELECT win.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(COUNT(*) FILTER (cnt.c > 1) AS BIGINT)
+                 AS n_dup_windows
+        FROM win JOIN cnt USING (w)
+        GROUP BY 1 ORDER BY 1
+    """,
+    "split_assign_docs": """
+        WITH s AS (
+          SELECT lang, n_chars,
+                 CASE WHEN md5_number_upper(CAST(doc_id AS VARCHAR))
+                           % 100 < 80 THEN 'train'
+                      WHEN md5_number_upper(CAST(doc_id AS VARCHAR))
+                           % 100 < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents)
+        SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM s GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "iqr_outliers_events": """
+        WITH f AS (
+          SELECT event_type,
+                 quantile_disc(value, 0.25) AS q1,
+                 quantile_disc(value, 0.75) AS q3
+          FROM events WHERE value IS NOT NULL GROUP BY event_type)
+        SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (
+                    e.value < q1 - 1.5 * (q3 - q1)
+                 OR e.value > q3 + 1.5 * (q3 - q1)) AS BIGINT)
+                 AS n_outliers
+        FROM events e JOIN f USING (event_type)
+        WHERE e.value IS NOT NULL
+        GROUP BY 1 ORDER BY 1
     """,
 }

@@ -87,6 +87,29 @@ def bloom_prune(ds: ray.data.Dataset, col: str, bloom_ref,
     return ds.map_batches(prune, batch_format="pyarrow")
 
 
+def _coalesce_for_join(ds: ray.data.Dataset, parts: int):
+    """Materialize + coalesce a hash-join input so NO empty block reaches
+    the join shuffle, returning ``(ds, n_rows)``.
+
+    Ray's hash-shuffle join disseminates each side's schema to the
+    aggregators only with the FIRST shuffled block of that side
+    (``hash_shuffle.py``: ``send_empty_blocks=should_broadcast_schemas``);
+    an empty first block early-returns before sending anything while the
+    broadcast flag is still set, so a hash partition that then receives no
+    rows is finalized as a SCHEMA-LESS table and pyarrow's acero join
+    fails with "No match ... for key field reference".  Repartitioning to
+    ``min(parts, n_rows)`` blocks guarantees every block is non-empty
+    (balanced row split), which guarantees the first block carries the
+    schema broadcast.  The materialize costs one pass over a side that is
+    by contract already pruned/answer-ish-sized — the join would re-execute
+    that lineage anyway."""
+    ds = ds.materialize()
+    n = ds.count()
+    if n == 0:
+        return ds, 0
+    return ds.repartition(max(1, min(parts, n))), n
+
+
 def bloom_semi_join(big: ray.data.Dataset, keys: ray.data.Dataset,
                     big_col: str, key_col: str | None = None,
                     num_bits: int = 1 << 22, num_hashes: int = 4,
@@ -103,8 +126,14 @@ def bloom_semi_join(big: ray.data.Dataset, keys: ray.data.Dataset,
     right = keys.map_batches(lambda t: t.select([key_col]),
                              batch_format="pyarrow")
     parts = num_partitions or _join_partitions()
-    # coalesce schema-less empty blocks (pyarrow join rejects them)
-    right = right.repartition(max(2, parts // 4))
+    # the pruned side is ~|matches|-sized by contract; coalescing both
+    # sides to non-empty blocks protects the join schema broadcast
+    pruned, n_left = _coalesce_for_join(pruned, parts)
+    if n_left == 0:
+        return pruned  # typed empty, big's schema
+    right, n_right = _coalesce_for_join(right, max(2, parts // 4))
+    if n_right == 0:
+        return pruned.limit(0)
     return pruned.join(right, join_type="left_semi", num_partitions=parts,
                        on=(big_col,), right_on=(key_col,))
 
@@ -143,15 +172,15 @@ def bloom_anti_join(big: ray.data.Dataset, keys: ray.data.Dataset,
     right = keys.map_batches(lambda t: t.select([key_col]),
                              batch_format="pyarrow")
     parts = num_partitions or _join_partitions()
-    right = right.repartition(max(2, parts // 4))
-    # The maybes side is small (~|members| + fp-rate of the rest):
-    # materialize it so the empty case can skip the join — an all-empty
-    # left side reaches the Arrow hash join as schema-less partitions and
-    # fails with "no match for FieldRef".  No extra scan: the join would
-    # re-execute the maybes lineage anyway.
-    maybes = maybes.repartition(max(2, parts // 4)).materialize()
-    if maybes.count() == 0:
+    # The maybes side is small (~|members| + fp-rate of the rest).  Both
+    # sides are coalesced to non-empty blocks — see _coalesce_for_join for
+    # why an empty block can poison the join's schema broadcast.
+    maybes, n_maybe = _coalesce_for_join(maybes, max(2, parts // 4))
+    if n_maybe == 0:
         return keep
+    right, n_right = _coalesce_for_join(right, max(2, parts // 4))
+    if n_right == 0:
+        return keep.union(maybes)
     survivors = maybes.join(right, join_type="left_anti",
                             num_partitions=parts,
                             on=(big_col,), right_on=(key_col,))

@@ -747,3 +747,243 @@ def prefer_one_per_group(ds: "ray.data.Dataset", group_cols,
         return pa.table(cols)
 
     return red.map_batches(unpack, batch_format="pyarrow")
+
+
+def set_similarity_join(ds: "ray.data.Dataset", text_col: str = "text",
+                        id_col: str = "doc_id", tau_1e6: int = 900000,
+                        max_bucket: int | None = None) -> "ray.data.Dataset":
+    """EXACT all-pairs set-similarity self-join: every pair of documents
+    whose distinct-word-set Jaccard >= tau_1e6/1e6, found with PREFIX
+    FILTERING (the SSJoin/PPJoin family, Chaudhuri et al. 2006 / Bayardo
+    et al. 2007) — no sketch, no recall loss, unlike minhash_lsh_dedup
+    (dedup.py:183) whose banding can miss true pairs.
+
+    Algorithm: under ANY global token order, two sets of sizes (sa, sb)
+    with Jaccard >= t must share a token among the first
+    p(s) = s - ceil(t*s) + 1 tokens of each (their "prefixes").  Ordering
+    tokens by ascending document frequency makes prefixes the RAREST
+    tokens, so candidate buckets stay small.
+
+    Ray shape (one narrow pass + vocab-bounded shuffles; text never
+    replicates beyond candidate rows):
+      1. corpus df via token_document_frequency (vocab-bounded shuffle),
+         broadcast once with ray.put — at open-vocab web scale you would
+         cap to the top-K tokens and hash-order the tail (the order only
+         needs to be GLOBAL and deterministic, not frequency-perfect;
+         correctness never depends on df accuracy).
+      2. per-batch: distinct tokens per doc, argsort by (df, token), emit
+         only the p(s) prefix rows (token, id, set_size).
+      3. bucket by prefix token (group count = vocab-bounded), vectorized
+         in-bucket pair generation with the Jaccard length filter
+         (1e6 * min_size >= tau_1e6 * max_size prunes impossible pairs).
+      4. distinct candidate pairs via grouped_reduce (a pair can surface
+         from several shared prefix tokens).
+      5. exact verify: the candidate pairs (answer-ish-sized) hash-join
+         the corpus twice for texts; per-pair exact set intersection.
+    Output: (id_a, id_b, n_shared, n_union) with id_a < id_b and
+    1e6 * n_shared >= tau_1e6 * n_union — all-integer, so the SQL twin
+    (distinct-token self-join) matches bit-exactly.
+
+    ``max_bucket`` (default None = exact) optionally drops oversize
+    prefix-token buckets, trading exactness for skew protection; leave
+    None unless a pathological token order makes a hot bucket.
+    """
+    import pandas as pd
+
+    from .groupagg import grouped_reduce
+    from .text import token_document_frequency
+
+    df_tbl = token_document_frequency(ds, text_col=text_col, id_col=id_col)
+    dfp = df_tbl.to_pandas()  # vocab-bounded by contract (see docstring)
+    order_ref = ray.put(pd.Series(dfp["df"].to_numpy(np.int64),
+                                  index=dfp["tok"].to_numpy()))
+
+    class _Prefixes:
+        """Actor stage: df Series deserialized once per actor, prefix
+        emission fully vectorized (explode -> distinct -> lexsort by
+        (doc, df, tok) -> cumcount < p(set_size))."""
+
+        def __init__(self):
+            self.df = ray.get(order_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            from .text import _space_tokens
+            empty = pa.table({"tok": pa.array([], pa.string()),
+                              "_id": pa.array([], pa.int64()),
+                              "_sz": pa.array([], pa.int64())})
+            if t.num_rows == 0:
+                return empty
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            _, off, flat = _space_tokens(t[text_col])
+            doc_of = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                               np.diff(off))
+            pdf = pd.DataFrame({"d": doc_of, "tok": flat.to_pandas()})
+            pdf = pdf[pdf["tok"] != ""].drop_duplicates()
+            if not len(pdf):
+                return empty
+            pdf["_df"] = pdf["tok"].map(self.df).to_numpy(np.int64)
+            pdf = pdf.sort_values(["d", "_df", "tok"], kind="stable")
+            g = pdf.groupby("d", sort=False)
+            sz = g["tok"].transform("size").to_numpy(np.int64)
+            rank = g.cumcount().to_numpy(np.int64)
+            p = sz - ((tau_1e6 * sz + 999999) // 1000000) + 1
+            keep = rank < p
+            return pa.table({
+                "tok": pa.array(pdf["tok"].to_numpy()[keep], pa.string()),
+                "_id": pa.array(ids[pdf["d"].to_numpy()[keep]], pa.int64()),
+                "_sz": pa.array(sz[keep], pa.int64())})
+
+    # elastic pool (min 1): a fixed min-size pool larger than the
+    # cluster's free CPUs can deadlock the streaming executor when a
+    # downstream sort also needs CPUs (observed at num_cpus=4 in tests)
+    pref = ds.map_batches(_Prefixes, batch_format="pyarrow",
+                          concurrency=(1, 8))
+
+    def bucket_pairs(g: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(g)
+        if n < 2 or (max_bucket is not None and n > max_bucket):
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64)})
+        ids = g["_id"].to_numpy()
+        sz = g["_sz"].to_numpy()
+        o = np.argsort(ids, kind="stable")
+        ids, sz = ids[o], sz[o]
+        ai, bi = np.triu_indices(n, k=1)
+        # length filter: Jaccard >= t forces t*max(sa,sb) <= min(sa,sb)
+        lo = np.minimum(sz[ai], sz[bi]).astype(np.int64)
+        hi = np.maximum(sz[ai], sz[bi]).astype(np.int64)
+        keep = (1000000 * lo >= tau_1e6 * hi) & (ids[ai] != ids[bi])
+        return pd.DataFrame({"id_a": ids[ai][keep], "id_b": ids[bi][keep]})
+
+    cand = pref.groupby("tok").map_groups(bucket_pairs, batch_format="pandas")
+    cand = grouped_reduce(
+        cand.map_batches(lambda t: t.append_column(
+            "_one", pa.array(np.ones(t.num_rows, np.int64))),
+            batch_format="pyarrow"),
+        ["id_a", "id_b"], {"_one": "_one"}, how="min").drop_columns(["_one"])
+
+    left = ds.map_batches(
+        lambda t: pa.table({"id_a": t[id_col], "_lt": t[text_col]}),
+        batch_format="pyarrow")
+    right = ds.map_batches(
+        lambda t: pa.table({"id_b": t[id_col], "_rt": t[text_col]}),
+        batch_format="pyarrow")
+    np_ = _join_partitions()
+    j = cand.join(left, join_type="inner", num_partitions=np_, on=("id_a",))
+    j = j.join(right, join_type="inner", num_partitions=np_, on=("id_b",))
+
+    def verify(t: pa.Table) -> pa.Table:
+        lt = t["_lt"].to_numpy(zero_copy_only=False)
+        rt = t["_rt"].to_numpy(zero_copy_only=False)
+        n = len(lt)
+        shared = np.empty(n, np.int64)
+        union = np.empty(n, np.int64)
+        for i in range(n):
+            a = set(lt[i].split(" ")); a.discard("")
+            b = set(rt[i].split(" ")); b.discard("")
+            shared[i] = len(a & b)
+            union[i] = len(a | b)
+        keep = (1000000 * shared >= tau_1e6 * union) & (union > 0)
+        m = pa.array(keep)
+        return pa.table({"id_a": t["id_a"].filter(m),
+                         "id_b": t["id_b"].filter(m),
+                         "n_shared": pa.array(shared[keep]),
+                         "n_union": pa.array(union[keep])})
+
+    return j.map_batches(verify, batch_format="pyarrow")
+
+
+def duplicated_window_counts(ds: "ray.data.Dataset", window: int = 8,
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Per-document count of ``window``-token rolling windows (stride 1)
+    that occur MORE THAN ONCE in the corpus — the cross-document
+    exact-substring duplication signal of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), which catches boilerplate
+    and templated near-dups that whole-document hashing misses.
+
+    Output: (doc_id, n_windows, n_dup_windows) for every doc with at least
+    one full window; n_dup_windows counts window POSITIONS whose text
+    occurs >= 2 times corpus-wide (including twice within one doc).
+
+    Ray shape:
+      1. one corpus map emits (w, doc_id) per window position — window
+         strings assembled zero-Python-loop with
+         ``pc.binary_join_element_wise`` over ``window`` shifted takes of
+         the flat token array.
+      2. per-doc totals: grouped_count on doc_id.
+      3. corpus window counts: grouped_count on the window string (the
+         wide op; sort-based, no hash aggregate).  At open-web scale key
+         on the rolling 64-bit gram hash (``text._gram_hashes``) instead
+         of the string to shrink the exchange ~10x — the string key is
+         kept here for bit-exact SQL-oracle parity.
+      4. dup window set (count >= 2, typically corpus-small) semi-joins
+         the position table via ``bloom_semi_join`` — non-duplicated
+         positions never reach that exchange; then one grouped_count per
+         doc and a left_outer join onto the totals (null -> 0).
+    """
+    import pyarrow.compute as pc
+
+    from .bloom import _coalesce_for_join, bloom_semi_join
+    from .groupagg import grouped_count
+    from .text import _space_tokens
+
+    W = window
+
+    def windows(t: pa.Table) -> pa.Table:
+        empty = pa.table({"w": pa.array([], pa.string()),
+                          "doc_id": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, off, flat = _space_tokens(t[text_col])
+        lens = np.diff(off)
+        nw = np.maximum(lens - W + 1, 0)
+        total = int(nw.sum())
+        if total == 0:
+            return empty
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), nw)
+        cum = np.concatenate([[0], np.cumsum(nw)[:-1]])
+        starts = (np.arange(total, dtype=np.int64)
+                  - np.repeat(cum, nw) + np.repeat(off[:-1], nw))
+        cols = [flat.take(pa.array(starts + j)) for j in range(W)]
+        w = pc.binary_join_element_wise(*cols, " ")
+        return pa.table({"w": w,
+                         "doc_id": pa.array(ids[doc_idx], pa.int64())})
+
+    win = ds.map_batches(windows, batch_format="pyarrow")
+    totals = grouped_count(win, "doc_id", out_col="n_windows")
+
+    cnt = grouped_count(win, "w", out_col="_c")
+    dups = cnt.map_batches(
+        lambda t: t.filter(pc.greater(t["_c"], 1)).select(["w"]),
+        batch_format="pyarrow")
+    dup_pos = bloom_semi_join(win, dups, "w")
+    dup_counts = grouped_count(dup_pos, "doc_id",
+                               out_col="_nd").map_batches(
+        lambda t: pa.table({"_dd": t["doc_id"], "_nd": t["_nd"]}),
+        batch_format="pyarrow")
+
+    parts = _join_partitions()
+    totals, n_tot = _coalesce_for_join(totals, parts)
+    if n_tot == 0:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_windows": pa.array([], pa.int64()),
+            "n_dup_windows": pa.array([], pa.int64())}))
+    dup_counts, n_dup = _coalesce_for_join(dup_counts, max(2, parts // 4))
+    if n_dup == 0:
+        return totals.map_batches(
+            lambda t: t.append_column("n_dup_windows", pa.array(
+                np.zeros(t.num_rows, np.int64))),
+            batch_format="pyarrow")
+    j = totals.join(dup_counts, join_type="left_outer",
+                    num_partitions=parts, on=("doc_id",), right_on=("_dd",))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "n_windows": t["n_windows"].cast(pa.int64()),
+            "n_dup_windows": pc.fill_null(t["_nd"], 0).cast(pa.int64())})
+
+    return j.map_batches(fin, batch_format="pyarrow")

@@ -290,3 +290,272 @@ def triangle_count_per_vertex(edges: ray.data.Dataset, u_col: str = "u",
 
     return grouped_reduce(tri.map_batches(ones, batch_format="pyarrow"),
                           "vertex", {"_one": "n_triangles"}, how="sum")
+
+
+def bfs_shortest_hops(edges: ray.data.Dataset, sources,
+                      max_hops: int = 8, src_col: str = "src",
+                      dst_col: str = "dst",
+                      broadcast_threshold: int = 2_000_000
+                      ) -> ray.data.Dataset:
+    """Multi-source BFS shortest hop count over a directed edge Dataset:
+    (node, hop) for every node reachable from ``sources`` within
+    ``max_hops`` edges, hop = MINIMUM #edges (the iterative-frontier
+    traversal the Dataset API has no primitive for — expressed as a
+    driver loop of per-iteration narrow passes).
+
+    Ray shape per iteration (edge table streams, never shuffles):
+      1. SEMI-filter edges on src in frontier: frontier broadcast once via
+         ray.put + vectorized ``pc.is_in`` when it fits
+         ``broadcast_threshold``, else bloom_semi_join (large-frontier
+         path — bloom-prune + exact hash semi-join).
+      2. distinct new dst minus already-visited: broadcast anti filter in
+         the small regime, bloom_anti_join in the large.
+      3. visited accumulates (node, hop) — answer-sized (one row per
+         reached node); the loop stops at an empty frontier or max_hops.
+
+    Frontier/visited sets ride the object store as Arrow tables in the
+    small regime; the large regime keeps them as Datasets end to end.
+    Works on cyclic graphs (visited pruning guarantees each node is
+    frontier-expanded at most once, so total work is O(E_reached)).
+    """
+    import pyarrow.compute as pc
+
+    frontier = np.unique(np.asarray(list(sources), dtype=np.int64))
+    if not len(frontier):
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "hop": pa.array([], pa.int64())}))
+    reached = [(frontier, 0)]
+    visited = frontier
+    small = len(visited) <= broadcast_threshold
+
+    frontier_ds = None
+    visited_ds = None
+    for hop in range(1, max_hops + 1):
+        if small:
+            fref = ray.put(frontier)
+            vref = ray.put(visited)
+
+            def expand(t: pa.Table, _f=fref, _v=vref) -> pa.Table:
+                fr = ray.get(_f)
+                hit = pc.is_in(t[src_col],
+                               value_set=pa.array(fr, pa.int64()))
+                dst = t[dst_col].filter(hit).to_numpy(zero_copy_only=False)
+                dst = np.unique(dst.astype(np.int64))
+                vis = ray.get(_v)
+                new = dst[~np.isin(dst, vis)]
+                return pa.table({"node": pa.array(new, pa.int64())})
+
+            mapped = edges.map_batches(expand, batch_format="pyarrow")
+            arrs = [b["node"].to_numpy(zero_copy_only=False)
+                    for b in mapped.iter_batches(batch_format="pyarrow")
+                    if b.num_rows]
+            nxt = (np.unique(np.concatenate(arrs)) if arrs
+                   else np.empty(0, np.int64))
+            if not len(nxt):
+                break
+            reached.append((nxt, hop))
+            visited = np.concatenate([visited, nxt])
+            frontier = nxt
+            if len(visited) > broadcast_threshold:
+                small = False
+                visited_ds = ray.data.from_arrow(pa.table(
+                    {"node": pa.array(visited, pa.int64())}))
+                frontier_ds = ray.data.from_arrow(pa.table(
+                    {"node": pa.array(frontier, pa.int64())}))
+        else:
+            from .bloom import bloom_anti_join, bloom_semi_join
+            from .groupagg import grouped_count
+            hit = bloom_semi_join(edges, frontier_ds, big_col=src_col,
+                                  key_col="node")
+            dst = hit.map_batches(
+                lambda t: pa.table({"node": t[dst_col].cast(pa.int64())}),
+                batch_format="pyarrow")
+            dst = grouped_count(dst, "node").drop_columns(["n"])
+            nxt_ds = bloom_anti_join(dst, visited_ds, "node",
+                                     key_col="node").materialize()
+            if nxt_ds.count() == 0:
+                break
+            reached.append((nxt_ds, hop))
+            visited_ds = visited_ds.union(nxt_ds).materialize()
+            frontier_ds = nxt_ds
+
+    parts = []
+    for nodes, hop in reached:
+        if isinstance(nodes, np.ndarray):
+            parts.append(ray.data.from_arrow(pa.table({
+                "node": pa.array(nodes, pa.int64()),
+                "hop": pa.array(np.full(len(nodes), hop, np.int64))})))
+        else:
+            parts.append(nodes.map_batches(
+                lambda t, _h=hop: t.append_column(
+                    "hop", pa.array(np.full(t.num_rows, _h, np.int64))),
+                batch_format="pyarrow"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def sssp_bounded(edges: ray.data.Dataset, sources, max_hops: int = 8,
+                 src_col: str = "src", dst_col: str = "dst",
+                 weight_col: str = "w",
+                 broadcast_threshold: int = 2_000_000) -> ray.data.Dataset:
+    """Bounded-hop single/multi-source shortest PATH WEIGHT (Bellman-Ford
+    rounds): (node, dist) with dist = minimum total ``weight_col`` over
+    paths of <= ``max_hops`` edges from any source (sources at dist 0).
+    Non-negative integer weights.
+
+    The weighted generalization of ``bfs_shortest_hops`` — a node can be
+    IMPROVED after it was first reached (a longer-hop but lighter path),
+    so the frontier is "nodes whose best dist improved last round", not
+    "never-seen nodes", and the loop runs the full ``max_hops`` rounds
+    unless a round improves nothing (at which point the distances are the
+    true unbounded shortest paths — Bellman-Ford fixpoint).
+
+    Ray shape per round, small regime (reached set fits
+    ``broadcast_threshold``): best-dist map broadcast once via ray.put;
+    edges stream through ONE map_batches that relaxes frontier-sourced
+    edges and pre-reduces candidates per block (pandas groupby min), so
+    only per-block (dst, cand) minima — answer-bounded — reach the
+    driver merge.  Large regime: best/frontier stay Datasets; relax =
+    one hash join edges x frontier, candidate fold = grouped_reduce min,
+    improvement check = one left_outer join against best (the
+    Pregel-shape exchanges).  The edge table itself never shuffles in
+    the small regime and shuffles once per round in the large.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .bloom import _coalesce_for_join
+    from .dedup import _join_partitions
+
+    src_nodes = np.unique(np.asarray(list(sources), dtype=np.int64))
+    empty = ray.data.from_arrow(pa.table({
+        "node": pa.array([], pa.int64()),
+        "dist": pa.array([], pa.int64())}))
+    if not len(src_nodes):
+        return empty
+
+    small = len(src_nodes) <= broadcast_threshold
+    best: dict = {int(n): 0 for n in src_nodes}
+    frontier = src_nodes
+    best_ds = None
+    frontier_ds = None
+    parts = _join_partitions()
+
+    for _ in range(max_hops):
+        if small:
+            fref = ray.put({int(n): best[int(n)] for n in frontier})
+
+            def relax(t: pa.Table, _f=fref) -> pa.Table:
+                fr = ray.get(_f)
+                out = pa.table({"node": pa.array([], pa.int64()),
+                                "cand": pa.array([], pa.int64())})
+                if t.num_rows == 0:
+                    return out
+                s = t[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                keys = np.fromiter(fr.keys(), np.int64, len(fr))
+                vals = np.fromiter(fr.values(), np.int64, len(fr))
+                o = np.argsort(keys)
+                keys, vals = keys[o], vals[o]
+                pos = np.searchsorted(keys, s)
+                pos[pos >= len(keys)] = 0
+                hit = keys[pos] == s
+                if not hit.any():
+                    return out
+                d = t[dst_col].to_numpy(zero_copy_only=False).astype(
+                    np.int64)[hit]
+                w = t[weight_col].to_numpy(zero_copy_only=False).astype(
+                    np.int64)[hit]
+                cand = vals[pos[hit]] + w
+                m = pd.DataFrame({"node": d, "cand": cand}).groupby(
+                    "node", sort=False)["cand"].min().reset_index()
+                return pa.table({"node": pa.array(m["node"].to_numpy(
+                                     np.int64)),
+                                 "cand": pa.array(m["cand"].to_numpy(
+                                     np.int64))})
+
+            mapped = edges.map_batches(relax, batch_format="pyarrow")
+            nodes_l, cands_l = [], []
+            for b in mapped.iter_batches(batch_format="pyarrow"):
+                if b.num_rows:
+                    nodes_l.append(b["node"].to_numpy(zero_copy_only=False))
+                    cands_l.append(b["cand"].to_numpy(zero_copy_only=False))
+            if not nodes_l:
+                break
+            cm = (pd.DataFrame({"n": np.concatenate(nodes_l),
+                                "c": np.concatenate(cands_l)})
+                  .groupby("n", sort=False)["c"].min())
+            cur = cm.index.map(best)  # NaN for first-reached nodes
+            imp_mask = cur.isna() | (cm.to_numpy() < cur.to_numpy())
+            if not imp_mask.any():
+                break
+            imp_nodes = cm.index.to_numpy(np.int64)[imp_mask]
+            imp_dists = cm.to_numpy(np.int64)[imp_mask]
+            best.update(zip(imp_nodes.tolist(), imp_dists.tolist()))
+            frontier = imp_nodes
+            if len(best) > broadcast_threshold:
+                small = False
+                best_ds = ray.data.from_arrow(pa.table({
+                    "node": pa.array(list(best.keys()), pa.int64()),
+                    "dist": pa.array(list(best.values()), pa.int64())}))
+                frontier_ds = ray.data.from_arrow(pa.table({
+                    "node": pa.array(frontier, pa.int64()),
+                    "dist": pa.array([best[int(n)] for n in frontier],
+                                     pa.int64())}))
+        else:
+            fr = frontier_ds.map_batches(
+                lambda t: pa.table({"_fs": t["node"], "_fd": t["dist"]}),
+                batch_format="pyarrow")
+            fr, n_fr = _coalesce_for_join(fr, max(2, parts // 4))
+            if n_fr == 0:
+                break
+            hit = edges.join(fr, join_type="inner", num_partitions=parts,
+                             on=(src_col,), right_on=("_fs",))
+            cand_ds = hit.map_batches(
+                lambda t: pa.table({
+                    "node": t[dst_col].cast(pa.int64()),
+                    "cand": pc.add(t["_fd"].cast(pa.int64()),
+                                   t[weight_col].cast(pa.int64()))}),
+                batch_format="pyarrow")
+            cand_ds = grouped_reduce(cand_ds, "node", {"cand": "cand"},
+                                     how="min")
+            cand_ds, n_cand = _coalesce_for_join(cand_ds,
+                                                 max(2, parts // 4))
+            if n_cand == 0:
+                break
+            bd = best_ds.map_batches(
+                lambda t: pa.table({"_bn": t["node"], "_bd": t["dist"]}),
+                batch_format="pyarrow")
+            bd, _ = _coalesce_for_join(bd, max(2, parts // 4))
+            j = cand_ds.join(bd, join_type="left_outer",
+                             num_partitions=parts,
+                             on=("node",), right_on=("_bn",))
+
+            def improved_rows(t: pa.Table) -> pa.Table:
+                out = pa.table({"node": pa.array([], pa.int64()),
+                                "dist": pa.array([], pa.int64())})
+                if t.num_rows == 0:
+                    return out
+                keep = pc.fill_null(
+                    pc.less(t["cand"], t["_bd"]), True)
+                return pa.table({"node": t["node"].filter(keep),
+                                 "dist": t["cand"].filter(keep)})
+
+            nxt = j.map_batches(improved_rows,
+                                batch_format="pyarrow").materialize()
+            if nxt.count() == 0:
+                break
+            # best = (best minus improved nodes) union improved
+            from .bloom import bloom_anti_join
+            keep_best = bloom_anti_join(best_ds, nxt, "node",
+                                        key_col="node")
+            best_ds = keep_best.union(nxt).materialize()
+            frontier_ds = nxt
+
+    if small or best_ds is None:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(list(best.keys()), pa.int64()),
+            "dist": pa.array(list(best.values()), pa.int64())}))
+    return best_ds

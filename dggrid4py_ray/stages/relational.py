@@ -902,3 +902,54 @@ class _NegOrder:
 
     def __eq__(self, other):
         return self.v == other.v
+
+
+def value_histogram(ds: "ray.data.Dataset", col: str, lo: int, hi: int,
+                    n_buckets: int,
+                    agg_cols: dict | None = None) -> "ray.data.Dataset":
+    """Equi-width histogram over an INTEGER-scaled column (the SQL
+    width_bucket law, stated explicitly so the oracle can reproduce it
+    bit-exactly without a width_bucket builtin):
+
+        bucket = 0                                   if v <  lo
+               = n_buckets + 1                       if v >= hi
+               = (v - lo) * n_buckets // (hi - lo) + 1 otherwise
+
+    All-integer arithmetic — no float boundary ulps.  One narrow pass
+    (per-block vectorized digitize + partial counts/sums, ≤ n_buckets+2
+    rows per block) folded by an answer-sized aggregate.  ``agg_cols``
+    ({input_col: output_col}) optionally sums extra int64 columns per
+    bucket alongside the count.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    agg_cols = agg_cols or {}
+    span = hi - lo
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            cols = {"bucket": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64())}
+            for _, oc in agg_cols.items():
+                cols[oc] = pa.array([], pa.int64())
+            return pa.table(cols)
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (v - lo) * n_buckets // span + 1
+        b[v < lo] = 0
+        b[v >= hi] = n_buckets + 1
+        import pandas as pd
+        df = pd.DataFrame({"bucket": b})
+        for ic in agg_cols:
+            df[ic] = t[ic].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = df.groupby("bucket", sort=True)
+        out = g.size().rename("n").reset_index()
+        for ic, oc in agg_cols.items():
+            out[oc] = g[ic].sum().to_numpy()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    aggs = [Sum("n", alias_name="n")]
+    for _, oc in agg_cols.items():
+        aggs.append(Sum(oc, alias_name=oc))
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("bucket").aggregate(*aggs))
