@@ -5041,9 +5041,10 @@ def bfs_hops_users(sf_dir: str):
     from ..stages.groupagg import grouped_count
 
     ev = _read(sf_dir, "events", ["user_id"])
-    users = grouped_count(ev, "user_id").drop_columns(["n"])
-    lo = ev.min("user_id")
-    m = ev.max("user_id") + 1
+    # ONE scan of events: min/max ride the (small) distinct-user table
+    users = grouped_count(ev, "user_id").drop_columns(["n"]).materialize()
+    lo = users.min("user_id")
+    m = users.max("user_id") + 1
 
     def mk(t: pa.Table) -> pa.Table:
         u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -5066,6 +5067,7 @@ def histogram_value_events(sf_dir: str):
     ev = _read(sf_dir, "events", ["value"])
 
     def cents(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))  # SQL: WHERE value IS NOT NULL
         return pa.table({"cents": pa.array(
             _cents_half_up(t["value"].to_numpy(zero_copy_only=False)))})
 
@@ -5116,9 +5118,10 @@ def sssp_users(sf_dir: str):
     from ..stages.groupagg import grouped_count
 
     ev = _read(sf_dir, "events", ["user_id"])
-    users = grouped_count(ev, "user_id").drop_columns(["n"])
-    lo = ev.min("user_id")
-    m = ev.max("user_id") + 1
+    # ONE scan of events: min/max ride the (small) distinct-user table
+    users = grouped_count(ev, "user_id").drop_columns(["n"]).materialize()
+    lo = users.min("user_id")
+    m = users.max("user_id") + 1
 
     def mk(t: pa.Table) -> pa.Table:
         u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -7574,7 +7577,7 @@ ORACLES = {
     """,
     "histogram_value_events": """
         WITH c AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents
-                   FROM events)
+                   FROM events WHERE value IS NOT NULL)
         SELECT CASE WHEN cents < 0 THEN 0
                     WHEN cents >= 50000 THEN 41
                     ELSE (cents * 40) // 50000 + 1 END AS bucket,

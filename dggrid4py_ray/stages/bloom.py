@@ -102,11 +102,21 @@ def _coalesce_for_join(ds: ray.data.Dataset, parts: int):
     (balanced row split), which guarantees the first block carries the
     schema broadcast.  The materialize costs one pass over a side that is
     by contract already pruned/answer-ish-sized — the join would re-execute
-    that lineage anyway."""
+    that lineage anyway.  When the materialized blocks are ALREADY all
+    non-empty (per-block row counts come free with the materialized
+    metadata) the repartition copy is skipped entirely — the common case
+    pays no exchange."""
     ds = ds.materialize()
     n = ds.count()
     if n == 0:
         return ds, 0
+    try:
+        rows = [m.num_rows for b in ds.iter_internal_ref_bundles()
+                for m in b.metadata]
+        if rows and all(r and r > 0 for r in rows):
+            return ds, n
+    except Exception:
+        pass  # internal API moved — fall through to the safe repartition
     return ds.repartition(max(1, min(parts, n))), n
 
 

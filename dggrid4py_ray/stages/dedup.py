@@ -862,13 +862,30 @@ def set_similarity_join(ds: "ray.data.Dataset", text_col: str = "text",
             batch_format="pyarrow"),
         ["id_a", "id_b"], {"_one": "_one"}, how="min").drop_columns(["_one"])
 
-    left = ds.map_batches(
-        lambda t: pa.table({"id_a": t[id_col], "_lt": t[text_col]}),
-        batch_format="pyarrow")
-    right = ds.map_batches(
-        lambda t: pa.table({"id_b": t[id_col], "_rt": t[text_col]}),
-        batch_format="pyarrow")
+    from .bloom import _coalesce_for_join
+
     np_ = _join_partitions()
+    # answer-sized guard: zero candidate pairs must short-circuit — empty
+    # blocks reaching the hash join poison its schema broadcast (see
+    # _coalesce_for_join)
+    cand, n_cand = _coalesce_for_join(cand, np_)
+    if n_cand == 0:
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "n_shared": pa.array([], pa.int64()),
+            "n_union": pa.array([], pa.int64())}))
+
+    def _sel(a_col, t_col):
+        # generator map: drop empty blocks so the join's schema broadcast
+        # always rides a non-empty first block (corpus never materializes)
+        def g(t: pa.Table):
+            if t.num_rows:
+                yield pa.table({a_col: t[id_col], t_col: t[text_col]})
+        return g
+
+    left = ds.map_batches(_sel("id_a", "_lt"), batch_format="pyarrow")
+    right = ds.map_batches(_sel("id_b", "_rt"), batch_format="pyarrow")
     j = cand.join(left, join_type="inner", num_partitions=np_, on=("id_a",))
     j = j.join(right, join_type="inner", num_partitions=np_, on=("id_b",))
 
@@ -951,7 +968,11 @@ def duplicated_window_counts(ds: "ray.data.Dataset", window: int = 8,
         return pa.table({"w": w,
                          "doc_id": pa.array(ids[doc_idx], pa.int64())})
 
-    win = ds.map_batches(windows, batch_format="pyarrow")
+    # three consumers (per-doc totals, corpus counts, dup semi-join) —
+    # materialize once so the window-assembly map runs ONE time; the
+    # (w, doc_id) table is the narrowest projection all three need, and
+    # the object store spills it rather than recomputing ~3x
+    win = ds.map_batches(windows, batch_format="pyarrow").materialize()
     totals = grouped_count(win, "doc_id", out_col="n_windows")
 
     cnt = grouped_count(win, "w", out_col="_c")

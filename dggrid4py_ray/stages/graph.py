@@ -331,6 +331,10 @@ def bfs_shortest_hops(edges: ray.data.Dataset, sources,
 
     frontier_ds = None
     visited_ds = None
+    if not small:  # source set alone exceeds the broadcast regime
+        visited_ds = ray.data.from_arrow(pa.table(
+            {"node": pa.array(visited, pa.int64())}))
+        frontier_ds = visited_ds
     for hop in range(1, max_hops + 1):
         if small:
             fref = ray.put(frontier)
@@ -442,6 +446,11 @@ def sssp_bounded(edges: ray.data.Dataset, sources, max_hops: int = 8,
     frontier = src_nodes
     best_ds = None
     frontier_ds = None
+    if not small:  # source set alone exceeds the broadcast regime
+        best_ds = ray.data.from_arrow(pa.table({
+            "node": pa.array(src_nodes, pa.int64()),
+            "dist": pa.array(np.zeros(len(src_nodes), np.int64))}))
+        frontier_ds = best_ds
     parts = _join_partitions()
 
     for _ in range(max_hops):

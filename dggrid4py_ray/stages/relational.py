@@ -920,7 +920,12 @@ def value_histogram(ds: "ray.data.Dataset", col: str, lo: int, hi: int,
     rows per block) folded by an answer-sized aggregate.  ``agg_cols``
     ({input_col: output_col}) optionally sums extra int64 columns per
     bucket alongside the count.
+
+    NULL rows are EXCLUDED (the SQL twin is ``WHERE col IS NOT NULL``) —
+    a NaN→int64 cast is undefined and would silently land nulls in the
+    underflow bucket.
     """
+    import pyarrow.compute as pc
     import ray.data
     from ray.data.aggregate import Sum
 
@@ -928,6 +933,8 @@ def value_histogram(ds: "ray.data.Dataset", col: str, lo: int, hi: int,
     span = hi - lo
 
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows:
+            t = t.filter(pc.is_valid(t[col]))
         if t.num_rows == 0:
             cols = {"bucket": pa.array([], pa.int64()),
                     "n": pa.array([], pa.int64())}

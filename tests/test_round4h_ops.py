@@ -287,3 +287,58 @@ def test_duplicated_window_counts_no_dups():
            .sort_values("doc_id", ignore_index=True))
     assert list(got.itertuples(index=False, name=None)) == [
         (1, 4, 0), (2, 5, 0)]
+
+
+# ------------------------------------------------- review regressions
+
+def test_set_similarity_join_zero_pairs():
+    # disjoint vocabularies: no candidate pair survives -> typed empty
+    # (used to poison the hash join with schema-less blocks)
+    from dggrid4py_ray.stages.dedup import set_similarity_join
+
+    texts = [f"u{i}a u{i}b u{i}c" for i in range(20)]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(20, dtype=np.int64), "text": texts}))
+    out = set_similarity_join(ds, tau_1e6=900_000)
+    tbl = out.take_batch(1, batch_format="pyarrow") if out.count() else None
+    assert out.count() == 0
+    assert out.schema().names == ["id_a", "id_b", "n_shared", "n_union"]
+
+
+def test_bfs_sources_exceed_threshold_at_entry():
+    # len(sources) > broadcast_threshold on entry -> starts in the large
+    # regime (used to crash on frontier_ds=None)
+    from dggrid4py_ray.stages.graph import bfs_shortest_hops
+
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array([0, 1, 2, 3], pa.int64()),
+        "dst": pa.array([1, 2, 3, 4], pa.int64())}))
+    out = dict(bfs_shortest_hops(edges, [0, 2], max_hops=3,
+                                 broadcast_threshold=1)
+               .to_pandas().itertuples(index=False, name=None))
+    assert out == {0: 0, 2: 0, 1: 1, 3: 1, 4: 2}
+
+
+def test_sssp_sources_exceed_threshold_at_entry():
+    from dggrid4py_ray.stages.graph import sssp_bounded
+
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array([0, 1, 2], pa.int64()),
+        "dst": pa.array([1, 2, 3], pa.int64()),
+        "w": pa.array([5, 1, 1], pa.int64())}))
+    out = dict(sssp_bounded(edges, [0, 2], max_hops=4,
+                            broadcast_threshold=1)
+               .to_pandas().itertuples(index=False, name=None))
+    assert out == {0: 0, 2: 0, 1: 5, 3: 1}
+
+
+def test_value_histogram_excludes_nulls():
+    # null rows are dropped (SQL: WHERE col IS NOT NULL) -- a NaN->int64
+    # cast used to land them in the underflow bucket
+    from dggrid4py_ray.stages.relational import value_histogram
+
+    ds = ray.data.from_arrow(pa.table({
+        "v": pa.array([5, None, 995, None], pa.int64())}))
+    out = value_histogram(ds, "v", lo=0, hi=1000, n_buckets=10).to_pandas()
+    got = dict(zip(out["bucket"], out["n"]))
+    assert got == {1: 1, 10: 1}
