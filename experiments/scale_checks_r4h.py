@@ -71,16 +71,22 @@ def main():
         from dggrid4py_ray.stages.graph import bfs_shortest_hops
 
         def gen_edges(t: pa.Table) -> pa.Table:
+            # 1M nodes x 10 out-edges to splitmix-scrambled dsts: the
+            # frontier grows ~10x/hop (10 -> ~100 -> ~1k -> ~10k), so
+            # hops 3-4 run the bloom large regime at threshold 1k
             i = t["id"].to_numpy().astype(np.int64)
+            h = i.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(29)
             return pa.table({
-                "src": pa.array((i * 2654435761) % 2_000_000),
-                "dst": pa.array((i * 1103515245 + 12345) % 2_000_000)})
+                "src": pa.array(i % 1_000_000),
+                "dst": pa.array((h % np.uint64(1_000_000)).astype(
+                    np.int64))})
 
         edges = ray.data.range(10_000_000, override_num_blocks=64) \
             .map_batches(gen_edges, batch_format="pyarrow").materialize()
         t0 = time.time()
         reached = bfs_shortest_hops(edges, [0], max_hops=4,
-                                    broadcast_threshold=10_000).count()
+                                    broadcast_threshold=1_000).count()
         _emit("bfs_10M_edges_4hops_large_frontier", 10_000_000, t0,
               reached=reached)
 
@@ -90,9 +96,12 @@ def main():
 
         def gen_wedges(t: pa.Table) -> pa.Table:
             i = t["id"].to_numpy().astype(np.int64)
+            h = i.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(29)
             return pa.table({
-                "src": pa.array((i * 2654435761) % 2_000_000),
-                "dst": pa.array((i * 1103515245 + 12345) % 2_000_000),
+                "src": pa.array(i % 1_000_000),
+                "dst": pa.array((h % np.uint64(1_000_000)).astype(
+                    np.int64)),
                 "w": pa.array(i % 13 + 1)})
 
         edges = ray.data.range(10_000_000, override_num_blocks=64) \
