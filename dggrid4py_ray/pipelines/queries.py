@@ -5232,6 +5232,112 @@ def iqr_outliers_events(sf_dir: str):
               .sort("event_type"))
 
 
+def event_paths_by_user(sf_dir: str):
+    """Per-user ordered event-type path string (stages/groupagg.
+    grouped_string_agg — SQL STRING_AGG(x, '>' ORDER BY event_id) at
+    UNBOUNDED key cardinality: one range sort + an O(#blocks) tail-carry
+    chain, never O(#groups) driver state).  The session-path feature of
+    behavioral pipelines."""
+    from ..stages.groupagg import grouped_string_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "event_type"])
+    return grouped_string_agg(ev, key="user_id", order_col="event_id",
+                              text_col="event_type", sep=">",
+                              out_col="path").sort("user_id")
+
+
+def mode_event_type_by_user(sf_dir: str):
+    """Per-user modal event type (stages/relational.grouped_mode): ties
+    broken by the lexicographically smallest type.  Bounded value domain
+    -> the argmax is ONE packed-int64 grouped_reduce max over the
+    (user, type) counts; no window shuffle, no per-group Python."""
+    from ..stages.relational import grouped_mode
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    return grouped_mode(ev, "user_id", "event_type",
+                        out_col="mode_type", n_col="n").sort("user_id")
+
+
+def table_fingerprint_orders(sf_dir: str):
+    """Whole-table order-insensitive content fingerprint
+    (stages/validate.table_fingerprint): XOR of md5_number_upper over
+    canonical row strings + row count, in ONE narrow pass with one
+    (xor, count) partial per block.  The reconciliation primitive behind
+    resumable/checkpointed runs — two copies agree iff (n_rows, fp)
+    agree; bit-exact vs the DuckDB twin."""
+    from ..stages.validate import table_fingerprint
+
+    o = _read(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"])
+
+    def canon(t: pa.Table) -> pa.Table:
+        cents = _cents_half_up(
+            t["o_totalprice"].to_numpy(zero_copy_only=False))
+        return pa.table({"k": t["o_orderkey"], "c": t["o_custkey"],
+                         "s": t["o_orderstatus"],
+                         "p": pa.array(cents)})
+
+    return table_fingerprint(o.map_batches(canon, batch_format="pyarrow"),
+                             ["k", "c", "s", "p"])
+
+
+def full_outer_recon_users(sf_dir: str):
+    """FULL OUTER reconciliation of two keyed aggregates — per-user event
+    counts vs per-customer order counts: matched keys, left-only and
+    right-only all surface with 0-filled counts (the audit join of a
+    migration/backfill).  Ray's hash full_outer coalesces the key; both
+    inputs are answer-ish-sized grouped counts, coalesced against the
+    empty-first-block schema poison."""
+    from ..stages.bloom import _coalesce_for_join
+    from ..stages.dedup import _join_partitions
+    from ..stages.groupagg import grouped_count
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    od = _read(sf_dir, "orders", ["o_custkey"])
+    left = grouped_count(ev, "user_id", out_col="n_events")
+    right = grouped_count(od, "o_custkey", out_col="n_orders")
+    parts = _join_partitions()
+    left, _nl = _coalesce_for_join(left, parts)
+    right, _nr = _coalesce_for_join(right, parts)
+    j = left.join(right, join_type="full_outer", num_partitions=parts,
+                  on=("user_id",), right_on=("o_custkey",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        zero = pa.scalar(0, pa.int64())
+        return pa.table({
+            "key": t["user_id"].cast(pa.int64()),
+            "n_events": pc.coalesce(t["n_events"].cast(pa.int64()), zero),
+            "n_orders": pc.coalesce(t["n_orders"].cast(pa.int64()), zero)})
+
+    return j.map_batches(finish, batch_format="pyarrow").sort("key")
+
+
+def weighted_median_price_by_status(sf_dir: str):
+    """Quantity-WEIGHTED median price per lineitem linestatus
+    (stages/relational.exact_group_quantile_sorted with weight_col): the
+    smallest price whose cumulative quantity reaches half the total —
+    integer weights and integer cents, so the window-SQL twin matches
+    bit-exactly.  Same unbounded-key machinery as the unweighted sorted
+    quantile; weights replace counts."""
+    from ..stages.relational import exact_group_quantile_sorted
+
+    li = _read(sf_dir, "lineitem",
+               ["l_linestatus", "l_extendedprice", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = _cents_half_up(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False))
+        w = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"l_linestatus": t["l_linestatus"],
+                         "cents": pa.array(cents), "w": pa.array(w)})
+
+    out = exact_group_quantile_sorted(
+        li.map_batches(prep, batch_format="pyarrow"),
+        "l_linestatus", "cents", q=0.5, out_col="wmedian_cents",
+        weight_col="w")
+    return out.sort("l_linestatus")
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -5401,6 +5507,11 @@ QUERIES = {
     "dup_window_docs": dup_window_docs,
     "split_assign_docs": split_assign_docs,
     "iqr_outliers_events": iqr_outliers_events,
+    "event_paths_by_user": event_paths_by_user,
+    "mode_event_type_by_user": mode_event_type_by_user,
+    "table_fingerprint_orders": table_fingerprint_orders,
+    "full_outer_recon_users": full_outer_recon_users,
+    "weighted_median_price_by_status": weighted_median_price_by_status,
 }
 
 ORACLES = {
@@ -7674,5 +7785,56 @@ ORACLES = {
         FROM events e JOIN f USING (event_type)
         WHERE e.value IS NOT NULL
         GROUP BY 1 ORDER BY 1
+    """,
+    "event_paths_by_user": """
+        SELECT user_id,
+               STRING_AGG(event_type, '>' ORDER BY event_id) AS path
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    "mode_event_type_by_user": """
+        WITH c AS (SELECT user_id, event_type,
+                          CAST(COUNT(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1, 2)
+        SELECT user_id, event_type AS mode_type, n FROM c
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY n DESC, event_type) = 1
+        ORDER BY user_id
+    """,
+    "table_fingerprint_orders": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               bit_xor(md5_number_upper(
+                   CAST(o_orderkey AS VARCHAR) || '|' ||
+                   CAST(o_custkey AS VARCHAR) || '|' ||
+                   o_orderstatus || '|' ||
+                   CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                        AS VARCHAR))) AS fp
+        FROM orders
+    """,
+    "full_outer_recon_users": """
+        WITH e AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+                   FROM events GROUP BY user_id),
+             o AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+                   FROM orders GROUP BY o_custkey)
+        SELECT COALESCE(e.user_id, o.o_custkey) AS key,
+               COALESCE(n_events, 0) AS n_events,
+               COALESCE(n_orders, 0) AS n_orders
+        FROM e FULL OUTER JOIN o ON e.user_id = o.o_custkey
+        ORDER BY key
+    """,
+    "weighted_median_price_by_status": """
+        WITH d AS (SELECT l_linestatus,
+                          CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+                          SUM(CAST(l_quantity AS BIGINT)) AS wsum
+                   FROM lineitem GROUP BY 1, 2),
+             r AS (SELECT l_linestatus, v, wsum,
+                          SUM(wsum) OVER (PARTITION BY l_linestatus
+                                          ORDER BY v) AS cum,
+                          SUM(wsum) OVER (PARTITION BY l_linestatus)
+                              AS tot
+                   FROM d)
+        SELECT l_linestatus, CAST(v AS DOUBLE) AS wmedian_cents
+        FROM r
+        WHERE cum - wsum < CEIL(0.5 * tot) AND CEIL(0.5 * tot) <= cum
+        ORDER BY l_linestatus
     """,
 }

@@ -630,10 +630,18 @@ def cube_aggregate(ds: ray.data.Dataset, keys: list,
 
 def exact_group_quantile_sorted(ds: ray.data.Dataset, group_col: str,
                                 value_col: str, q: float = 0.5,
-                                out_col: str = "quantile") -> ray.data.Dataset:
+                                out_col: str = "quantile",
+                                weight_col: str | None = None
+                                ) -> ray.data.Dataset:
     """Exact per-group quantile_disc at UNBOUNDED group cardinality — the
     complement of ``exact_group_quantile`` (whose histogram refinement
     keeps per-group driver state and is bounded by ``max_groups``).
+
+    ``weight_col`` (integer weights > 0) switches to the WEIGHTED
+    quantile: the smallest value whose cumulative weight (in value order)
+    reaches ceil(q * total_weight) — e.g. the quantity-weighted median
+    price.  Same machinery: per-(group, value) weight sums replace the
+    per-(group, value) row counts; the pick law is unchanged.
 
     Order-statistic selection as a pure composition of scale paths,
     DUPLICATE-SAFE (the carry-chain ops require unique keys, so the
@@ -652,8 +660,15 @@ def exact_group_quantile_sorted(ds: ray.data.Dataset, group_col: str,
     from .join import _join_partitions
     from .window import group_running_sum
 
-    cnts = grouped_count(ds.select_columns([group_col, value_col]),
-                         [group_col, value_col], out_col="_c")
+    if weight_col is None:
+        cnts = grouped_count(ds.select_columns([group_col, value_col]),
+                             [group_col, value_col], out_col="_c")
+    else:
+        cnts = grouped_reduce(
+            ds.select_columns([group_col, value_col, weight_col])
+              .map_batches(lambda t: t.rename_columns(
+                  [group_col, value_col, "_c"]), batch_format="pyarrow"),
+            [group_col, value_col], {"_c": "_c"}, how="sum")
     # both join inputs are reduce-derived (schema-less empty-block
     # pitfall): coalesce each before the exchange
     run = group_running_sum(cnts, group_col, [value_col], "_c",
@@ -960,3 +975,63 @@ def value_histogram(ds: "ray.data.Dataset", col: str, lo: int, hi: int,
         aggs.append(Sum(oc, alias_name=oc))
     return (ds.map_batches(partial, batch_format="pyarrow")
               .groupby("bucket").aggregate(*aggs))
+
+
+def grouped_mode(ds: "ray.data.Dataset", group_col: str, value_col: str,
+                 out_col: str = "mode", n_col: str = "n"
+                 ) -> "ray.data.Dataset":
+    """Most frequent ``value_col`` per group, ties broken by the
+    lexicographically SMALLEST value (SQL: ``QUALIFY ROW_NUMBER() OVER
+    (PARTITION BY g ORDER BY COUNT(*) DESC, v) = 1``).
+
+    Scale shape for a BOUNDED value domain (event types, languages,
+    status codes — the common mode targets): per-(group, value) counts
+    via ``grouped_count`` (sort-based, unbounded group cardinality), the
+    small distinct-value list collected once and broadcast as a rank
+    table, then the whole argmax is ONE packed-int64 ``grouped_reduce``
+    max — maximize (count, -value_rank) packed as count * R + (R-1-rank).
+    No per-group Python, no window shuffle.  Raises if the value domain
+    exceeds ``2**20`` distinct values (use a sort-based top-1 instead).
+    """
+    from .groupagg import grouped_count, grouped_reduce
+
+    cnts = grouped_count(ds.select_columns([group_col, value_col]),
+                         [group_col, value_col], out_col="_c")
+
+    vals_pd = grouped_count(ds.select_columns([value_col]), value_col) \
+        .to_pandas()  # bounded-domain contract: answer-sized
+    vals = sorted(vals_pd[value_col].tolist())
+    if len(vals) > 1 << 20:
+        raise ValueError("grouped_mode: value domain too large "
+                         f"({len(vals)}); bounded-domain operator")
+    r = max(1, len(vals))
+    rank = {v: i for i, v in enumerate(vals)}
+    rank_ref = ray.put(rank)
+
+    def pack(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({group_col: t[group_col],
+                             "_p": pa.array([], pa.int64())})
+        rk = ray.get(rank_ref)
+        c = t["_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        ranks = np.fromiter((rk[x] for x in v), np.int64, len(v))
+        return pa.table({group_col: t[group_col],
+                         "_p": pa.array(c * r + (r - 1 - ranks))})
+
+    red = grouped_reduce(cnts.map_batches(pack, batch_format="pyarrow"),
+                         group_col, {"_p": "_p"}, how="max")
+    inv_ref = ray.put(np.array(vals))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({group_col: t[group_col],
+                             out_col: pa.array([], pa.string()),
+                             n_col: pa.array([], pa.int64())})
+        inv = ray.get(inv_ref)
+        p = t["_p"].to_numpy(zero_copy_only=False)
+        return pa.table({group_col: t[group_col],
+                         out_col: pa.array(inv[r - 1 - p % r]),
+                         n_col: pa.array(p // r, pa.int64())})
+
+    return red.map_batches(unpack, batch_format="pyarrow")

@@ -62,3 +62,50 @@ def expectation_audit(ds: ray.data.Dataset, checks: dict,
             "n_bad": pa.array([total - distinct], pa.int64())}))
         out = out.union(dup)
     return out
+
+
+def table_fingerprint(ds: ray.data.Dataset, cols: list,
+                      sep: str = "|") -> ray.data.Dataset:
+    """Order-insensitive whole-table content fingerprint: one row
+    (n_rows, fp) where fp = XOR of md5_number_upper over each row's
+    canonical string (``col1|col2|...``, values cast to string) —
+    bit-identical to the DuckDB twin
+    ``SELECT COUNT(*), bit_xor(md5_number_upper(c1 || '|' || c2 ...))``.
+
+    The reconciliation primitive of a resumable pipeline: two runs (or a
+    source and its checkpointed copy) agree iff (n_rows, fp) agree, at
+    the cost of ONE narrow pass with a single (xor, count) partial per
+    block — XOR is commutative/associative, so the fold is
+    parallelism-deterministic.  Pass integer/string columns (scale
+    floats to cents first — float→string formatting is not portable).
+    """
+    import pyarrow.compute as pc
+
+    from .sampling import _md5_u64
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"_fp": pa.array([], pa.uint64()),
+                             "_n": pa.array([], pa.int64())})
+        parts = [t[c].cast(pa.string()) for c in cols]
+        joined = parts[0] if len(parts) == 1 else \
+            pc.binary_join_element_wise(*parts, sep)
+        h = _md5_u64(joined.to_numpy(zero_copy_only=False))
+        return pa.table({
+            "_fp": pa.array([np.bitwise_xor.reduce(h)], pa.uint64()),
+            "_n": pa.array([t.num_rows], pa.int64())})
+
+    def fold(t: pa.Table) -> pa.Table:
+        fp = t["_fp"].to_numpy(zero_copy_only=False)
+        n = t["_n"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_rows": pa.array([int(n.sum())], pa.int64()),
+            "fp": pa.array([np.bitwise_xor.reduce(fp) if len(fp)
+                            else np.uint64(0)], pa.uint64())})
+
+    # identity partial (xor 0, +0): guarantees fold sees >= 1 row even
+    # when the input is empty (zero blocks would skip fold entirely)
+    seed = ray.data.from_arrow(pa.table({
+        "_fp": pa.array([0], pa.uint64()), "_n": pa.array([0], pa.int64())}))
+    return (ds.map_batches(partial, batch_format="pyarrow").union(seed)
+              .repartition(1).map_batches(fold, batch_format="pyarrow"))
