@@ -5338,6 +5338,81 @@ def weighted_median_price_by_status(sf_dir: str):
     return out.sort("l_linestatus")
 
 
+def asof_clicks_purchases(sf_dir: str):
+    """LARGE-LARGE per-KEY as-of join (stages/temporal.asof_join_keyed):
+    each purchase event matched to the same user's most recent click at
+    or before it — the attribution join, with BOTH sides unbounded (the
+    broadcast as-of needs a small right side; the bucket as-of has no
+    key).  One tagged-union range sort + the O(#blocks) LOCF carry; the
+    oracle is DuckDB's native keyed ASOF LEFT JOIN.  Right side is
+    dedup-free by data contract (no duplicate (user, ts) clicks —
+    verified; duplicates would make the SQL ASOF ambiguous too)."""
+    from ..stages.temporal import asof_join_keyed
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+    probes = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase"))
+                   .select(["event_id", "ts", "user_id"]),
+        batch_format="pyarrow")
+    clicks = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click"))
+                   .select(["ts", "user_id", "value"]),
+        batch_format="pyarrow")
+    out = asof_join_keyed(probes, clicks, key_col="user_id", ts_col="ts",
+                          right_val_col="value", left_id_col="event_id",
+                          out_col="click_value")
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "click_value"]),
+        batch_format="pyarrow").sort("event_id")
+
+
+def cdc_merge_orders(sf_dir: str):
+    """CDC MERGE / upsert apply (stages/relational.merge_changes): a
+    deterministic change stream derived from orders — keys ≡3 (mod 11)
+    get two updates (seq 2 wins), ≡7 are deleted, ≡5 spawn inserts at
+    key+10⁷ — folded into the base (o_orderkey, cents) table.  Latest
+    change per key wins; the base streams through one bloom anti-join
+    and never sorts or shuffles."""
+    from ..stages.relational import merge_changes
+
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def to_base(t: pa.Table) -> pa.Table:
+        cents = _cents_half_up(
+            t["o_totalprice"].to_numpy(zero_copy_only=False))
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "cents": pa.array(cents)})
+
+    base = o.map_batches(to_base, batch_format="pyarrow")
+
+    def to_changes(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = _cents_half_up(
+            t["o_totalprice"].to_numpy(zero_copy_only=False))
+        m3, m7, m5 = k % 11 == 3, k % 11 == 7, k % 11 == 5
+        keys = np.concatenate([k[m3], k[m3], k[m7], k[m5] + 10_000_000])
+        seqs = np.concatenate([np.full(m3.sum(), 1), np.full(m3.sum(), 2),
+                               np.full(m7.sum(), 1), np.full(m5.sum(), 1)
+                               ]).astype(np.int64)
+        ops = np.concatenate([np.full(m3.sum(), "U"),
+                              np.full(m3.sum(), "U"),
+                              np.full(m7.sum(), "D"),
+                              np.full(m5.sum(), "I")])
+        vals = np.concatenate([cents[m3] + 100, cents[m3] + 200,
+                               np.zeros(m7.sum(), np.int64),
+                               cents[m5] + 1]).astype(np.int64)
+        return pa.table({"o_orderkey": pa.array(keys),
+                         "seq": pa.array(seqs),
+                         "op": pa.array(ops, pa.string()),
+                         "cents": pa.array(vals)})
+
+    changes = o.map_batches(to_changes, batch_format="pyarrow")
+    merged = merge_changes(base, changes, "o_orderkey",
+                           payload_cols=["o_orderkey", "cents"])
+    return merged.sort("o_orderkey")
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -5512,6 +5587,8 @@ QUERIES = {
     "table_fingerprint_orders": table_fingerprint_orders,
     "full_outer_recon_users": full_outer_recon_users,
     "weighted_median_price_by_status": weighted_median_price_by_status,
+    "asof_clicks_purchases": asof_clicks_purchases,
+    "cdc_merge_orders": cdc_merge_orders,
 }
 
 ORACLES = {
@@ -7836,5 +7913,37 @@ ORACLES = {
         FROM r
         WHERE cum - wsum < CEIL(0.5 * tot) AND CEIL(0.5 * tot) <= cum
         ORDER BY l_linestatus
+    """,
+    "asof_clicks_purchases": """
+        WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+             c AS (SELECT user_id, ts, value FROM events
+                   WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id, c.value AS click_value
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p.event_id
+    """,
+    "cdc_merge_orders": """
+        WITH base AS (SELECT o_orderkey,
+                             CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                 AS cents
+                      FROM orders),
+        ch AS (
+          SELECT o_orderkey, 1 AS seq, 'U' AS op, cents + 100 AS cents
+          FROM base WHERE o_orderkey % 11 = 3
+          UNION ALL SELECT o_orderkey, 2, 'U', cents + 200
+          FROM base WHERE o_orderkey % 11 = 3
+          UNION ALL SELECT o_orderkey, 1, 'D', 0
+          FROM base WHERE o_orderkey % 11 = 7
+          UNION ALL SELECT o_orderkey + 10000000, 1, 'I', cents + 1
+          FROM base WHERE o_orderkey % 11 = 5),
+        latest AS (SELECT * FROM ch QUALIFY ROW_NUMBER() OVER (
+                       PARTITION BY o_orderkey ORDER BY seq DESC) = 1)
+        SELECT o_orderkey, cents FROM base
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ch)
+        UNION ALL
+        SELECT o_orderkey, cents FROM latest WHERE op <> 'D'
+        ORDER BY o_orderkey
     """,
 }

@@ -1035,3 +1035,57 @@ def grouped_mode(ds: "ray.data.Dataset", group_col: str, value_col: str,
                          n_col: pa.array(p // r, pa.int64())})
 
     return red.map_batches(unpack, batch_format="pyarrow")
+
+
+def merge_changes(base: "ray.data.Dataset", changes: "ray.data.Dataset",
+                  key_col: str, op_col: str = "op", seq_col: str = "seq",
+                  payload_cols: list | None = None) -> "ray.data.Dataset":
+    """CDC apply / MERGE-upsert: fold a change stream into a base table.
+    Per key the LATEST change wins (max ``seq_col``; (key, seq) must be
+    unique): op 'D' deletes the key, 'I'/'U' upserts the change row's
+    payload; base keys never touched by a change pass through untouched.
+    The batch-apply primitive of an incrementally-maintained table.
+
+    Ray shape (no change-key ever meets the base except through the
+    bloom anti-join; the base never sorts or shuffles):
+
+    1. winner seq per key: ONE ``grouped_reduce`` max over (key, seq) —
+       unbounded key cardinality;
+    2. winning rows: one answer-sized hash join changes x winners on
+       (key, seq) — only the change table (<< base, by CDC contract)
+       moves;
+    3. survivors: ``bloom_anti_join(base, change_keys)`` — the base
+       streams through a broadcast bloom filter, and only the ~|changes|
+       maybe-rows reach an exact anti-join;
+    4. survivors UNION (winners where op != 'D') projected to
+       ``payload_cols`` (default: the base schema).
+    """
+    import pyarrow.compute as pc
+
+    from .bloom import _coalesce_for_join, bloom_anti_join
+    from .dedup import _join_partitions
+    from .groupagg import grouped_reduce
+
+    cols = payload_cols or base.schema().names
+    parts = _join_partitions()
+
+    mx = grouped_reduce(
+        changes.select_columns([key_col, seq_col]).map_batches(
+            lambda t: t.rename_columns([key_col, "_mx"]),
+            batch_format="pyarrow"),
+        key_col, {"_mx": "_mx"}, how="max")
+    mx, n_mx = _coalesce_for_join(mx, parts)
+    if n_mx == 0:
+        return base
+    ch, _ = _coalesce_for_join(changes, parts)
+    winners = ch.join(mx, join_type="inner", num_partitions=parts,
+                      on=(key_col, seq_col), right_on=(key_col, "_mx"))
+
+    survivors = bloom_anti_join(
+        base, mx.select_columns([key_col]), key_col)
+    upserts = winners.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t[op_col], "D")))
+                   .select(cols),
+        batch_format="pyarrow")
+    return survivors.map_batches(lambda t: t.select(cols),
+                                 batch_format="pyarrow").union(upserts)

@@ -649,3 +649,70 @@ def cusum_changepoint(ds: ray.data.Dataset, key: str, order_cols: list,
                             "cusum": t["_cusum"],
                             "n": pc.cast(t["_n"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def asof_join_keyed(left: ray.data.Dataset, right: ray.data.Dataset,
+                    key_col: str, ts_col: str, right_val_col: str,
+                    left_id_col: str, out_col: str = "asof_val",
+                    keep_unmatched: bool = True) -> ray.data.Dataset:
+    """LARGE-LARGE per-KEY as-of join — each left row matched to the
+    right row of the SAME key with the greatest ts <= left.ts (DuckDB
+    ``ASOF LEFT JOIN ... ON l.key = r.key AND l.ts >= r.ts`` semantics)
+    with BOTH sides as Datasets of unbounded size and key cardinality.
+    The attribution join ("latest prior click per user for this
+    purchase") that neither the broadcast as-of (small right) nor the
+    global bucket as-of (no key) covers.
+
+    Ray shape — the classic distributed sort-merge as-of expressed as a
+    TAGGED UNION + one LOCF carry chain (``window.group_fill_forward``):
+
+    1. both sides project to (key, ts, tag, uid, val): right rows tag 0
+       carrying val, left rows tag 1 with val null;
+    2. ONE range sort on (key, ts, tag, uid) — at equal ts the right row
+       sorts first, making the match inclusive;
+    3. forward-fill val within key (vectorized segmented scan per block
+       + the O(#blocks) tail carry — never O(#keys) driver state);
+    4. keep tag-1 rows: each left row now holds the last right val at or
+       before its ts.  Output (left_id, key, ts, out_col).
+
+    RIGHT side contract: unique (key, ts) pairs (dedupe upstream —
+    duplicate right timestamps make ASOF value selection ambiguous in
+    SQL too).  Left rows with no prior right row keep a NULL ``out_col``
+    (dropped when ``keep_unmatched=False``)."""
+    import pyarrow.compute as pc
+
+    from .window import group_fill_forward
+
+    def l_project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: t[key_col],
+            ts_col: t[ts_col],
+            "_tag": pa.array(np.ones(t.num_rows, np.int8)),
+            "_uid": t[left_id_col].cast(pa.int64()),
+            "_val": pa.nulls(t.num_rows, pa.float64())})
+
+    def r_project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: t[key_col],
+            ts_col: t[ts_col],
+            "_tag": pa.array(np.zeros(t.num_rows, np.int8)),
+            "_uid": pa.array(np.full(t.num_rows, -1, np.int64)),
+            "_val": t[right_val_col].cast(pa.float64())})
+
+    u = left.map_batches(l_project, batch_format="pyarrow").union(
+        right.map_batches(r_project, batch_format="pyarrow"))
+    filled = group_fill_forward(u, key_col, [ts_col, "_tag", "_uid"],
+                                "_val", out_col=out_col)
+
+    def probe_rows(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["_tag"], 1)
+        kept = t.filter(m)
+        out = pa.table({left_id_col: kept["_uid"],
+                        key_col: kept[key_col],
+                        ts_col: kept[ts_col],
+                        out_col: kept[out_col]})
+        if not keep_unmatched:
+            out = out.filter(pc.is_valid(out[out_col]))
+        return out
+
+    return filled.map_batches(probe_rows, batch_format="pyarrow")
