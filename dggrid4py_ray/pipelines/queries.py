@@ -5413,6 +5413,89 @@ def cdc_merge_orders(sf_dir: str):
     return merged.sort("o_orderkey")
 
 
+def centroid_cosine_labels(sf_dir: str):
+    """Pairwise cosine similarity between per-label centroid embeddings
+    (stages/linalg.label_centroid_cosine) — the cluster-geometry audit of
+    an embedding corpus.  Components are integer-grid-quantized BEFORE
+    summation so the per-(label, dim) sums are exact int64 at any
+    parallelism, and the final cosine is an exact-integer dot (HUGEINT in
+    the SQL twin) with one shared IEEE expression — bit-exact oracle for
+    a floating-point analytics op."""
+    from ..stages.linalg import label_centroid_cosine
+
+    emb = _read(sf_dir, "embeddings", ["label", "embedding"])
+    return label_centroid_cosine(emb).sort(["label_a", "label_b"])
+
+
+def dup_cluster_sizes_docs(sf_dir: str):
+    """Histogram of near-duplicate cluster sizes under a 3-token-prefix
+    blocking key (how much of the corpus shares an opening — the curation
+    report behind a dedup pass; raw texts here are all distinct, so the
+    blocking key is what actually clusters): per-key counts via
+    grouped_count at unbounded keys, then the answer-small
+    counts-of-counts."""
+    from ..stages.groupagg import grouped_count
+    from ..stages.text import _space_tokens
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def prefix_key(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"key": pa.array([], pa.string())})
+        _, off, flat = _space_tokens(t["text"])
+        if (np.diff(off) < 3).any():
+            raise ValueError("prefix_key: document under 3 tokens")
+        starts = pa.array(off[:-1])
+        cols = [flat.take(pc.add(starts, j)) for j in range(3)]
+        return pa.table({"key": pc.binary_join_element_wise(*cols, " ")})
+
+    keyed = docs.map_batches(prefix_key, batch_format="pyarrow")
+    per_key = grouped_count(keyed, "key", out_col="cluster_size")
+    return grouped_count(per_key.drop_columns(["key"]), "cluster_size",
+                         out_col="n_clusters").sort("cluster_size")
+
+
+def checkpoint_roundtrip_events(sf_dir: str):
+    """End-to-end resumable-sink roundtrip (state/checkpoint.
+    write_dataset_checkpointed): events stream into partitioned parquet
+    with per-partition lineage manifests (partition id = user_id % 8,
+    deterministic input lineage), are read BACK from the checkpoint
+    directory, and aggregate per event type — proving the sink/source
+    pair preserves content exactly (the oracle aggregates the original events
+    directly).  A fresh out_dir per run; the write path streams (batches
+    are written as they flow, nothing materializes)."""
+    import glob
+    import shutil
+
+    from ray.data.aggregate import Sum
+
+    from ..state.checkpoint import write_dataset_checkpointed
+
+    out_dir = f"/tmp/ckpt_roundtrip_{abs(hash(sf_dir)) % (1 << 32):08x}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type",
+                                  "value"])
+
+    def part(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = _cents_half_up(t["value"].to_numpy(zero_copy_only=False))
+        return pa.table({"event_id": t["event_id"],
+                         "event_type": t["event_type"],
+                         "cents": pa.array(cents),
+                         "part_id": pa.array(u % 8)})
+
+    write_dataset_checkpointed(ev.map_batches(part, batch_format="pyarrow"),
+                               out_dir, lineage={"input": sf_dir})
+
+    back = ray.data.read_parquet(
+        sorted(glob.glob(f"{out_dir}/part-*/data-*.parquet")),
+        columns=["event_type", "cents"])
+    return (back.groupby("event_type")
+                .aggregate(Sum("cents", alias_name="sum_cents"))
+                .sort("event_type"))
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
@@ -5589,6 +5672,9 @@ QUERIES = {
     "weighted_median_price_by_status": weighted_median_price_by_status,
     "asof_clicks_purchases": asof_clicks_purchases,
     "cdc_merge_orders": cdc_merge_orders,
+    "centroid_cosine_labels": centroid_cosine_labels,
+    "dup_cluster_sizes_docs": dup_cluster_sizes_docs,
+    "checkpoint_roundtrip_events": checkpoint_roundtrip_events,
 }
 
 ORACLES = {
@@ -7945,5 +8031,41 @@ ORACLES = {
         UNION ALL
         SELECT o_orderkey, cents FROM latest WHERE op <> 'D'
         ORDER BY o_orderkey
+    """,
+    "centroid_cosine_labels": """
+        WITH u AS (SELECT label, UNNEST(embedding) AS e,
+                          UNNEST(range(len(embedding))) AS dim
+                   FROM embeddings),
+        s AS (SELECT label, dim,
+                     SUM(CAST(ROUND(CAST(e AS DOUBLE) * 1048576)
+                              AS BIGINT)) AS s
+              FROM u GROUP BY 1, 2),
+        n AS (SELECT label, SUM(CAST(s AS HUGEINT) * s) AS sq
+              FROM s GROUP BY 1),
+        d AS (SELECT a.label AS label_a, b.label AS label_b,
+                     SUM(CAST(a.s AS HUGEINT) * b.s) AS dot
+              FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
+              GROUP BY 1, 2)
+        SELECT label_a, label_b,
+               CAST(ROUND(1e6 * CAST(dot AS DOUBLE) /
+                    SQRT(CAST(na.sq AS DOUBLE) * CAST(nb.sq AS DOUBLE)))
+                    AS BIGINT) AS cos_e6
+        FROM d JOIN n na ON na.label = d.label_a
+               JOIN n nb ON nb.label = d.label_b
+        ORDER BY label_a, label_b
+    """,
+    "dup_cluster_sizes_docs": """
+        WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS cluster_size
+                   FROM documents
+                   GROUP BY array_to_string(
+                       list_slice(string_split(text, ' '), 1, 3), ' '))
+        SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+        FROM c GROUP BY 1 ORDER BY 1
+    """,
+    "checkpoint_roundtrip_events": """
+        SELECT event_type,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
 }

@@ -98,3 +98,80 @@ def pca_project(ds: ray.data.Dataset, mean: np.ndarray,
 
     return ds.map_batches(_Proj, batch_format="pyarrow",
                           concurrency=(1, 16))
+
+
+def label_centroid_cosine(ds: ray.data.Dataset, label_col: str = "label",
+                          emb_col: str = "embedding",
+                          scale: int = 1 << 20) -> ray.data.Dataset:
+    """Pairwise cosine similarity between per-label centroid embeddings,
+    DETERMINISTIC at any parallelism: each float component is rounded to
+    an integer grid (``round(x * scale)``) BEFORE summation, so the
+    per-(label, dim) sums are exact int64 arithmetic — no float-addition
+    order sensitivity — and the cosine computed from those exact sums on
+    the (answer-sized) label x dim table is a fixed IEEE expression the
+    SQL twin reproduces bit-for-bit.
+
+    Ray shape: one narrow pass emits per-block partial (label, dim, s)
+    integer sums and counts (<= #labels x dim rows per block), folded by
+    an answer-sized aggregate; the pairwise cosine runs on the driver
+    over #labels vectors.  Output: (label_a < label_b, cos_e6 int64)
+    with cos_e6 = round(1e6 * cosine-of-centroids) — centroid = sum / n
+    but cosine is scale-invariant, so the sums serve directly.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"label": pa.array([], pa.int64()),
+                          "dim": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        m = _emb_matrix(t, emb_col).astype(np.float64)
+        # DuckDB ROUND parity: half AWAY from zero (float32 components
+        # land on exact .5 multiples of the grid constantly — numpy's
+        # half-even would drift)
+        mv = m * scale
+        q = (np.sign(mv) * np.floor(np.abs(mv) + 0.5)).astype(np.int64)
+        lab = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(lab, kind="stable")
+        lab_s, q_s = lab[order], q[order]
+        bounds = np.flatnonzero(np.diff(lab_s)) + 1
+        starts = np.concatenate([[0], bounds])
+        sums = np.add.reduceat(q_s, starts, axis=0)
+        labs = lab_s[starts]
+        d = q.shape[1]
+        return pa.table({
+            "label": pa.array(np.repeat(labs, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                    len(labs))),
+            "s": pa.array(sums.reshape(-1))})
+
+    sums = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["label", "dim"])
+              .aggregate(Sum("s", alias_name="s"))).to_pandas()
+    if not len(sums):
+        return ray.data.from_arrow(pa.table({
+            "label_a": pa.array([], pa.int64()),
+            "label_b": pa.array([], pa.int64()),
+            "cos_e6": pa.array([], pa.int64())}))
+    piv = sums.pivot(index="label", columns="dim", values="s") \
+              .sort_index().fillna(0)
+    labels = piv.index.to_numpy(np.int64)
+    # EXACT integer dot products (Python bigints — the int64 sums can
+    # reach ~1e10 so products overflow int64); one float64 conversion +
+    # one division at the end, the same IEEE expression as the SQL twin
+    # (HUGEINT dot, CAST AS DOUBLE, sqrt of the norm product)
+    rows = [[int(x) for x in r] for r in piv.to_numpy()]
+    sq = [sum(x * x for x in r) for r in rows]
+    la, lb, cos = [], [], []
+    for i in range(len(labels)):
+        for j in range(i + 1, len(labels)):
+            dot = sum(a * b for a, b in zip(rows[i], rows[j]))
+            c = 1e6 * float(dot) / np.sqrt(float(sq[i]) * float(sq[j]))
+            la.append(labels[i])
+            lb.append(labels[j])
+            cos.append(int(np.sign(c) * np.floor(abs(c) + 0.5)))
+    return ray.data.from_arrow(pa.table({
+        "label_a": pa.array(la, pa.int64()),
+        "label_b": pa.array(lb, pa.int64()),
+        "cos_e6": pa.array(cos, pa.int64())}))

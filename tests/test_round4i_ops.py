@@ -220,3 +220,45 @@ def test_merge_changes_empty_changes_is_identity():
                         "key", payload_cols=["key", "val"]) \
         .to_pandas().sort_values("key", ignore_index=True)
     pd.testing.assert_frame_equal(got, base, check_dtype=False)
+
+
+# --------------------------------------------------- label_centroid_cosine
+
+def test_label_centroid_cosine_parallelism_invariant_and_correct():
+    from dggrid4py_ray.stages.linalg import label_centroid_cosine
+
+    rng = np.random.default_rng(13)
+    n, d = 600, 16
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    lab = rng.integers(0, 4, n)
+
+    def mk(nparts):
+        tbl = pa.table({
+            "label": pa.array(lab, pa.int64()),
+            "embedding": pa.array(list(emb), pa.list_(pa.float32()))})
+        return ray.data.from_arrow(tbl).repartition(nparts)
+
+    a = label_centroid_cosine(mk(2)).to_pandas() \
+        .sort_values(["label_a", "label_b"], ignore_index=True)
+    b = label_centroid_cosine(mk(11)).to_pandas() \
+        .sort_values(["label_a", "label_b"], ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)  # exact at any parallelism
+    assert len(a) == 6  # C(4,2)
+
+    # numeric sanity: within float tolerance of the float64 centroid cosine
+    for _, row in a.iterrows():
+        ca = emb[lab == row.label_a].mean(axis=0).astype(np.float64)
+        cb = emb[lab == row.label_b].mean(axis=0).astype(np.float64)
+        ref = 1e6 * (ca @ cb) / np.sqrt((ca @ ca) * (cb @ cb))
+        assert abs(ref - row.cos_e6) < 50  # quantization grid error only
+
+
+def test_label_centroid_cosine_identical_labels_give_1():
+    from dggrid4py_ray.stages.linalg import label_centroid_cosine
+
+    v = np.arange(1, 9, dtype=np.float32)
+    tbl = pa.table({
+        "label": pa.array([0, 0, 1], pa.int64()),
+        "embedding": pa.array([v, v, 2 * v], pa.list_(pa.float32()))})
+    out = label_centroid_cosine(ray.data.from_arrow(tbl)).to_pandas()
+    assert out["cos_e6"].tolist() == [1000000]  # colinear centroids
