@@ -8069,3 +8069,119 @@ ORACLES = {
         FROM events GROUP BY event_type ORDER BY event_type
     """,
 }
+
+
+def gini_value_by_type(sf_dir: str):
+    """Per-event-type Gini concentration of value (stages/relational
+    .group_gini, the distinct-value rank-sum fold — tie-safe, no per-group
+    Python) over exact integer cents; output is the integer-exact
+    (numerator, denominator) pair so the oracle compares without float
+    drift."""
+    from ..stages.relational import group_gini
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "cents": pa.array(_cents_half_up(
+                t["value"].to_numpy(zero_copy_only=False), 100))})
+
+    out = group_gini(ds.map_batches(cents, batch_format="pyarrow"),
+                     "event_type", "cents")
+    return out.sort("event_type")
+
+
+def streaks_per_user(sf_dir: str):
+    """Longest consecutive-active-day streak per user
+    (stages/temporal.longest_streak: distinct user-days -> row-number
+    carry chain -> islands via day - rn -> grouped max)."""
+    from ..stages.temporal import longest_streak
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return longest_streak(ds, "user_id", "ts").sort("user_id")
+
+
+def event_pairs_10min(sf_dir: str):
+    """Same-user ordered event-type co-occurrence within 10 minutes
+    (stages/temporal.event_cooccurrence: ONE bucketed large-large range
+    join on a composite user-time key — no self hash-join fan-out)."""
+    from ..stages.temporal import event_cooccurrence
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    out = event_cooccurrence(ds, "user_id", "ts", "event_type",
+                             window_s=600)
+    return out.sort(["type_a", "type_b"])
+
+
+def bpe_pairs_top10(sf_dir: str):
+    """Top-10 adjacent token pairs over the documents corpus — the BPE
+    merge-step statistic (stages/text.adjacent_pair_counts: vectorized
+    boundary-masked pair extraction + sort-based reduce over the
+    unbounded pair vocabulary)."""
+    from ..stages.text import adjacent_pair_counts
+
+    ds = _read(sf_dir, "documents", ["text"])
+    out = adjacent_pair_counts(ds)
+    return out.sort(["n", "tok_l", "tok_r"],
+                    descending=[True, False, False]).limit(10)
+
+
+QUERIES.update({
+    "gini_value_by_type": gini_value_by_type,
+    "streaks_per_user": streaks_per_user,
+    "event_pairs_10min": event_pairs_10min,
+    "bpe_pairs_top10": bpe_pairs_top10,
+})
+
+ORACLES.update({
+    "gini_value_by_type": """
+        WITH v AS (SELECT event_type,
+                          CAST(ROUND(value * 100) AS BIGINT) AS c
+                   FROM events),
+        r AS (SELECT event_type, c,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY c) AS rn
+              FROM v)
+        SELECT event_type,
+               CAST(2 * SUM(rn * c) - (COUNT(*) + 1) * SUM(c) AS BIGINT)
+                   AS gini_num,
+               CAST(COUNT(*) * SUM(c) AS BIGINT) AS gini_den
+        FROM r GROUP BY event_type ORDER BY event_type
+    """,
+    "streaks_per_user": """
+        WITH d AS (SELECT DISTINCT user_id,
+                          CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+                   FROM events),
+        r AS (SELECT user_id, day,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY day) AS rn
+              FROM d),
+        l AS (SELECT user_id, day - rn AS island, COUNT(*) AS len
+              FROM r GROUP BY 1, 2)
+        SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak
+        FROM l GROUP BY user_id ORDER BY user_id
+    """,
+    "event_pairs_10min": """
+        WITH e AS (SELECT user_id,
+                          CAST(epoch_us(ts) // 1000000 AS BIGINT) AS s,
+                          event_type
+                   FROM events)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM e a JOIN e b
+          ON a.user_id = b.user_id
+         AND b.s > a.s AND b.s <= a.s + 600
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "bpe_pairs_top10": """
+        WITH arrs AS (SELECT string_split(text, ' ') AS arr FROM documents),
+        z AS (SELECT UNNEST(list_zip(arr[1:len(arr) - 1],
+                                     arr[2:len(arr)])) AS p
+              FROM arrs WHERE len(arr) >= 2)
+        SELECT p[1] AS tok_l, p[2] AS tok_r,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM z GROUP BY 1, 2
+        ORDER BY n DESC, tok_l, tok_r LIMIT 10
+    """,
+})

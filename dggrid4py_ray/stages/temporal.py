@@ -716,3 +716,111 @@ def asof_join_keyed(left: ray.data.Dataset, right: ray.data.Dataset,
         return out
 
     return filled.map_batches(probe_rows, batch_format="pyarrow")
+
+
+def longest_streak(ds: ray.data.Dataset, user_col: str, ts_col: str,
+                   out_col: str = "max_streak") -> ray.data.Dataset:
+    """Longest run of CONSECUTIVE active days per user (gaps-and-islands
+    on the integer day axis; engagement/retention signal — the
+    training-data brief's sessionize/cohort family).
+
+    Ray shape, no per-group Python at unbounded user cardinality:
+    1. project to (user, epoch_day) and collapse to the distinct
+       user-day set with one sort-based grouped_count (the answer-sized
+       activity table — at most users x days rows ever shuffle);
+    2. group_row_number per user in day order: within a user, day - rn
+       is constant on each consecutive island (days step >= 1, rn steps
+       exactly 1) — the SQL islands trick, carried across blocks by the
+       O(#blocks) offset chain;
+    3. island lengths via grouped_count((user, day - rn)), then one
+       grouped_reduce max per user."""
+    from .groupagg import grouped_count, grouped_reduce
+    from .window import group_row_number
+
+    def to_day(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({user_col: t[user_col],
+                         "_day": pa.array(ts // 86_400_000_000)})
+
+    days = ds.map_batches(to_day, batch_format="pyarrow")
+    dist = grouped_count(days, [user_col, "_day"], out_col="_m") \
+        .drop_columns(["_m"])
+    rn = group_row_number(dist, user_col, ["_day"], out_col="_rn")
+
+    def island(t: pa.Table) -> pa.Table:
+        d = t["_day"].to_numpy(zero_copy_only=False)
+        r = t["_rn"].to_numpy(zero_copy_only=False)
+        return pa.table({user_col: t[user_col], "_isl": pa.array(d - r)})
+
+    lens = grouped_count(rn.map_batches(island, batch_format="pyarrow"),
+                         [user_col, "_isl"], out_col="_len")
+    return grouped_reduce(lens, user_col, {"_len": out_col}, how="max")
+
+
+def event_cooccurrence(ds: ray.data.Dataset, user_col: str, ts_col: str,
+                       type_col: str, window_s: int = 600,
+                       left_col: str = "type_a", right_col: str = "type_b",
+                       out_col: str = "n") -> ray.data.Dataset:
+    """Ordered same-user event-type co-occurrence counts within a time
+    window (sequence-mining / market-basket signal): count pairs (a, b)
+    with the same user and 0 < s_b - s_a <= window_s on second-floored
+    timestamps.
+
+    Ray shape — ONE large-large bucketed range join, no self hash-join
+    fan-out: each event becomes a point at composite key
+    user*P + (s - min_s) and an interval [key+1, key+window_s+1) carrying
+    its type; P = next power of two >= span + window_s + 2, so a window
+    can never cross a user boundary.  range_join_via_buckets co-locates
+    by floor(key / (window_s+1)) buckets (replication factor ~2) and the
+    pair count is a bounded (|types|^2) grouped count.  Composite keys
+    ride the join's float64 math: exact while (max_user+1)*P < 2**53 —
+    guarded, re-offset user ids upstream beyond that."""
+    from ray.data.aggregate import Max, Min
+    from .groupagg import grouped_count
+    from .relational import range_join_via_buckets
+
+    def narrow(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({"_u": t[user_col].cast(pa.int64()),
+                         "_s": pa.array(ts // 1_000_000),
+                         "_ty": t[type_col]})
+
+    nds = ds.map_batches(narrow, batch_format="pyarrow").materialize()
+    st = nds.aggregate(Min("_s", alias_name="s0"),
+                       Max("_s", alias_name="s1"),
+                       Max("_u", alias_name="u1"))
+    if st["s0"] is None:
+        return pa.table({left_col: pa.array([], pa.string()),
+                         right_col: pa.array([], pa.string()),
+                         out_col: pa.array([], pa.int64())})
+    s0, span, u1 = int(st["s0"]), int(st["s1"]) - int(st["s0"]), int(st["u1"])
+    P = 1 << int(span + window_s + 2).bit_length()
+    if (u1 + 1) * P >= 2 ** 53:
+        raise ValueError(
+            f"composite key (max_user+1)*P = {(u1 + 1) * P} exceeds the "
+            "float64-exact range; re-offset user ids or shard by user range")
+
+    def to_point(t: pa.Table) -> pa.Table:
+        u = t["_u"].to_numpy(zero_copy_only=False)
+        s = t["_s"].to_numpy(zero_copy_only=False)
+        return pa.table({"_v": pa.array(u * P + (s - s0)),
+                         right_col: t["_ty"]})
+
+    def to_interval(t: pa.Table) -> pa.Table:
+        u = t["_u"].to_numpy(zero_copy_only=False)
+        s = t["_s"].to_numpy(zero_copy_only=False)
+        k = u * P + (s - s0)
+        return pa.table({left_col: t["_ty"],
+                         "_lo": pa.array(k + 1),
+                         "_hi": pa.array(k + window_s + 1)})
+
+    pts = nds.map_batches(to_point, batch_format="pyarrow")
+    ivs = nds.map_batches(to_interval, batch_format="pyarrow")
+    joined = range_join_via_buckets(pts, ivs, "_v", id_col=left_col,
+                                    lo_col="_lo", hi_col="_hi",
+                                    bucket_width=float(window_s + 1))
+    pairs = joined.map_batches(lambda t: t.select([left_col, right_col]),
+                               batch_format="pyarrow")
+    return grouped_count(pairs, [left_col, right_col], out_col=out_col)

@@ -838,3 +838,52 @@ def source_gram_overlap(ds: "ray.data.Dataset", text_col: str = "text",
                                       "shared_grams", "union_grams",
                                       "jaccard_e6"])
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def adjacent_pair_counts(ds, text_col: str = "text",
+                         left_col: str = "tok_l", right_col: str = "tok_r",
+                         out_col: str = "n"):
+    """Corpus-wide adjacent token-pair frequencies — the BPE merge-step
+    statistic (Sennrich et al. 2016: each merge picks the most frequent
+    adjacent symbol pair; this stage computes that frequency table over
+    space tokenization, the engine's tokenizer-parity convention, cf.
+    token_document_frequency).
+
+    Ray shape: per-batch vectorized pair extraction over the flat Arrow
+    token buffer (one boolean mask drops the document-boundary pairs —
+    no per-row Python) + a partial pandas count combiner, then ONE
+    sort-based grouped_reduce over the distinct-pair space.  The pair
+    vocabulary is corpus-dependent (unbounded for natural text), so no
+    hash aggregate; only distinct (pair, count) rows leave each batch."""
+    import pandas as pd
+
+    from .groupagg import grouped_reduce
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({left_col: pa.array([], pa.string()),
+                          right_col: pa.array([], pa.string()),
+                          "_n": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        _, off, flat = _space_tokens(batch[text_col])
+        n_flat = len(flat)
+        if n_flat < 2:
+            return empty
+        keep = np.ones(n_flat - 1, dtype=bool)
+        last = off[1:] - 1                       # each doc's last token
+        keep[last[last < n_flat - 1]] = False    # pair would cross docs
+        idx = np.flatnonzero(keep)
+        if len(idx) == 0:
+            return empty
+        left = flat.take(pa.array(idx, type=pa.int64()))
+        right = flat.take(pa.array(idx + 1, type=pa.int64()))
+        pdf = pd.DataFrame({left_col: left.to_pandas(),
+                            right_col: right.to_pandas()})
+        g = (pdf.groupby([left_col, right_col], sort=False)
+                .size().rename("_n").reset_index())
+        g["_n"] = g["_n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_reduce(parts, [left_col, right_col], {"_n": out_col},
+                          how="sum")
