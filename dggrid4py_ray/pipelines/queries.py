@@ -8185,3 +8185,159 @@ ORACLES.update({
         ORDER BY n DESC, tok_l, tok_r LIMIT 10
     """,
 })
+
+
+def qnorm_value_by_type(sf_dir: str):
+    """Cross-group quantile normalization of event values by type
+    (stages/normalize.quantile_normalize): each event's normalized value
+    is the mean of same-rank values across types, emitted as the
+    integer-exact (rank_sum, rank_n) pair over cents."""
+    from ..stages.normalize import quantile_normalize
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "c": pa.array(_cents_half_up(
+                t["value"].to_numpy(zero_copy_only=False), 100))})
+
+    out = quantile_normalize(ds.map_batches(cents, batch_format="pyarrow"),
+                             "event_type", "c", "event_id")
+    return out.map_batches(
+        lambda t: t.select(["event_id", "event_type", "rank",
+                            "rank_sum", "rank_n"]),
+        batch_format="pyarrow").sort("event_id")
+
+
+def benford_value_by_type(sf_dir: str):
+    """Leading-digit (Benford) distribution of value cents per event type
+    (stages/validate.benford_counts, vectorized halving-by-ten digit
+    extraction)."""
+    from ..stages.validate import benford_counts
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "c": pa.array(_cents_half_up(
+                t["value"].to_numpy(zero_copy_only=False), 100))})
+
+    out = benford_counts(ds.map_batches(cents, batch_format="pyarrow"),
+                         "event_type", "c")
+    return out.sort(["event_type", "digit"])
+
+
+def fk_orphan_audit(sf_dir: str):
+    """Referential-integrity audit over three FK relations
+    (stages/validate.referential_audit: bloom anti-join orphan detection,
+    answer-sized aggregates): events.user_id -> customer.c_custkey,
+    lineitem.l_orderkey -> orders.o_orderkey, orders.o_custkey ->
+    customer.c_custkey."""
+    from ..stages.validate import referential_audit
+
+    rows = [
+        referential_audit(_read(sf_dir, "events", ["user_id"]), "user_id",
+                          _read(sf_dir, "customer", ["c_custkey"]),
+                          "c_custkey", "events.user_id->customer"),
+        referential_audit(_read(sf_dir, "lineitem", ["l_orderkey"]),
+                          "l_orderkey",
+                          _read(sf_dir, "orders", ["o_orderkey"]),
+                          "o_orderkey", "lineitem.l_orderkey->orders"),
+        referential_audit(_read(sf_dir, "orders", ["o_custkey"]),
+                          "o_custkey",
+                          _read(sf_dir, "customer", ["c_custkey"]),
+                          "c_custkey", "orders.o_custkey->customer"),
+    ]
+    out = pa.concat_tables(rows)
+    return out.sort_by("relation")
+
+
+def debounced_counts(sf_dir: str):
+    """Surviving-event counts per type after a 60-second same-user
+    minimum-gap (throttle) filter (stages/temporal.debounce_events,
+    LAG semantics over (ts, event_id) order)."""
+    from ..stages.temporal import debounce_events
+    from ..stages.groupagg import grouped_count
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+    kept = debounce_events(ds, "user_id", "ts", "event_id", 60)
+    out = grouped_count(kept.select_columns(["event_type"]),
+                        "event_type", out_col="n")
+    return out.sort("event_type")
+
+
+QUERIES.update({
+    "qnorm_value_by_type": qnorm_value_by_type,
+    "benford_value_by_type": benford_value_by_type,
+    "fk_orphan_audit": fk_orphan_audit,
+    "debounced_counts": debounced_counts,
+})
+
+ORACLES.update({
+    "qnorm_value_by_type": """
+        WITH v AS (SELECT event_id, event_type,
+                          CAST(ROUND(value * 100) AS BIGINT) AS c
+                   FROM events),
+        r AS (SELECT event_id, event_type, c,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY c, event_id) AS rank
+              FROM v),
+        m AS (SELECT rank, CAST(SUM(c) AS BIGINT) AS rank_sum,
+                     CAST(COUNT(*) AS BIGINT) AS rank_n
+              FROM r GROUP BY rank)
+        SELECT r.event_id, r.event_type, r.rank, m.rank_sum, m.rank_n
+        FROM r JOIN m USING (rank) ORDER BY event_id
+    """,
+    "benford_value_by_type": """
+        WITH v AS (SELECT event_type,
+                          CAST(ROUND(value * 100) AS BIGINT) AS c
+                   FROM events)
+        SELECT event_type,
+               CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM v WHERE c > 0
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "fk_orphan_audit": """
+        WITH a AS (SELECT 'events.user_id->customer' AS relation,
+                          COUNT(*) AS n_rows,
+                          SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                              AS n_orphans,
+                          COUNT(DISTINCT CASE WHEN c_custkey IS NULL
+                                              THEN user_id END)
+                              AS n_orphan_keys
+                   FROM events LEFT JOIN customer
+                     ON user_id = c_custkey),
+        b AS (SELECT 'lineitem.l_orderkey->orders', COUNT(*),
+                     SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END),
+                     COUNT(DISTINCT CASE WHEN o_orderkey IS NULL
+                                         THEN l_orderkey END)
+              FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey),
+        c AS (SELECT 'orders.o_custkey->customer', COUNT(*),
+                     SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END),
+                     COUNT(DISTINCT CASE WHEN c_custkey IS NULL
+                                         THEN o_custkey END)
+              FROM orders LEFT JOIN customer ON o_custkey = c_custkey)
+        SELECT relation, CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(n_orphans AS BIGINT) AS n_orphans,
+               CAST(n_orphan_keys AS BIGINT) AS n_orphan_keys
+        FROM (SELECT * FROM a UNION ALL SELECT * FROM b
+              UNION ALL SELECT * FROM c)
+        ORDER BY relation
+    """,
+    "debounced_counts": """
+        WITH l AS (SELECT event_type, ts,
+                          LAG(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+                   FROM events)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM l
+        WHERE prev IS NULL
+           OR epoch_us(ts) - epoch_us(prev) > 60 * 1000000
+        GROUP BY event_type ORDER BY event_type
+    """,
+})

@@ -345,3 +345,44 @@ def normalized_dedup(ds: ray.data.Dataset, text_col: str = "text",
 
     normed = normalize_text_column(ds, text_col, out_col="_tn")
     return exact_dedup(normed, text_col="_tn", id_col=id_col, hash=hash)
+
+
+def quantile_normalize(ds: ray.data.Dataset, group_col: str, value_col: str,
+                       id_col: str, rank_col: str = "rank",
+                       sum_col: str = "rank_sum",
+                       n_col: str = "rank_n") -> ray.data.Dataset:
+    """Cross-group quantile normalization (Bolstad et al. 2003, the
+    microarray/batch-effect standard): each row's normalized value is the
+    MEAN of the values sharing its within-group rank across ALL groups —
+    after normalization every group has an identical value distribution.
+    With unequal group sizes, rank r averages over the groups holding at
+    least r rows (what the rank join naturally produces).
+
+    Emitted as the integer-exact (rank_sum, rank_n) pair over an INTEGER
+    value column (mean = rank_sum / rank_n) so oracles compare without
+    float drift.  Ranks are deterministic: ordered by (value, id).
+
+    Shape: one group_row_number carry chain (the only corpus sort), one
+    sort-based grouped_reduce onto the rank table (max-group-size rows),
+    ONE hash join back on rank.  No per-group Python anywhere."""
+    from .bloom import _coalesce_for_join
+    from .dedup import _join_partitions
+    from .groupagg import grouped_reduce
+    from .window import group_row_number
+
+    rn = group_row_number(ds, group_col, [value_col, id_col],
+                          out_col=rank_col).materialize()
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = t.select([rank_col, value_col])
+        return out.append_column(
+            "_one", pa.array(np.ones(t.num_rows, np.int64)))
+
+    ranks = grouped_reduce(rn.map_batches(partial, batch_format="pyarrow"),
+                           rank_col, {value_col: sum_col, "_one": n_col},
+                           how="sum")
+    parts = _join_partitions()
+    left, _ = _coalesce_for_join(rn, parts)
+    right, _ = _coalesce_for_join(ranks, parts)
+    return left.join(right, join_type="inner", num_partitions=parts,
+                     on=(rank_col,))

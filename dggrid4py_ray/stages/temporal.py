@@ -824,3 +824,34 @@ def event_cooccurrence(ds: ray.data.Dataset, user_col: str, ts_col: str,
     pairs = joined.map_batches(lambda t: t.select([left_col, right_col]),
                                batch_format="pyarrow")
     return grouped_count(pairs, [left_col, right_col], out_col=out_col)
+
+
+def debounce_events(ds: ray.data.Dataset, user_col: str, ts_col: str,
+                    id_col: str, min_gap_s: int) -> ray.data.Dataset:
+    """Minimum-gap (throttle) filter: drop a row when the SAME user's
+    immediately preceding raw event — ordered by (ts, id) — is within
+    ``min_gap_s`` seconds.  LAG semantics (SQL-expressible), not the
+    greedy kept-state debounce, which is inherently sequential per user.
+
+    One group_shift carry chain (one sort); microsecond timestamps ride
+    the float64 lag column exactly (us epoch < 2**53 until year ~2255).
+    Survivors keep all input columns."""
+    from .window import group_shift
+
+    def to_us(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return t.append_column("_us", pa.array(ts))
+
+    lag = group_shift(ds.map_batches(to_us, batch_format="pyarrow"),
+                      user_col, ["_us", id_col], "_us", k=1,
+                      out_col="_lag")
+    gap_us = float(min_gap_s) * 1e6
+
+    def keep(t: pa.Table) -> pa.Table:
+        us = t["_us"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lg = t["_lag"].to_numpy(zero_copy_only=False)
+        ok = ~np.isfinite(lg) | (us - lg > gap_us)
+        return t.filter(pa.array(ok)).drop_columns(["_us", "_lag"])
+
+    return lag.map_batches(keep, batch_format="pyarrow")

@@ -109,3 +109,65 @@ def table_fingerprint(ds: ray.data.Dataset, cols: list,
         "_fp": pa.array([0], pa.uint64()), "_n": pa.array([0], pa.int64())}))
     return (ds.map_batches(partial, batch_format="pyarrow").union(seed)
               .repartition(1).map_batches(fold, batch_format="pyarrow"))
+
+
+def benford_counts(ds: ray.data.Dataset, group_col: str, value_col: str,
+                   digit_col: str = "digit",
+                   out_col: str = "n") -> ray.data.Dataset:
+    """Leading-digit distribution per group over a POSITIVE integer value
+    column — the Benford's-law data-quality audit (fraud/synthetic-data
+    screening; compare against log10(1 + 1/d)).  Rows with value <= 0
+    have no leading digit and are excluded.
+
+    Vectorized digit extraction: 18 conditional integer halvings-by-ten
+    (int64 has at most 19 digits) — no string round-trip, no per-row
+    Python.  Partial (group, digit) counts leave each batch; one
+    sort-based grouped_reduce finishes at any group cardinality."""
+    import pandas as pd
+
+    from .groupagg import grouped_reduce
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = v > 0
+        d = v[keep]
+        for _ in range(18):
+            d = np.where(d >= 10, d // 10, d)
+        g = t[group_col].to_numpy(zero_copy_only=False)[keep]
+        pdf = (pd.DataFrame({group_col: g, digit_col: d})
+               .groupby([group_col, digit_col], sort=False)
+               .size().rename("_n").reset_index())
+        pdf["_n"] = pdf["_n"].astype(np.int64)
+        pdf[digit_col] = pdf[digit_col].astype(np.int64)
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_reduce(parts, [group_col, digit_col], {"_n": out_col},
+                          how="sum")
+
+
+def referential_audit(child: ray.data.Dataset, child_col: str,
+                      parent: ray.data.Dataset, parent_col: str,
+                      relation: str) -> pa.Table:
+    """Foreign-key orphan audit (the referential-integrity expectation of
+    a DQ suite): ONE answer row per relation —
+    (relation, n_rows, n_orphans, n_orphan_keys) where an orphan is a
+    child row whose key has no parent.
+
+    Shape: bloom_anti_join finds the exact orphan set (bloom-negative
+    rows never enter the join exchange — for a healthy table the shuffle
+    carries ~nothing), distinct orphan keys via one sort-based
+    grouped_count; every aggregate is answer-sized."""
+    from .bloom import bloom_anti_join
+    from .groupagg import grouped_count
+
+    keys = child.select_columns([child_col])
+    n_rows = keys.count()
+    orphans = bloom_anti_join(keys, parent.select_columns([parent_col]),
+                              child_col, parent_col).materialize()
+    n_orphans = orphans.count()
+    n_keys = grouped_count(orphans, child_col).count() if n_orphans else 0
+    return pa.table({"relation": pa.array([relation]),
+                     "n_rows": pa.array([n_rows], pa.int64()),
+                     "n_orphans": pa.array([n_orphans], pa.int64()),
+                     "n_orphan_keys": pa.array([n_keys], pa.int64())})
