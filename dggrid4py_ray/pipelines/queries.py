@@ -8341,3 +8341,115 @@ ORACLES.update({
         GROUP BY event_type ORDER BY event_type
     """,
 })
+
+
+def linear_fit_value_ts(sf_dir: str):
+    """Per-type OLS sufficient statistics of value-cents vs
+    seconds-since-2024-01-01 (stages/linalg.group_linear_fit): int64-exact
+    (n, sum_x, sum_y, sum_xx, sum_xy) — REGR_SLOPE's algebraic inputs
+    without float drift."""
+    from ..stages.linalg import group_linear_fit
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    anchor = 1704067200  # epoch seconds of 2024-01-01
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "event_type": t["event_type"],
+            "x": pa.array(us // 10**6 - anchor),
+            "y": pa.array(_cents_half_up(
+                t["value"].to_numpy(zero_copy_only=False), 100))})
+
+    out = group_linear_fit(ds.map_batches(prep, batch_format="pyarrow"),
+                           "event_type", "x", "y")
+    return out.sort("event_type")
+
+
+def spearman_value_ts(sf_dir: str):
+    """Per-type Spearman sufficient statistics between value-cents and
+    event time (stages/linalg.group_spearman): (n, sum_d2) over
+    deterministic ROW_NUMBER ranks tie-broken by event_id — integer-exact
+    twin of the SQL window form."""
+    from ..stages.linalg import group_spearman
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "x": pa.array(_cents_half_up(
+                t["value"].to_numpy(zero_copy_only=False), 100)),
+            "y": pa.array(us)})
+
+    out = group_spearman(ds.map_batches(prep, batch_format="pyarrow"),
+                         "event_type", "x", "y", "event_id")
+    return out.sort("event_type")
+
+
+def chunk_docs_sliding(sf_dir: str):
+    """Sliding-window chunking of every document, size=120 overlap=30
+    (stages/text.chunk_documents) — codepoint-exact vs SQL substr."""
+    from ..stages.text import chunk_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = chunk_documents(ds, "text", "doc_id", size=120, overlap=30)
+    return out.sort(["doc_id", "chunk_id"])
+
+
+QUERIES.update({
+    "linear_fit_value_ts": linear_fit_value_ts,
+    "spearman_value_ts": spearman_value_ts,
+    "chunk_docs_sliding": chunk_docs_sliding,
+})
+
+ORACLES.update({
+    "linear_fit_value_ts": """
+        WITH v AS (SELECT event_type,
+                          CAST(epoch_us(ts) // 1000000 - 1704067200
+                               AS BIGINT) AS x,
+                          CAST(ROUND(value * 100) AS BIGINT) AS y
+                   FROM events)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sum_x,
+               CAST(SUM(y) AS BIGINT) AS sum_y,
+               CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+               CAST(SUM(x * y) AS BIGINT) AS sum_xy
+        FROM v GROUP BY event_type ORDER BY event_type
+    """,
+    "spearman_value_ts": """
+        WITH v AS (SELECT event_id, event_type,
+                          CAST(ROUND(value * 100) AS BIGINT) AS x,
+                          epoch_us(ts) AS y
+                   FROM events),
+        r AS (SELECT event_type,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY x, event_id) AS rx,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY y, event_id) AS ry
+              FROM v)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+        FROM r GROUP BY event_type ORDER BY event_type
+    """,
+    "chunk_docs_sliding": """
+        WITH d AS (SELECT doc_id, text, length(text) AS len
+                   FROM documents),
+        c AS (SELECT doc_id, text,
+                     CASE WHEN len <= 120 THEN 1
+                          ELSE CAST(ceil((len - 120) / 90.0) AS BIGINT) + 1
+                     END AS nc
+              FROM d),
+        e AS (SELECT doc_id, text,
+                     unnest(generate_series(0, nc - 1)) AS i
+              FROM c)
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+               CAST(i * 90 AS BIGINT) AS start,
+               substr(text, CAST(i * 90 + 1 AS BIGINT), 120) AS chunk_text
+        FROM e ORDER BY doc_id, chunk_id
+    """,
+})

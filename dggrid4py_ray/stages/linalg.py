@@ -175,3 +175,71 @@ def label_centroid_cosine(ds: ray.data.Dataset, label_col: str = "label",
         "label_a": pa.array(la, pa.int64()),
         "label_b": pa.array(lb, pa.int64()),
         "cos_e6": pa.array(cos, pa.int64())}))
+
+
+def group_linear_fit(ds: ray.data.Dataset, group_col: str, x_col: str,
+                     y_col: str) -> ray.data.Dataset:
+    """Per-group OLS sufficient statistics over INTEGER regressors:
+    (group, n, sum_x, sum_y, sum_xx, sum_xy), all int64-exact — the
+    algebraic decomposition of simple linear regression (slope =
+    (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), REGR_SLOPE's identity) with zero
+    float drift, so an oracle can compare the statistics bit-for-bit and
+    any consumer derives slope/intercept/r in one answer-sized pass.
+
+    Callers must pre-scale x to keep per-corpus sums inside int64
+    (e.g. seconds-since-epoch-anchor, cents): the per-row products are
+    x*x and x*y.  Shape: per-batch pandas groupby partials (one row per
+    distinct group per batch), then ONE sort-based grouped_reduce — no
+    data-sized shuffle, no per-group Python."""
+    import pandas as pd
+
+    from .groupagg import grouped_reduce
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pdf = (pd.DataFrame({group_col: g, "_x": x, "_y": y,
+                             "_xx": x * x, "_xy": x * y})
+               .groupby(group_col, sort=False).sum().reset_index())
+        pdf["_n"] = (pd.DataFrame({group_col: g}).groupby(group_col,
+                     sort=False).size().reindex(pdf[group_col]).to_numpy())
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_reduce(parts, group_col,
+                          {"_n": "n", "_x": "sum_x", "_y": "sum_y",
+                           "_xx": "sum_xx", "_xy": "sum_xy"}, how="sum")
+
+
+def group_spearman(ds: ray.data.Dataset, group_col: str, x_col: str,
+                   y_col: str, id_col: str) -> ray.data.Dataset:
+    """Per-group Spearman rank-correlation sufficient statistics:
+    (group, n, sum_d2) with d = rank_x - rank_y, ranks being the
+    DETERMINISTIC within-group row numbers ordered by (value, id) —
+    ROW_NUMBER semantics, so ties break identically in SQL and here and
+    the statistic is integer-exact (rho = 1 - 6*sum_d2/(n*(n^2-1)) for
+    the consumer).
+
+    Shape: two group_row_number carry chains (the only sorts — the
+    second ranks the OUTPUT of the first, so no join is ever needed to
+    align ranks by row), per-batch partial sums, one grouped_reduce."""
+    import pandas as pd
+
+    from .groupagg import grouped_reduce
+    from .window import group_row_number
+
+    rx = group_row_number(ds, group_col, [x_col, id_col], out_col="_rx")
+    ry = group_row_number(rx, group_col, [y_col, id_col], out_col="_ry")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        d = (t["_rx"].to_numpy(zero_copy_only=False).astype(np.int64)
+             - t["_ry"].to_numpy(zero_copy_only=False).astype(np.int64))
+        pdf = (pd.DataFrame({group_col: g, "_d2": d * d, "_one": 1})
+               .groupby(group_col, sort=False).sum().reset_index())
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    parts = ry.map_batches(partial, batch_format="pyarrow")
+    return grouped_reduce(parts, group_col,
+                          {"_one": "n", "_d2": "sum_d2"}, how="sum")

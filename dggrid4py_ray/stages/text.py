@@ -887,3 +887,63 @@ def adjacent_pair_counts(ds, text_col: str = "text",
     parts = ds.map_batches(partial, batch_format="pyarrow")
     return grouped_reduce(parts, [left_col, right_col], {"_n": out_col},
                           how="sum")
+
+
+def chunk_documents(ds, text_col: str = "text", id_col: str = "doc_id",
+                    size: int = 200, overlap: int = 40):
+    """Sliding-window document chunking — the RAG/context-window prep op:
+    each doc becomes ceil((len-size)/stride)+1 chunks (1 if len<=size) at
+    codepoint starts 0, stride, 2*stride, ... with stride = size-overlap;
+    the last chunk is the (possibly short) tail.  Output rows
+    (id, chunk_id, start, chunk_text); chunk boundaries are codepoint
+    indices in BOTH engines (utf8_slice_codeunits slices codepoints, as
+    does SQL substr), proven by a non-ASCII parity test.
+
+    Vectorized per chunk INDEX, not per row: chunk i is ONE
+    utf8_slice_codeunits call over every doc long enough to own it, so
+    per-batch work is O(max_chunks) Arrow kernel calls.  Pure flat-map —
+    no shuffle, no state."""
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    stride = size - overlap
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, starts, chunks, texts = [], [], [], []
+        text = _str_array(t, text_col)
+        n = pc.utf8_length(text).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n_chunks = np.where(n <= size, 1,
+                            -((n - size) // -stride) + 1)
+        doc_ids = t[id_col]
+        i = 0
+        while True:
+            mask = n_chunks > i
+            if not mask.any():
+                break
+            keep = pa.array(mask)
+            sub = text.filter(keep)
+            start = i * stride
+            ids.append(doc_ids.filter(keep))
+            texts.append(pc.utf8_slice_codeunits(sub, start=start,
+                                                 stop=start + size))
+            k = int(mask.sum())
+            starts.append(np.full(k, start, np.int64))
+            chunks.append(np.full(k, i, np.int64))
+            i += 1
+        if not ids:
+            return pa.table({
+                id_col: pa.array([], t.schema.field(id_col).type),
+                "chunk_id": pa.array([], pa.int64()),
+                "start": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string())})
+        return pa.table({
+            id_col: pa.concat_arrays([a.combine_chunks()
+                                      if isinstance(a, pa.ChunkedArray)
+                                      else a for a in ids]),
+            "chunk_id": pa.array(np.concatenate(chunks)),
+            "start": pa.array(np.concatenate(starts)),
+            "chunk_text": pa.concat_arrays(
+                [c.combine_chunks() if isinstance(c, pa.ChunkedArray)
+                 else c for c in texts])})
+
+    return ds.map_batches(explode, batch_format="pyarrow")
