@@ -8453,3 +8453,34 @@ ORACLES.update({
         FROM e ORDER BY doc_id, chunk_id
     """,
 })
+
+
+def profile_orders(sf_dir: str):
+    """Column-profile report over every orders column
+    (stages/validate.profile_table): one scan for count/null/typed
+    min-max partials + one single-column distinct sort per column;
+    min/max stringified only in the answer row (CAST(MIN(..) AS VARCHAR)
+    parity incl. the DOUBLE and TIMESTAMP columns)."""
+    from ..stages.validate import profile_table
+
+    ds = _read(sf_dir, "orders")
+    out = profile_table(ds, ["o_orderkey", "o_custkey", "o_orderstatus",
+                             "o_totalprice", "o_orderdate",
+                             "o_orderpriority"])
+    return out.sort_by("column")
+
+
+QUERIES.update({"profile_orders": profile_orders})
+
+ORACLES.update({
+    "profile_orders": " UNION ALL ".join(
+        f"""SELECT '{c}' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+            CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_null,
+            CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+            CAST(MIN({c}) AS VARCHAR) AS min_str,
+            CAST(MAX({c}) AS VARCHAR) AS max_str FROM orders"""
+        for c in ["o_orderkey", "o_custkey", "o_orderstatus",
+                  "o_totalprice", "o_orderdate", "o_orderpriority"]
+    ) + ' ORDER BY "column"',
+})

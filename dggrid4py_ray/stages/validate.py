@@ -171,3 +171,91 @@ def referential_audit(child: ray.data.Dataset, child_col: str,
                      "n_rows": pa.array([n_rows], pa.int64()),
                      "n_orphans": pa.array([n_orphans], pa.int64()),
                      "n_orphan_keys": pa.array([n_keys], pa.int64())})
+
+
+def profile_table(ds: ray.data.Dataset, cols: list) -> pa.Table:
+    """Column-profile report — the ingest-time ANALYZE/profiling pass:
+    one answer-sized row per column, (column, n_rows, n_null,
+    n_distinct, min_str, max_str).  min/max are computed TYPED (never a
+    lexicographic string min over numbers) and cast to string only in
+    the final answer row, matching SQL ``CAST(MIN(col) AS VARCHAR)``;
+    n_distinct excludes nulls (COUNT DISTINCT semantics).
+
+    Shape: ONE corpus scan emits a per-batch wide partial (per column:
+    count, null count, typed min, typed max — a single row per batch),
+    folded on one block; exact distinct counts ride one single-column
+    sort-based ``grouped_count`` per column (each reads ONLY that
+    column).  Everything that crosses the wire is answer-sized except
+    the distinct sorts.
+
+    Float/timestamp string parity with DuckDB VARCHAR casts holds for
+    round-trip float repr and microsecond timestamps (both engines print
+    shortest-round-trip doubles and 'YYYY-MM-DD HH:MM:SS[.ffffff]');
+    exotic float formats (nan/inf) are not normalized."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .groupagg import grouped_count
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = {}
+        for c in cols:
+            arr = t[c]
+            out[f"_n_{c}"] = pa.array([t.num_rows], pa.int64())
+            out[f"_nn_{c}"] = pa.array([arr.null_count], pa.int64())
+            valid = arr.drop_null()
+            if len(valid):
+                out[f"_mn_{c}"] = pa.array([pc.min(valid).as_py()],
+                                           arr.type)
+                out[f"_mx_{c}"] = pa.array([pc.max(valid).as_py()],
+                                           arr.type)
+            else:
+                out[f"_mn_{c}"] = pa.array([None], arr.type)
+                out[f"_mx_{c}"] = pa.array([None], arr.type)
+        return pa.table(out)
+
+    folded = (ds.map_batches(partial, batch_format="pyarrow")
+                .repartition(1)
+                .map_batches(lambda t: pa.table({
+                    **{f"_n_{c}": [int(pc.sum(t[f"_n_{c}"]).as_py() or 0)]
+                       for c in cols},
+                    **{f"_nn_{c}": [int(pc.sum(t[f"_nn_{c}"]).as_py() or 0)]
+                       for c in cols},
+                    **{f"_mn_{c}": pa.array([pc.min(t[f"_mn_{c}"]).as_py()],
+                                            t.schema.field(f"_mn_{c}").type)
+                       for c in cols},
+                    **{f"_mx_{c}": pa.array([pc.max(t[f"_mx_{c}"]).as_py()],
+                                            t.schema.field(f"_mx_{c}").type)
+                       for c in cols},
+                }), batch_format="pyarrow")
+              ).take_batch(1, batch_format="pyarrow")
+
+    def to_str(v) -> str | None:
+        if v is None:
+            return None
+        if isinstance(v, (np.datetime64, pd.Timestamp)):
+            return str(pd.Timestamp(v))
+        if hasattr(v, "isoformat"):          # datetime.datetime
+            return str(pd.Timestamp(v))
+        return str(v)
+
+    rows = {"column": [], "n_rows": [], "n_null": [], "n_distinct": [],
+            "min_str": [], "max_str": []}
+    for c in cols:
+        distinct = grouped_count(
+            ds.select_columns([c]).map_batches(
+                lambda t, c=c: t.drop_null(), batch_format="pyarrow"),
+            c).count()
+        rows["column"].append(c)
+        rows["n_rows"].append(folded[f"_n_{c}"][0].as_py())
+        rows["n_null"].append(folded[f"_nn_{c}"][0].as_py())
+        rows["n_distinct"].append(int(distinct))
+        rows["min_str"].append(to_str(folded[f"_mn_{c}"][0].as_py()))
+        rows["max_str"].append(to_str(folded[f"_mx_{c}"][0].as_py()))
+    return pa.table({
+        "column": pa.array(rows["column"]),
+        "n_rows": pa.array(rows["n_rows"], pa.int64()),
+        "n_null": pa.array(rows["n_null"], pa.int64()),
+        "n_distinct": pa.array(rows["n_distinct"], pa.int64()),
+        "min_str": pa.array(rows["min_str"], pa.string()),
+        "max_str": pa.array(rows["max_str"], pa.string())})
