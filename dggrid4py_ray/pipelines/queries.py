@@ -5471,7 +5471,11 @@ def checkpoint_roundtrip_events(sf_dir: str):
 
     from ..state.checkpoint import write_dataset_checkpointed
 
-    out_dir = f"/tmp/ckpt_roundtrip_{abs(hash(sf_dir)) % (1 << 32):08x}"
+    import hashlib
+    # stable digest (NOT hash(): PYTHONHASHSEED randomizes it per process,
+    # which would leak a fresh /tmp dir every driver run)
+    out_dir = ("/tmp/ckpt_roundtrip_"
+               + hashlib.md5(sf_dir.encode()).hexdigest()[:8])
     shutil.rmtree(out_dir, ignore_errors=True)
 
     ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type",
@@ -8483,4 +8487,95 @@ ORACLES.update({
         for c in ["o_orderkey", "o_custkey", "o_orderstatus",
                   "o_totalprice", "o_orderdate", "o_orderpriority"]
     ) + ' ORDER BY "column"',
+})
+
+
+def rolling_median_7d(sf_dir: str):
+    """Per (user, active day) EXACT rolling 7-day median of value cents
+    (stages/temporal.rolling_median_daily: bounded window expansion +
+    exact_group_quantile_sorted on the packed key — holistic rolling
+    aggregate at unbounded (user x day) cardinality)."""
+    from ..stages.temporal import rolling_median_daily
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"], "ts": t["ts"],
+            "c": pa.array(_cents_half_up(
+                t["value"].to_numpy(zero_copy_only=False), 100))})
+
+    out = rolling_median_daily(ds.map_batches(cents, batch_format="pyarrow"),
+                               "user_id", "ts", "c", window_days=7,
+                               out_col="_m")
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "day": t["_day"],
+            "med7": pc.cast(pc.round(t["_m"]), pa.int64())})
+
+    return out.map_batches(shape, batch_format="pyarrow") \
+              .sort(["user_id", "day"])
+
+
+def union_activity(sf_dir: str):
+    """Schema-evolution UNION ALL BY NAME of events and orders activity
+    (stages/relational.union_by_name): orders lack user_id — surfaced as
+    typed nulls, column order first-seen."""
+    from ..stages.relational import union_by_name
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "value", "user_id"])
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate",
+                                  "o_totalprice"])
+
+    def e_shape(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.array(np.full(t.num_rows, "e")),
+            "id": t["event_id"], "ts": t["ts"],
+            "amount_c": pa.array(_cents_half_up(
+                t["value"].to_numpy(zero_copy_only=False), 100)),
+            "user_id": t["user_id"]})
+
+    def o_shape(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.array(np.full(t.num_rows, "o")),
+            "id": t["o_orderkey"], "ts": t["o_orderdate"],
+            "amount_c": pa.array(_cents_half_up(
+                t["o_totalprice"].to_numpy(zero_copy_only=False), 100))})
+
+    u = union_by_name([ev.map_batches(e_shape, batch_format="pyarrow"),
+                       od.map_batches(o_shape, batch_format="pyarrow")])
+    return u.sort(["src", "id"])
+
+
+QUERIES.update({
+    "rolling_median_7d": rolling_median_7d,
+    "union_activity": union_activity,
+})
+
+ORACLES.update({
+    "rolling_median_7d": """
+        WITH v AS (SELECT user_id,
+                          CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                              AS day,
+                          CAST(ROUND(value * 100) AS BIGINT) AS c
+                   FROM events),
+        d AS (SELECT DISTINCT user_id, day FROM v)
+        SELECT d.user_id, d.day,
+               CAST(quantile_disc(v.c, 0.5) AS BIGINT) AS med7
+        FROM d JOIN v ON v.user_id = d.user_id
+                     AND v.day BETWEEN d.day - 6 AND d.day
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "union_activity": """
+        SELECT 'e' AS src, event_id AS id, ts,
+               CAST(ROUND(value * 100) AS BIGINT) AS amount_c, user_id
+        FROM events
+        UNION ALL BY NAME
+        SELECT 'o' AS src, o_orderkey AS id, o_orderdate AS ts,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amount_c
+        FROM orders
+        ORDER BY src, id
+    """,
 })

@@ -188,9 +188,16 @@ def group_linear_fit(ds: ray.data.Dataset, group_col: str, x_col: str,
 
     Callers must pre-scale x to keep per-corpus sums inside int64
     (e.g. seconds-since-epoch-anchor, cents): the per-row products are
-    x*x and x*y.  Shape: per-batch pandas groupby partials (one row per
-    distinct group per batch), then ONE sort-based grouped_reduce — no
-    data-sized shuffle, no per-group Python."""
+    x*x and x*y.  That contract is ENFORCED, not assumed: per-group
+    max|x| / max|y| ride the same reduce, and the answer-sized output is
+    checked against n * max|x|^2 and n * max|x| * max|y| — an upper
+    bound on every partial AND final sum — raising ValueError instead of
+    letting numpy/pandas wrap silently modulo 2^64 (the SQL twin's
+    HUGEINT sums would diverge exactly then).
+
+    Shape: per-batch pandas groupby partials (one row per distinct group
+    per batch), then ONE sort-based grouped_reduce — no data-sized
+    shuffle, no per-group Python."""
     import pandas as pd
 
     from .groupagg import grouped_reduce
@@ -199,17 +206,41 @@ def group_linear_fit(ds: ray.data.Dataset, group_col: str, x_col: str,
         g = t[group_col].to_numpy(zero_copy_only=False)
         x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
         y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        pdf = (pd.DataFrame({group_col: g, "_x": x, "_y": y,
-                             "_xx": x * x, "_xy": x * y})
-               .groupby(group_col, sort=False).sum().reset_index())
+        ax, ay = np.abs(x), np.abs(y)
+        df = pd.DataFrame({group_col: g, "_x": x, "_y": y,
+                           "_xx": x * x, "_xy": x * y})
+        pdf = df.groupby(group_col, sort=False).sum().reset_index()
+        mx = (pd.DataFrame({group_col: g, "_ax": ax, "_ay": ay})
+              .groupby(group_col, sort=False).max())
         pdf["_n"] = (pd.DataFrame({group_col: g}).groupby(group_col,
                      sort=False).size().reindex(pdf[group_col]).to_numpy())
+        pdf["_ax"] = mx["_ax"].reindex(pdf[group_col]).to_numpy()
+        pdf["_ay"] = mx["_ay"].reindex(pdf[group_col]).to_numpy()
         return pa.Table.from_pandas(pdf, preserve_index=False)
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
-    return grouped_reduce(parts, group_col,
-                          {"_n": "n", "_x": "sum_x", "_y": "sum_y",
-                           "_xx": "sum_xx", "_xy": "sum_xy"}, how="sum")
+    red = grouped_reduce(parts, group_col,
+                         {"_n": "n", "_x": "sum_x", "_y": "sum_y",
+                          "_xx": "sum_xx", "_xy": "sum_xy",
+                          "_ax": "_ax", "_ay": "_ay"},
+                         how={"_n": "sum", "_x": "sum", "_y": "sum",
+                              "_xx": "sum", "_xy": "sum",
+                              "_ax": "max", "_ay": "max"})
+
+    def check(t: pa.Table) -> pa.Table:
+        # Python-bigint bound check on the answer-sized group table: if
+        # n * max products stay inside int64, every batch partial and the
+        # folded sum did too (|sum over any subset| <= n * max|term|)
+        for row in t.to_pylist():
+            n, ax, ay = int(row["n"]), int(row["_ax"]), int(row["_ay"])
+            if n * ax * ax >= 2 ** 63 or n * ax * ay >= 2 ** 63:
+                raise ValueError(
+                    f"group_linear_fit: group {row[group_col]!r} "
+                    f"(n={n}, max|x|={ax}, max|y|={ay}) can overflow "
+                    "int64 sums; rescale x (coarser units) upstream")
+        return t.drop_columns(["_ax", "_ay"])
+
+    return red.map_batches(check, batch_format="pyarrow")
 
 
 def group_spearman(ds: ray.data.Dataset, group_col: str, x_col: str,

@@ -996,9 +996,11 @@ def grouped_mode(ds: "ray.data.Dataset", group_col: str, value_col: str,
     from .groupagg import grouped_count, grouped_reduce
 
     cnts = grouped_count(ds.select_columns([group_col, value_col]),
-                         [group_col, value_col], out_col="_c")
+                         [group_col, value_col], out_col="_c").materialize()
 
-    vals_pd = grouped_count(ds.select_columns([value_col]), value_col) \
+    # distinct value domain from the (group, value) count table — already
+    # distinct-pair-sized, so this sort never re-touches the corpus
+    vals_pd = grouped_count(cnts.select_columns([value_col]), value_col) \
         .to_pandas()  # bounded-domain contract: answer-sized
     vals = sorted(vals_pd[value_col].tolist())
     if len(vals) > 1 << 20:
@@ -1024,11 +1026,12 @@ def grouped_mode(ds: "ray.data.Dataset", group_col: str, value_col: str,
     inv_ref = ray.put(np.array(vals))
 
     def unpack(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({group_col: t[group_col],
-                             out_col: pa.array([], pa.string()),
-                             n_col: pa.array([], pa.int64())})
         inv = ray.get(inv_ref)
+        if t.num_rows == 0:
+            # typed empty mode column (inv's dtype, NOT hardcoded string)
+            return pa.table({group_col: t[group_col],
+                             out_col: pa.array(inv[:0]),
+                             n_col: pa.array([], pa.int64())})
         p = t["_p"].to_numpy(zero_copy_only=False)
         return pa.table({group_col: t[group_col],
                          out_col: pa.array(inv[r - 1 - p % r]),
@@ -1076,7 +1079,10 @@ def merge_changes(base: "ray.data.Dataset", changes: "ray.data.Dataset",
         key_col, {"_mx": "_mx"}, how="max")
     mx, n_mx = _coalesce_for_join(mx, parts)
     if n_mx == 0:
-        return base
+        # project exactly like the non-empty path so an empty CDC batch
+        # yields the same output schema
+        return base.map_batches(lambda t: t.select(cols),
+                                batch_format="pyarrow")
     ch, _ = _coalesce_for_join(changes, parts)
     winners = ch.join(mx, join_type="inner", num_partitions=parts,
                       on=(key_col, seq_col), right_on=(key_col, "_mx"))
@@ -1153,3 +1159,60 @@ def group_gini(ds: ray.data.Dataset, group_col: str, value_col: str,
             den_col: pa.array(np.rint(den).astype(np.int64))})
 
     return red.map_batches(finish, batch_format="pyarrow")
+
+
+def union_by_name(datasets: list, strict_types: bool = True):
+    """Schema-evolution UNION ALL BY NAME — the multi-source ingestion
+    primitive: concatenate Datasets whose schemas differ, aligning
+    columns by NAME; a column absent from an input surfaces as typed
+    nulls there (DuckDB ``UNION ALL BY NAME`` semantics).  Column order =
+    first-seen across inputs.
+
+    Same-named columns must agree on type (raise; set
+    ``strict_types=False`` to allow them when an explicit cast to the
+    first-seen type is acceptable).  Pure streaming: one map_batches per
+    input adds the missing null columns — no shuffle, no materialize
+    (schemas come from Dataset metadata)."""
+    import ray.data
+
+    if not datasets:
+        raise ValueError("union_by_name: empty input list")
+    order: list = []
+    types: dict = {}
+    for ds in datasets:
+        sch = ds.schema()
+        for name, typ in zip(sch.names, sch.types):
+            if name not in types:
+                order.append(name)
+                types[name] = typ
+            elif types[name] != typ:
+                if strict_types:
+                    raise TypeError(
+                        f"union_by_name: column {name!r} has conflicting "
+                        f"types {types[name]} vs {typ}")
+
+    def align(missing, cast_cols):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {}
+            for name in order:
+                if name in missing:
+                    cols[name] = pa.nulls(t.num_rows, types[name])
+                elif name in cast_cols:
+                    cols[name] = t[name].cast(types[name])
+                else:
+                    cols[name] = t[name]
+            return pa.table(cols)
+        return fn
+
+    aligned = []
+    for ds in datasets:
+        sch = ds.schema()
+        have = dict(zip(sch.names, sch.types))
+        missing = {n for n in order if n not in have}
+        cast_cols = {n for n, t in have.items() if t != types[n]}
+        aligned.append(ds.map_batches(align(missing, cast_cols),
+                                      batch_format="pyarrow"))
+    out = aligned[0]
+    for ds in aligned[1:]:
+        out = out.union(ds)
+    return out

@@ -678,10 +678,31 @@ def asof_join_keyed(left: ray.data.Dataset, right: ray.data.Dataset,
     RIGHT side contract: unique (key, ts) pairs (dedupe upstream —
     duplicate right timestamps make ASOF value selection ambiguous in
     SQL too).  Left rows with no prior right row keep a NULL ``out_col``
-    (dropped when ``keep_unmatched=False``)."""
+    (dropped when ``keep_unmatched=False`` — DuckDB ASOF INNER vs LEFT).
+    A right row whose value is NULL still MATCHES and the probe returns
+    NULL, exactly like DuckDB ASOF (the nearest row wins even when its
+    value is null; it does not fall through to an older non-null row):
+    the carry chain fills the matched right row's TIMESTAMP (always
+    valid), and values — nulls included — are fetched by one hash join
+    on (key, matched_ts) afterwards.  Timestamps ride the float64 carry,
+    exact while |ts as int64| < 2**53 (us epochs until year ~2255) —
+    guarded."""
     import pyarrow.compute as pc
 
+    from .bloom import _coalesce_for_join
+    from .dedup import _join_partitions
     from .window import group_fill_forward
+
+    def _ts_i64(col) -> np.ndarray:
+        a = col.to_numpy(zero_copy_only=False)
+        if np.issubdtype(a.dtype, np.datetime64):
+            a = a.astype("datetime64[us]").astype(np.int64)
+        else:
+            a = a.astype(np.int64)
+        if len(a) and np.abs(a).max() >= 2 ** 53:
+            raise ValueError("asof_join_keyed: |ts| >= 2**53 cannot ride "
+                             "the float64 carry exactly; rescale upstream")
+        return a
 
     def l_project(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -689,7 +710,7 @@ def asof_join_keyed(left: ray.data.Dataset, right: ray.data.Dataset,
             ts_col: t[ts_col],
             "_tag": pa.array(np.ones(t.num_rows, np.int8)),
             "_uid": t[left_id_col].cast(pa.int64()),
-            "_val": pa.nulls(t.num_rows, pa.float64())})
+            "_mts": pa.nulls(t.num_rows, pa.float64())})
 
     def r_project(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -697,25 +718,43 @@ def asof_join_keyed(left: ray.data.Dataset, right: ray.data.Dataset,
             ts_col: t[ts_col],
             "_tag": pa.array(np.zeros(t.num_rows, np.int8)),
             "_uid": pa.array(np.full(t.num_rows, -1, np.int64)),
-            "_val": t[right_val_col].cast(pa.float64())})
+            "_mts": pa.array(_ts_i64(t[ts_col]).astype(np.float64))})
 
     u = left.map_batches(l_project, batch_format="pyarrow").union(
         right.map_batches(r_project, batch_format="pyarrow"))
     filled = group_fill_forward(u, key_col, [ts_col, "_tag", "_uid"],
-                                "_val", out_col=out_col)
+                                "_mts", out_col="_mts")
 
     def probe_rows(t: pa.Table) -> pa.Table:
         m = pc.equal(t["_tag"], 1)
         kept = t.filter(m)
+        mts = kept["_mts"].combine_chunks() if isinstance(
+            kept["_mts"], pa.ChunkedArray) else kept["_mts"]
         out = pa.table({left_id_col: kept["_uid"],
                         key_col: kept[key_col],
                         ts_col: kept[ts_col],
-                        out_col: kept[out_col]})
+                        "_mts_i": mts.cast(pa.int64())})
         if not keep_unmatched:
-            out = out.filter(pc.is_valid(out[out_col]))
+            out = out.filter(pc.is_valid(out["_mts_i"]))
         return out
 
-    return filled.map_batches(probe_rows, batch_format="pyarrow")
+    probes = filled.map_batches(probe_rows, batch_format="pyarrow")
+
+    def r_vals(t: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: t[key_col],
+            "_mts_i": pa.array(_ts_i64(t[ts_col])),
+            out_col: t[right_val_col].cast(pa.float64())})
+
+    rv = right.map_batches(r_vals, batch_format="pyarrow")
+    parts = _join_partitions()
+    probes, _ = _coalesce_for_join(probes, parts)
+    rv, _ = _coalesce_for_join(rv, parts)
+    joined = probes.join(rv, join_type="left_outer", num_partitions=parts,
+                         on=(key_col, "_mts_i"))
+    return joined.map_batches(
+        lambda t: t.select([left_id_col, key_col, ts_col, out_col]),
+        batch_format="pyarrow")
 
 
 def longest_streak(ds: ray.data.Dataset, user_col: str, ts_col: str,
@@ -792,9 +831,10 @@ def event_cooccurrence(ds: ray.data.Dataset, user_col: str, ts_col: str,
                        Max("_s", alias_name="s1"),
                        Max("_u", alias_name="u1"))
     if st["s0"] is None:
-        return pa.table({left_col: pa.array([], pa.string()),
-                         right_col: pa.array([], pa.string()),
-                         out_col: pa.array([], pa.int64())})
+        return ray.data.from_arrow(pa.table({
+            left_col: pa.array([], pa.string()),
+            right_col: pa.array([], pa.string()),
+            out_col: pa.array([], pa.int64())}))
     s0, span, u1 = int(st["s0"]), int(st["s1"]) - int(st["s0"]), int(st["u1"])
     P = 1 << int(span + window_s + 2).bit_length()
     if (u1 + 1) * P >= 2 ** 53:
@@ -855,3 +895,78 @@ def debounce_events(ds: ray.data.Dataset, user_col: str, ts_col: str,
         return t.filter(pa.array(ok)).drop_columns(["_us", "_lag"])
 
     return lag.map_batches(keep, batch_format="pyarrow")
+
+
+def rolling_median_daily(ds: ray.data.Dataset, user_col: str, ts_col: str,
+                         value_col: str, window_days: int = 7,
+                         out_col: str = "med") -> ray.data.Dataset:
+    """Per (user, active day): EXACT quantile_disc(0.5) over the user's
+    values in the trailing ``window_days``-day window.  Rolling MEDIAN is
+    holistic (dailies can't be folded like a rolling SUM), so the scale
+    shape is bounded contribution expansion — each event row is emitted
+    toward the <= W window-days it can serve (narrow (key, value) rows,
+    W-fold) — followed by ``exact_group_quantile_sorted`` on the packed
+    (user, window_day) key (unbounded group cardinality, no per-group
+    driver state) and one hash join against the distinct active-day set
+    (a window day only reports if the user was active ON it, the SQL
+    ``d JOIN v`` semantics).
+
+    Keys pack as user * 2^21 + epoch_day (raises if out of range).
+    Output: (user_col, _day epoch-day int64, out_col float64)."""
+    import pyarrow.compute as pc
+
+    from .bloom import _coalesce_for_join
+    from .dedup import _join_partitions
+    from .groupagg import grouped_count
+    from .relational import exact_group_quantile_sorted
+
+    DAY = np.int64(86_400_000_000)
+    M = np.int64(1) << 21
+
+    def narrow(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        u = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = ts // DAY
+        if len(d) and (d.max() + window_days >= M or d.min() < 0
+                       or (u.max() + 1) * M >= 2 ** 63):
+            raise ValueError("rolling_median_daily: (user, day) does not "
+                             "fit the 2^21 day pack; rescale upstream")
+        return pa.table({"_u": pa.array(u), "_d": pa.array(d),
+                         "_v": t[value_col]})
+
+    nds = ds.map_batches(narrow, batch_format="pyarrow").materialize()
+
+    def expand(t: pa.Table) -> pa.Table:
+        u = t["_u"].to_numpy(zero_copy_only=False)
+        d = t["_d"].to_numpy(zero_copy_only=False)
+        n = len(u)
+        rep = np.repeat(np.arange(n), window_days)
+        off = np.tile(np.arange(window_days, dtype=np.int64), n)
+        c = t["_v"].take(pa.array(rep, pa.int64()))
+        return pa.table({"_k": pa.array(u[rep] * M + d[rep] + off),
+                         "_v": c})
+
+    meds = exact_group_quantile_sorted(
+        nds.map_batches(expand, batch_format="pyarrow"), "_k", "_v",
+        q=0.5, out_col=out_col)
+
+    active = grouped_count(
+        nds.map_batches(lambda t: pa.table({"_k": pc.add(
+            pc.multiply(t["_u"].combine_chunks(), M),
+            t["_d"].combine_chunks())}), batch_format="pyarrow"),
+        "_k", out_col="_a").drop_columns(["_a"])
+
+    parts = _join_partitions()
+    meds, _ = _coalesce_for_join(meds, parts)
+    active, _ = _coalesce_for_join(active, parts)
+    j = meds.join(active, join_type="inner", num_partitions=parts,
+                  on=("_k",))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        k = t["_k"].to_numpy(zero_copy_only=False)
+        return pa.table({user_col: pa.array(k // M),
+                         "_day": pa.array(k % M),
+                         out_col: t[out_col]})
+
+    return j.map_batches(unpack, batch_format="pyarrow")

@@ -871,7 +871,9 @@ def adjacent_pair_counts(ds, text_col: str = "text",
             return empty
         keep = np.ones(n_flat - 1, dtype=bool)
         last = off[1:] - 1                       # each doc's last token
-        keep[last[last < n_flat - 1]] = False    # pair would cross docs
+        # a zero-token doc at batch start yields last == -1, which must
+        # not wrap around and mask the batch's final pair
+        keep[last[(last >= 0) & (last < n_flat - 1)]] = False
         idx = np.flatnonzero(keep)
         if len(idx) == 0:
             return empty

@@ -98,10 +98,14 @@ def table_fingerprint(ds: ray.data.Dataset, cols: list,
     def fold(t: pa.Table) -> pa.Table:
         fp = t["_fp"].to_numpy(zero_copy_only=False)
         n = t["_n"].to_numpy(zero_copy_only=False)
+        total = int(n.sum())
+        # bit_xor over ZERO rows is NULL in the SQL twin — match it,
+        # so reconciling against a table that lost all rows still
+        # compares bit-exactly
+        val = np.bitwise_xor.reduce(fp) if total else None
         return pa.table({
-            "n_rows": pa.array([int(n.sum())], pa.int64()),
-            "fp": pa.array([np.bitwise_xor.reduce(fp) if len(fp)
-                            else np.uint64(0)], pa.uint64())})
+            "n_rows": pa.array([total], pa.int64()),
+            "fp": pa.array([val], pa.uint64())})
 
     # identity partial (xor 0, +0): guarantees fold sees >= 1 row even
     # when the input is empty (zero blocks would skip fold entirely)

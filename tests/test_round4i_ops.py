@@ -77,9 +77,14 @@ def test_table_fingerprint_matches_duckdb():
 
 
 def test_table_fingerprint_empty():
+    # round-4n contract: fp is NULL on zero rows (SQL bit_xor over zero
+    # rows is NULL), not 0
+    from dggrid4py_ray.stages.validate import table_fingerprint
     ds = ray.data.from_arrow(pa.table({
         "k": pa.array([], pa.int64()), "s": pa.array([], pa.string())}))
-    assert _fp(ds, ["k", "s"]) == (0, 0)
+    out = table_fingerprint(ds, ["k", "s"]).to_pandas()
+    assert int(out["n_rows"][0]) == 0
+    assert pd.isna(out["fp"][0])
 
 
 # ------------------------------------------------- weighted sorted quantile

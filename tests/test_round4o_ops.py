@@ -1,0 +1,70 @@
+"""Round-4o operator tests: exact rolling daily median, union-by-name."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+
+def test_rolling_median_daily_bruteforce():
+    from dggrid4py_ray.stages.temporal import rolling_median_daily
+
+    rng = np.random.default_rng(43)
+    n = 4000
+    users = rng.integers(0, 25, n)
+    days = rng.integers(0, 20, n)
+    secs = rng.integers(0, 86400, n)
+    ts = (np.datetime64("2024-02-01", "us")
+          + (days * 86400 + secs).astype("timedelta64[s]")
+          .astype("timedelta64[us]"))
+    vals = rng.integers(0, 500, n)
+    df = pd.DataFrame({"u": users, "ts": ts, "c": vals})
+    ds = ray.data.from_pandas(df).repartition(7)
+    got = rolling_median_daily(ds, "u", "ts", "c", window_days=7) \
+        .to_pandas().sort_values(["u", "_day"], ignore_index=True)
+
+    df["day"] = df["ts"].astype("datetime64[us]").astype(np.int64) \
+        // 86_400_000_000
+    rows = []
+    for (u, d), _ in df.groupby(["u", "day"]):
+        w = df[(df.u == u) & (df.day >= d - 6) & (df.day <= d)]["c"] \
+            .sort_values().to_numpy()
+        med = w[int(np.ceil(0.5 * len(w))) - 1]     # quantile_disc(0.5)
+        rows.append((u, d, float(med)))
+    want = pd.DataFrame(rows, columns=["u", "_day", "med"]) \
+        .sort_values(["u", "_day"], ignore_index=True)
+    assert len(got) == len(want)
+    np.testing.assert_array_equal(got["u"].to_numpy(), want["u"].to_numpy())
+    np.testing.assert_array_equal(got["_day"].to_numpy(),
+                                  want["_day"].to_numpy())
+    np.testing.assert_array_equal(got["med"].to_numpy(),
+                                  want["med"].to_numpy())
+
+
+def test_union_by_name_alignment_and_nulls():
+    from dggrid4py_ray.stages.relational import union_by_name
+
+    a = ray.data.from_pandas(pd.DataFrame(
+        {"x": [1, 2], "y": ["p", "q"]}))
+    b = ray.data.from_pandas(pd.DataFrame(
+        {"y": ["r"], "z": [3.5]}))
+    out = union_by_name([a, b]).to_pandas()
+    assert list(out.columns) == ["x", "y", "z"]     # first-seen order
+    assert out["x"].isna().sum() == 1               # b's missing x
+    assert out["z"].isna().sum() == 2               # a's missing z
+    assert set(out["y"]) == {"p", "q", "r"}
+
+
+def test_union_by_name_type_conflict_raises():
+    from dggrid4py_ray.stages.relational import union_by_name
+
+    a = ray.data.from_pandas(pd.DataFrame({"x": [1]}))
+    b = ray.data.from_pandas(pd.DataFrame({"x": ["s"]}))
+    with pytest.raises(TypeError, match="conflicting"):
+        union_by_name([a, b])
+    # non-strict: cast to first-seen type would fail for str->int, so
+    # use a castable pair instead
+    c = ray.data.from_pandas(pd.DataFrame({"x": [2.0]}))
+    out = union_by_name([a, c], strict_types=False).to_pandas()
+    assert sorted(out["x"].tolist()) == [1, 2]
