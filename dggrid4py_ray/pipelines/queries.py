@@ -8579,3 +8579,38 @@ ORACLES.update({
         ORDER BY src, id
     """,
 })
+
+
+def new_users_daily(sf_dir: str):
+    """Daily NEW-user counts (first-touch cohort sizes): min epoch-day
+    per user via one sort-based grouped_reduce, then an answer-sized
+    per-day count — the growth-curve twin of cohort_retention_events."""
+    from ..stages.groupagg import grouped_count, grouped_reduce
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def day(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({"user_id": t["user_id"],
+                         "_d": pa.array(ts // 86_400_000_000)})
+
+    first = grouped_reduce(ds.map_batches(day, batch_format="pyarrow"),
+                           "user_id", {"_d": "day"}, how="min")
+    out = grouped_count(first.select_columns(["day"]), "day",
+                        out_col="new_users")
+    return out.sort("day")
+
+
+QUERIES.update({"new_users_daily": new_users_daily})
+
+ORACLES.update({
+    "new_users_daily": """
+        WITH f AS (SELECT user_id,
+                          MIN(CAST(epoch_us(ts) // 86400000000 AS BIGINT))
+                              AS day
+                   FROM events GROUP BY user_id)
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+        FROM f GROUP BY day ORDER BY day
+    """,
+})
