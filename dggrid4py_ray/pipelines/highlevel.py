@@ -423,6 +423,13 @@ def run_flagship_checkpointed(in_path: str, out_dir: str, resolution: int = 9,
     if not todo:
         return out_dir
     ds = ray.data.read_parquet(todo, include_paths=True)
+    if "spans" not in ds.schema().names:
+        raise ValueError(
+            f"{in_path}: not an interleaved-documents table — expected a "
+            "'spans' list<struct<kind,text,media_ref,offset>> column "
+            "(generate one with sources/spans_table.spans_dataset or "
+            "bench.py --ensure-data); the plain documents table has no "
+            "span structure to assign cells to")
 
     def add_part(batch: pa.Table) -> pa.Table:
         paths = batch["path"].to_pylist()
