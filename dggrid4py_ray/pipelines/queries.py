@@ -8614,3 +8614,41 @@ ORACLES.update({
         FROM f GROUP BY day ORDER BY day
     """,
 })
+
+
+def rolling_hour_sum_events(sf_dir: str):
+    """Per-event trailing 1-hour same-user value sum — the SQL RANGE
+    window frame at event granularity (stages/temporal.rolling_range_sum:
+    composite-key bucketed range join, no per-user window state)."""
+    from ..stages.temporal import rolling_range_sum
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "ts": t["ts"],
+            "c": pa.array(_cents_half_up(
+                t["value"].to_numpy(zero_copy_only=False), 100))})
+
+    out = rolling_range_sum(ds.map_batches(cents, batch_format="pyarrow"),
+                            "user_id", "ts", "c", "event_id", 3600,
+                            out_col="sum_1h")
+    return out.sort("event_id")
+
+
+QUERIES.update({"rolling_hour_sum_events": rolling_hour_sum_events})
+
+ORACLES.update({
+    "rolling_hour_sum_events": """
+        WITH v AS (SELECT event_id, user_id,
+                          CAST(epoch_us(ts) // 1000000 AS BIGINT) AS s,
+                          CAST(ROUND(value * 100) AS BIGINT) AS c
+                   FROM events)
+        SELECT event_id,
+               CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY s
+                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS sum_1h
+        FROM v ORDER BY event_id
+    """,
+})

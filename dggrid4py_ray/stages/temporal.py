@@ -970,3 +970,73 @@ def rolling_median_daily(ds: ray.data.Dataset, user_col: str, ts_col: str,
                          out_col: t[out_col]})
 
     return j.map_batches(unpack, batch_format="pyarrow")
+
+
+def rolling_range_sum(ds: ray.data.Dataset, user_col: str, ts_col: str,
+                      value_col: str, id_col: str, window_s: int,
+                      out_col: str = "range_sum") -> ray.data.Dataset:
+    """Per-event trailing VALUE-RANGE window sum — SQL ``SUM(v) OVER
+    (PARTITION BY user ORDER BY s RANGE BETWEEN W PRECEDING AND CURRENT
+    ROW)`` on second-floored timestamps: for each event, the sum of the
+    SAME user's values with s_j in [s_i - W, s_i].  RANGE frames are
+    value-based, so equal-timestamp peers are all included (no order
+    tie-break exists or is needed).
+
+    Ray shape — the event_cooccurrence composite-key trick: each event is
+    a point at user*P + (s - s0) and an interval [point - W, point + 1)
+    carrying its event id; ONE large-large bucketed range join co-locates
+    every (window owner, contributor) pair, then a sort-based
+    grouped_reduce sums per owner id (unbounded id cardinality).  Exact
+    while (max_user+1)*P < 2**53 (guarded)."""
+    from ray.data.aggregate import Max, Min
+
+    from .groupagg import grouped_reduce
+    from .relational import range_join_via_buckets
+
+    def narrow(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({"_u": t[user_col].cast(pa.int64()),
+                         "_s": pa.array(ts // 1_000_000),
+                         "_id": t[id_col].cast(pa.int64()),
+                         "_c": t[value_col]})
+
+    nds = ds.map_batches(narrow, batch_format="pyarrow").materialize()
+    st = nds.aggregate(Min("_s", alias_name="s0"),
+                       Max("_s", alias_name="s1"),
+                       Max("_u", alias_name="u1"))
+    if st["s0"] is None:
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            out_col: pa.array([], pa.int64())}))
+    s0, span, u1 = int(st["s0"]), int(st["s1"]) - int(st["s0"]), int(st["u1"])
+    P = 1 << int(span + window_s + 2).bit_length()
+    if (u1 + 1) * P >= 2 ** 53:
+        raise ValueError(
+            f"rolling_range_sum: composite key (max_user+1)*P = "
+            f"{(u1 + 1) * P} exceeds float64-exact range; shard by user")
+
+    def to_point(t: pa.Table) -> pa.Table:
+        u = t["_u"].to_numpy(zero_copy_only=False)
+        s = t["_s"].to_numpy(zero_copy_only=False)
+        return pa.table({"_v": pa.array(u * P + (s - s0)), "_c": t["_c"]})
+
+    def to_interval(t: pa.Table) -> pa.Table:
+        u = t["_u"].to_numpy(zero_copy_only=False)
+        s = t["_s"].to_numpy(zero_copy_only=False)
+        k = u * P + (s - s0)
+        return pa.table({"_id": t["_id"],
+                         "_lo": pa.array(k - window_s),
+                         "_hi": pa.array(k + 1)})
+
+    pts = nds.map_batches(to_point, batch_format="pyarrow")
+    ivs = nds.map_batches(to_interval, batch_format="pyarrow")
+    joined = range_join_via_buckets(pts, ivs, "_v", id_col="_id",
+                                    lo_col="_lo", hi_col="_hi",
+                                    bucket_width=float(window_s + 1))
+    pairs = joined.map_batches(lambda t: t.select(["_id", "_c"]),
+                               batch_format="pyarrow")
+    out = grouped_reduce(pairs, "_id", {"_c": out_col}, how="sum")
+    return out.map_batches(
+        lambda t: t.rename_columns([id_col, out_col]),
+        batch_format="pyarrow")

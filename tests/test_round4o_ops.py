@@ -68,3 +68,27 @@ def test_union_by_name_type_conflict_raises():
     c = ray.data.from_pandas(pd.DataFrame({"x": [2.0]}))
     out = union_by_name([a, c], strict_types=False).to_pandas()
     assert sorted(out["x"].tolist()) == [1, 2]
+
+
+def test_rolling_range_sum_bruteforce_with_ties():
+    from dggrid4py_ray.stages.temporal import rolling_range_sum
+
+    rng = np.random.default_rng(47)
+    n = 3000
+    users = rng.integers(0, 20, n)
+    secs = rng.integers(0, 5000, n)
+    # force equal-timestamp peers within users
+    secs[: n // 4] = rng.integers(0, 50, n // 4) * 100
+    ts = (np.datetime64("2024-03-01", "us")
+          + secs.astype("timedelta64[s]").astype("timedelta64[us]"))
+    vals = rng.integers(1, 100, n)
+    df = pd.DataFrame({"id": np.arange(n), "u": users, "ts": ts,
+                       "c": vals, "s": secs})
+    ds = ray.data.from_pandas(df.drop(columns="s")).repartition(6)
+    got = rolling_range_sum(ds, "u", "ts", "c", "id", 60) \
+        .to_pandas().set_index("id")["range_sum"]
+
+    for i in rng.choice(n, 200, replace=False):
+        u, s = df.u[i], df.s[i]
+        want = df[(df.u == u) & (df.s >= s - 60) & (df.s <= s)]["c"].sum()
+        assert got[i] == want, i
