@@ -157,8 +157,10 @@ def write_dataset_checkpointed(ds, out_dir: str, lineage: dict | None = None,
     def write_batch(batch: pa.Table) -> pa.Table:
         pids = batch[part_col].to_numpy(zero_copy_only=False)
         out_pids, out_rows, out_files = [], [], []
+        out_bytes, out_secs = [], []
         import numpy as np
         for pid in np.unique(pids):
+            t0 = time.time()
             sl = batch.filter(pa.array(pids == pid))
             pdir = os.path.join(out_dir, f"part-{int(pid):05d}")
             os.makedirs(pdir, exist_ok=True)
@@ -169,23 +171,36 @@ def write_dataset_checkpointed(ds, out_dir: str, lineage: dict | None = None,
             out_pids.append(int(pid))
             out_rows.append(sl.num_rows)
             out_files.append(fname)
+            out_bytes.append(os.path.getsize(os.path.join(pdir, fname)))
+            out_secs.append(time.time() - t0)
         return pa.table({"part_id": pa.array(out_pids, type=pa.int64()),
                          "rows": pa.array(out_rows, type=pa.int64()),
-                         "file": pa.array(out_files, type=pa.string())})
+                         "file": pa.array(out_files, type=pa.string()),
+                         "bytes": pa.array(out_bytes, type=pa.int64()),
+                         "secs": pa.array(out_secs, type=pa.float64())})
 
     summaries = ds.map_batches(write_batch, batch_format="pyarrow") \
                   .take_all()   # tiny: one row per (batch, partition)
     per_part: dict[int, dict] = {}
     for row in summaries:
-        p = per_part.setdefault(int(row["part_id"]), {"rows": 0, "files": []})
+        p = per_part.setdefault(int(row["part_id"]),
+                                {"rows": 0, "files": [], "bytes": 0,
+                                 "write_secs": 0.0})
         p["rows"] += int(row["rows"])
         p["files"].append(row["file"])
+        p["bytes"] += int(row["bytes"])
+        p["write_secs"] += float(row["secs"])
     for pid, info in per_part.items():
         pdir = os.path.join(out_dir, f"part-{pid:05d}")
         manifest = {
             "partition": pid,
             "rows": info["rows"],
             "files": sorted(info["files"]),
+            # per-partition METRICS (north-rule: lineage + metrics):
+            # bytes on disk and cumulative filter+write wall seconds
+            "metrics": {"bytes": info["bytes"],
+                        "write_secs": round(info["write_secs"], 4),
+                        "n_files": len(info["files"])},
             "written_at": time.time(),
             "lineage": dict(lineage or {}, partition=pid),
         }
@@ -196,13 +211,16 @@ def write_dataset_checkpointed(ds, out_dir: str, lineage: dict | None = None,
     # dataset-level manifest (covers every completed partition, incl. ones
     # finished in earlier runs)
     done = completed_partitions(out_dir)
-    total = 0
+    total, total_bytes = 0, 0
     for pid in done:
         with open(os.path.join(out_dir, f"part-{pid:05d}", "manifest.json")) as f:
-            total += json.load(f)["rows"]
+            m = json.load(f)
+        total += m["rows"]
+        total_bytes += m.get("metrics", {}).get("bytes", 0)
     tmp = os.path.join(out_dir, "._dataset_manifest.json.tmp")
     with open(tmp, "w") as f:
         json.dump({"n_partitions": len(done), "total_rows": total,
+                   "total_bytes": total_bytes,
                    "completed_at": time.time(),
                    "written_this_run": sorted(per_part)}, f)
     os.replace(tmp, os.path.join(out_dir, "_dataset_manifest.json"))
