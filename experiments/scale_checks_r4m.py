@@ -170,6 +170,36 @@ def main():
         _emit("profile_table_20Mx4", 20_000_000, t0,
               cols=out.num_rows)
 
+    # 9. rolling_median_daily: 10M events / 1M users / 30 days
+    if want("rollmed"):
+        from dggrid4py_ray.stages.temporal import rolling_median_daily
+
+        def with_ts(t: pa.Table) -> pa.Table:
+            return t.append_column("ts", t["ts_us"].combine_chunks()
+                                   .cast(pa.timestamp("us")))
+
+        ds = _events(10_000_000, 1_000_000) \
+            .map_batches(with_ts, batch_format="pyarrow")
+        t0 = time.time()
+        n = rolling_median_daily(ds, "user_id", "ts", "v",
+                                 window_days=7).count()
+        _emit("rolling_median_10M", 10_000_000, t0, out_rows=n)
+
+    # 10. rolling_range_sum: 10M events / 1M users, 1 h trailing window
+    if want("rangesum"):
+        from dggrid4py_ray.stages.temporal import rolling_range_sum
+
+        def with_ts(t: pa.Table) -> pa.Table:
+            return t.append_column("ts", t["ts_us"].combine_chunks()
+                                   .cast(pa.timestamp("us")))
+
+        ds = _events(10_000_000, 1_000_000) \
+            .map_batches(with_ts, batch_format="pyarrow")
+        t0 = time.time()
+        n = rolling_range_sum(ds, "user_id", "ts", "v", "event_id",
+                              3600).count()
+        _emit("rolling_range_sum_10M", 10_000_000, t0, out_rows=n)
+
     ray.shutdown()
 
 
