@@ -70,9 +70,12 @@ def build_bloom(keys: ray.data.Dataset, col: str, num_bits: int = 1 << 22,
 
 
 def bloom_prune(ds: ray.data.Dataset, col: str, bloom_ref,
-                num_bits: int, num_hashes: int = 4) -> ray.data.Dataset:
+                num_bits: int, num_hashes: int = 4,
+                invert: bool = False) -> ray.data.Dataset:
     """Drop rows whose ``col`` is definitely not in the broadcast filter
-    (zero false negatives; ~fp_rate of non-members survive)."""
+    (zero false negatives; ~fp_rate of non-members survive).
+    ``invert=True`` keeps the DEFINITE non-members instead (the exact
+    complement — the anti-join's bypass set)."""
 
     def prune(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -82,7 +85,7 @@ def bloom_prune(ds: ray.data.Dataset, col: str, bloom_ref,
         for pos in _positions(t[col], num_bits, num_hashes):
             ok &= ((bmp[(pos >> np.uint64(6)).astype(np.int64)]
                     >> (pos & np.uint64(63))) & np.uint64(1)).astype(bool)
-        return t.filter(pa.array(ok))
+        return t.filter(pa.array(~ok if invert else ok))
 
     return ds.map_batches(prune, batch_format="pyarrow")
 
@@ -158,27 +161,20 @@ def bloom_anti_join(big: ray.data.Dataset, keys: ray.data.Dataset,
     bypasses the join exchange entirely; only the bloom-positive "maybes"
     (~|members| + fp_rate x |non-members|) go through the exact
     ``left_anti`` join, which readmits the false positives.  For a
-    selective blocklist the big side's shuffle carries almost nothing."""
+    selective blocklist the big side's shuffle carries almost nothing.
+
+    NOTE: the keep/maybe split makes ``big`` a two-consumer input, so its
+    upstream lineage EXECUTES TWICE (Ray streams; no spill of the 100-TB
+    side).  That trade is right when the producer is a parquet read or a
+    cheap projection; if the lineage above is expensive, materialize (or
+    checkpoint) it before calling."""
     from .dedup import _join_partitions
     key_col = key_col or big_col
     bloom = ray.put(build_bloom(keys, key_col, num_bits, num_hashes))
 
-    def member_mask(t: pa.Table) -> np.ndarray:
-        bmp = ray.get(bloom)
-        ok = np.ones(t.num_rows, bool)
-        for pos in _positions(t[big_col], num_bits, num_hashes):
-            ok &= ((bmp[(pos >> np.uint64(6)).astype(np.int64)]
-                    >> (pos & np.uint64(63))) & np.uint64(1)).astype(bool)
-        return ok
-
-    def definite(t: pa.Table) -> pa.Table:
-        return t if t.num_rows == 0 else t.filter(pa.array(~member_mask(t)))
-
-    def maybe(t: pa.Table) -> pa.Table:
-        return t if t.num_rows == 0 else t.filter(pa.array(member_mask(t)))
-
-    keep = big.map_batches(definite, batch_format="pyarrow")
-    maybes = big.map_batches(maybe, batch_format="pyarrow")
+    keep = bloom_prune(big, big_col, bloom, num_bits, num_hashes,
+                       invert=True)
+    maybes = bloom_prune(big, big_col, bloom, num_bits, num_hashes)
     right = keys.map_batches(lambda t: t.select([key_col]),
                              batch_format="pyarrow")
     parts = num_partitions or _join_partitions()

@@ -25,13 +25,12 @@ import ray.data
 def _join_partitions(cap: int = 16) -> int:
     """Hash-join partition count sized to the cluster: the join operator
     runs one aggregator actor per partition, so oversizing deadlocks small
-    CPU budgets."""
-    try:
-        import ray
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    return max(2, min(cap, cpus // 2))
+    CPU budgets.  Single implementation lives in stages/join.py; this
+    delegate keeps the dedup/bloom family's conservative cap=16 (their
+    join sides are answer-ish-sized by contract, so fewer, fuller
+    partitions beat more aggregator actors)."""
+    from .join import _join_partitions as _jp
+    return _jp(cap)
 
 
 def _md5_hex(texts: np.ndarray) -> np.ndarray:

@@ -63,6 +63,12 @@ def grouped_reduce(ds: ray.data.Dataset, key, col_map: dict,
             # downstream Arrow hash join ("no match for FieldRef")
             return (batch.select(keys + in_cols)
                     .append_column("_b", pa.array([], pa.bool_())))
+        for k in keys:
+            if batch[k].null_count:
+                # pandas groupby would silently DROP the null group (SQL
+                # GROUP BY keeps it) — refuse instead of diverging
+                raise ValueError(f"grouped_reduce: null group key {k!r}; "
+                                 "filter or fill upstream")
         cols = {k: batch[k].to_numpy(zero_copy_only=False) for k in keys}
         for c in in_cols:
             cols[c] = batch[c].to_numpy(zero_copy_only=False)
@@ -109,17 +115,30 @@ def grouped_string_agg(ds: ray.data.Dataset, key: str, order_col: str,
     emitted by the LAST block that holds any of its rows; interior blocks
     contribute their tail through the carry.
 
-    Requires unique (key, order_col) pairs (the SQL determinism condition).
+    Requires unique (key, order_col) pairs (the SQL determinism condition)
+    and NON-NULL group keys (raises — fill upstream).  NULL text values
+    are skipped entirely, exactly like SQL string_agg (they contribute
+    neither text nor a separator); a group whose EVERY text is null is
+    omitted from the output (SQL would emit it with a NULL aggregate).
     Driver state is bounded by #blocks x max-group-text — groups are
     documents here, so the carry strings are document-sized.
     """
     import numpy as np
+    import pyarrow.compute as _pc
     import ray as _ray
 
     keys = [key, order_col]
+    # SQL string_agg skips NULL inputs: drop them before the sort so they
+    # contribute neither text nor separators (and never crash join())
+    ds = ds.map_batches(
+        lambda t: t.filter(_pc.is_valid(t[text_col])),
+        batch_format="pyarrow")
     srt = ds.sort(keys).materialize()
 
     def summarize(t: pa.Table) -> pa.Table:
+        if t.num_rows and t[key].null_count:
+            raise ValueError("grouped_string_agg: null group keys are "
+                             "unsupported; filter or fill upstream")
         cols = {f"_k{i}": t[c].slice(0, min(1, t.num_rows))
                 for i, c in enumerate(keys)}
         if t.num_rows == 0:
@@ -155,13 +174,16 @@ def grouped_string_agg(ds: ray.data.Dataset, key: str, order_col: str,
     # (a) the accumulated text of its first group from earlier blocks and
     # (b) whether its LAST group ends here (else the next block emits it)
     plans = {}
-    carry_g, carry_txt, prev_last_ko = None, "", None
+    # carry sentinel is None, NOT "": an empty-string carry (a group whose
+    # block-tail text is '') is a REAL carry and must still contribute its
+    # separator downstream — truthiness would silently drop it
+    carry_g, carry_txt, prev_last_ko = None, None, None
     n_blocks = len(summ)
     for i in range(n_blocks):                    # O(#blocks) driver rows
         bkey = summ["_key"].iloc[i]
         first_g, last_g = summ["_first_g"].iloc[i], summ["_last_g"].iloc[i]
         last_txt = summ["_last_txt"].iloc[i]
-        prefix = carry_txt if first_g == carry_g else ""
+        prefix = carry_txt if first_g == carry_g else None
         if bkey in plans or bkey == prev_last_ko:
             raise ValueError("grouped_string_agg requires unique "
                              f"(key, order) pairs; duplicate {bkey}")
@@ -170,7 +192,8 @@ def grouped_string_agg(ds: ray.data.Dataset, key: str, order_col: str,
                      or summ["_first_g"].iloc[i + 1] != last_g)
         plans[bkey] = (prefix, emit_last)
         carry_txt = (prefix + sep + last_txt
-                     if (prefix and first_g == last_g) else last_txt)
+                     if (prefix is not None and first_g == last_g)
+                     else last_txt)
         carry_g = last_g
     plan_ref = _ray.put(plans)
 
@@ -190,7 +213,7 @@ def grouped_string_agg(ds: ray.data.Dataset, key: str, order_col: str,
             if ri == len(starts) - 1 and not emit_last:
                 break
             joined = sep.join(txt[s:e])
-            if ri == 0 and prefix:
+            if ri == 0 and prefix is not None:
                 joined = prefix + sep + joined
             out_idx.append(int(s))
             out_txt.append(joined)

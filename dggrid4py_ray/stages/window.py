@@ -35,6 +35,24 @@ def _cols(t: pa.Table, names):
     return [t[c].to_numpy(zero_copy_only=False) for c in names]
 
 
+def _require_clean_groups(t: pa.Table, group_col: str, op: str) -> None:
+    """Carry-chain contract: group keys must be non-null and non-NaN.  The
+    local segment scans compare elementwise (NaN != NaN splits every NaN
+    row into its own segment) while the driver chain compares str() keys
+    ('nan' == 'nan' merges them) — silently wrong offsets.  Refuse."""
+    if t.num_rows == 0:
+        return
+    arr = t[group_col]
+    if arr.null_count:
+        raise ValueError(f"{op}: null group keys are unsupported; "
+                         "filter or fill upstream")
+    if pa.types.is_floating(arr.type):
+        import pyarrow.compute as _pc
+        if _pc.any(_pc.is_nan(arr)).as_py():
+            raise ValueError(f"{op}: NaN group keys are unsupported; "
+                             "filter or fill upstream")
+
+
 def _first_key(t: pa.Table, names):
     return tuple(t[c][0].as_py() for c in names)
 
@@ -47,6 +65,7 @@ def group_row_number(ds: ray.data.Dataset, group_col: str, order_cols: list,
     srt = ds.sort(keys).materialize()
 
     def summarize(t: pa.Table) -> pa.Table:
+        _require_clean_groups(t, group_col, "group_row_number")
         cols = {f"_k{i}": t[c].slice(0, min(1, t.num_rows))
                 for i, c in enumerate(keys)}       # typed first-row key
         if t.num_rows == 0:
@@ -129,6 +148,7 @@ def group_ntile(ds: ray.data.Dataset, group_col: str, order_cols: list,
     # group sizes: within-batch value_counts partial -> tiny hash groupby
     # (bounded group count is this function's contract; no second sort)
     def count_partial(t: pa.Table) -> pa.Table:
+        _require_clean_groups(t, group_col, "group_ntile")
         vc = pd.Series(t[group_col].to_pandas()).value_counts()
         return pa.table({group_col: pa.array(vc.index),
                          "_sz": pa.array(vc.to_numpy().astype(np.int64))})
@@ -163,6 +183,7 @@ def group_running_sum(ds: ray.data.Dataset, group_col: str, order_cols: list,
     srt = ds.sort(keys).materialize()
 
     def summarize(t: pa.Table) -> pa.Table:
+        _require_clean_groups(t, group_col, "group_running_sum")
         cols = {f"_k{i}": t[c].slice(0, min(1, t.num_rows))
                 for i, c in enumerate(keys)}
         if t.num_rows == 0:
@@ -288,6 +309,7 @@ def _tail_carry(srt: ray.data.Dataset, keys: list, group_col: str,
     all-null tail segment then carries the incoming tail through."""
 
     def summarize(t: pa.Table) -> pa.Table:
+        _require_clean_groups(t, group_col, "bounded-frame window")
         cols = {f"_k{i}": t[c].slice(0, min(1, t.num_rows))
                 for i, c in enumerate(keys)}
         if t.num_rows == 0:
