@@ -109,6 +109,12 @@ def salted_groupby_mean(ds: ray.data.Dataset, key_col: str, value_col: str,
     not applicable (kept as a first-class operator per the north rule)."""
 
     def add_salt(batch: pa.Table) -> pa.Table:
+        # SQL AVG semantics: null values contribute to neither sum nor
+        # count — Ray's Count() counts ALL rows, so drop nulls here (Sum
+        # would skip them anyway, which without the filter biases the
+        # mean low)
+        import pyarrow.compute as pc
+        batch = batch.filter(pc.is_valid(batch[value_col]))
         n = batch.num_rows
         s = np.arange(n, dtype=np.int64) % salt
         return batch.append_column("_salt", pa.array(s))

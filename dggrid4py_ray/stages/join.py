@@ -53,6 +53,11 @@ class PointInPolygonJoin:
                  out_col: str = "poly_id", keep_unmatched: bool = True):
         wkbs = ray.get(polys_ref)
         self.polys, self.tree = _build_polys(wkbs)
+        # dateline-crossing polygons store their bounds in wrapped
+        # [0, 360) lon space — raw [-180, 180] queries must also probe
+        # the +360 image or western-hemisphere points inside them are
+        # silently missed at the bbox-prune stage
+        self.any_wrapped = any(ps.wrapped for ps in self.polys)
         self.lon_col = lon_col
         self.lat_col = lat_col
         self.out_col = out_col
@@ -63,6 +68,10 @@ class PointInPolygonJoin:
         lat = batch[self.lat_col].to_numpy(zero_copy_only=False).astype(np.float64)
         out = np.full(len(lon), -1, dtype=np.int64)
         pi, poly_i = self.tree.query_points(lon, lat)
+        if self.any_wrapped:
+            pi2, poly_i2 = self.tree.query_points(lon + 360.0, lat)
+            pi = np.concatenate([pi, pi2])
+            poly_i = np.concatenate([poly_i, poly_i2])
         # exact test per candidate polygon (vectorized over its points)
         for p in np.unique(poly_i):
             pts = pi[poly_i == p]
@@ -108,7 +117,6 @@ def spatial_join_via_cells(points: ray.data.Dataset, polygons: ray.data.Dataset,
     bbox overlaps (cheap: polygon count >> replication factor)."""
     from ..config import dgselect
     from ..stages.encode import CellEncoder
-    from ..pipelines.highlevel import _clip_from
 
     dggs = dgselect("IGEO7", resolution=coarse_res)
     pts = points.map_batches(CellEncoder(dggs, lon_col=lon_col, lat_col=lat_col,
@@ -179,7 +187,9 @@ def spatial_join_via_cells(points: ray.data.Dataset, polygons: ray.data.Dataset,
         wkbs = batch[wkb_col].to_numpy(zero_copy_only=False)
         keep = np.zeros(batch.num_rows, dtype=bool)
         order = np.argsort(pids, kind="stable")
-        bounds = np.nonzero(np.diff(pids[order]))[0] + 1
+        sp = pids[order]
+        # != comparison, not np.diff: poly ids may be strings
+        bounds = np.flatnonzero(sp[1:] != sp[:-1]) + 1
         for seg in np.split(order, bounds):
             ps = PolygonSet.from_wkb([bytes(wkbs[seg[0]])])
             keep[seg] = ps.contains(lon[seg], lat[seg])
@@ -266,10 +276,11 @@ def radius_join_via_buckets(points: ray.data.Dataset,
     alternative (``knn_join_broadcast``) wins when sites fit memory; this
     is the both-sides-large path.
     """
-    import pyarrow.compute as pc
 
     from ..dggs.sphere import haversine_km
 
+    if not (radius_km > 0):
+        raise ValueError(f"radius_km must be > 0, got {radius_km}")
     r_deg = radius_km / 110.0           # over-covering angular radius
     nbands = max(1, int(180.0 // r_deg))
     dlat = 180.0 / nbands               # band height >= r_deg

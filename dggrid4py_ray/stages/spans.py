@@ -28,6 +28,16 @@ def _spans_array(batch: pa.Table, col: str = "spans") -> pa.ListArray:
     return arr
 
 
+def _spans_struct(batch: pa.Table, col: str = "spans"):
+    """(struct values, zero-based offsets) of the spans list column — the
+    slice/renormalize idiom in ONE place (a list array sliced out of a
+    larger buffer has offsets that do not start at 0)."""
+    spans = _spans_array(batch, col)
+    offsets = spans.offsets.to_numpy()
+    struct = spans.values.slice(offsets[0], offsets[-1] - offsets[0])
+    return struct, offsets - offsets[0]
+
+
 def _parse_lonlat(texts) -> tuple[np.ndarray, np.ndarray]:
     """Parse "lon lat" payloads.  Fast path: pyarrow split + cast (~18x the
     pandas route); malformed batches fall back to pandas coerce-to-NaN."""
@@ -46,8 +56,12 @@ def _parse_lonlat(texts) -> tuple[np.ndarray, np.ndarray]:
         pass
     s = pd.Series(texts.to_numpy(zero_copy_only=False), dtype=object) \
         .str.split(" ", n=1, expand=True)
-    lon = pd.to_numeric(s[0], errors="coerce").to_numpy(dtype=np.float64)
-    lat = pd.to_numeric(s[1], errors="coerce").to_numpy(dtype=np.float64)
+    lon = pd.to_numeric(s[0], errors="coerce").to_numpy(dtype=np.float64) \
+        if 0 in s.columns else np.full(len(s), np.nan)
+    # a batch where NO text contains a space yields a 1-column expand —
+    # coerce to NaN (invalid span) instead of KeyError
+    lat = pd.to_numeric(s[1], errors="coerce").to_numpy(dtype=np.float64) \
+        if 1 in s.columns else np.full(len(s), np.nan)
     return lon, lat
 
 
@@ -68,10 +82,7 @@ class SpanCellEncoder:
         self.out_col = out_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        spans = _spans_array(batch, self.spans_col)
-        offsets = spans.offsets.to_numpy()
-        struct = spans.values.slice(offsets[0], offsets[-1] - offsets[0])
-        offsets = offsets - offsets[0]
+        struct, offsets = _spans_struct(batch, self.spans_col)
         kind_arr = struct.field("kind")
         geo_mask = pa.compute.fill_null(pa.compute.equal(kind_arr, "geo"), False)
         geo = geo_mask.to_numpy(zero_copy_only=False).astype(bool)
@@ -96,16 +107,13 @@ def explode_spans(ds: ray.data.Dataset, spans_col: str = "spans") -> ray.data.Da
     Projects media refs (strings), never media payloads, per SURVEY §7.4."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        spans = _spans_array(batch, spans_col)
-        offsets = spans.offsets.to_numpy()
-        struct = spans.values.slice(offsets[0], offsets[-1] - offsets[0])
-        offsets = offsets - offsets[0]
+        struct, offsets = _spans_struct(batch, spans_col)
         counts = np.diff(offsets)
         doc = batch["doc_id"].to_numpy(zero_copy_only=False)
         doc_rep = np.repeat(doc, counts)
         span_idx = (np.arange(len(struct), dtype=np.int64)
                     - np.repeat(offsets[:-1], counts))
-        return pa.table({
+        out = pa.table({
             "doc_id": pa.array(doc_rep, type=pa.string()),
             "span_idx": pa.array(span_idx, type=pa.int32()),
             "kind": struct.field("kind"),
@@ -113,6 +121,22 @@ def explode_spans(ds: ray.data.Dataset, spans_col: str = "spans") -> ray.data.Da
             "media_ref": struct.field("media_ref"),
             "offset": struct.field("offset"),
         })
+        # zero-span docs must survive the explode/reassemble roundtrip:
+        # emit one span_idx = -1 marker row each (reassemble turns the
+        # marker back into spans=[]) instead of silently dropping the doc
+        empty = np.flatnonzero(counts == 0)
+        if len(empty):
+            n = len(empty)
+            marker = pa.table({
+                "doc_id": pa.array(doc[empty], type=pa.string()),
+                "span_idx": pa.array(np.full(n, -1, np.int32)),
+                "kind": pa.nulls(n, pa.string()),
+                "text": pa.nulls(n, pa.string()),
+                "media_ref": pa.nulls(n, pa.string()),
+                "offset": pa.nulls(n, pa.int32()),
+            })
+            out = pa.concat_tables([out, marker])
+        return out
 
     return ds.map_batches(explode, batch_format="pyarrow")
 
@@ -122,10 +146,12 @@ def reassemble_spans(ds: ray.data.Dataset) -> ray.data.Dataset:
     sort by span_idx).  The shuffle is keyed on doc_id (SURVEY §7.3)."""
 
     def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        did = g["doc_id"].iloc[0]
         g = g.sort_values("span_idx")
+        g = g[g["span_idx"] >= 0]          # zero-span-doc marker rows
         spans = [{"kind": k, "text": t, "media_ref": m, "offset": int(o)}
                  for k, t, m, o in zip(g["kind"], g["text"], g["media_ref"], g["offset"])]
-        return pd.DataFrame({"doc_id": [g["doc_id"].iloc[0]], "spans": [spans]})
+        return pd.DataFrame({"doc_id": [did], "spans": [spans]})
 
     return ds.groupby("doc_id").map_groups(rebuild, batch_format="pandas")
 
@@ -150,23 +176,29 @@ def span_sequence_fingerprint(ds: ray.data.Dataset) -> ray.data.Dataset:
 
     def fp(batch: pa.Table) -> pa.Table:
         import hashlib
-        spans = _spans_array(batch)
-        offsets = spans.offsets.to_numpy()
-        struct = spans.values.slice(offsets[0], offsets[-1] - offsets[0])
-        offsets = offsets - offsets[0]
+        struct, offsets = _spans_struct(batch)
         kinds = struct.field("kind").to_numpy(zero_copy_only=False)
         texts = struct.field("text").to_numpy(zero_copy_only=False)
         media = struct.field("media_ref").to_numpy(zero_copy_only=False)
+
+        def feed(h, v):
+            # length-prefixed, null-tagged encoding: injective — separator
+            # bytes inside values and null vs the literal string 'None'
+            # can never collide
+            if v is None:
+                h.update(b"N")
+            else:
+                b = str(v).encode()
+                h.update(b"V%d:" % len(b))
+                h.update(b)
+
         out = []
         for i in range(batch.num_rows):
             h = hashlib.md5()
             for j in range(offsets[i], offsets[i + 1]):
-                h.update(str(kinds[j]).encode())
-                h.update(b"\x00")
-                h.update(str(texts[j]).encode())
-                h.update(b"\x00")
-                h.update(str(media[j]).encode())
-                h.update(b"\x01")
+                feed(h, kinds[j])
+                feed(h, texts[j])
+                feed(h, media[j])
             out.append(h.hexdigest())
         return pa.table({"doc_id": batch["doc_id"],
                          "span_fp": pa.array(out, type=pa.string())})
