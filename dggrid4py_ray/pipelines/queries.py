@@ -8652,3 +8652,55 @@ ORACLES.update({
         FROM v ORDER BY event_id
     """,
 })
+
+
+def cms_user_counts(sf_dir: str):
+    """Count-Min sketch per-user event frequencies
+    (stages/sampling.cms_partials: linear sketch, elementwise-SUM merge,
+    depth x width counters per batch — deterministic at any parallelism).
+    Oracle regime: width 8192 >> distinct users, so every estimate has a
+    collision-free row and equals the exact count (the CMS guarantee is
+    one-sided: never an undercount)."""
+    from ..stages.sampling import cms_counts
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    return cms_counts(ds, "user_id").to_pandas() \
+        .sort_values("user_id", ignore_index=True)
+
+
+QUERIES.update({"cms_user_counts": cms_user_counts})
+
+ORACLES.update({
+    "cms_user_counts": """
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS est_cnt
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+})
+
+
+def snm_pairs_docs(sf_dir: str):
+    """Sorted-neighborhood blocking candidates (stages/dedup.snm_pairs,
+    Hernandez-Stolfo SNM): docs sorted by (n_chars, doc_id), every pair
+    within a 6-row window of the GLOBAL order — one sort, per-bucket
+    vectorized pair expansion, exactly-once emission from the left row's
+    native bucket."""
+    from ..stages.dedup import snm_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = snm_pairs(ds, ["n_chars"], "doc_id", window=6,
+                    bucket_rows=512).to_pandas()
+    return out.sort_values(["id_a", "id_b"], ignore_index=True)
+
+
+QUERIES.update({"snm_pairs_docs": snm_pairs_docs})
+
+ORACLES.update({
+    "snm_pairs_docs": """
+        WITH r AS (SELECT doc_id, n_chars,
+                          ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn
+                   FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_chars AS n_chars_a
+        FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 5
+        ORDER BY 1, 2
+    """,
+})

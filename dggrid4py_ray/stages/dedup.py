@@ -1007,3 +1007,86 @@ def duplicated_window_counts(ds: "ray.data.Dataset", window: int = 8,
             "n_dup_windows": pc.fill_null(t["_nd"], 0).cast(pa.int64())})
 
     return j.map_batches(fin, batch_format="pyarrow")
+
+
+def snm_pairs(ds: "ray.data.Dataset", key_cols, id_col: str = "doc_id",
+              window: int = 8, bucket_rows: int = 4096) -> "ray.data.Dataset":
+    """Sorted-Neighborhood Method blocking (Hernandez & Stolfo 1995, the
+    classic entity-resolution candidate generator): sort the corpus by a
+    blocking key, slide a ``window``-row window over the GLOBAL order and
+    emit every in-window row pair.  Complements the content-sketch
+    blockers (minhash/simhash/embedding LSH): recall is governed by the
+    key + window, cost is exactly O(n * (window-1)) pairs — no hot-bucket
+    skew by construction.
+
+    Ray shape (ONE sort, no self-join):
+      1. global row number over (key_cols..., id_col) — the group_row_number
+         carry chain with a constant group (one range sort, O(#blocks)
+         driver summaries);
+      2. each row goes to rank-bucket ``rn // B`` and, when its rank sits
+         in the first ``window-1`` slots of its bucket, also to the
+         previous bucket (the only replication: window-1 rows per bucket);
+      3. per-bucket vectorized pair expansion (searchsorted on rank, no
+         O(B^2) triu): a pair is emitted from its LEFT row's native bucket
+         — exactly once.
+    Output: (id_a, id_b) plus the key columns of the LEFT row, with
+    rank(id_a) < rank(id_b) and rank difference < window — bit-exact to
+    the SQL ROW_NUMBER self-join twin.  Buckets are ~``bucket_rows`` rows,
+    so group count is n/B (driver-light) and per-group work is O(B +
+    pairs)."""
+    import pandas as pd
+
+    from .window import group_row_number
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    B = max(int(bucket_rows), int(window))
+
+    def addg(t: pa.Table) -> pa.Table:
+        return t.append_column("_g", pa.array(np.zeros(t.num_rows, np.int8)))
+
+    rn = group_row_number(
+        ds.select_columns(keys + [id_col]).map_batches(
+            addg, batch_format="pyarrow"),
+        "_g", keys + [id_col], out_col="_rn")
+
+    def to_buckets(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_g"])
+        r = t["_rn"].to_numpy()
+        b = r // B
+        native = t.append_column("_bk", pa.array(b))
+        spill = (r % B) < (window - 1)
+        repl = t.filter(pa.array(spill & (b > 0)))
+        if repl.num_rows:
+            rb = repl["_rn"].to_numpy() // B - 1
+            native = pa.concat_tables([native,
+                                       repl.append_column("_bk",
+                                                           pa.array(rb))])
+        return native
+
+    keyed = rn.map_batches(to_buckets, batch_format="pyarrow")
+
+    def bucket_pairs(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values("_rn", kind="stable", ignore_index=True)
+        r = g["_rn"].to_numpy(np.int64)
+        bk = int(g["_bk"].iloc[0])
+        n = len(g)
+        native = (r // B) == bk
+        hi = np.searchsorted(r, r + window, side="left")
+        counts = np.where(native, hi - np.arange(n) - 1, 0)
+        tot = int(counts.sum())
+        cols = {f"{c}_a": pd.Series([], dtype=g[c].dtype) for c in keys}
+        if tot == 0:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64),
+                                 **cols})
+        li = np.repeat(np.arange(n), counts)
+        base = np.repeat(np.cumsum(counts) - counts, counts)
+        ri = np.arange(tot) - base + li + 1
+        ids = g[id_col].to_numpy()
+        out = {"id_a": ids[li], "id_b": ids[ri]}
+        for c in keys:
+            out[f"{c}_a"] = g[c].to_numpy()[li]
+        return pd.DataFrame(out)
+
+    return keyed.groupby("_bk").map_groups(bucket_pairs,
+                                           batch_format="pandas")

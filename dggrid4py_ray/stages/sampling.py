@@ -430,3 +430,87 @@ def mixture_sample(ds: ray.data.Dataset, group_col: str, id_col: str,
                                  < lim))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (completes the mergeable-sketch family: HLL distinct /
+# Misra-Gries frequency / KLL quantile / CMS point-frequency)
+# ---------------------------------------------------------------------------
+
+def cms_partials(ds: ray.data.Dataset, key_col: str, depth: int = 4,
+                 width: int = 8192, seed: int = 0) -> ray.data.Dataset:
+    """Per-batch Count-Min sketch partials (Cormode & Muthukrishnan 2005):
+    one row per batch holding the flattened ``depth x width`` int64 counter
+    matrix.  CMS is a LINEAR sketch — merge is elementwise SUM — so the
+    merged sketch is deterministic at any parallelism / block layout, and
+    only ``depth*width*8`` bytes per batch cross the wire regardless of
+    batch size.  Hashing is the vectorized 64-bit lane hash (one lane per
+    row via distinct seeds) — no per-row Python.
+
+    Sizing: estimates overcount by at most ``e*N/width`` with probability
+    ``1 - exp(-depth)`` (N = total rows).  With ``width`` comfortably above
+    the distinct-key count the estimate is EXACT for a key whenever any of
+    its ``depth`` slots is collision-free — the SQL-oracle regime used by
+    the driver query (verified empirically for its input; at 100-TB scale
+    run the approximate regime and size width to the tolerable overcount,
+    not the key cardinality)."""
+    from .hashing import hash64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts = np.zeros(depth * width, dtype=np.int64)
+        if batch.num_rows:
+            arr = batch[key_col]
+            for d in range(depth):
+                h = hash64(arr, seed=seed + d * 0x9E3779B9)
+                np.add.at(counts, (h % np.uint64(width)).astype(np.int64)
+                          + d * width, 1)
+        return pa.table({"counts": pa.array([counts.tobytes()],
+                                            type=pa.binary())})
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def cms_merge(partials: ray.data.Dataset, depth: int = 4,
+              width: int = 8192) -> np.ndarray:
+    """Fold the per-batch partials into one (depth, width) int64 matrix —
+    a streamed elementwise sum; the driver holds only one sketch."""
+    counts = np.zeros(depth * width, dtype=np.int64)
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for buf in b["counts"]:
+            counts += np.frombuffer(buf.as_py(), dtype=np.int64)
+    return counts.reshape(depth, width)
+
+
+def cms_query(sketch: np.ndarray, keys, depth: int = 4, width: int = 8192,
+              seed: int = 0) -> np.ndarray:
+    """Point-frequency estimates for an Arrow/numpy key array: the min over
+    the ``depth`` counter rows (never an undercount; exact when any row's
+    slot is collision-free).  Vectorized gather per row."""
+    from .hashing import hash64
+
+    if not isinstance(keys, (pa.Array, pa.ChunkedArray)):
+        keys = pa.array(keys)
+    est = None
+    for d in range(depth):
+        h = hash64(keys, seed=seed + d * 0x9E3779B9)
+        row = sketch[d][(h % np.uint64(width)).astype(np.int64)]
+        est = row if est is None else np.minimum(est, row)
+    return est
+
+
+def cms_counts(ds: ray.data.Dataset, key_col: str, depth: int = 4,
+               width: int = 8192, seed: int = 0) -> pa.Table:
+    """(key, est) for every distinct key: build the sketch in one narrow
+    scan, list the distinct keys with a sort-based grouped count (the
+    key domain is the answer here, so it is answer-sized by definition),
+    then estimate all keys vectorized against the driver-held sketch."""
+    from .groupagg import grouped_count
+
+    sketch = cms_merge(cms_partials(ds, key_col, depth, width, seed),
+                       depth, width)
+    keys_tbl = grouped_count(ds.select_columns([key_col]), key_col,
+                             out_col="_n").to_pandas()
+    keys = pa.array(keys_tbl[key_col])
+    est = cms_query(sketch, keys, depth, width, seed)
+    return pa.table({key_col: keys,
+                     "est_cnt": pa.array(est.astype(np.int64))})
