@@ -360,3 +360,63 @@ def adaptive_bin_point_vals(ds: ray.data.Dataset, dggs_type: str = "IGEO7",
 
     return adaptive_bin(ds, coarse_fn, fine_fn, threshold, value_col,
                         lon_col, lat_col)
+
+
+def spacetime_bin(ds: ray.data.Dataset, lon_col: str, lat_col: str,
+                  ts_col: str, value_col: str, deg: float = 1.0,
+                  period_s: int = 604800,
+                  high_cardinality: bool = False) -> ray.data.Dataset:
+    """Joint spatio-temporal cube: bin points to an equirectangular
+    ``deg``-degree grid AND a ``period_s``-second epoch period in one
+    pass, emitting (cell, period, n_points, sum_value).  The space-time
+    twin of ``bin_point_vals``: the same within-batch combiner strategy
+    (a hot (cell, week) — urban Zipf head x traffic spike — contributes
+    at most one partial row per batch to the exchange).
+
+    ``value_col`` must be integer-valued (pre-scaled cents/micros) so the
+    sums are exact at any parallelism.  ``ts_col`` is a timestamp column;
+    the period is ``epoch_seconds // period_s`` (SQL
+    ``epoch_us(ts) // (period_s*1e6)`` parity — both floor toward -inf
+    for the post-1970 domain).
+
+    ``high_cardinality=True`` routes the final aggregate through the
+    sort-based ``grouped_reduce`` on a packed (cell, period) int64 key —
+    use it when cells x periods outgrows a hash-aggregate's working set
+    (fine-resolution grids over long histories)."""
+    n_lon = int(round(360.0 / deg))
+
+    def partial(t: pa.Table) -> pa.Table:
+        lon = t[lon_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        lat = t[lat_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ts = t[ts_col].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        val = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cell = ((np.floor((lat + 90.0) / deg)).astype(np.int64) * n_lon
+                + np.floor((lon + 180.0) / deg).astype(np.int64))
+        period = ts // (int(period_s) * 1_000_000)
+        df = pd.DataFrame({"cell": cell, "period": period, "v": val})
+        g = df.groupby(["cell", "period"], sort=False).agg(
+            n_points=("v", "size"), sum_value=("v", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    if high_cardinality:
+        from ..stages.groupagg import grouped_reduce
+        packed = parts.map_batches(
+            lambda t: pa.table({
+                "_k": pa.array(t["cell"].to_numpy() * 10_000_000
+                               + t["period"].to_numpy()),
+                "n_points": t["n_points"], "sum_value": t["sum_value"]}),
+            batch_format="pyarrow")
+        red = grouped_reduce(packed, "_k",
+                             {"n_points": "n_points",
+                              "sum_value": "sum_value"}, how="sum")
+        return red.map_batches(
+            lambda t: pa.table({
+                "cell": pa.array(t["_k"].to_numpy() // 10_000_000),
+                "period": pa.array(t["_k"].to_numpy() % 10_000_000),
+                "n_points": t["n_points"], "sum_value": t["sum_value"]}),
+            batch_format="pyarrow")
+    return parts.groupby(["cell", "period"]).aggregate(
+        Sum("n_points", alias_name="n_points"),
+        Sum("sum_value", alias_name="sum_value"))

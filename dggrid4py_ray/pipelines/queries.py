@@ -8704,3 +8704,117 @@ ORACLES.update({
         ORDER BY 1, 2
     """,
 })
+
+
+def extract_patterns_docs(sf_dir: str):
+    """Per-document regex extraction stats (stages/text.
+    extract_pattern_stats): non-overlapping match counts for two RE2
+    patterns plus the first 'ta…' word — pure vectorized map (Arrow RE2
+    kernels, the same engine as DuckDB's regexp functions)."""
+    from ..stages.text import extract_pattern_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = extract_pattern_stats(
+        ds, {"n_long": "[a-z]{5,}", "n_ta": "ta[a-z]+"},
+        first_of="ta[a-z]+").to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+QUERIES.update({"extract_patterns_docs": extract_patterns_docs})
+
+ORACLES.update({
+    "extract_patterns_docs": """
+        SELECT doc_id,
+               CAST(length(regexp_extract_all(text, '[a-z]{5,}'))
+                    AS BIGINT) AS n_long,
+               CAST(length(regexp_extract_all(text, 'ta[a-z]+'))
+                    AS BIGINT) AS n_ta,
+               regexp_extract(text, 'ta[a-z]+') AS first_match
+        FROM documents ORDER BY doc_id
+    """,
+})
+
+
+def spacetime_cube_events(sf_dir: str):
+    """Joint space-time cube (pipelines/binning.spacetime_bin): 1-degree
+    grid x epoch-week binning in ONE pass with a within-batch (cell,
+    period) combiner — the spatio-temporal twin of latlon_bin_events."""
+    from .binning import spacetime_bin
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def coords(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        return pa.table({
+            "lon": pa.array(((eid * 7919) % 36000) / 100.0 - 180.0),
+            "lat": pa.array(((eid * 104729) % 18000) / 100.0 - 90.0),
+            "ts": t["ts"],
+            "cents": pa.array(_cents_half_up(
+                t["value"].to_numpy(zero_copy_only=False), 100))})
+
+    out = spacetime_bin(ds.map_batches(coords, batch_format="pyarrow"),
+                        "lon", "lat", "ts", "cents", deg=1.0,
+                        period_s=604800)
+    return out.sort(["cell", "period"])
+
+
+QUERIES.update({"spacetime_cube_events": spacetime_cube_events})
+
+ORACLES.update({
+    "spacetime_cube_events": """
+        WITH v AS (SELECT ((event_id * 104729) % 18000) // 100 * 360
+                          + ((event_id * 7919) % 36000) // 100 AS cell,
+                          CAST(epoch_us(ts) // 604800000000 AS BIGINT)
+                              AS period,
+                          CAST(ROUND(value * 100) AS BIGINT) AS c
+                   FROM events)
+        SELECT cell, period, CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(SUM(c) AS BIGINT) AS sum_value
+        FROM v GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+})
+
+
+def quartile_buckets_by_type(sf_dir: str):
+    """Equal-frequency discretization (stages/normalize.quantile_bucketize):
+    per-event-type quartile cutoffs (exact histogram-refine quantiles,
+    quantile_disc parity), one broadcast + one pure assignment map, then
+    an answer-sized (type, bucket) count."""
+    from ..stages.normalize import quantile_bucketize
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "c": pa.array(_cents_half_up(
+                             t["value"].to_numpy(zero_copy_only=False),
+                             100))})
+
+    out = quantile_bucketize(ds.map_batches(cents, batch_format="pyarrow"),
+                             "event_type", "c")
+    agg = out.groupby(["event_type", "bucket"]).aggregate(
+        Count(alias_name="n"))
+    return agg.sort(["event_type", "bucket"])
+
+
+QUERIES.update({"quartile_buckets_by_type": quartile_buckets_by_type})
+
+ORACLES.update({
+    "quartile_buckets_by_type": """
+        WITH v AS (SELECT event_type,
+                          CAST(ROUND(value * 100) AS BIGINT) AS c
+                   FROM events),
+        q AS (SELECT event_type,
+                     quantile_disc(c, 0.25) AS q1,
+                     quantile_disc(c, 0.50) AS q2,
+                     quantile_disc(c, 0.75) AS q3
+              FROM v GROUP BY event_type)
+        SELECT v.event_type,
+               CAST(CASE WHEN c <= q1 THEN 0 WHEN c <= q2 THEN 1
+                         WHEN c <= q3 THEN 2 ELSE 3 END AS BIGINT)
+                   AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM v JOIN q ON v.event_type = q.event_type
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+})

@@ -386,3 +386,40 @@ def quantile_normalize(ds: ray.data.Dataset, group_col: str, value_col: str,
     right, _ = _coalesce_for_join(ranks, parts)
     return left.join(right, join_type="inner", num_partitions=parts,
                      on=(rank_col,))
+
+
+def quantile_bucketize(ds: ray.data.Dataset, group_col: str,
+                       value_col: str, qs=(0.25, 0.5, 0.75),
+                       out_col: str = "bucket") -> ray.data.Dataset:
+    """Equal-frequency discretization (ML feature binning): per-group
+    quantile cutoffs, then each row gets the bucket index of its value —
+    bucket b iff cut[b-1] < v <= cut[b] (quantile_disc tie semantics, so
+    the SQL CASE twin is bit-exact on integer-scaled values).
+
+    Shape: one exact_group_quantile pass per cutoff (histogram-refine,
+    bounded group counts — the cutoff table is answer-sized by
+    definition), cutoffs broadcast once via ray.put, then ONE pure
+    vectorized assignment map (per-group searchsorted on the 2-D cutoff
+    matrix) — the corpus never shuffles."""
+    import ray
+
+    from .relational import exact_group_quantile
+
+    cut_tbls = [exact_group_quantile(ds, group_col, value_col, q=q)
+                .to_pandas().set_index(group_col)["quantile"]
+                for q in qs]
+    cuts = pd.DataFrame({i: t for i, t in enumerate(cut_tbls)})
+    cuts_ref = ray.put(cuts)
+
+    def assign(t: pa.Table) -> pa.Table:
+        cdf = ray.get(cuts_ref)
+        g = pd.Series(t[group_col].to_numpy(zero_copy_only=False))
+        idx = g.map({k: i for i, k in enumerate(cdf.index)}) \
+            .to_numpy(np.int64)
+        cmat = cdf.to_numpy()          # (n_groups, n_cuts), ascending rows
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        # bucket = #cuts strictly below v  (v <= cut -> stays left of it)
+        b = (v[:, None] > cmat[idx]).sum(axis=1).astype(np.int64)
+        return t.append_column(out_col, pa.array(b))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -949,3 +949,33 @@ def chunk_documents(ds, text_col: str = "text", id_col: str = "doc_id",
                  else c for c in texts])})
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def extract_pattern_stats(ds, patterns: dict, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          first_of: str | None = None):
+    """Per-document regex match statistics — the extraction half of the
+    text-analysis surface (PII scans, feature mining, filter audits).
+    ``patterns`` maps output column -> RE2 pattern; each column is the
+    count of NON-OVERLAPPING leftmost matches in the document
+    (pyarrow.compute.count_substring_regex — RE2, the same engine and
+    semantics as DuckDB's regexp_extract_all, so the SQL twin is
+    bit-exact).  ``first_of`` optionally adds a ``first_match`` column:
+    the first match of that pattern, '' when absent (DuckDB
+    regexp_extract parity — Arrow's null-on-no-match is filled).
+
+    A pure vectorized map — no shuffle, no per-row Python; compiled RE2
+    state lives inside the Arrow kernel."""
+    def stats(t: pa.Table) -> pa.Table:
+        cols = {id_col: t[id_col]}
+        arr = _str_array(t, text_col)
+        for out_col, pat in patterns.items():
+            cols[out_col] = pc.cast(
+                pc.count_substring_regex(arr, pat), pa.int64())
+        if first_of is not None:
+            m = pc.extract_regex(arr, f"(?P<m>{first_of})")
+            cols["first_match"] = pc.fill_null(
+                pc.struct_field(m, "m"), "")
+        return pa.table(cols)
+
+    return ds.map_batches(stats, batch_format="pyarrow")
