@@ -8818,3 +8818,130 @@ ORACLES.update({
         GROUP BY 1, 2 ORDER BY 1, 2
     """,
 })
+
+
+def zonemap_prune_events(sf_dir: str):
+    """Cluster-and-prune roundtrip (state/checkpoint.write_clustered +
+    read_zonemap_pruned): events get a Morton locality key, stream into
+    Z-order-clustered parquet files with per-file min/max zone maps, and
+    a key-range query reads back ONLY the overlapping files (file-level
+    skip before any task is scheduled) plus the exact residual filter —
+    the sorted-write / pruned-scan pair that makes a 100-TB table
+    range-queryable without a full scan.  The oracle recomputes the same
+    range from the raw table, proving the sink/prune/source chain is
+    lossless."""
+    import hashlib
+    import shutil
+
+    from ..stages.sfc import morton_encode
+    from ..state.checkpoint import read_zonemap_pruned, write_clustered
+
+    out_dir = ("/tmp/zonemap_"
+               + hashlib.md5(sf_dir.encode()).hexdigest()[:8])
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        gx = (eid * 7919) % 36000 // 400
+        gy = (eid * 104729) % 18000 // 400
+        return pa.table({
+            "gx": pa.array(gx), "gy": pa.array(gy),
+            "morton_key": pa.array(
+                morton_encode(gx, gy).astype(np.int64)),
+            "cents": pa.array(_cents_half_up(
+                t["value"].to_numpy(zero_copy_only=False), 100))})
+
+    write_clustered(ds.map_batches(keyed, batch_format="pyarrow"),
+                    out_dir, "morton_key", ["morton_key"],
+                    rows_per_file=2048)
+    pruned, n_read, n_total = read_zonemap_pruned(out_dir, "morton_key",
+                                                  1024, 4096)
+    if pruned is None:
+        return pd.DataFrame({"gx": pd.Series([], dtype=np.int64),
+                             "gy": pd.Series([], dtype=np.int64),
+                             "n": pd.Series([], dtype=np.int64),
+                             "sum_cents": pd.Series([], dtype=np.int64)})
+    agg = pruned.groupby(["gx", "gy"]).aggregate(
+        Count(alias_name="n"), Sum("cents", alias_name="sum_cents"))
+    return agg.sort(["gx", "gy"]).to_pandas().astype(
+        {"gx": np.int64, "gy": np.int64, "sum_cents": np.int64})
+
+
+QUERIES.update({"zonemap_prune_events": zonemap_prune_events})
+
+ORACLES.update({
+    "zonemap_prune_events": """
+        WITH b AS (
+            SELECT event_id,
+                   (event_id * 7919) % 36000 // 400 AS gx,
+                   (event_id * 104729) % 18000 // 400 AS gy,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events),
+        bits AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 16)),
+        k AS (SELECT gx, gy, cents,
+                     CAST(SUM((((gx >> i) & 1) << (2 * i))
+                              + (((gy >> i) & 1) << (2 * i + 1)))
+                          AS BIGINT) AS morton_key
+              FROM b CROSS JOIN bits
+              GROUP BY event_id, gx, gy, cents)
+        SELECT CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM k WHERE morton_key >= 1024 AND morton_key < 4096
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+})
+
+
+def hll_join_cardinality(sf_dir: str):
+    """Join-cardinality planning from sketches (stages/sampling.
+    hll_intersection_estimate): estimate |events.user_id ∩
+    orders.o_custkey| by HLL inclusion-exclusion — two 2^p-byte register
+    sketches + an elementwise-max union sketch; neither table moves.
+    Estimates are deterministic (md5 key hashing) and pinned in the
+    oracle; the exact overlap rides along via two answer-sized distinct
+    scans (the SQL INTERSECT twin)."""
+    from ..stages.sampling import hll_intersection_estimate
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    od = _read(sf_dir, "orders", ["o_custkey"])
+    est = hll_intersection_estimate(ev, "user_id", od, "o_custkey", p=12)
+
+    def uniq(col):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({col: pa.array(np.unique(
+                t[col].to_numpy(zero_copy_only=False)))})
+        return f
+
+    users = set(_read(sf_dir, "events", ["user_id"])
+                .map_batches(uniq("user_id"), batch_format="pyarrow")
+                .to_pandas()["user_id"].unique())
+    custs = set(_read(sf_dir, "orders", ["o_custkey"])
+                .map_batches(uniq("o_custkey"), batch_format="pyarrow")
+                .to_pandas()["o_custkey"].unique())
+    exact = len(users & custs)
+    return pa.table({
+        "est_users": pa.array([est["est_a"]], pa.int64()),
+        "est_custkeys": pa.array([est["est_b"]], pa.int64()),
+        "est_overlap": pa.array([est["est_intersection"]], pa.int64()),
+        "exact_overlap": pa.array([exact], pa.int64())})
+
+
+QUERIES.update({"hll_join_cardinality": hll_join_cardinality})
+
+ORACLES.update({
+    # estimates pinned (deterministic md5-keyed sketch at sf0.01);
+    # exact overlap = the SQL INTERSECT
+    "hll_join_cardinality": """
+        SELECT CAST(151 AS BIGINT) AS est_users,
+               CAST(1484 AS BIGINT) AS est_custkeys,
+               CAST(151 AS BIGINT) AS est_overlap,
+               CAST((SELECT COUNT(*) FROM
+                     (SELECT DISTINCT user_id FROM events
+                      INTERSECT
+                      SELECT DISTINCT o_custkey FROM orders))
+                    AS BIGINT) AS exact_overlap
+    """,
+})

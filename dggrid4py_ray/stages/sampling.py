@@ -100,21 +100,56 @@ def _hll_ranks(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
     return reg_idx, rank
 
 
-def hll_estimate(partials: ray.data.Dataset, p: int = 12) -> float:
-    """Merge register partials (elementwise max) and return the HLL
-    estimate with the standard small/large-range corrections (Flajolet et
-    al. 2007)."""
-    m = 1 << p
-    regs = np.zeros(m, dtype=np.uint8)
+def _hll_fold_regs(partials: ray.data.Dataset, p: int) -> np.ndarray:
+    """Stream-merge per-batch register partials (elementwise max)."""
+    regs = np.zeros(1 << p, dtype=np.uint8)
     for b in partials.iter_batches(batch_format="pyarrow"):
         for buf in b["regs"]:
             regs = np.maximum(regs, np.frombuffer(buf.as_py(), dtype=np.uint8))
+    return regs
+
+
+def _hll_est_from_regs(regs: np.ndarray, p: int) -> float:
+    """HLL estimate with the standard small/large-range corrections
+    (Flajolet et al. 2007)."""
+    m = 1 << p
     alpha = 0.7213 / (1.0 + 1.079 / m)
     est = alpha * m * m / np.sum(2.0 ** (-regs.astype(np.float64)))
     zeros = int((regs == 0).sum())
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)   # linear counting
     return float(est)
+
+
+def hll_estimate(partials: ray.data.Dataset, p: int = 12) -> float:
+    """Merge register partials (elementwise max) and return the HLL
+    estimate with the standard small/large-range corrections (Flajolet et
+    al. 2007)."""
+    return _hll_est_from_regs(_hll_fold_regs(partials, p), p)
+
+
+def hll_intersection_estimate(ds_a: ray.data.Dataset, col_a: str,
+                              ds_b: ray.data.Dataset, col_b: str,
+                              p: int = 12) -> dict:
+    """Approximate set overlap between two key columns via HLL
+    inclusion-exclusion: |A ∩ B| ≈ est(A) + est(B) - est(A ∪ B), where
+    the union sketch is the elementwise register max (HLL's union is
+    EXACT at the sketch level — max commutes with the per-key rank).
+    The join-planning primitive: estimate a join's key overlap from two
+    2^p-byte sketches without moving either table.  Deterministic given
+    the data (md5 key hashing), so the estimates are pin-able.
+
+    Returns {'est_a', 'est_b', 'est_union', 'est_intersection'} as ints
+    (intersection clamped at 0 — inclusion-exclusion on estimates can go
+    slightly negative for disjoint sets)."""
+    ra = _hll_fold_regs(hll_partials(ds_a, col_a, p), p)
+    rb = _hll_fold_regs(hll_partials(ds_b, col_b, p), p)
+    ea = _hll_est_from_regs(ra, p)
+    eb = _hll_est_from_regs(rb, p)
+    eu = _hll_est_from_regs(np.maximum(ra, rb), p)
+    return {"est_a": int(round(ea)), "est_b": int(round(eb)),
+            "est_union": int(round(eu)),
+            "est_intersection": max(0, int(round(ea + eb - eu)))}
 
 
 def hll_distinct(ds: ray.data.Dataset, key_col: str, p: int = 12) -> int:

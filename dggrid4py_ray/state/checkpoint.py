@@ -225,3 +225,95 @@ def write_dataset_checkpointed(ds, out_dir: str, lineage: dict | None = None,
                    "written_this_run": sorted(per_part)}, f)
     os.replace(tmp, os.path.join(out_dir, "_dataset_manifest.json"))
     return out_dir
+
+
+def write_clustered(ds, out_dir: str, cluster_col: str,
+                    zone_cols: list | None = None,
+                    rows_per_file: int = 1 << 20) -> dict:
+    """Cluster-and-zone-map sink: range-sort by ``cluster_col`` (give it a
+    locality key — a Morton/Hilbert key, a DGGS cell id, a timestamp — so
+    spatially/temporally close rows land in the same files), stream each
+    sorted block to its own parquet file, and record per-file MIN/MAX of
+    every ``zone_cols`` entry in a ``_zonemap.json`` manifest.
+
+    The zone map is what makes a 100-TB table queryable without a full
+    scan: ``read_zonemap_pruned`` opens only files whose [min, max]
+    overlaps the predicate range — after a locality-key sort a range
+    predicate touches O(matching) files, not O(all).  (The same idea as
+    parquet row-group statistics, lifted to the file level so pruning
+    happens BEFORE tasks are scheduled — no footer reads, no task
+    startup for pruned files.)
+
+    Returns the manifest dict.  Writing is streaming (each block written
+    as it flows; only (file, min, max, rows) summaries return to the
+    driver); the manifest is written last as the commit marker."""
+    import uuid
+
+    import numpy as np
+
+    zone_cols = list(zone_cols or [cluster_col])
+    os.makedirs(out_dir, exist_ok=True)
+    for f in os.listdir(out_dir):
+        if f.endswith(".parquet") or f == "_zonemap.json":
+            os.remove(os.path.join(out_dir, f))
+
+    srt = ds.sort(cluster_col)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"file": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64()),
+                             **{f"_min_{c}": pa.array([], pa.int64())
+                                for c in zone_cols},
+                             **{f"_max_{c}": pa.array([], pa.int64())
+                                for c in zone_cols}})
+        fname = f"clustered-{uuid.uuid4().hex[:12]}.parquet"
+        tmp = os.path.join(out_dir, "." + fname + ".tmp")
+        pq.write_table(batch, tmp)
+        os.replace(tmp, os.path.join(out_dir, fname))
+        cols = {"file": pa.array([fname]),
+                "rows": pa.array([batch.num_rows], pa.int64())}
+        for c in zone_cols:
+            v = batch[c].to_numpy(zero_copy_only=False)
+            cols[f"_min_{c}"] = pa.array([int(np.min(v))], pa.int64())
+            cols[f"_max_{c}"] = pa.array([int(np.max(v))], pa.int64())
+        return pa.table(cols)
+
+    summaries = srt.map_batches(write_block, batch_size=rows_per_file,
+                                batch_format="pyarrow").take_all()
+    manifest = {
+        "cluster_col": cluster_col,
+        "zone_cols": zone_cols,
+        "files": [
+            {"file": s["file"], "rows": int(s["rows"]),
+             "zones": {c: [int(s[f"_min_{c}"]), int(s[f"_max_{c}"])]
+                       for c in zone_cols}}
+            for s in summaries],
+    }
+    tmp = os.path.join(out_dir, "._zonemap.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(out_dir, "_zonemap.json"))
+    return manifest
+
+
+def read_zonemap_pruned(out_dir: str, col: str, lo: int, hi: int):
+    """Range-predicate read against a ``write_clustered`` table: keep only
+    files whose zone [min, max] intersects [lo, hi) (file-level skip —
+    no task is even scheduled for a pruned file), then apply the exact
+    residual filter.  Returns (dataset, n_files_read, n_files_total)."""
+    import ray.data
+
+    with open(os.path.join(out_dir, "_zonemap.json")) as f:
+        manifest = json.load(f)
+    if col not in manifest["zone_cols"]:
+        raise ValueError(f"no zone map for column {col!r} "
+                         f"(have {manifest['zone_cols']})")
+    keep = [e["file"] for e in manifest["files"]
+            if e["zones"][col][0] < hi and e["zones"][col][1] >= lo]
+    total = len(manifest["files"])
+    if not keep:
+        return None, 0, total
+    ds = ray.data.read_parquet([os.path.join(out_dir, f) for f in keep])
+    return ds.filter(expr=f"{col} >= {int(lo)} and {col} < {int(hi)}"), \
+        len(keep), total
