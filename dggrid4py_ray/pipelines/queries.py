@@ -8945,3 +8945,266 @@ ORACLES.update({
                     AS BIGINT) AS exact_overlap
     """,
 })
+
+
+def contingency_lang_source(sf_dir: str):
+    """Chi-square independence-test inputs for documents lang x source
+    (stages/validate.contingency_counts): observed counts + both
+    marginals + grand total, all integer-exact against the SQL
+    window-SUM twin."""
+    from ..stages.validate import contingency_counts
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return contingency_counts(ds, "lang", "source")
+
+
+QUERIES.update({"contingency_lang_source": contingency_lang_source})
+
+ORACLES.update({
+    "contingency_lang_source": """
+        WITH o AS (SELECT lang, source,
+                          CAST(COUNT(*) AS BIGINT) AS observed
+                   FROM documents GROUP BY 1, 2)
+        SELECT lang, source, observed,
+               CAST(SUM(observed) OVER (PARTITION BY lang) AS BIGINT)
+                   AS row_total,
+               CAST(SUM(observed) OVER (PARTITION BY source) AS BIGINT)
+                   AS col_total,
+               CAST(SUM(observed) OVER () AS BIGINT) AS n
+        FROM o ORDER BY lang, source
+    """,
+})
+
+
+def rrf_docs(sf_dir: str):
+    """Reciprocal-rank fusion (stages/search.rrf_fuse): rank documents by
+    n_chars (a 'lexical' score) and by a deterministic pseudo-relevance
+    score, fuse with RRF (k=60), top-20.  Each ranking is ONE
+    group_row_number carry chain (O(#blocks) driver state); the fused
+    float sum reproduces the SQL 1.0/(60+r1) + 1.0/(60+r2) op order
+    bit-for-bit."""
+    from ..stages.search import rrf_fuse
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def score2(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        return t.append_column("s2", pa.array((did * 7919) % 100000))
+
+    ds = ds.map_batches(score2, batch_format="pyarrow")
+    out = rrf_fuse(ds, "doc_id", ["n_chars", "s2"], rrf_k=60, top_n=20)
+    return pa.table({
+        "rank": out["rank"],
+        "doc_id": out["doc_id"],
+        "rank_chars": out["rank_n_chars"].cast(pa.int64()),
+        "rank_s2": out["rank_s2"].cast(pa.int64()),
+        "rrf": _iscale(out["rrf_score"].to_numpy(), 10**12)})
+
+
+def hard_negatives_embs(sf_dir: str):
+    """Contrastive hard-negative mining (stages/search.hard_negatives):
+    for each of the 5 query vectors (vec_id 0..4) the 5 most
+    cosine-similar corpus vectors with a DIFFERENT label.  Broadcast
+    query matrix, per-batch masked matmul + partial top-k; the corpus
+    never shuffles."""
+    from ..stages.search import hard_negatives
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    qdf = ds.filter(lambda r: r["vec_id"] < 5).to_pandas()
+    qdf = qdf.sort_values("vec_id", ignore_index=True)
+    Q = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in qdf["embedding"]])
+    out = hard_negatives(ds, Q, qdf["label"].to_numpy(), k=5)
+    qid = qdf["vec_id"].to_numpy()[out["query_idx"].to_numpy()]
+    return pa.table({
+        "qid": pa.array(qid, pa.int64()),
+        "vec_id": out["vec_id"].cast(pa.int64()),
+        "cosine": _iscale(out["cosine"].to_numpy(), 1000000),
+        "rank": out["rank"].cast(pa.int64())})
+
+
+_SCD2_HIGH_US = 253402300799000000  # 9999-12-31T23:59:59 in epoch-us
+
+
+def scd2_events(sf_dir: str):
+    """SCD2 validity intervals from a change log: each (user, event)
+    becomes a dimension version valid [ts, next-change ts), the open
+    current version pinned to the conventional 9999-12-31 high date.
+    LEAD at unbounded user cardinality = ONE group_shift carry chain
+    over the reversed order; timestamps are rebased to the corpus min
+    so the float64 carry lane stays integer-exact (< 2^53)."""
+    from ..stages.window import group_shift
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64())
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "event_type": t["event_type"],
+                         "_us": us})
+
+    us = ds.map_batches(to_us, batch_format="pyarrow")
+    base = int(us.min("_us"))
+
+    def rebase(t: pa.Table) -> pa.Table:
+        rel = t["_us"].to_numpy() - base
+        return (t.append_column("_rel", pa.array(rel))
+                 .append_column("_negrel", pa.array(-rel))
+                 .append_column("_negeid",
+                                pa.array(-t["event_id"].to_numpy())))
+
+    reb = us.map_batches(rebase, batch_format="pyarrow")
+    led = group_shift(reb, "user_id", ["_negrel", "_negeid"], "_rel",
+                      k=1, out_col="_lead")
+
+    def finish(t: pa.Table) -> pa.Table:
+        lead = t["_lead"].to_numpy(zero_copy_only=False)
+        cur = np.isnan(lead)
+        vto = np.where(cur, np.float64(_SCD2_HIGH_US),
+                       lead + base).astype(np.int64)
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "valid_from_us": pa.array(t["_rel"].to_numpy() + base),
+            "valid_to_us": pa.array(vto),
+            "is_current": pa.array(cur.astype(np.int64))})
+
+    return led.map_batches(finish, batch_format="pyarrow")
+
+
+def geofence_transitions_events(sf_dir: str):
+    """Geofence entry/exit log: events (formula lat/lon) assigned to 3
+    rectangular fences via the REAL PIP machinery (STRtree-pruned
+    PointInPolygonJoin, fence -1 = outside), then per-user ordered
+    transition detection via ONE group_shift carry chain — emit only
+    rows where the fence changes (first event always emits; 'no
+    previous' is the -9 sentinel, matching the SQL COALESCE twin)."""
+    import struct
+
+    from ..stages.join import pip_join
+    from ..stages.window import group_shift
+
+    def _box_wkb(lon0, lat0, lon1, lat1) -> bytes:
+        ring = [(lon0, lat0), (lon1, lat0), (lon1, lat1), (lon0, lat1),
+                (lon0, lat0)]
+        out = struct.pack("<BII", 1, 3, 1) + struct.pack("<I", len(ring))
+        for x, y in ring:
+            out += struct.pack("<dd", x, y)
+        return out
+
+    fences = [_box_wkb(-120.005, -30.005, -60.005, 29.995),
+              _box_wkb(-0.005, -0.005, 59.995, 44.995),
+              _box_wkb(90.005, -60.005, 170.005, -10.005)]
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def coords(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        lon = ((eid * 7919) % 36000).astype(np.float64) / 100.0 - 180.0
+        lat = ((eid * 104729) % 18000).astype(np.float64) / 100.0 - 90.0
+        return (t.append_column("lon", pa.array(lon))
+                 .append_column("lat", pa.array(lat)))
+
+    pts = ds.map_batches(coords, batch_format="pyarrow")
+    tagged = pip_join(pts, fences)
+    led = group_shift(tagged, "user_id", ["event_id"], "poly_id",
+                      k=1, out_col="_prev")
+
+    def finish(t: pa.Table) -> pa.Table:
+        prev = t["_prev"].to_numpy(zero_copy_only=False)
+        prev = np.where(np.isnan(prev), -9.0, prev).astype(np.int64)
+        cur = t["poly_id"].to_numpy(zero_copy_only=False)
+        keep = prev != cur
+        return pa.table({
+            "user_id": t["user_id"].filter(pa.array(keep)),
+            "event_id": t["event_id"].filter(pa.array(keep)),
+            "from_fence": pa.array(prev[keep]),
+            "to_fence": pa.array(cur[keep])})
+
+    return led.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES.update({
+    "rrf_docs": rrf_docs,
+    "hard_negatives_embs": hard_negatives_embs,
+    "scd2_events": scd2_events,
+    "geofence_transitions_events": geofence_transitions_events,
+})
+
+ORACLES.update({
+    "rrf_docs": """
+        WITH s AS (SELECT doc_id, n_chars,
+                          (doc_id * 7919) % 100000 AS s2 FROM documents),
+        r AS (SELECT doc_id,
+                ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS r1,
+                ROW_NUMBER() OVER (ORDER BY s2 DESC, doc_id) AS r2
+              FROM s),
+        f AS (SELECT doc_id, r1, r2,
+                CAST(1.0 AS DOUBLE) / (60 + r1)
+                + CAST(1.0 AS DOUBLE) / (60 + r2) AS rrf FROM r)
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id)
+                    AS BIGINT) AS rank,
+               doc_id,
+               CAST(r1 AS BIGINT) AS rank_chars,
+               CAST(r2 AS BIGINT) AS rank_s2,
+               CAST(ROUND(rrf * 1000000000000) AS BIGINT) AS rrf
+        FROM f ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+    "hard_negatives_embs": """
+        WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+                          label AS qlab
+                   FROM embeddings WHERE vec_id < 5),
+        d AS (SELECT q.qid, e.vec_id,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            q.qv) AS cosine
+              FROM embeddings e, q WHERE e.label <> q.qlab),
+        r AS (SELECT qid, vec_id, cosine,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                                        ORDER BY cosine DESC, vec_id)
+                         AS rank
+              FROM d)
+        SELECT qid, vec_id,
+               CAST(ROUND(cosine * 1000000) AS BIGINT) AS cosine,
+               CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 5 ORDER BY qid, rank
+    """,
+    "scd2_events": """
+        WITH e AS (SELECT user_id, event_id, event_type,
+                          epoch_us(ts) AS ts_us FROM events),
+        l AS (SELECT user_id, event_id, event_type, ts_us,
+                     LEAD(ts_us) OVER (PARTITION BY user_id
+                                       ORDER BY ts_us, event_id) AS vt
+              FROM e)
+        SELECT user_id, event_id, event_type,
+               CAST(ts_us AS BIGINT) AS valid_from_us,
+               CAST(COALESCE(vt, 253402300799000000) AS BIGINT)
+                   AS valid_to_us,
+               CAST(CASE WHEN vt IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                   AS is_current
+        FROM l ORDER BY user_id, valid_from_us, event_id
+    """,
+    "geofence_transitions_events": """
+        WITH pts AS (SELECT event_id, user_id,
+               ((event_id * 7919) % 36000) / 100.0 - 180.0 AS lon,
+               ((event_id * 104729) % 18000) / 100.0 - 90.0 AS lat
+             FROM events),
+        f AS (SELECT event_id, user_id,
+               CASE WHEN lon BETWEEN -120.005 AND -60.005
+                         AND lat BETWEEN -30.005 AND 29.995 THEN 0
+                    WHEN lon BETWEEN -0.005 AND 59.995
+                         AND lat BETWEEN -0.005 AND 44.995 THEN 1
+                    WHEN lon BETWEEN 90.005 AND 170.005
+                         AND lat BETWEEN -60.005 AND -10.005 THEN 2
+                    ELSE -1 END AS fence FROM pts),
+        l AS (SELECT user_id, event_id, fence,
+               COALESCE(LAG(fence) OVER (PARTITION BY user_id
+                                         ORDER BY event_id), -9) AS prev
+              FROM f)
+        SELECT user_id, event_id, CAST(prev AS BIGINT) AS from_fence,
+               CAST(fence AS BIGINT) AS to_fence
+        FROM l WHERE prev <> fence ORDER BY user_id, event_id
+    """,
+})

@@ -263,3 +263,41 @@ def profile_table(ds: ray.data.Dataset, cols: list) -> pa.Table:
         "n_distinct": pa.array(rows["n_distinct"], pa.int64()),
         "min_str": pa.array(rows["min_str"], pa.string()),
         "max_str": pa.array(rows["max_str"], pa.string())})
+
+
+def contingency_counts(ds: ray.data.Dataset, row_col: str,
+                       col_col: str) -> pa.Table:
+    """Contingency table with marginals — the integer inputs of a
+    chi-square independence test (drift / association audits between two
+    categorical columns).  Emits one row per observed (row, col) pair:
+    observed count, row total, column total, grand total — all int64, so
+    the SQL window-SUM twin is bit-exact, and the chi-square statistic
+    sum((N*obs - rt*ct)^2 / (N*rt*ct)) is a pure driver-side fold over
+    the answer-sized table.
+
+    Shape: within-batch combiner (a hot pair contributes one partial row
+    per batch) + one hash aggregate over the category-pair domain
+    (answer-sized by definition); marginals fold driver-side."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "r": t[row_col].to_numpy(zero_copy_only=False),
+            "c": t[col_col].to_numpy(zero_copy_only=False)})
+        g = df.groupby(["r", "c"], sort=False).size().reset_index(name="o")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    obs = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["r", "c"]).aggregate(Sum("o", alias_name="observed")) \
+        .to_pandas()
+    rt = obs.groupby("r")["observed"].sum()
+    ct = obs.groupby("c")["observed"].sum()
+    n = int(obs["observed"].sum())
+    obs["row_total"] = obs["r"].map(rt).astype(np.int64)
+    obs["col_total"] = obs["c"].map(ct).astype(np.int64)
+    obs["n"] = np.int64(n)
+    obs = obs.rename(columns={"r": row_col, "c": col_col}) \
+        .sort_values([row_col, col_col], ignore_index=True)
+    return pa.Table.from_pandas(obs, preserve_index=False)
