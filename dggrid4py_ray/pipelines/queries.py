@@ -9208,3 +9208,192 @@ ORACLES.update({
         FROM l WHERE prev <> fence ORDER BY user_id, event_id
     """,
 })
+
+
+def linkage_pairs_docs(sf_dir: str):
+    """Fellegi-Sunter record linkage (stages/linkage.linkage_score_pairs):
+    blocking key (lang, n_chars//100), integer agreement weights
+    source=2 / n_chars=3 / text=10, threshold 2 — ONE groupby shuffle on
+    the block key, per-block pair scoring fully vectorized (triu +
+    factorized equality).  Exact SQL twin: the blocked self-join with
+    the same CASE weights."""
+    from ..stages.linkage import linkage_score_pairs
+
+    ds = _read(sf_dir, "documents",
+               ["doc_id", "lang", "source", "text", "n_chars"])
+
+    def key(t: pa.Table) -> pa.Table:
+        bucket = pc.cast(pc.floor(pc.divide(
+            pc.cast(t["n_chars"], pa.float64()), 100.0)), pa.int64())
+        return t.append_column(
+            "bk", pc.binary_join_element_wise(
+                t["lang"], pc.cast(bucket, pa.string()), "|"))
+
+    out = linkage_score_pairs(
+        ds.map_batches(key, batch_format="pyarrow"), "bk", "doc_id",
+        {"source": 2, "n_chars": 3, "text": 10}, threshold=2)
+    return out.map_batches(
+        lambda t: pa.table({"id_a": pc.cast(t["id_a"], pa.int64()),
+                            "id_b": pc.cast(t["id_b"], pa.int64()),
+                            "score": pc.cast(t["score"], pa.int64())}),
+        batch_format="pyarrow").sort(["id_a", "id_b"])
+
+
+def view_refresh_orders(sf_dir: str):
+    """Incremental materialized-view maintenance
+    (stages/incremental.refresh_grouped_view): a per-customer
+    (n_orders, total_cents) view built over the 90% 'old' snapshot is
+    refreshed with an INSERT delta (the %10==0 arrivals) and then a
+    DELETE delta (%100==0 retractions) — the fact table is never
+    rescanned; refresh cost is O(|delta| + touched groups).  Oracle:
+    the full recompute over orders minus the retracted rows."""
+    from ..stages.incremental import delta_partials, refresh_grouped_view
+    from ..stages.groupagg import grouped_reduce
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "o_orderkey": t["o_orderkey"],
+            "cents": pa.array(_cents_half_up(
+                t["o_totalprice"].to_numpy(), 100))})
+
+    full = _read(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_totalprice"]) \
+        .map_batches(cents, batch_format="pyarrow")
+
+    def _mod_filter(div: int, want_zero: bool):
+        def f(t: pa.Table) -> pa.Table:
+            zero = t["o_orderkey"].to_numpy() % div == 0
+            return t.filter(pa.array(zero if want_zero else ~zero))
+        return f
+
+    base = full.map_batches(_mod_filter(10, False), batch_format="pyarrow")
+    ins = full.map_batches(_mod_filter(10, True), batch_format="pyarrow")
+    dels = full.map_batches(_mod_filter(100, True), batch_format="pyarrow")
+
+    view = grouped_reduce(
+        delta_partials(base, ["o_custkey"], {"cents": "total_cents"}),
+        ["o_custkey"], {"total_cents": "total_cents", "n": "n"}, how="sum")
+    v1 = refresh_grouped_view(view, ins, ["o_custkey"],
+                              {"cents": "total_cents"}, sign=1)
+    v2 = refresh_grouped_view(v1, dels, ["o_custkey"],
+                              {"cents": "total_cents"}, sign=-1)
+    return v2.map_batches(
+        lambda t: pa.table({"o_custkey": t["o_custkey"],
+                            "n_orders": pc.cast(t["n"], pa.int64()),
+                            "total_cents": pc.cast(t["total_cents"],
+                                                   pa.int64())}),
+        batch_format="pyarrow")
+
+
+def _io_scratch(sf_dir: str, tag: str) -> str:
+    import hashlib
+    h = hashlib.md5(f"{sf_dir}|{tag}".encode()).hexdigest()[:12]
+    return f"/tmp/dggrid4py_ray_io/{tag}_{h}"
+
+
+def jsonl_roundtrip_docs(sf_dir: str):
+    """JSONL source/sink parity: stream documents out as JSONL
+    (ds.write_json, one file per block — the resumable-partition
+    layout), read the directory back with ray.data.read_json, and
+    aggregate per lang.  Oracle: the same aggregate straight off the
+    parquet — proving the JSON hop is lossless for int/string
+    columns."""
+    import shutil
+
+    out_dir = _io_scratch(sf_dir, "docs_jsonl")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    ds.write_json(out_dir)
+    back = ray.data.read_json(out_dir)
+    from ..stages.groupagg import grouped_reduce
+    agg = grouped_reduce(
+        back.map_batches(
+            lambda t: pa.table({"lang": t["lang"],
+                                "n_chars": t["n_chars"],
+                                "doc_id": t["doc_id"],
+                                "n": pa.array(np.ones(t.num_rows,
+                                                      np.int64))}),
+            batch_format="pyarrow"),
+        ["lang"], {"n_chars": "sum_chars", "doc_id": "sum_ids", "n": "n"},
+        how="sum")
+    return agg.map_batches(
+        lambda t: pa.table({"lang": t["lang"],
+                            "n": pc.cast(t["n"], pa.int64()),
+                            "sum_chars": pc.cast(t["sum_chars"], pa.int64()),
+                            "sum_ids": pc.cast(t["sum_ids"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def csv_roundtrip_events(sf_dir: str):
+    """CSV source/sink parity: integer/string event columns out via
+    ds.write_csv, back via ray.data.read_csv, per-type counts + integer
+    checksums.  Oracle reads the parquet directly."""
+    import shutil
+
+    out_dir = _io_scratch(sf_dir, "events_csv")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    ds.write_csv(out_dir)
+    back = ray.data.read_csv(out_dir)
+    from ..stages.groupagg import grouped_reduce
+    agg = grouped_reduce(
+        back.map_batches(
+            lambda t: t.append_column(
+                "n", pa.array(np.ones(t.num_rows, np.int64))),
+            batch_format="pyarrow"),
+        ["event_type"],
+        {"event_id": "sum_eids", "user_id": "sum_uids", "n": "n"},
+        how="sum")
+    return agg.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"],
+                            "n": pc.cast(t["n"], pa.int64()),
+                            "sum_eids": pc.cast(t["sum_eids"], pa.int64()),
+                            "sum_uids": pc.cast(t["sum_uids"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+QUERIES.update({
+    "linkage_pairs_docs": linkage_pairs_docs,
+    "view_refresh_orders": view_refresh_orders,
+    "jsonl_roundtrip_docs": jsonl_roundtrip_docs,
+    "csv_roundtrip_events": csv_roundtrip_events,
+})
+
+ORACLES.update({
+    "linkage_pairs_docs": """
+        WITH b AS (SELECT doc_id, source, n_chars, text,
+                          lang || '|' || CAST(n_chars // 100 AS VARCHAR)
+                              AS bk
+                   FROM documents)
+        SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+               CAST((CASE WHEN a.source = c.source THEN 2 ELSE 0 END)
+                  + (CASE WHEN a.n_chars = c.n_chars THEN 3 ELSE 0 END)
+                  + (CASE WHEN a.text = c.text THEN 10 ELSE 0 END)
+                    AS BIGINT) AS score
+        FROM b a JOIN b c ON a.bk = c.bk AND a.doc_id < c.doc_id
+        WHERE (CASE WHEN a.source = c.source THEN 2 ELSE 0 END)
+            + (CASE WHEN a.n_chars = c.n_chars THEN 3 ELSE 0 END)
+            + (CASE WHEN a.text = c.text THEN 10 ELSE 0 END) >= 2
+        ORDER BY id_a, id_b
+    """,
+    "view_refresh_orders": """
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders WHERE o_orderkey % 100 != 0
+        GROUP BY o_custkey ORDER BY o_custkey
+    """,
+    "jsonl_roundtrip_docs": """
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "csv_roundtrip_events": """
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(event_id) AS BIGINT) AS sum_eids,
+               CAST(SUM(user_id) AS BIGINT) AS sum_uids
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+})
