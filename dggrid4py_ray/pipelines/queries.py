@@ -9397,3 +9397,146 @@ ORACLES.update({
         FROM events GROUP BY event_type ORDER BY event_type
     """,
 })
+
+
+def s2_h3_encode_events(sf_dir: str):
+    """The other two north-star encoder families end-to-end: S2
+    spherical-quadtree level-6 encode (dggs/s2.py, from-scratch
+    published algorithm) and the H3-layout packing of the Z7 cell
+    (dggs/h3like.py) over the same formula coordinates as
+    igeo7_encode_events.  Ids are not SQL-expressible, so the oracle is
+    conservation (points + value mass = the events table, SQL-exact)
+    plus pinned regression literals: occupied S2 cell count, occupied
+    level-8 S2 parent count (hierarchy law: every cell's parent is
+    counted), and mod-checksums of the distinct S2 and H3-layout id
+    sets (pins the actual bit patterns, not just cardinalities)."""
+    from ..config import dgselect
+    from ..dggs import s2 as s2mod
+    from ..dggs.h3like import z7_to_h3layout
+    from ..stages.encode import CellEncoder
+    from ..stages.groupagg import grouped_reduce
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    dggs = dgselect("IGEO7", resolution=9)
+
+    def encode(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        lon = ((eid * 7919) % 36000).astype(np.float64) / 100.0 - 180.0
+        lat = ((eid * 104729) % 18000).astype(np.float64) / 100.0 - 90.0
+        s2id = s2mod.encode(lon, lat, level=6)
+        return pa.table({"s2": pa.array(s2id),
+                         "lon": pa.array(lon), "lat": pa.array(lat),
+                         "value": t["value"],
+                         "n": pa.array(np.ones(len(eid), np.int64))})
+
+    enc = ds.map_batches(encode, batch_format="pyarrow")
+    enc = enc.map_batches(CellEncoder(dggs, out_col="z7"),
+                          batch_format="pyarrow")
+
+    def project(t: pa.Table) -> pa.Table:
+        h3 = z7_to_h3layout(t["z7"].to_numpy().astype(np.uint64))
+        return pa.table({"s2": t["s2"], "h3": pa.array(h3.view(np.int64)),
+                         "value": t["value"], "n": t["n"]})
+
+    per_cell = grouped_reduce(
+        enc.map_batches(project, batch_format="pyarrow"),
+        ["s2", "h3"], {"value": "sum_value", "n": "n"}, how="sum")
+    cells = per_cell.to_pandas()  # answer-sized: one row per (s2,h3) pair
+    s2u = np.unique(cells["s2"].to_numpy().astype(np.uint64))
+    h3u = np.unique(cells["h3"].to_numpy().astype(np.uint64))
+    par = np.unique(s2mod.parent(s2u, level=3))
+    mod = np.uint64(1000003)
+    return pa.table({
+        "n_points": pa.array([int(cells["n"].sum())], pa.int64()),
+        "sum_value": _iscale(np.array([cells["sum_value"].sum()]),
+                             10000),
+        "n_s2_cells": pa.array([len(s2u)], pa.int64()),
+        "n_s2_parents": pa.array([len(par)], pa.int64()),
+        "s2_checksum": pa.array([int((s2u % mod).sum() % mod)], pa.int64()),
+        "h3_checksum": pa.array([int((h3u % mod).sum() % mod)], pa.int64()),
+    })
+
+
+def missing_days_by_user(sf_dir: str):
+    """Temporal completeness audit: per user, days inside their own
+    [first, last] activity span with NO event — exactly
+    span_days - distinct_active_days, each side one grouped_reduce
+    (distinct (user, day) via the same sort machinery; no window, no
+    join).  Users with zero gaps are kept (n_missing = 0) so the audit
+    is total."""
+    from ..stages.groupagg import grouped_reduce
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["ts"], pa.int64()).to_numpy() // 86_400_000_000
+        return pa.table({"user_id": t["user_id"], "day": pa.array(d),
+                         "n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    ud = ds.map_batches(days, batch_format="pyarrow")
+    # distinct (user, day): grouped_reduce keyed on the pair
+    dd = grouped_reduce(ud, ["user_id", "day"], {"n": "n"}, how="sum")
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"], "day": t["day"],
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    per_user = grouped_reduce(
+        dd.map_batches(ones, batch_format="pyarrow"), ["user_id"],
+        {"day": "min_day", "one": "active_days"},
+        how={"day": "min", "one": "sum"})
+    per_user_max = grouped_reduce(
+        dd.map_batches(ones, batch_format="pyarrow"), ["user_id"],
+        {"day": "max_day"}, how={"day": "max"})
+    j = per_user.join(per_user_max, join_type="inner", num_partitions=8,
+                      on=("user_id",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        span = (t["max_day"].to_numpy() - t["min_day"].to_numpy() + 1)
+        miss = span - t["active_days"].to_numpy()
+        return pa.table({"user_id": t["user_id"],
+                         "active_days": pc.cast(t["active_days"],
+                                                pa.int64()),
+                         "span_days": pa.array(span.astype(np.int64)),
+                         "n_missing": pa.array(miss.astype(np.int64))})
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES.update({
+    "s2_h3_encode_events": s2_h3_encode_events,
+    "missing_days_by_user": missing_days_by_user,
+})
+
+ORACLES.update({
+    "missing_days_by_user": """
+        WITH d AS (SELECT user_id,
+                          CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                              AS day
+                   FROM events)
+        SELECT user_id,
+               CAST(COUNT(DISTINCT day) AS BIGINT) AS active_days,
+               CAST(MAX(day) - MIN(day) + 1 AS BIGINT) AS span_days,
+               CAST(MAX(day) - MIN(day) + 1 - COUNT(DISTINCT day)
+                    AS BIGINT) AS n_missing
+        FROM d GROUP BY user_id ORDER BY user_id
+    """,
+})
+
+
+ORACLES.update({
+    # conservation (points + value mass, SQL-exact) + pinned grid
+    # regression literals: occupied S2 level-6 cells / level-3 parents
+    # and mod-1000003 checksums over the distinct S2 and H3-layout id
+    # sets (S2/H3 ids are not SQL-expressible; same precedent as
+    # igeo7_encode_events)
+    "s2_h3_encode_events": """
+        SELECT COUNT(*) AS n_points,
+               CAST(ROUND(SUM(value) * 10000) AS BIGINT) AS sum_value,
+               CAST(8305 AS BIGINT) AS n_s2_cells,
+               CAST(384 AS BIGINT) AS n_s2_parents,
+               CAST(521775 AS BIGINT) AS s2_checksum,
+               CAST(232958 AS BIGINT) AS h3_checksum
+        FROM events
+    """,
+})
