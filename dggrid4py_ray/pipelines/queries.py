@@ -9540,3 +9540,63 @@ ORACLES.update({
         FROM events
     """,
 })
+
+
+def token_budget_docs(sf_dir: str):
+    """Per-source token-budget enforcement
+    (stages/sampling.token_budget_cap): cap each source at 3000
+    whitespace tokens, admitting docs in deterministic md5-priority
+    order (bit-identical to DuckDB md5_number_upper) — ONE
+    group_running_sum carry chain + a pure filter.  Output: per-source
+    kept-doc count, kept-token total, and a doc_id checksum pinning the
+    exact kept SET (not just its size)."""
+    from ..stages.groupagg import grouped_reduce
+    from ..stages.sampling import token_budget_cap
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"], "source": t["source"],
+            "toks": pc.cast(pc.list_value_length(
+                pc.split_pattern(t["text"], " ")), pa.int64())})
+
+    kept = token_budget_cap(ds.map_batches(tok, batch_format="pyarrow"),
+                            "source", "doc_id", "toks", budget=3000)
+
+    def ones(t: pa.Table) -> pa.Table:
+        return t.append_column("n", pa.array(np.ones(t.num_rows,
+                                                     np.int64)))
+
+    agg = grouped_reduce(
+        kept.map_batches(ones, batch_format="pyarrow"), ["source"],
+        {"n": "n_kept", "toks": "kept_tokens", "doc_id": "sum_ids"},
+        how="sum")
+    return agg.map_batches(
+        lambda t: pa.table({"source": t["source"],
+                            "n_kept": pc.cast(t["n_kept"], pa.int64()),
+                            "kept_tokens": pc.cast(t["kept_tokens"],
+                                                   pa.int64()),
+                            "sum_ids": pc.cast(t["sum_ids"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+QUERIES.update({"token_budget_docs": token_budget_docs})
+
+ORACLES.update({
+    "token_budget_docs": """
+        WITH t AS (SELECT doc_id, source,
+                          len(string_split(text, ' ')) AS toks,
+                          md5_number_upper(CAST(doc_id AS VARCHAR)) AS pri
+                   FROM documents),
+        w AS (SELECT *, SUM(toks) OVER (PARTITION BY source
+                                        ORDER BY pri, doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(SUM(toks) AS BIGINT) AS kept_tokens,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        FROM w WHERE cum <= 3000
+        GROUP BY source ORDER BY source
+    """,
+})

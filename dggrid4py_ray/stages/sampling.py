@@ -549,3 +549,46 @@ def cms_counts(ds: ray.data.Dataset, key_col: str, depth: int = 4,
     est = cms_query(sketch, keys, depth, width, seed)
     return pa.table({key_col: keys,
                      "est_cnt": pa.array(est.astype(np.int64))})
+
+
+def token_budget_cap(ds: ray.data.Dataset, group_col: str, id_col: str,
+                     token_col: str, budget: int,
+                     hash: str = "md5") -> ray.data.Dataset:
+    """Per-group token-budget enforcement (the data-mixing step of a
+    training-data pipeline: cap each source/language at N tokens): rows
+    are admitted in deterministic hash-priority order (a pure function
+    of ``id_col`` — stable across runs, retries and cluster sizes, the
+    ``hash_sample`` guarantee) until the group's cumulative ``token_col``
+    would exceed ``budget`` (inclusive prefix: a row is kept iff the
+    running total THROUGH it is <= budget — SQL ``SUM() OVER (... ROWS
+    UNBOUNDED PRECEDING) <= budget``).
+
+    Dataflow: priority column per batch (md5 for oracle parity, or the
+    vectorized fast hash), then ONE ``group_running_sum`` carry chain
+    ordered by (priority, id) and a pure filter — no map_groups, no
+    per-group driver state.  The float64 running-sum lane is exact to
+    2^53 cumulative tokens per group (~9e15 — beyond any real budget).
+    """
+    from .window import group_running_sum
+
+    if hash not in ("md5", "fast"):
+        raise ValueError(f"hash must be 'md5' or 'fast', got {hash!r}")
+
+    def prio(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        if hash == "md5":
+            h = _md5_u64(ids)
+        else:
+            from .hashing import hash64
+            h = hash64(t[id_col])
+        return t.append_column("_pri", pa.array(h.astype(np.uint64)))
+
+    run = group_running_sum(ds.map_batches(prio, batch_format="pyarrow"),
+                            group_col, ["_pri", id_col], token_col,
+                            out_col="_cum")
+
+    def keep(t: pa.Table) -> pa.Table:
+        ok = t["_cum"].to_numpy(zero_copy_only=False) <= float(budget)
+        return t.filter(pa.array(ok)).drop_columns(["_pri", "_cum"])
+
+    return run.map_batches(keep, batch_format="pyarrow")

@@ -91,3 +91,32 @@ def test_view_refresh_insert_and_retract(ray_session):
     assert got["sv"].tolist() == want["sv"].tolist()
     assert got["n"].tolist() == want["n"].tolist()
     assert 0 not in got["k"].values  # fully-retracted group dropped
+
+
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_token_budget_cap_matches_window_sql(ray_session, blocks):
+    import hashlib
+
+    import ray.data
+    from dggrid4py_ray.stages.sampling import token_budget_cap
+
+    rng = np.random.default_rng(7)
+    n = 400
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "g": rng.integers(0, 4, n).astype(str),
+        "toks": rng.integers(1, 50, n).astype(np.int64)})
+    ds = ray.data.from_pandas(df).repartition(blocks)
+    got = token_budget_cap(ds, "g", "id", "toks", budget=300).to_pandas()
+
+    df["pri"] = [int.from_bytes(hashlib.md5(str(v).encode())
+                                .digest()[:8], "little")
+                 for v in df["id"]]
+    want_ids = []
+    for _, grp in df.groupby("g"):
+        grp = grp.sort_values(["pri", "id"])
+        keep = grp["toks"].cumsum() <= 300
+        want_ids.extend(grp["id"][keep].tolist())
+    assert sorted(got["id"].tolist()) == sorted(want_ids)
+    # per-group totals never exceed the budget
+    assert (got.groupby("g")["toks"].sum() <= 300).all()
