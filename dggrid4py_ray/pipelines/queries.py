@@ -9600,3 +9600,151 @@ ORACLES.update({
         GROUP BY source ORDER BY source
     """,
 })
+
+
+def psi_drift_events(sf_dir: str):
+    """Population Stability Index between the 'click' and 'purchase'
+    value distributions — the standard feature-drift audit between two
+    snapshots/sources.  10 fixed-width bins (width 50, top bin
+    clamped), Laplace-smoothed proportions p = (n + 0.5)/(N + 5) so
+    empty bins stay defined, per-bin contribution
+    (p_a - p_b) * ln(p_a / p_b).
+
+    Dataflow: ONE map_batches partial (bin x side counts per batch —
+    bounded 20 rows each) + one tiny grouped_reduce; the PSI fold runs
+    on the answer-sized 10-row table.  The float math mirrors the SQL
+    twin operation-for-operation."""
+    from ..stages.groupagg import grouped_reduce
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        out = {"bin": [], "side": [], "n": []}
+        for side in ("click", "purchase"):
+            m = et == side
+            b = np.minimum(np.floor(v[m] / 50.0), 9.0).astype(np.int64)
+            binc = np.bincount(b, minlength=10)
+            out["bin"].extend(range(10))
+            out["side"].extend([side] * 10)
+            out["n"].extend(binc.tolist())
+        return pa.table({"bin": pa.array(out["bin"], pa.int64()),
+                         "side": pa.array(out["side"]),
+                         "n": pa.array(out["n"], pa.int64())})
+
+    counts = grouped_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["bin", "side"], {"n": "n"}, how="sum")
+
+    def fold(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+        piv = df.pivot_table(index="bin", columns="side", values="n",
+                             aggfunc="sum", fill_value=0).reindex(
+            range(10), fill_value=0)
+        na = piv["click"].to_numpy().astype(np.float64)
+        nb = piv["purchase"].to_numpy().astype(np.float64)
+        pa_ = (na + 0.5) / (na.sum() + 5.0)
+        pb = (nb + 0.5) / (nb.sum() + 5.0)
+        contrib = (pa_ - pb) * np.log(pa_ / pb)
+        return pd.DataFrame({
+            "bin": np.arange(10, dtype=np.int64),
+            "n_click": na.astype(np.int64),
+            "n_purchase": nb.astype(np.int64),
+            "psi_contrib_e9": np.round(contrib * 1e9).astype(np.int64),
+            "psi_total_e9": np.full(
+                10, np.int64(np.round(contrib.sum() * 1e9)))})
+
+    return (counts.repartition(1)
+            .map_batches(fold, batch_format="pandas").sort("bin"))
+
+
+QUERIES.update({"psi_drift_events": psi_drift_events})
+
+ORACLES.update({
+    "psi_drift_events": """
+        WITH b AS (
+            SELECT LEAST(CAST(FLOOR(value / 50.0) AS BIGINT), 9) AS bin,
+                   event_type
+            FROM events WHERE event_type IN ('click', 'purchase')),
+        g AS (SELECT r.bin,
+                     COALESCE(SUM(CASE WHEN b.event_type = 'click'
+                                       THEN 1 END), 0) AS n_click,
+                     COALESCE(SUM(CASE WHEN b.event_type = 'purchase'
+                                       THEN 1 END), 0) AS n_purchase
+              FROM range(0, 10) r(bin) LEFT JOIN b ON b.bin = r.bin
+              GROUP BY r.bin),
+        tot AS (SELECT SUM(n_click) AS ta, SUM(n_purchase) AS tb FROM g),
+        p AS (SELECT bin, n_click, n_purchase,
+                     (n_click + 0.5) / (ta + 5.0) AS p_a,
+                     (n_purchase + 0.5) / (tb + 5.0) AS p_b
+              FROM g, tot),
+        c AS (SELECT bin, n_click, n_purchase,
+                     (p_a - p_b) * LN(p_a / p_b) AS contrib
+              FROM p)
+        SELECT CAST(bin AS BIGINT) AS bin,
+               CAST(n_click AS BIGINT) AS n_click,
+               CAST(n_purchase AS BIGINT) AS n_purchase,
+               CAST(ROUND(contrib * 1000000000) AS BIGINT)
+                   AS psi_contrib_e9,
+               CAST((SELECT ROUND(SUM(contrib) * 1000000000) FROM c)
+                    AS BIGINT) AS psi_total_e9
+        FROM c ORDER BY bin
+    """,
+})
+
+
+def skew_join_events(sf_dir: str):
+    """Skew-aware large join, hot keys DETECTED then salted
+    (stages/relational.salted_hash_join — the north rule's 'skew handled
+    explicitly' exhibit): per-user counts find the top-5 heaviest
+    user_ids (answer-sized), those keys are replicated across 4 salt
+    buckets on the build side while probe rows spread — a celebrity key
+    can no longer melt one reducer; output is provably identical to the
+    plain join (the SQL oracle).  Aggregate: revenue mass per market
+    segment."""
+    from ..stages.groupagg import grouped_reduce
+    from ..stages.relational import salted_hash_join
+
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "val4": pa.array(_cents_half_up(
+                t["value"].to_numpy(zero_copy_only=False), 10000)),
+            "n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    evc = ev.map_batches(cents, batch_format="pyarrow")
+    counts = grouped_reduce(evc, ["user_id"], {"n": "n"}, how="sum")
+    top = counts.sort(["n", "user_id"], descending=[True, False]) \
+        .limit(5).to_pandas()
+    hot = top["user_id"].to_numpy()
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda t: pa.table({
+            "user_id": t["c_custkey"],
+            "c_mktsegment": t["c_mktsegment"]}), batch_format="pyarrow")
+    j = salted_hash_join(evc, cust, on="user_id", hot_keys=hot, n_salt=4)
+
+    agg = grouped_reduce(j, ["c_mktsegment"],
+                         {"n": "n_events", "val4": "sum_val4"}, how="sum")
+    return agg.map_batches(
+        lambda t: pa.table({"c_mktsegment": t["c_mktsegment"],
+                            "n_events": pc.cast(t["n_events"], pa.int64()),
+                            "sum_val4": pc.cast(t["sum_val4"],
+                                                pa.int64())}),
+        batch_format="pyarrow")
+
+
+QUERIES.update({"skew_join_events": skew_join_events})
+
+ORACLES.update({
+    "skew_join_events": """
+        SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(e.value * 10000) AS BIGINT))
+                    AS BIGINT) AS sum_val4
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+})
