@@ -9748,3 +9748,77 @@ ORACLES.update({
         GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
     """,
 })
+
+
+def merged_intervals_users(sf_dir: str):
+    """Gaps-and-islands interval coalescing per user
+    (stages/temporal.merge_intervals): each event opens an interval
+    [ts, ts + round(value*100) * 36 s]; overlapping-or-touching intervals merge
+    into islands (two carry chains + one grouped_reduce — the SQL
+    MAX-OVER / SUM-OVER recipe distributed).  Timestamps rebased to the
+    corpus min so the float64 carry lane is integer-exact."""
+    from ..stages.temporal import merge_intervals
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def to_iv(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy()
+        dur = _cents_half_up(
+            t["value"].to_numpy(zero_copy_only=False), 100) * 36_000_000
+        return pa.table({"user_id": t["user_id"],
+                         "event_id": t["event_id"],
+                         "_us": pa.array(us),
+                         "_dur": pa.array(dur)})
+
+    iv = ds.map_batches(to_iv, batch_format="pyarrow")
+    base = int(iv.min("_us"))
+
+    def rebase(t: pa.Table) -> pa.Table:
+        s = t["_us"].to_numpy() - base
+        return pa.table({"user_id": t["user_id"],
+                         "event_id": t["event_id"],
+                         "s": pa.array(s),
+                         "e": pa.array(s + t["_dur"].to_numpy())})
+
+    out = merge_intervals(iv.map_batches(rebase, batch_format="pyarrow"),
+                          "user_id", "s", "e", "event_id")
+    return out.map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"],
+            "island": pc.cast(t["island"], pa.int64()),
+            "start_us": pa.array(t["s"].to_numpy() + base),
+            "end_us": pa.array(t["e"].to_numpy() + base),
+            "n_intervals": pc.cast(t["n_intervals"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+QUERIES.update({"merged_intervals_users": merged_intervals_users})
+
+ORACLES.update({
+    "merged_intervals_users": """
+        WITH iv AS (
+            SELECT user_id, event_id, epoch_us(ts) AS s,
+                   epoch_us(ts)
+                   + CAST(ROUND(value * 100) AS BIGINT) * 36000000 AS e
+            FROM events),
+        x AS (SELECT user_id, event_id, s, e,
+                     MAX(e) OVER (PARTITION BY user_id
+                                  ORDER BY s, e, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS pmax
+              FROM iv),
+        f AS (SELECT *, CASE WHEN pmax IS NULL OR s > pmax
+                             THEN 1 ELSE 0 END AS flag FROM x),
+        i AS (SELECT *, SUM(flag) OVER (PARTITION BY user_id
+                                        ORDER BY s, e, event_id
+                                        ROWS UNBOUNDED PRECEDING)
+                            AS island
+              FROM f)
+        SELECT user_id, CAST(island AS BIGINT) AS island,
+               CAST(MIN(s) AS BIGINT) AS start_us,
+               CAST(MAX(e) AS BIGINT) AS end_us,
+               CAST(COUNT(*) AS BIGINT) AS n_intervals
+        FROM i GROUP BY user_id, island
+        ORDER BY user_id, island
+    """,
+})

@@ -1040,3 +1040,55 @@ def rolling_range_sum(ds: ray.data.Dataset, user_col: str, ts_col: str,
     return out.map_batches(
         lambda t: t.rename_columns([id_col, out_col]),
         batch_format="pyarrow")
+
+
+def merge_intervals(ds: ray.data.Dataset, group_col: str,
+                    start_col: str, end_col: str, id_col: str
+                    ) -> ray.data.Dataset:
+    """Gaps-and-islands interval coalescing: merge overlapping-or-
+    touching [start, end] intervals per group into islands, emitting one
+    row per island: (group, island 1-based, start, end, n_intervals).
+    Touching means next.start <= running max end (SQL `>` starts a new
+    island only on a strict gap).
+
+    Exactly the classic SQL window recipe, distributed: (1) exclusive
+    running max of end per group (``group_running_max`` carry chain) —
+    new-island flag = start > prevmax (first row always flags); (2)
+    island id = running SUM of flags (``group_running_sum`` carry
+    chain); (3) one grouped_reduce on (group, island) for the island
+    extent.  Two range sorts over narrow rows + one bounded-key
+    aggregate; no per-group Python anywhere.  Values must be rebased
+    to < 2^53 (the float64 carry lane) — epoch-us inputs should
+    subtract a corpus base first."""
+    from .groupagg import grouped_reduce
+    from .window import group_running_max, group_running_sum
+
+    order = [start_col, end_col, id_col]
+    pm = group_running_max(ds, group_col, order, end_col,
+                           out_col="_pmax")
+
+    def flag(t: pa.Table) -> pa.Table:
+        pmax = t["_pmax"].to_numpy(zero_copy_only=False)
+        s = t[start_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        f = (np.isnan(pmax) | (s > pmax)).astype(np.int64)
+        return t.append_column("_flag", pa.array(f))
+
+    fl = pm.map_batches(flag, batch_format="pyarrow")
+    isl = group_running_sum(fl, group_col, order, "_flag",
+                            out_col="_island")
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            group_col: t[group_col],
+            "island": pa.array(t["_island"].to_numpy(
+                zero_copy_only=False).astype(np.int64)),
+            start_col: t[start_col], end_col: t[end_col],
+            "n_intervals": pa.array(np.ones(t.num_rows, np.int64))})
+
+    agg = grouped_reduce(
+        isl.map_batches(project, batch_format="pyarrow"),
+        [group_col, "island"],
+        {start_col: start_col, end_col: end_col,
+         "n_intervals": "n_intervals"},
+        how={start_col: "min", end_col: "max", "n_intervals": "sum"})
+    return agg

@@ -532,3 +532,92 @@ def group_fill_forward(ds: ray.data.Dataset, group_col: str,
         return t.append_column(out_col, arr)
 
     return srt.map_batches(local_fill, batch_format="pyarrow")
+
+
+def group_running_max(ds: ray.data.Dataset, group_col: str,
+                      order_cols: list, value_col: str,
+                      out_col: str = "prevmax") -> ray.data.Dataset:
+    """EXCLUSIVE running max — SQL ``MAX(value) OVER (PARTITION BY g
+    ORDER BY ... ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)`` —
+    at unbounded partition cardinality: the same one-sort + O(#blocks)
+    carry-chain shape as ``group_running_sum``, carrying the block's
+    last-group VALUE MAX (combine = max instead of +).  The first row
+    of each group gets an Arrow null (the SQL empty-frame NULL); output
+    is float64 (exact for integer inputs to 2^53 — rebase epoch-us
+    timestamps first).  The block-local segmented cummax/shift runs in
+    pandas' Cython groupby kernels — no per-group Python.  Unique
+    (group, *order) keys required.
+
+    This is the gaps-and-islands primitive: ``start > prevmax`` is the
+    exact new-island flag for interval coalescing."""
+    import pandas as pd
+
+    keys = [group_col] + list(order_cols)
+    srt = ds.sort(keys).materialize()
+
+    def summarize(t: pa.Table) -> pa.Table:
+        _require_clean_groups(t, group_col, "group_running_max")
+        cols = {f"_k{i}": t[c].slice(0, min(1, t.num_rows))
+                for i, c in enumerate(keys)}
+        if t.num_rows == 0:
+            cols.update({"_key": pa.array([], pa.string()),
+                         "_first_g": pa.array([], pa.string()),
+                         "_last_g": pa.array([], pa.string()),
+                         "_m_last": pa.array([], pa.float64())})
+            return pa.table(cols)
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        last_start = 0 if g[0] == g[-1] else \
+            int(np.flatnonzero(g[:-1] != g[1:])[-1] + 1)
+        cols.update({
+            "_key": pa.array([repr(_first_key(t, keys))]),
+            "_first_g": pa.array([str(g[0])]),
+            "_last_g": pa.array([str(g[-1])]),
+            "_m_last": pa.array([float(v[last_start:].max())],
+                                pa.float64()),
+        })
+        return pa.table(cols)
+
+    summ = (srt.map_batches(summarize, batch_format="pyarrow").to_pandas()
+            .sort_values([f"_k{i}" for i in range(len(keys))],
+                         ignore_index=True))
+    offsets = {}
+    carry_g, carry_m = None, None
+    for _, r in summ.iterrows():            # O(#blocks) driver rows
+        off = carry_m if r["_first_g"] == carry_g else None
+        if r["_key"] in offsets:
+            raise ValueError("group_running_max requires unique "
+                             f"(group, order) keys; duplicate {r['_key']}")
+        offsets[r["_key"]] = off
+        m = float(r["_m_last"])
+        carry_m = (max(off, m) if (off is not None
+                                   and r["_first_g"] == r["_last_g"])
+                   else m)
+        carry_g = r["_last_g"]
+    off_ref = ray.put(offsets)
+
+    def local_scan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.float64()))
+        offs = ray.get(off_ref)
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(g)
+        new_seg = np.r_[True, g[1:] != g[:-1]]
+        seg_id = np.cumsum(new_seg) - 1
+        s = pd.Series(v)
+        grp = s.groupby(seg_id)
+        prev = grp.cummax().groupby(seg_id).shift(1).to_numpy()
+        off = offs[repr(_first_key(t, keys))]
+        if off is not None:
+            first_end = int(np.flatnonzero(new_seg[1:])[0] + 1) \
+                if new_seg[1:].any() else n
+            seg0 = prev[:first_end]
+            prev[:first_end] = np.where(np.isnan(seg0), off,
+                                        np.maximum(seg0, off))
+        mask = np.isnan(prev)
+        return t.append_column(
+            out_col, pa.array(np.where(mask, 0.0, prev), pa.float64(),
+                              mask=mask))
+
+    return srt.map_batches(local_scan, batch_format="pyarrow")
