@@ -9822,3 +9822,75 @@ ORACLES.update({
         ORDER BY user_id, island
     """,
 })
+
+
+def clustered_join_lineitem_orders(sf_dir: str):
+    """Exchange-free storage-aware join
+    (stages/join.zonemap_merge_join): lineitem and orders are first
+    written as zone-map-clustered tables on the order key (the
+    pay-the-sort-once layout), then joined by pairing overlapping file
+    ranges off the two manifests — no shuffle, one task per left file
+    reading only the right files its key range touches.  Aggregate:
+    per order priority, lineitem count + integer quantity and cents
+    mass.  Oracle: the plain SQL join."""
+    import shutil
+
+    from ..stages.groupagg import grouped_reduce
+    from ..stages.join import zonemap_merge_join
+    from ..state.checkpoint import write_clustered
+
+    dir_l = _io_scratch(sf_dir, "li_clustered")
+    dir_o = _io_scratch(sf_dir, "ord_clustered")
+    shutil.rmtree(dir_l, ignore_errors=True)
+    shutil.rmtree(dir_o, ignore_errors=True)
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]) \
+        .map_batches(lambda t: pa.table({
+            "okey": t["l_orderkey"],
+            "qty": pc.cast(t["l_quantity"], pa.int64())}),
+            batch_format="pyarrow")
+    od = _read(sf_dir, "orders",
+               ["o_orderkey", "o_totalprice", "o_orderpriority"]) \
+        .map_batches(lambda t: pa.table({
+            "okey": t["o_orderkey"],
+            "cents": pa.array(_cents_half_up(
+                t["o_totalprice"].to_numpy(), 100)),
+            "prio": t["o_orderpriority"]}), batch_format="pyarrow")
+
+    write_clustered(li, dir_l, "okey", ["okey"], rows_per_file=1 << 13)
+    write_clustered(od, dir_o, "okey", ["okey"], rows_per_file=1 << 13)
+
+    j = zonemap_merge_join(dir_l, dir_o, "okey")
+
+    def ones(t: pa.Table) -> pa.Table:
+        return t.append_column("n", pa.array(np.ones(t.num_rows,
+                                                     np.int64)))
+
+    agg = grouped_reduce(
+        j.map_batches(ones, batch_format="pyarrow"), ["prio"],
+        {"n": "n_items", "qty": "sum_qty", "cents": "sum_cents"},
+        how="sum")
+    return agg.map_batches(
+        lambda t: pa.table({"prio": t["prio"],
+                            "n_items": pc.cast(t["n_items"], pa.int64()),
+                            "sum_qty": pc.cast(t["sum_qty"], pa.int64()),
+                            "sum_cents": pc.cast(t["sum_cents"],
+                                                 pa.int64())}),
+        batch_format="pyarrow")
+
+
+QUERIES.update(
+    {"clustered_join_lineitem_orders": clustered_join_lineitem_orders})
+
+ORACLES.update({
+    "clustered_join_lineitem_orders": """
+        SELECT o.o_orderpriority AS prio,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+                   AS sum_qty,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS sum_cents
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority ORDER BY prio
+    """,
+})

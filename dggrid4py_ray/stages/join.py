@@ -366,3 +366,83 @@ def radius_join_via_buckets(points: ray.data.Dataset,
         return out.append_column(dist_col, pa.array(d[keep]))
 
     return joined.map_batches(exact, batch_format="pyarrow")
+
+
+def zonemap_merge_join(dir_a: str, dir_b: str, key: str,
+                       columns_a: list | None = None,
+                       columns_b: list | None = None,
+                       concurrency=None) -> "ray.data.Dataset":
+    """Storage-aware equi-join of two ``write_clustered`` tables on their
+    cluster key — WITHOUT a shuffle: both layouts already tile the key
+    space, so the driver pairs each left file with the right files whose
+    zone [min, max] overlaps (O(#files) planning off the two manifests,
+    no footer reads), and one Ray task per left file joins it against
+    only those right files locally.  A matching row pair lives in
+    exactly one (left-file, right-file) pair — each left row is in one
+    file and each right row is in one file, and both files' zones
+    contain the shared key — so no output dedup is needed.
+
+    This is the exchange-free sort-merge join a 100-TB pipeline earns
+    by paying the cluster sort ONCE at write time (the same trade as
+    Iceberg/Delta clustered tables); re-joining on the cluster key
+    afterwards costs a planning pass + co-located reads.  Skew bound:
+    one task reads one left file plus the right files its key range
+    touches — bounded by the range overlap, not by key frequency.
+    """
+    import json as _json
+    import os as _os
+
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    def _manifest(d):
+        with open(_os.path.join(d, "_zonemap.json")) as f:
+            m = _json.load(f)
+        if key not in m["zone_cols"]:
+            raise ValueError(f"no zone map for {key!r} in {d}")
+        return m["files"]
+
+    fa = _manifest(dir_a)
+    fb = sorted(_manifest(dir_b), key=lambda e: e["zones"][key][0])
+    b_lo = [e["zones"][key][0] for e in fb]
+    b_hi = [e["zones"][key][1] for e in fb]
+
+    items = []
+    for e in fa:
+        lo, hi = e["zones"][key]
+        # right files with zone [l, h] s.t. l <= hi and h >= lo
+        import bisect
+        j0 = bisect.bisect_left(b_lo, lo)
+        # walk back over predecessors whose hi may still reach lo
+        while j0 > 0 and b_hi[j0 - 1] >= lo:
+            j0 -= 1
+        bs = []
+        for j in range(j0, len(fb)):
+            if b_lo[j] > hi:
+                break
+            if b_hi[j] >= lo:
+                bs.append(fb[j]["file"])
+        if bs:
+            items.append({"a": _os.path.join(dir_a, e["file"]),
+                          "b": "|".join(_os.path.join(dir_b, x)
+                                        for x in bs)})
+
+    if not items:
+        return ray.data.from_items([]).limit(0)
+
+    def join_pair(batch: pa.Table) -> pa.Table:
+        import pandas as _pd
+        outs = []
+        for i in range(batch.num_rows):
+            a = _pq.read_table(batch["a"][i].as_py(), columns=columns_a)
+            bpaths = batch["b"][i].as_py().split("|")
+            b = pa.concat_tables([_pq.read_table(p, columns=columns_b)
+                                  for p in bpaths])
+            df = a.to_pandas().merge(b.to_pandas(), on=key, how="inner")
+            outs.append(pa.Table.from_pandas(df, preserve_index=False))
+        return pa.concat_tables(outs)
+
+    work = ray.data.from_items(items).repartition(len(items))
+    return work.map_batches(join_pair, batch_format="pyarrow",
+                            batch_size=1,
+                            concurrency=concurrency)
