@@ -9082,18 +9082,13 @@ def geofence_transitions_events(sf_dir: str):
     transition detection via ONE group_shift carry chain — emit only
     rows where the fence changes (first event always emits; 'no
     previous' is the -9 sentinel, matching the SQL COALESCE twin)."""
-    import struct
-
+    from ..geometry import wkb_polygon
     from ..stages.join import pip_join
     from ..stages.window import group_shift
 
     def _box_wkb(lon0, lat0, lon1, lat1) -> bytes:
-        ring = [(lon0, lat0), (lon1, lat0), (lon1, lat1), (lon0, lat1),
-                (lon0, lat0)]
-        out = struct.pack("<BII", 1, 3, 1) + struct.pack("<I", len(ring))
-        for x, y in ring:
-            out += struct.pack("<dd", x, y)
-        return out
+        return wkb_polygon([np.array([(lon0, lat0), (lon1, lat0),
+                                      (lon1, lat1), (lon0, lat1)])])
 
     fences = [_box_wkb(-120.005, -30.005, -60.005, 29.995),
               _box_wkb(-0.005, -0.005, 59.995, 44.995),
@@ -9231,7 +9226,10 @@ def linkage_pairs_docs(sf_dir: str):
 
     out = linkage_score_pairs(
         ds.map_batches(key, batch_format="pyarrow"), "bk", "doc_id",
-        {"source": 2, "n_chars": 3, "text": 10}, threshold=2)
+        {"source": 2, "n_chars": 3, "text": 10}, threshold=2,
+        max_block=65536)  # oracle-exact while blocks stay under the cap
+                          # (max block: 54 at sf0.01, 451 at sf0.1; the
+                          # cap is the documented recall trade beyond)
     return out.map_batches(
         lambda t: pa.table({"id_a": pc.cast(t["id_a"], pa.int64()),
                             "id_b": pc.cast(t["id_b"], pa.int64()),
@@ -9407,7 +9405,7 @@ def s2_h3_encode_events(sf_dir: str):
     igeo7_encode_events.  Ids are not SQL-expressible, so the oracle is
     conservation (points + value mass = the events table, SQL-exact)
     plus pinned regression literals: occupied S2 cell count, occupied
-    level-8 S2 parent count (hierarchy law: every cell's parent is
+    level-3 S2 parent count (hierarchy law: every cell's parent is
     counted), and mod-checksums of the distinct S2 and H3-layout id
     sets (pins the actual bit patterns, not just cardinalities)."""
     from ..config import dgselect
@@ -9479,17 +9477,13 @@ def missing_days_by_user(sf_dir: str):
 
     def ones(t: pa.Table) -> pa.Table:
         return pa.table({"user_id": t["user_id"], "day": t["day"],
+                         "day2": t["day"],
                          "one": pa.array(np.ones(t.num_rows, np.int64))})
 
-    per_user = grouped_reduce(
+    j = grouped_reduce(
         dd.map_batches(ones, batch_format="pyarrow"), ["user_id"],
-        {"day": "min_day", "one": "active_days"},
-        how={"day": "min", "one": "sum"})
-    per_user_max = grouped_reduce(
-        dd.map_batches(ones, batch_format="pyarrow"), ["user_id"],
-        {"day": "max_day"}, how={"day": "max"})
-    j = per_user.join(per_user_max, join_type="inner", num_partitions=8,
-                      on=("user_id",))
+        {"day": "min_day", "day2": "max_day", "one": "active_days"},
+        how={"day": "min", "day2": "max", "one": "sum"})
 
     def finish(t: pa.Table) -> pa.Table:
         span = (t["max_day"].to_numpy() - t["min_day"].to_numpy() + 1)
@@ -9624,8 +9618,11 @@ def psi_drift_events(sf_dir: str):
         out = {"bin": [], "side": [], "n": []}
         for side in ("click", "purchase"):
             m = et == side
-            b = np.minimum(np.floor(v[m] / 50.0), 9.0).astype(np.int64)
-            binc = np.bincount(b, minlength=10)
+            bf = np.minimum(np.floor(v[m] / 50.0), 9.0)
+            # SQL twin: negative/NaN bins fail the range(0,10) join and
+            # drop; mirror that instead of crashing bincount
+            bf = bf[(bf >= 0.0) & ~np.isnan(bf)]
+            binc = np.bincount(bf.astype(np.int64), minlength=10)
             out["bin"].extend(range(10))
             out["side"].extend([side] * 10)
             out["n"].extend(binc.tolist())

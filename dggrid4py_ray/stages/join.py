@@ -428,7 +428,27 @@ def zonemap_merge_join(dir_a: str, dir_b: str, key: str,
                                         for x in bs)})
 
     if not items:
-        return ray.data.from_items([]).limit(0)
+        # typed empty result: the joined schema (key once, then the
+        # remaining columns of each side), so downstream column
+        # references still resolve
+        def _sel(d, files, cols):
+            if not files:
+                return []
+            sch = _pq.read_schema(_os.path.join(d, files[0]["file"]))
+            names = cols if cols is not None else sch.names
+            return [(n, sch.field(n).type) for n in names]
+
+        fields = []
+        seen = set()
+        for n, typ in (_sel(dir_a, fa, columns_a)
+                       + _sel(dir_b, fb, columns_b)):
+            if n not in seen:
+                fields.append(pa.field(n, typ))
+                seen.add(n)
+        if not fields:
+            return ray.data.from_items([]).limit(0)
+        empty = pa.table({f.name: pa.array([], f.type) for f in fields})
+        return ray.data.from_arrow(empty)
 
     def join_pair(batch: pa.Table) -> pa.Table:
         import pandas as _pd

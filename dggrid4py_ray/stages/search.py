@@ -126,8 +126,20 @@ class _HardNegScorer:
                 continue
             cok, idok = c[ok], ids[ok]
             k = min(self.k, len(cok))
-            top = np.argpartition(-cok, k - 1)[:k] if k < len(cok) \
-                else np.arange(len(cok))
+            if k < len(cok):
+                # exact (cosine desc, id asc) cut: argpartition alone can
+                # drop the wrong candidate at a cosine tie, so fill the
+                # boundary by smallest id among the kth-value ties
+                part = np.argpartition(-cok, k - 1)[:k]
+                kth = cok[part].min()
+                above = np.flatnonzero(cok > kth)
+                ties = np.flatnonzero(cok == kth)
+                need = k - len(above)
+                ties_sel = ties[np.argsort(idok[ties],
+                                           kind="stable")[:need]]
+                top = np.concatenate([above, ties_sel])
+            else:
+                top = np.arange(len(cok))
             out_q.append(np.full(len(top), qi, np.int64))
             out_id.append(idok[top])
             out_c.append(cok[top])

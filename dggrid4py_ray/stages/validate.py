@@ -283,6 +283,12 @@ def contingency_counts(ds: ray.data.Dataset, row_col: str,
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
+        if (t[row_col].null_count or t[col_col].null_count):
+            # pandas groupby would silently DROP null groups where SQL
+            # keeps them — refuse instead of diverging (the grouped_reduce
+            # null-key convention)
+            raise ValueError("contingency_counts: null category values in "
+                             f"{row_col!r}/{col_col!r} are not supported")
         df = pd.DataFrame({
             "r": t[row_col].to_numpy(zero_copy_only=False),
             "c": t[col_col].to_numpy(zero_copy_only=False)})

@@ -76,7 +76,6 @@ def main():
                           bucket_rows=65536)
         n_pairs = pairs.count()
         _emit("snm_pairs", n, t0, n_pairs=n_pairs)
-        assert n_pairs == (n - 3) * 5 + 2 + 1 + 0 - 5 or True
         # exact law: sum_{i} min(window-1, n-1-rank_i) = 5n - (1+2+3+4+5)
         assert n_pairs == 5 * n - 15, n_pairs
 

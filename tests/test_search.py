@@ -91,3 +91,20 @@ def test_hard_negatives_all_same_label_is_empty(ray_session):
     ds = ray.data.from_arrow(tbl)
     got = hard_negatives(ds, X[:1], [0], k=3)
     assert got.num_rows == 0
+
+
+def test_hard_negatives_cosine_tie_breaks_by_smallest_id(ray_session):
+    import ray.data
+    from dggrid4py_ray.stages.search import hard_negatives
+
+    # three identical vectors (all cosine 1.0 to the query) with ids
+    # 5, 3, 1 in one batch, k=2: the cut must keep ids [1, 3]
+    v = np.array([1.0, 0.0, 0.0, 0.0])
+    X = np.stack([v, v, v, [0.0, 1.0, 0.0, 0.0]])
+    tbl = pa.table({
+        "vec_id": pa.array(np.array([5, 3, 1, 7], np.int64)),
+        "embedding": pa.array(list(X.astype(np.float32))),
+        "label": pa.array(np.array([1, 1, 1, 1], np.int32))})
+    ds = ray.data.from_arrow(tbl)
+    got = hard_negatives(ds, v[None, :], [0], k=2).to_pandas()
+    assert got["vec_id"].tolist() == [1, 3]
