@@ -9891,3 +9891,96 @@ ORACLES.update({
         GROUP BY o.o_orderpriority ORDER BY prio
     """,
 })
+
+
+def hilbert_pushdown_events(sf_dir: str):
+    """Spatial predicate pushdown to the FILE level — the 100-TB bbox
+    read path end-to-end: events get a Hilbert locality key on a
+    90x45 lattice, the table is written zone-map-clustered on that key
+    (pay the sort once), and a bbox query becomes
+    sfc.hilbert_bbox_ranges (exact 1-D key ranges) -> zone-map file
+    pruning per range -> exact residual bbox filter -> aggregate.
+    The query RAISES if pruning degenerates to a full scan, so the
+    scale property is a runtime invariant; correctness is the plain
+    SQL bbox aggregate."""
+    import shutil
+
+    from ..stages.groupagg import grouped_reduce
+    from ..stages.sfc import add_hilbert_key, hilbert_bbox_ranges
+    from ..state.checkpoint import write_clustered
+
+    out_dir = _io_scratch(sf_dir, "ev_hilbert")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def binp(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        return pa.table({
+            "gx": pa.array((eid * 7919) % 36000 // 400),
+            "gy": pa.array((eid * 104729) % 18000 // 400),
+            "event_type": t["event_type"],
+            "val4": pa.array(_cents_half_up(
+                t["value"].to_numpy(zero_copy_only=False), 10000)),
+            "n": pa.array(np.ones(len(eid), np.int64))})
+
+    keyed = add_hilbert_key(ds.map_batches(binp, batch_format="pyarrow"),
+                            "gx", "gy")
+    write_clustered(keyed, out_dir, "hilbert_key", ["hilbert_key"],
+                    rows_per_file=1 << 10)
+
+    # bbox: gx in [20, 40], gy in [10, 25] -> exact Hilbert key
+    # ranges -> DISTINCT zone-overlapping files (union across ranges)
+    import json as _json
+    import os as _os
+    with open(_os.path.join(out_dir, "_zonemap.json")) as f:
+        man = _json.load(f)
+    ranges = hilbert_bbox_ranges(20, 40, 10, 25)
+    keep = sorted({e["file"] for e in man["files"]
+                   for lo, hi in ranges
+                   if e["zones"]["hilbert_key"][0] < hi
+                   and e["zones"]["hilbert_key"][1] >= lo})
+    n_total = len(man["files"])
+    if n_total > 4 and len(keep) >= n_total:
+        raise RuntimeError(
+            f"hilbert pushdown degenerated to a full scan "
+            f"({len(keep)}/{n_total} file reads)")
+    if not keep:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "sum_val4": pa.array([], pa.int64())})
+    u = ray.data.read_parquet([_os.path.join(out_dir, f) for f in keep])
+
+    def residual(t: pa.Table) -> pa.Table:
+        gx = t["gx"].to_numpy()
+        gy = t["gy"].to_numpy()
+        keep_m = (gx >= 20) & (gx <= 40) & (gy >= 10) & (gy <= 25)
+        return t.filter(pa.array(keep_m))
+
+    agg = grouped_reduce(
+        u.map_batches(residual, batch_format="pyarrow"),
+        ["event_type"], {"n": "n", "val4": "sum_val4"}, how="sum")
+    return agg.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"],
+                            "n": pc.cast(t["n"], pa.int64()),
+                            "sum_val4": pc.cast(t["sum_val4"],
+                                                pa.int64())}),
+        batch_format="pyarrow")
+
+
+QUERIES.update({"hilbert_pushdown_events": hilbert_pushdown_events})
+
+ORACLES.update({
+    "hilbert_pushdown_events": """
+        WITH b AS (SELECT event_type, value,
+                          (event_id * 7919) % 36000 // 400 AS gx,
+                          (event_id * 104729) % 18000 // 400 AS gy
+                   FROM events)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT)
+                   AS sum_val4
+        FROM b
+        WHERE gx BETWEEN 20 AND 40 AND gy BETWEEN 10 AND 25
+        GROUP BY event_type ORDER BY event_type
+    """,
+})

@@ -55,3 +55,22 @@ def test_zonemap_join_disjoint_ranges_is_empty(ray_session, tmp_path):
                     rows_per_file=32)
     got = zonemap_merge_join(da, db, "k")
     assert got.count() == 0
+
+
+def test_hilbert_bbox_ranges_cover_exactly_the_bbox(ray_session):
+    import numpy as np
+    from dggrid4py_ray.stages.sfc import (hilbert_bbox_ranges,
+                                          hilbert_decode)
+
+    ranges = hilbert_bbox_ranges(5, 12, 3, 9)
+    keys = np.concatenate([np.arange(lo, hi, dtype=np.uint64)
+                           for lo, hi in ranges])
+    assert len(keys) == len(set(keys.tolist())) == 8 * 7
+    gx, gy = hilbert_decode(keys)
+    assert gx.min() == 5 and gx.max() == 12
+    assert gy.min() == 3 and gy.max() == 9
+    assert ((gx >= 5) & (gx <= 12) & (gy >= 3) & (gy <= 9)).all()
+    # maximality: adjacent ranges are separated by a real gap
+    los = [lo for lo, _ in ranges]
+    his = [hi for _, hi in ranges]
+    assert all(h < l for h, l in zip(his[:-1], los[1:]))
