@@ -2,7 +2,7 @@
 new operators at multi-million-row scale, one JSON line each.
 
 Usage: python experiments/scale_checks_r4s.py [check ...]
-(owns its Ray session; checks: rrf hardneg linkage refresh s2 scd2)
+(owns its Ray session; checks: rrf hardneg linkage refresh s2 scd2 zmj hpd)
 """
 
 from __future__ import annotations
@@ -173,6 +173,92 @@ def main():
         n_out = led.count()
         assert n_out == n
         _emit("scd2_lead", n, t0, n_users=n_users)
+
+    # 7. zone-map merge join vs hash join: 20M x 5M rows pre-clustered
+    # on the key — the exchange-free path must beat the shuffle join
+    if want("zmj"):
+        import shutil
+        from dggrid4py_ray.stages.join import zonemap_merge_join
+        from dggrid4py_ray.state.checkpoint import write_clustered
+        n_a, n_b = 20_000_000, 5_000_000
+        da, db = "/tmp/zmj_a", "/tmp/zmj_b"
+        shutil.rmtree(da, ignore_errors=True)
+        shutil.rmtree(db, ignore_errors=True)
+
+        def rows(prefix):
+            def f(t: pa.Table) -> pa.Table:
+                i = t["id"].to_numpy()
+                return pa.table({"k": pa.array(i * 3 % 10_000_000),
+                                 prefix: pa.array(i % 1000)})
+            return f
+
+        a = ray.data.range(n_a, override_num_blocks=64) \
+            .map_batches(rows("va"), batch_format="pyarrow")
+        b = ray.data.range(n_b, override_num_blocks=64) \
+            .map_batches(rows("vb"), batch_format="pyarrow")
+        write_clustered(a, da, "k", ["k"], rows_per_file=1 << 19)
+        write_clustered(b, db, "k", ["k"], rows_per_file=1 << 19)
+        t0 = time.time()
+        nj = zonemap_merge_join(da, db, "k").count()
+        t_zmj = time.time() - t0
+        t0 = time.time()
+        nh = ray.data.read_parquet(da).join(
+            ray.data.read_parquet(db), join_type="inner",
+            num_partitions=64, on=("k",)).count()
+        t_hash = time.time() - t0
+        assert nj == nh, (nj, nh)
+        _emit("zonemap_merge_join", n_a, time.time() - t_zmj,
+              sec_hash_join=round(t_hash, 2), n_out=nj)
+
+    # 8. hilbert pushdown at 50M rows: bbox read must touch a small
+    # fraction of files
+    if want("hpd"):
+        import shutil
+        from dggrid4py_ray.stages.sfc import (add_hilbert_key,
+                                              hilbert_bbox_ranges)
+        from dggrid4py_ray.state.checkpoint import write_clustered
+        import json as _json
+        import os as _os
+        n = 50_000_000
+        d = "/tmp/hpd_events"
+        shutil.rmtree(d, ignore_errors=True)
+
+        def binp(t: pa.Table) -> pa.Table:
+            i = t["id"].to_numpy()
+            return pa.table({
+                "gx": pa.array((i * 7919) % 36000 // 40),
+                "gy": pa.array((i * 104729) % 18000 // 40),
+                "v": pa.array(i % 100)})
+
+        ds = ray.data.range(n, override_num_blocks=64) \
+            .map_batches(binp, batch_format="pyarrow")
+        write_clustered(add_hilbert_key(ds, "gx", "gy"), d,
+                        "hilbert_key", ["hilbert_key"],
+                        rows_per_file=1 << 19)
+        t0 = time.time()
+        ranges = hilbert_bbox_ranges(100, 160, 80, 120)
+        with open(_os.path.join(d, "_zonemap.json")) as f:
+            man = _json.load(f)
+        keep = sorted({e["file"] for e in man["files"]
+                       for lo, hi in ranges
+                       if e["zones"]["hilbert_key"][0] < hi
+                       and e["zones"]["hilbert_key"][1] >= lo})
+        sub = ray.data.read_parquet(
+            [_os.path.join(d, f) for f in keep])
+        n_hit = sub.map_batches(
+            lambda t: t.filter(pa.array(
+                (t["gx"].to_numpy() >= 100) & (t["gx"].to_numpy() <= 160)
+                & (t["gy"].to_numpy() >= 80)
+                & (t["gy"].to_numpy() <= 120))),
+            batch_format="pyarrow").count()
+        _emit("hilbert_pushdown", n, t0, files_read=len(keep),
+              files_total=len(man["files"]), rows_hit=n_hit,
+              n_ranges=len(ranges))
+        assert len(keep) < len(man["files"]) * 0.5, (len(keep),
+                                                     len(man["files"]))
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree("/tmp/zmj_a", ignore_errors=True)
+        shutil.rmtree("/tmp/zmj_b", ignore_errors=True)
 
     ray.shutdown()
 
