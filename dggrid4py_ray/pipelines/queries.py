@@ -9984,3 +9984,75 @@ ORACLES.update({
         GROUP BY event_type ORDER BY event_type
     """,
 })
+
+
+def compaction_roundtrip_events(sf_dir: str):
+    """LSM-style table maintenance end-to-end
+    (state/checkpoint.compact_clustered): 80% of events written
+    zone-map-clustered on event_id, the remaining 20% merged in as a
+    delta compaction (overlapped files rewritten, untouched files
+    carried over, manifest replaced atomically), then a zone-map-pruned
+    range read over the compacted table.  Oracle: the same range
+    aggregate over ALL events — nothing lost, nothing duplicated
+    through the compaction."""
+    import shutil
+
+    from ..stages.groupagg import grouped_reduce
+    from ..state.checkpoint import (compact_clustered,
+                                    read_zonemap_pruned, write_clustered)
+
+    out_dir = _io_scratch(sf_dir, "ev_compact")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    full = _read(sf_dir, "events", ["event_id", "event_type", "value"]) \
+        .map_batches(lambda t: pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "val4": pa.array(_cents_half_up(
+                t["value"].to_numpy(zero_copy_only=False), 10000))}),
+            batch_format="pyarrow")
+
+    def _mod(want_zero: bool):
+        def f(t: pa.Table) -> pa.Table:
+            z = t["event_id"].to_numpy() % 5 == 0
+            return t.filter(pa.array(z if want_zero else ~z))
+        return f
+
+    base = full.map_batches(_mod(False), batch_format="pyarrow")
+    delta = full.map_batches(_mod(True), batch_format="pyarrow")
+    write_clustered(base, out_dir, "event_id", ["event_id"],
+                    rows_per_file=1 << 10)
+    compact_clustered(out_dir, delta, rows_per_file=1 << 10)
+
+    sub, n_read, n_total = read_zonemap_pruned(out_dir, "event_id",
+                                               2000, 7000)
+    if n_total > 4 and n_read >= n_total:
+        raise RuntimeError(f"compacted read degenerated to a full scan "
+                           f"({n_read}/{n_total})")
+
+    def ones(t: pa.Table) -> pa.Table:
+        return t.append_column("n", pa.array(np.ones(t.num_rows,
+                                                     np.int64)))
+
+    agg = grouped_reduce(
+        sub.map_batches(ones, batch_format="pyarrow"), ["event_type"],
+        {"n": "n", "val4": "sum_val4"}, how="sum")
+    return agg.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"],
+                            "n": pc.cast(t["n"], pa.int64()),
+                            "sum_val4": pc.cast(t["sum_val4"],
+                                                pa.int64())}),
+        batch_format="pyarrow")
+
+
+QUERIES.update({"compaction_roundtrip_events": compaction_roundtrip_events})
+
+ORACLES.update({
+    "compaction_roundtrip_events": """
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT)
+                   AS sum_val4
+        FROM events WHERE event_id >= 2000 AND event_id < 7000
+        GROUP BY event_type ORDER BY event_type
+    """,
+})

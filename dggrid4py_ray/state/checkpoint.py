@@ -317,3 +317,114 @@ def read_zonemap_pruned(out_dir: str, col: str, lo: int, hi: int):
     ds = ray.data.read_parquet([os.path.join(out_dir, f) for f in keep])
     return ds.filter(expr=f"{col} >= {int(lo)} and {col} < {int(hi)}"), \
         len(keep), total
+
+
+def compact_clustered(out_dir: str, delta, rows_per_file: int = 1 << 20
+                      ) -> dict:
+    """LSM-style delta compaction into a ``write_clustered`` table: merge
+    new rows into the clustered layout while PRESERVING the cluster
+    order and zone-map invariants — without rewriting the whole table.
+
+    Mechanics (the Iceberg/Delta 'merge-on-write compaction' shape):
+    1. Range-sort the delta once.
+    2. For each delta block, the driver plans which EXISTING files its
+       key range overlaps (manifest lookup — O(#files), no data read).
+    3. Overlapping files + the delta rows that hit them are re-sorted
+       and rewritten as fresh files; untouched files (usually the vast
+       majority — deltas are small and clustered deltas are local) are
+       carried over verbatim into the new manifest.
+    4. Delta rows beyond every existing zone append as new sorted files.
+    The new manifest replaces the old atomically (os.replace commit
+    marker), so a crash mid-compaction leaves the previous manifest
+    valid and only orphan files to clean — the same recovery contract
+    as the lineage sinks above.
+
+    Scale shape: rewrite cost is O(|delta| + |overlapped files|); the
+    fact table is never rescanned.  Returns the new manifest."""
+    import uuid
+
+    import numpy as np
+    import ray.data
+
+    with open(os.path.join(out_dir, "_zonemap.json")) as f:
+        man = json.load(f)
+    key = man["cluster_col"]
+    zone_cols = man["zone_cols"]
+
+    # 1. collect the delta sorted by key.  The delta materializes on
+    # the driver: compaction is a MAINTENANCE op over the small recent
+    # delta (the incremental-view contract), not a bulk load — bulk
+    # loads go through write_clustered.
+    import ray as _ray
+    dsrt = delta.sort(key)
+    dtab = pa.concat_tables([_ray.get(r) for r in dsrt.to_arrow_refs()])
+    if dtab.num_rows == 0:
+        return man
+    dtab = dtab.combine_chunks()
+    dkeys = dtab[key].to_numpy(zero_copy_only=False)
+
+    # 2. plan: which existing files does the delta touch?  Files are
+    # processed in zone order with an assignment cursor so a delta key
+    # sitting exactly on two files' shared boundary lands in exactly
+    # one rewrite.
+    touched, kept = [], []
+    for e in sorted(man["files"], key=lambda e: e["zones"][key][0]):
+        lo, hi = e["zones"][key]
+        i0 = np.searchsorted(dkeys, lo, side="left")
+        i1 = np.searchsorted(dkeys, hi, side="right")
+        (touched if i1 > i0 else kept).append(e)
+
+    # 3. rewrite touched files merged with their delta slice; rows of
+    # the delta outside every touched zone become fresh append files
+    covered = np.zeros(len(dkeys), bool)
+    new_entries = []
+
+    def _write(tab: pa.Table) -> list:
+        out = []
+        for off in range(0, tab.num_rows, rows_per_file):
+            part = tab.slice(off, rows_per_file)
+            fname = f"clustered-{uuid.uuid4().hex[:12]}.parquet"
+            tmp = os.path.join(out_dir, "." + fname + ".tmp")
+            pq.write_table(part, tmp)
+            os.replace(tmp, os.path.join(out_dir, fname))
+            zones = {}
+            for c in zone_cols:
+                v = part[c].to_numpy(zero_copy_only=False)
+                zones[c] = [int(np.min(v)), int(np.max(v))]
+            out.append({"file": fname, "rows": part.num_rows,
+                        "zones": zones})
+        return out
+
+    cursor = 0
+    for e in touched:
+        lo, hi = e["zones"][key]
+        i0 = max(int(np.searchsorted(dkeys, lo, side="left")), cursor)
+        i1 = max(int(np.searchsorted(dkeys, hi, side="right")), i0)
+        cursor = i1
+        covered[i0:i1] = True
+        old = pq.read_table(os.path.join(out_dir, e["file"]))
+        merged = pa.concat_tables(
+            [old, dtab.slice(i0, i1 - i0).select(old.column_names)])
+        merged = merged.sort_by([(key, "ascending")])
+        new_entries.extend(_write(merged))
+        os.remove(os.path.join(out_dir, e["file"]))
+
+    if (~covered).any():
+        rest = dtab.filter(pa.array(~covered))
+        if kept or touched:
+            ref = (kept or touched)[0]["file"]
+            # a touched file is deleted by now; fall back to rest's own
+            # column order when no kept file remains
+            names = (pq.read_schema(os.path.join(out_dir, ref)).names
+                     if kept else rest.column_names)
+        else:
+            names = rest.column_names
+        new_entries.extend(_write(rest.select(names)))
+
+    man2 = {"cluster_col": key, "zone_cols": zone_cols,
+            "files": kept + new_entries}
+    tmp = os.path.join(out_dir, "._zonemap.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(man2, f, indent=1)
+    os.replace(tmp, os.path.join(out_dir, "_zonemap.json"))
+    return man2
