@@ -10056,3 +10056,50 @@ ORACLES.update({
         GROUP BY event_type ORDER BY event_type
     """,
 })
+
+
+def balanced_sample_docs(sf_dir: str):
+    """Exactly-min(k, n) docs per language, deterministically (md5-
+    priority ROW_NUMBER <= k): the class-rebalancing sampler whose kept
+    SET is a pure function of the corpus — stable under retries,
+    resumes and cluster size (hash_sample's guarantee, but with an
+    exact per-group count instead of a rate).  One group_row_number
+    carry chain ordered by (priority, doc_id); no per-group Python."""
+    from ..stages.sampling import _md5_u64
+    from ..stages.window import group_row_number
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def prio(t: pa.Table) -> pa.Table:
+        h = _md5_u64(t["doc_id"].to_numpy())
+        return t.append_column("_pri", pa.array(h.astype(np.uint64)))
+
+    rn = group_row_number(ds.map_batches(prio, batch_format="pyarrow"),
+                          "lang", ["_pri", "doc_id"], out_col="rn")
+
+    def keep(t: pa.Table) -> pa.Table:
+        ok = t["rn"].to_numpy() <= 40
+        return t.filter(pa.array(ok))
+
+    out = rn.map_batches(keep, batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                            "rn": pc.cast(t["rn"], pa.int64())}),
+        batch_format="pyarrow").sort(["lang", "rn"])
+
+
+QUERIES.update({"balanced_sample_docs": balanced_sample_docs})
+
+ORACLES.update({
+    "balanced_sample_docs": """
+        WITH r AS (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5_number_upper(CAST(doc_id AS VARCHAR)),
+                                doc_id) AS rn
+            FROM documents)
+        SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+        FROM r WHERE rn <= 40 ORDER BY lang, rn
+    """,
+})
