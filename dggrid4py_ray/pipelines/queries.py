@@ -10103,3 +10103,57 @@ ORACLES.update({
         FROM r WHERE rn <= 40 ORDER BY lang, rn
     """,
 })
+
+
+def logistic_grad_embs(sf_dir: str):
+    """One exact distributed logistic-regression gradient step over the
+    embeddings table (stages/linalg.logistic_grad_step): broadcast
+    weights, per-batch d-vector sufficient statistics, answer-sized
+    driver fold — the training-loop inner step with nothing shuffled.
+    Oracle recomputes sigmoid/gradient/log-loss in SQL via
+    list_dot_product + a lateral range join over the 64 dimensions."""
+    from ..stages.linalg import logistic_grad_step
+
+    d = 64
+    w = np.array([((j * 37) % 19 - 9) / 10.0 for j in range(d)])
+    ds = _read(sf_dir, "embeddings", ["embedding", "label"])
+    out = logistic_grad_step(ds, w)
+    return pa.table({
+        "j": out["j"],
+        "grad_e6": _iscale(out["g"].to_numpy(), 1000000),
+        "n": out["n"]})
+
+
+QUERIES.update({"logistic_grad_embs": logistic_grad_embs})
+
+
+def _w_sql_literal(d: int = 64) -> str:
+    vals = ", ".join(str(((j * 37) % 19 - 9) / 10.0) for j in range(d))
+    return f"[{vals}]::DOUBLE[]"
+
+
+ORACLES.update({
+    "logistic_grad_embs": f"""
+        WITH p AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS x,
+                   CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y,
+                   1.0 / (1.0 + exp(-list_dot_product(
+                       CAST(embedding AS DOUBLE[]),
+                       {_w_sql_literal()}))) AS ph
+            FROM embeddings),
+        g AS (
+            SELECT CAST(r.range AS BIGINT) AS j,
+                   SUM(p.x[CAST(r.range AS INTEGER) + 1]
+                       * (p.ph - p.y)) AS grad
+            FROM p, range(64) r GROUP BY 1),
+        l AS (
+            SELECT CAST(-1 AS BIGINT) AS j,
+                   SUM(-(y * ln(ph + 1e-300)
+                         + (1.0 - y) * ln(1.0 - ph + 1e-300))) AS grad
+            FROM p),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)
+        SELECT j, CAST(ROUND(grad * 1000000) AS BIGINT) AS grad_e6, n.n
+        FROM (SELECT * FROM g UNION ALL SELECT * FROM l), n
+        ORDER BY j
+    """,
+})

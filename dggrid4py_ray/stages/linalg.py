@@ -274,3 +274,59 @@ def group_spearman(ds: ray.data.Dataset, group_col: str, x_col: str,
     parts = ry.map_batches(partial, batch_format="pyarrow")
     return grouped_reduce(parts, group_col,
                           {"_one": "n", "_d2": "sum_d2"}, how="sum")
+
+
+def logistic_grad_step(ds: "ray.data.Dataset", w: np.ndarray,
+                       emb_col: str = "embedding",
+                       label_col: str = "label",
+                       positive_label: int = 0) -> pa.Table:
+    """One exact distributed gradient step of L2-free logistic
+    regression — the sufficient-statistics ML-training shape: the
+    weight vector broadcasts via ``ray.put``, each batch reduces to a
+    d-vector partial gradient X^T (sigmoid(Xw) - y) plus a scalar
+    log-loss partial, and the driver folds #batches answer-sized
+    partials.  ONE narrow pass over the corpus, nothing shuffles, no
+    iteration state outside the broadcast weights — at 10^12 rows this
+    is bandwidth-bound reading embeddings, exactly where it should be.
+
+    Returns a (d+1)-row Arrow table: rows 0..d-1 = (j, grad[j], n),
+    row d = (-1, total log-loss, n)."""
+    import ray
+
+    w = np.asarray(w, dtype=np.float64)
+    wref = ray.put(w)
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = len(w)
+        if t.num_rows == 0:
+            return pa.table({"j": pa.array([], pa.int64()),
+                             "g": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        arr = t[emb_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        flat = np.asarray(arr.flatten(), dtype=np.float64)
+        X = flat.reshape(t.num_rows, d)
+        y = (t[label_col].to_numpy(zero_copy_only=False)
+             == positive_label).astype(np.float64)
+        ww = ray.get(wref)
+        p = 1.0 / (1.0 + np.exp(-(X @ ww)))
+        g = X.T @ (p - y)
+        eps = 1e-300   # guard exact-0/1 probabilities (never hit here)
+        loss = -np.sum(y * np.log(p + eps)
+                       + (1.0 - y) * np.log(1.0 - p + eps))
+        return pa.table({
+            "j": pa.array(np.r_[np.arange(d), -1].astype(np.int64)),
+            "g": pa.array(np.r_[g, loss]),
+            "n": pa.array(np.full(d + 1, t.num_rows, np.int64))})
+
+    part = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = part.groupby("j", sort=True).agg(
+        g=("g", "sum"), n=("n", "max")).reset_index()
+    # n folds as max within a batch (each batch stamps its own size on
+    # every row) — total rows = sum over batches of per-batch n
+    n_tot = int(part[part["j"] == -1]["n"].sum())
+    agg["n"] = n_tot
+    return pa.table({"j": pa.array(agg["j"].to_numpy(np.int64)),
+                     "g": pa.array(agg["g"].to_numpy(np.float64)),
+                     "n": pa.array(agg["n"].to_numpy(np.int64))})

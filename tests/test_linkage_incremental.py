@@ -120,3 +120,33 @@ def test_token_budget_cap_matches_window_sql(ray_session, blocks):
     assert sorted(got["id"].tolist()) == sorted(want_ids)
     # per-group totals never exceed the budget
     assert (got.groupby("g")["toks"].sum() <= 300).all()
+
+
+def test_logistic_grad_descends_and_matches_numpy(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from dggrid4py_ray.stages.linalg import logistic_grad_step
+
+    rng = np.random.default_rng(13)
+    n, d = 2000, 8
+    X = rng.normal(size=(n, d))
+    w_true = rng.normal(size=d)
+    y_lab = (X @ w_true + 0.1 * rng.normal(size=n) > 0).astype(np.int32)
+    tbl = pa.table({
+        "embedding": pa.array(list(X.astype(np.float32))),
+        "label": pa.array((1 - y_lab).astype(np.int32))})  # label 0 = pos
+    ds = ray.data.from_arrow(tbl).repartition(5)
+
+    X32 = X.astype(np.float32).astype(np.float64)
+    w = np.zeros(d)
+    losses = []
+    for _ in range(10):
+        out = logistic_grad_step(ds, w).to_pandas()
+        g = out[out["j"] >= 0].sort_values("j")["g"].to_numpy()
+        loss = float(out[out["j"] == -1]["g"].iloc[0])
+        # exact numpy twin on the float32-stored matrix
+        p = 1.0 / (1.0 + np.exp(-(X32 @ w)))
+        np.testing.assert_allclose(g, X32.T @ (p - y_lab), rtol=1e-9)
+        losses.append(loss)
+        w = w - 2.0 * g / len(X)
+    assert losses[-1] < losses[0] * 0.9  # descent actually descends
