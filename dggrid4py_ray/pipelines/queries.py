@@ -10157,3 +10157,250 @@ ORACLES.update({
         ORDER BY j
     """,
 })
+
+
+def slippy_tiles_events(sf_dir: str):
+    """Web-Mercator XYZ tile binning at zoom 8 (stages/tiles.py): the
+    slippy-map pyramid every web map serves from, as one pure per-batch
+    encode + within-batch combiner + bounded groupby — the
+    latlon_bin_events dataflow with the Mercator tile function.  The
+    float expression order matches the SQL twin exactly (LN/TAN/COS
+    parity verified over all 18,000 centi-degree latitudes); quadkeys
+    are built vectorized (no per-row Python)."""
+    from ..stages.tiles import slippy_encode, quadkeys
+
+    Z = 8
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        lon = ((eid * 7919) % 36000) / 100.0 - 180.0
+        lat = ((eid * 104729) % 18000) / 100.0 - 90.0
+        xt, yt = slippy_encode(lon, lat, Z)
+        df = pd.DataFrame({"tile_x": xt, "tile_y": yt,
+                           "value": t["value"].to_numpy()})
+        g = df.groupby(["tile_x", "tile_y"], sort=False).agg(
+            psum=("value", "sum"), pcount=("value", "size")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["tile_x", "tile_y"])
+             .aggregate(Sum("psum", alias_name="s"),
+                        Sum("pcount", alias_name="n_points")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        xt = t["tile_x"].to_numpy()
+        yt = t["tile_y"].to_numpy()
+        return pa.table({
+            "tile_x": xt, "tile_y": yt,
+            "quadkey": quadkeys(xt, yt, Z),
+            "n_points": t["n_points"],
+            "sum_value_e6": _iscale(t["s"].to_numpy(), 1000000)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES.update({"slippy_tiles_events": slippy_tiles_events})
+
+ORACLES.update({
+    # quadkey digit i (MSB first) = 2*bit_i(tile_y) + bit_i(tile_x)
+    "slippy_tiles_events": """
+        WITH t AS (
+            SELECT CAST(FLOOR((((event_id * 7919) % 36000) / 100.0 - 180.0
+                               + 180.0) / 360.0 * 256.0) AS BIGINT) AS rx,
+                   CAST(FLOOR((1.0 - LN(TAN(RADIANS(l)) + 1.0/COS(RADIANS(l)))
+                               / PI()) / 2.0 * 256.0) AS BIGINT) AS ry,
+                   value
+            FROM (SELECT event_id, value,
+                         GREATEST(-85.0511287798066, LEAST(85.0511287798066,
+                             ((event_id * 104729) % 18000) / 100.0 - 90.0)) AS l
+                  FROM events)),
+        c AS (SELECT LEAST(GREATEST(rx, 0), 255) AS tile_x,
+                     LEAST(GREATEST(ry, 0), 255) AS tile_y, value FROM t),
+        g AS (SELECT tile_x, tile_y, COUNT(*) AS n_points,
+                     CAST(ROUND(SUM(value) * 1000000) AS BIGINT) AS sum_value_e6
+              FROM c GROUP BY 1, 2)
+        SELECT g.tile_x, g.tile_y,
+               (SELECT string_agg(
+                           CAST(((g.tile_y >> (7 - CAST(r.range AS INTEGER))) & 1) * 2
+                                + ((g.tile_x >> (7 - CAST(r.range AS INTEGER))) & 1)
+                                AS VARCHAR), '' ORDER BY r.range)
+                FROM range(8) r) AS quadkey,
+               g.n_points, g.sum_value_e6
+        FROM g
+    """,
+})
+
+
+def od_matrix_events(sf_dir: str):
+    """Per-user origin->destination transition matrix over 10-degree
+    cells: the mobility-analytics staple.  LAG(cell) OVER (PARTITION BY
+    user ORDER BY ts, event_id) at unbounded user cardinality via the
+    group_shift carry chain (one range sort, no per-group Python), then
+    a bounded (648 x 648 max) transition-count groupby with a
+    within-batch combiner."""
+    from ..stages.window import group_shift
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def cellify(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        cell = ((eid * 104729) % 18000 // 1000) * 36 \
+            + ((eid * 7919) % 36000 // 1000)
+        return pa.table({"event_id": t["event_id"], "ts": t["ts"],
+                         "user_id": t["user_id"],
+                         "cell": pa.array(cell, pa.int64())})
+
+    lag = group_shift(ds.map_batches(cellify, batch_format="pyarrow"),
+                      "user_id", ["ts", "event_id"], "cell",
+                      k=1, out_col="o_cell")
+
+    def partial(t: pa.Table) -> pa.Table:
+        o = t["o_cell"].to_numpy(zero_copy_only=False)
+        d = t["cell"].to_numpy()
+        ok = ~np.isnan(o)
+        df = pd.DataFrame({"o_cell": o[ok].astype(np.int64),
+                           "d_cell": d[ok]})
+        g = df.groupby(["o_cell", "d_cell"], sort=False).size() \
+              .reset_index(name="pn")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (lag.map_batches(partial, batch_format="pyarrow")
+              .groupby(["o_cell", "d_cell"])
+              .aggregate(Sum("pn", alias_name="n_trips")))
+    return agg.map_batches(
+        lambda t: pa.table({"o_cell": t["o_cell"], "d_cell": t["d_cell"],
+                            "n_trips": pc.cast(t["n_trips"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+QUERIES.update({"od_matrix_events": od_matrix_events})
+
+ORACLES.update({
+    "od_matrix_events": """
+        WITH c AS (
+            SELECT user_id, ts, event_id,
+                   ((event_id * 104729) % 18000 // 1000) * 36
+                   + ((event_id * 7919) % 36000 // 1000) AS cell
+            FROM events),
+        l AS (
+            SELECT cell AS d_cell,
+                   LAG(cell) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS o_cell
+            FROM c)
+        SELECT o_cell, d_cell, COUNT(*) AS n_trips
+        FROM l WHERE o_cell IS NOT NULL GROUP BY 1, 2
+    """,
+})
+
+
+def dbscan_cells_events(sf_dir: str):
+    """DBSCAN-style spatial cluster detection over a 10-degree grid:
+    cells with >= minpts points are "core"; core cells that touch
+    (8-neighborhood, no dateline wrap — documented) belong to one
+    cluster, labeled by the component's minimum cell id.  The engine
+    shape is scale-honest end to end: bounded-cell count aggregate ->
+    filter -> vectorized 8-neighbor candidate emission -> hash
+    semi-join against the core set (no broadcast of the point table)
+    -> connected_components (the large-star/small-star fixed point) ->
+    left-outer join back so isolated core cells are their own
+    singleton clusters.  Oracle: recursive-CTE label reachability with
+    MIN-label fold."""
+    from ..stages.bloom import _coalesce_for_join
+    from ..stages.components import connected_components
+    from ..stages.join import _join_partitions
+
+    MINPTS = 16
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        y = (eid * 104729) % 18000 // 1000
+        x = (eid * 7919) % 36000 // 1000
+        df = pd.DataFrame({"cell": y * 36 + x})
+        g = df.groupby("cell", sort=False).size().reset_index(name="pn")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("cell").aggregate(Sum("pn", alias_name="n")))
+    core = counts.filter(
+        lambda r: r["n"] >= MINPTS).materialize()
+    if core.count() == 0:
+        # typed empty result — no core cells at this minpts
+        return ray.data.from_arrow(pa.table({
+            "cell": pa.array([], pa.int64()), "x": pa.array([], pa.int64()),
+            "y": pa.array([], pa.int64()), "n": pa.array([], pa.int64()),
+            "cluster": pa.array([], pa.int64())}))
+
+    def neighbors(t: pa.Table) -> pa.Table:
+        c = t["cell"].to_numpy()
+        x, y = c % 36, c // 36
+        us, vs = [], []
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                nx, ny = x + dx, y + dy
+                ok = (nx >= 0) & (nx < 36) & (ny >= 0) & (ny < 18)
+                us.append(c[ok])
+                vs.append((ny * 36 + nx)[ok])
+        return pa.table({"u": pa.array(np.concatenate(us), pa.int64()),
+                         "v": pa.array(np.concatenate(vs), pa.int64())})
+
+    parts = _join_partitions()
+    cand, _ = _coalesce_for_join(
+        core.map_batches(neighbors, batch_format="pyarrow"), parts)
+    core_keys, _ = _coalesce_for_join(core.map_batches(
+        lambda t: pa.table({"v": pc.cast(t["cell"], pa.int64())}),
+        batch_format="pyarrow"), parts)
+    edges = cand.join(core_keys, join_type="inner",
+                      num_partitions=parts, on=("v",))
+
+    cc = connected_components(edges, left_col="u", right_col="v",
+                              id_out="cell", cluster_out="cluster")
+    core64, _ = _coalesce_for_join(core.map_batches(
+        lambda t: pa.table({"cell": pc.cast(t["cell"], pa.int64()),
+                            "n": pc.cast(t["n"], pa.int64())}),
+        batch_format="pyarrow"), parts)
+    cc, _ = _coalesce_for_join(cc, parts)
+    lab = core64.join(cc, join_type="left_outer",
+                      num_partitions=parts, on=("cell",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy()
+        clu = t["cluster"].to_numpy(zero_copy_only=False).astype(np.float64)
+        clu = np.where(np.isnan(clu), cell, clu).astype(np.int64)
+        return pa.table({"cell": cell,
+                         "x": pa.array(cell % 36, pa.int64()),
+                         "y": pa.array(cell // 36, pa.int64()),
+                         "n": t["n"],
+                         "cluster": pa.array(clu, pa.int64())})
+
+    return lab.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES.update({"dbscan_cells_events": dbscan_cells_events})
+
+ORACLES.update({
+    "dbscan_cells_events": """
+        WITH RECURSIVE core AS (
+            SELECT ((event_id * 104729) % 18000 // 1000) * 36
+                   + ((event_id * 7919) % 36000 // 1000) AS cell,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1 HAVING COUNT(*) >= 16),
+        e AS (
+            SELECT a.cell AS u, b.cell AS v
+            FROM core a JOIN core b
+              ON (b.cell % 36) BETWEEN (a.cell % 36) - 1 AND (a.cell % 36) + 1
+             AND (b.cell // 36) BETWEEN (a.cell // 36) - 1 AND (a.cell // 36) + 1
+             AND a.cell <> b.cell),
+        reach(cell, lbl) AS (
+            SELECT cell, cell FROM core
+            UNION
+            SELECT e.v, r.lbl FROM reach r JOIN e ON e.u = r.cell)
+        SELECT c.cell, c.cell % 36 AS x, c.cell // 36 AS y, c.n,
+               MIN(r.lbl) AS cluster
+        FROM core c JOIN reach r ON r.cell = c.cell
+        GROUP BY c.cell, c.n
+    """,
+})
