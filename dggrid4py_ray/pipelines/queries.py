@@ -10404,3 +10404,212 @@ ORACLES.update({
         GROUP BY c.cell, c.n
     """,
 })
+
+
+def geohash_bins_events(sf_dir: str):
+    """Geohash (precision 6) binning: the third industry cell-id
+    vocabulary alongside DGGS ids and slippy tiles.  The encoder is
+    pure integer bit math after two FLOOR-normalizing divisions (no
+    transcendentals — matches all published geohash test vectors), so
+    the SQL twin reconstructs every 5-bit char with shift/mask
+    arithmetic over a range() join, bit-exact."""
+    from ..stages.tiles import geohash_encode
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        lon = ((eid * 7919) % 36000) / 100.0 - 180.0
+        lat = ((eid * 104729) % 18000) / 100.0 - 90.0
+        gh = geohash_encode(lon, lat, precision=6)
+        df = pd.DataFrame({"geohash": gh})
+        g = df.groupby("geohash", sort=False).size().reset_index(name="pn")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("geohash").aggregate(Sum("pn", alias_name="n_points")))
+    return agg.map_batches(
+        lambda t: pa.table({"geohash": t["geohash"],
+                            "n_points": pc.cast(t["n_points"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+QUERIES.update({"geohash_bins_events": geohash_bins_events})
+
+ORACLES.update({
+    # precision 6 = 30 bits: nlon = nlat = 15.  Overall bit j (0 = MSB):
+    # even j -> bit (14 - j//2) of xi, odd j -> bit (14 - j//2) of yi.
+    # char k = bits 5k..5k+4 -> base-32 alphabet (no a/i/l/o).
+    "geohash_bins_events": """
+        WITH p AS (
+            SELECT LEAST(GREATEST(CAST(FLOOR(
+                       (((event_id * 7919) % 36000) / 100.0 - 180.0 + 180.0)
+                       / 360.0 * 32768.0) AS BIGINT), 0), 32767) AS xi,
+                   LEAST(GREATEST(CAST(FLOOR(
+                       (((event_id * 104729) % 18000) / 100.0 - 90.0 + 90.0)
+                       / 180.0 * 32768.0) AS BIGINT), 0), 32767) AS yi
+            FROM events),
+        g AS (SELECT xi, yi, COUNT(*) AS n FROM p GROUP BY 1, 2),
+        bits AS (
+            SELECT g.xi, g.yi, g.n,
+                   CAST(r.range AS BIGINT) // 5 AS k,
+                   (CASE WHEN r.range % 2 = 0
+                         THEN (g.xi >> CAST(14 - r.range // 2 AS INTEGER)) & 1
+                         ELSE (g.yi >> CAST(14 - r.range // 2 AS INTEGER)) & 1
+                    END) << CAST(4 - r.range % 5 AS INTEGER) AS bv,
+                   r.range AS j
+            FROM g, range(30) r),
+        chars AS (
+            SELECT xi, yi, n, k, SUM(bv) AS v
+            FROM bits GROUP BY xi, yi, n, k),
+        gh AS (
+            SELECT xi, yi, n,
+                   string_agg(substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                                     CAST(v AS INTEGER) + 1, 1),
+                              '' ORDER BY k) AS geohash
+            FROM chars GROUP BY xi, yi, n)
+        SELECT geohash, CAST(SUM(n) AS BIGINT) AS n_points FROM gh GROUP BY 1
+    """,
+})
+
+
+def heatmap_smooth_events(sf_dir: str):
+    """3x3 integer-kernel heatmap smoothing over the 1-degree grid (the
+    (1,2,1;2,4,2;1,2,1) binomial tap — sum 16): each occupied cell
+    scatters weighted contributions to its 9 targets (border-clipped, no
+    wrap), one bounded grouped sum gathers.  Smoothed mass appears on
+    never-occupied neighbor cells — the halo — exactly as in the SQL
+    cross-join twin.  Integer weights keep the fold exact."""
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    DX = np.array([-1, 0, 1, -1, 0, 1, -1, 0, 1], dtype=np.int64)
+    DY = np.array([-1, -1, -1, 0, 0, 0, 1, 1, 1], dtype=np.int64)
+    W = np.array([1, 2, 1, 2, 4, 2, 1, 2, 1], dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        y = (eid * 104729) % 18000 // 100
+        x = (eid * 7919) % 36000 // 100
+        df = pd.DataFrame({"x": x, "y": y})
+        g = df.groupby(["x", "y"], sort=False).size().reset_index(name="n")
+        gx = g["x"].to_numpy()
+        gy = g["y"].to_numpy()
+        gn = g["n"].to_numpy()
+        tx = (gx[:, None] + DX).ravel()
+        ty = (gy[:, None] + DY).ravel()
+        tw = (gn[:, None] * W).ravel()
+        ok = (tx >= 0) & (tx < 360) & (ty >= 0) & (ty < 180)
+        out = pd.DataFrame({"x": tx[ok], "y": ty[ok], "w": tw[ok]})
+        o = out.groupby(["x", "y"], sort=False)["w"].sum().reset_index()
+        return pa.Table.from_pandas(o, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["x", "y"]).aggregate(Sum("w", alias_name="wsum")))
+    return agg.map_batches(
+        lambda t: pa.table({"x": pc.cast(t["x"], pa.int64()),
+                            "y": pc.cast(t["y"], pa.int64()),
+                            "wsum": pc.cast(t["wsum"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+QUERIES.update({"heatmap_smooth_events": heatmap_smooth_events})
+
+ORACLES.update({
+    "heatmap_smooth_events": """
+        WITH c AS (
+            SELECT ((event_id * 7919) % 36000 // 100) AS x,
+                   ((event_id * 104729) % 18000 // 100) AS y,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2),
+        d(dx, dy, w) AS (VALUES (-1,-1,1),(0,-1,2),(1,-1,1),
+                                (-1,0,2),(0,0,4),(1,0,2),
+                                (-1,1,1),(0,1,2),(1,1,1))
+        SELECT c.x + d.dx AS x, c.y + d.dy AS y,
+               CAST(SUM(d.w * c.n) AS BIGINT) AS wsum
+        FROM c, d
+        WHERE c.x + d.dx BETWEEN 0 AND 359
+          AND c.y + d.dy BETWEEN 0 AND 179
+        GROUP BY 1, 2
+    """,
+})
+
+
+def dwell_episodes_events(sf_dir: str):
+    """Trajectory dwell-episode detection (staypoint mining): maximal
+    runs of >= 3 consecutive events of a user inside one coarse region
+    (60x90-degree, 12 regions), found with the gaps-and-islands law
+    rn_user - rn_user_region = const — two group_row_number carry
+    chains (no per-group Python, unbounded users) + one composite-key
+    grouped_reduce for (count, start, end)."""
+    from ..stages.groupagg import grouped_reduce
+    from ..stages.window import group_row_number
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def cellify(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        region = ((eid * 104729) % 18000 // 9000) * 6 \
+            + ((eid * 7919) % 36000 // 6000)
+        ts_us = pc.cast(t["ts"], pa.int64()).to_numpy()
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "ts_us": pa.array(ts_us, pa.int64()),
+                         "region": pa.array(region, pa.int64())})
+
+    base = ds.map_batches(cellify, batch_format="pyarrow")
+    rn1 = group_row_number(base, "user_id", ["ts_us", "event_id"],
+                           out_col="rn1")
+
+    def pack(t: pa.Table) -> pa.Table:
+        uk = t["user_id"].to_numpy() * 12 + t["region"].to_numpy()
+        t = t.append_column("ukey", pa.array(uk, pa.int64()))
+        return t.append_column("_one", pa.array(
+            np.ones(t.num_rows, dtype=np.int64)))
+
+    rn2 = group_row_number(rn1.map_batches(pack, batch_format="pyarrow"),
+                           "ukey", ["ts_us", "event_id"], out_col="rn2")
+
+    def island(t: pa.Table) -> pa.Table:
+        isl = t["rn1"].to_numpy() - t["rn2"].to_numpy()
+        t = t.append_column("island", pa.array(isl, pa.int64()))
+        return t.append_column("ts_b", t["ts_us"])
+
+    runs = grouped_reduce(
+        rn2.map_batches(island, batch_format="pyarrow"),
+        key=["user_id", "region", "island"],
+        col_map={"_one": "n_events", "ts_us": "start_us", "ts_b": "end_us"},
+        how={"_one": "sum", "ts_us": "min", "ts_b": "max"})
+
+    def finish(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(t["n_events"], 3)
+        t = t.filter(keep)
+        return pa.table({"user_id": t["user_id"], "region": t["region"],
+                         "n_events": pc.cast(t["n_events"], pa.int64()),
+                         "start_us": pc.cast(t["start_us"], pa.int64()),
+                         "end_us": pc.cast(t["end_us"], pa.int64())})
+
+    return runs.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES.update({"dwell_episodes_events": dwell_episodes_events})
+
+ORACLES.update({
+    "dwell_episodes_events": """
+        WITH c AS (
+            SELECT user_id, ts, event_id,
+                   ((event_id * 104729) % 18000 // 9000) * 6
+                   + ((event_id * 7919) % 36000 // 6000) AS region
+            FROM events),
+        r AS (
+            SELECT user_id, region, ts,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   - ROW_NUMBER() OVER (PARTITION BY user_id, region
+                                        ORDER BY ts, event_id) AS island
+            FROM c)
+        SELECT user_id, region, COUNT(*) AS n_events,
+               MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
+        FROM r GROUP BY user_id, region, island
+        HAVING COUNT(*) >= 3
+    """,
+})

@@ -73,3 +73,44 @@ def add_tile_columns(batch: pa.Table, lon_col: str, lat_col: str,
     if with_quadkey:
         batch = batch.append_column("quadkey", quadkeys(xt, yt, zoom))
     return batch
+
+
+# base-32 alphabet of the geohash standard (no a/i/l/o)
+_GEOHASH32 = np.frombuffer(b"0123456789bcdefghjkmnpqrstuvwxyz",
+                           dtype=np.uint8)
+
+
+def geohash_encode(lon: np.ndarray, lat: np.ndarray,
+                   precision: int = 10) -> np.ndarray:
+    """Vectorized geohash strings (numpy unicode array, ``precision``
+    chars).  Geohash interleaves one longitude-bisection bit then one
+    latitude bit, MSB first, 5 bits per base-32 char — equivalently:
+    the top ``ceil(bits/2)`` bits of floor((lon+180)/360 * 2^nlon)
+    interleaved with the top ``floor(bits/2)`` bits of the latitude
+    fraction.  Pure integer bit math after the two normalizing
+    divisions (no transcendentals), so a SQL twin using the same
+    FLOOR expressions is bit-exact."""
+    if not 1 <= precision <= 12:
+        raise ValueError(f"precision must be in [1, 12], got {precision}")
+    bits = 5 * precision
+    nlon = (bits + 1) // 2
+    nlat = bits // 2
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    xi = np.floor((lon + 180.0) / 360.0 * (2.0 ** nlon)).astype(np.int64)
+    yi = np.floor((lat + 90.0) / 180.0 * (2.0 ** nlat)).astype(np.int64)
+    np.clip(xi, 0, 2 ** nlon - 1, out=xi)
+    np.clip(yi, 0, 2 ** nlat - 1, out=yi)
+    j = np.arange(bits, dtype=np.int64)
+    sh_lon = nlon - 1 - j // 2
+    sh_lat = nlat - 1 - j // 2
+    is_lon = (j % 2) == 0
+    bitvals = np.where(is_lon,
+                       (xi[:, None] >> sh_lon) & 1,
+                       (yi[:, None] >> sh_lat) & 1)
+    weights = np.array([16, 8, 4, 2, 1], dtype=np.int64)
+    charvals = (bitvals.reshape(-1, precision, 5) * weights).sum(axis=2)
+    chars = _GEOHASH32[charvals]
+    if len(chars) == 0:
+        return np.array([], dtype=f"U{precision}")
+    return np.frombuffer(chars.tobytes(), dtype=f"S{precision}").astype("U")

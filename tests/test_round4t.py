@@ -125,3 +125,59 @@ class TestDbscanCells:
         # NOTE: Dataset.to_pandas() drops columns on empty datasets (Ray
         # quirk); the schema itself is typed and complete.
         assert out.schema().names == ["cell", "x", "y", "n", "cluster"]
+
+
+class TestGeohash:
+    def test_published_vectors(self):
+        from dggrid4py_ray.stages.tiles import geohash_encode
+        assert geohash_encode(np.array([-5.60302734375]),
+                              np.array([42.60498046875]), 5)[0] == "ezs42"
+        assert geohash_encode(np.array([-74.0060]),
+                              np.array([40.7128]), 7)[0] == "dr5regw"
+        assert geohash_encode(np.array([13.361389]),
+                              np.array([38.115556]), 8)[0] == "sqc8b49r"
+
+    def test_prefix_law(self):
+        from dggrid4py_ray.stages.tiles import geohash_encode
+        rng = np.random.default_rng(3)
+        lon = rng.uniform(-180, 180, 300)
+        lat = rng.uniform(-90, 90, 300)
+        g4 = geohash_encode(lon, lat, 4)
+        g8 = geohash_encode(lon, lat, 8)
+        # geohash truncation = spatial containment only when the shorter
+        # hash uses a bit count that tiles the longer one's bisection
+        # sequence — true for any prefix length (each char refines).
+        assert all(b.startswith(a) for a, b in zip(g4, g8))
+
+    def test_edges_and_validation(self):
+        from dggrid4py_ray.stages.tiles import geohash_encode
+        out = geohash_encode(np.array([-180.0, 180.0, 0.0]),
+                             np.array([-90.0, 90.0, 0.0]), 6)
+        assert len(out) == 3 and all(len(s) == 6 for s in out)
+        assert geohash_encode(np.array([]), np.array([]), 6).size == 0
+        with pytest.raises(ValueError):
+            geohash_encode(np.array([0.0]), np.array([0.0]), 0)
+
+
+class TestHeatmapSmooth:
+    def test_interior_mass_conservation(self, ray_session):
+        """Away from borders every point contributes exactly 16 units."""
+        import duckdb
+
+        from dggrid4py_ray.pipelines.queries import heatmap_smooth_events
+
+        sf = "/root/testdata/sf0.001"
+        got = heatmap_smooth_events(sf).to_pandas()
+        n_border = duckdb.sql(f"""
+            SELECT COUNT(*) FROM (
+              SELECT ((event_id*7919)%36000//100) x,
+                     ((event_id*104729)%18000//100) y
+              FROM '{sf}/events.parquet')
+            WHERE x IN (0, 359) OR y IN (0, 179)""").fetchone()[0]
+        n_events = duckdb.sql(
+            f"SELECT COUNT(*) FROM '{sf}/events.parquet'").fetchone()[0]
+        total = got["wsum"].sum()
+        assert total <= 16 * n_events
+        assert total >= 16 * (n_events - n_border)  # only border cells clip
+        if n_border == 0:
+            assert total == 16 * n_events
