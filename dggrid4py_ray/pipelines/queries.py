@@ -10613,3 +10613,237 @@ ORACLES.update({
         HAVING COUNT(*) >= 3
     """,
 })
+
+
+def entropy_by_user_events(sf_dir: str):
+    """Per-user Shannon entropy of the event-type distribution at
+    unbounded user cardinality: one grouped count on (user, type), one
+    grouped_reduce folding (N, sum n*ln n) per user, then the closed
+    form H = ln(N) - (sum n ln n)/N vectorized — no per-group Python,
+    no driver materialization."""
+    from ..stages.groupagg import grouped_count, grouped_reduce
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    c = grouped_count(ds, ["user_id", "event_type"], out_col="n")
+
+    def prep(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy().astype(np.float64)
+        return pa.table({"user_id": t["user_id"],
+                         "n": t["n"],
+                         "nlogn": pa.array(n * np.log(n), pa.float64())})
+
+    u = grouped_reduce(c.map_batches(prep, batch_format="pyarrow"),
+                       key="user_id",
+                       col_map={"n": "N", "nlogn": "S"}, how="sum")
+
+    def finish(t: pa.Table) -> pa.Table:
+        N = t["N"].to_numpy().astype(np.float64)
+        S = t["S"].to_numpy()
+        H = np.log(N) - S / N
+        return pa.table({"user_id": t["user_id"],
+                         "entropy_e6": _iscale(H, 1000000),
+                         "n_events": pc.cast(t["N"], pa.int64())})
+
+    return u.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES.update({"entropy_by_user_events": entropy_by_user_events})
+
+ORACLES.update({
+    "entropy_by_user_events": """
+        WITH c AS (
+            SELECT user_id, event_type, COUNT(*) AS n
+            FROM events GROUP BY 1, 2),
+        u AS (
+            SELECT user_id, SUM(n) AS nn, SUM(n * LN(n)) AS s
+            FROM c GROUP BY 1)
+        SELECT user_id,
+               CAST(ROUND((LN(nn) - s / nn) * 1000000) AS BIGINT) AS entropy_e6,
+               CAST(nn AS BIGINT) AS n_events
+        FROM u
+    """,
+})
+
+
+def bearing_histogram_events(sf_dir: str):
+    """Compass-sector histogram of per-user transition bearings (the
+    movement-direction profile): LAG(event_id) via the group_shift
+    carry chain, previous coordinates re-derived from the lagged id
+    (integer-exact), initial great-circle bearing by the standard
+    atan2 formula, 16 x 22.5-degree sectors.  Sector parity with the
+    SQL twin verified over 200k random centi-degree pairs."""
+    from ..stages.window import group_shift
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    lag = group_shift(ds, "user_id", ["ts", "event_id"], "event_id",
+                      k=1, out_col="prev_eid")
+
+    def partial(t: pa.Table) -> pa.Table:
+        prev = t["prev_eid"].to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(prev)
+        e2 = t["event_id"].to_numpy()[ok]
+        e1 = prev[ok].astype(np.int64)
+        lon1 = ((e1 * 7919) % 36000) / 100.0 - 180.0
+        lat1 = ((e1 * 104729) % 18000) / 100.0 - 90.0
+        lon2 = ((e2 * 7919) % 36000) / 100.0 - 180.0
+        lat2 = ((e2 * 104729) % 18000) / 100.0 - 90.0
+        p1, l1, p2, l2 = map(np.radians, (lat1, lon1, lat2, lon2))
+        dl = l2 - l1
+        yv = np.sin(dl) * np.cos(p2)
+        xv = np.cos(p1) * np.sin(p2) - np.sin(p1) * np.cos(p2) * np.cos(dl)
+        br = np.mod(np.degrees(np.arctan2(yv, xv)) + 360.0, 360.0)
+        sector = np.floor(br / 22.5).astype(np.int64)
+        sector[sector == 16] = 0
+        df = pd.DataFrame({"sector": sector})
+        g = df.groupby("sector", sort=False).size().reset_index(name="pn")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (lag.map_batches(partial, batch_format="pyarrow")
+              .groupby("sector").aggregate(Sum("pn", alias_name="n_trips")))
+    return agg.map_batches(
+        lambda t: pa.table({"sector": t["sector"],
+                            "n_trips": pc.cast(t["n_trips"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+QUERIES.update({"bearing_histogram_events": bearing_histogram_events})
+
+ORACLES.update({
+    "bearing_histogram_events": """
+        WITH c AS (
+            SELECT user_id, ts, event_id,
+                   ((event_id * 7919) % 36000) / 100.0 - 180.0 AS lon2,
+                   ((event_id * 104729) % 18000) / 100.0 - 90.0 AS lat2,
+                   LAG(event_id) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e1
+            FROM events),
+        p AS (
+            SELECT lon2, lat2,
+                   ((e1 * 7919) % 36000) / 100.0 - 180.0 AS lon1,
+                   ((e1 * 104729) % 18000) / 100.0 - 90.0 AS lat1
+            FROM c WHERE e1 IS NOT NULL),
+        b AS (
+            SELECT CAST(FLOOR(((DEGREES(ATAN2(
+                       SIN(RADIANS(lon2) - RADIANS(lon1)) * COS(RADIANS(lat2)),
+                       COS(RADIANS(lat1)) * SIN(RADIANS(lat2))
+                       - SIN(RADIANS(lat1)) * COS(RADIANS(lat2))
+                         * COS(RADIANS(lon2) - RADIANS(lon1))))
+                       + 360.0) % 360.0) / 22.5) AS BIGINT) AS s
+            FROM p)
+        SELECT (CASE WHEN s = 16 THEN 0 ELSE s END) AS sector,
+               COUNT(*) AS n_trips
+        FROM b GROUP BY 1
+    """,
+})
+
+
+def media_geo_inherit_spans(sf_dir: str):
+    """Flagship-adjacent interleaved-spans rule: each media span (image/
+    audio) inherits the cell of the nearest PRECEDING geo span in its
+    document — the context-assignment semantics of interleaved
+    documents.  Runs stages/spans.inherit_media_cells (within-row
+    vectorized LOCF: spans of a doc live in one list cell, so no
+    explode, no shuffle, media payloads never move) over the
+    deterministic 4000-doc synthetic spans table, then one bounded
+    res-1 cell count.  Oracle: pinned VALUES derived by an independent
+    per-row Python loop over the same generator (experiments note in
+    the docstring; cross-validated total = 5033 media spans)."""
+    from ..sources.spans_table import spans_dataset
+    from ..stages.spans import inherit_media_cells
+
+    ds = spans_dataset(4000, batch_rows=500)
+    rows = inherit_media_cells(ds, resolution=1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"cell_id": t["cell_id"].to_numpy()})
+        g = df.groupby("cell_id", sort=False).size().reset_index(name="pn")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (rows.map_batches(partial, batch_format="pyarrow")
+               .groupby("cell_id").aggregate(Sum("pn", alias_name="n_media")))
+    return agg.map_batches(
+        lambda t: pa.table({"cell_id": t["cell_id"],
+                            "n_media": pc.cast(t["n_media"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+QUERIES.update({"media_geo_inherit_spans": media_geo_inherit_spans})
+
+ORACLES.update({
+    "media_geo_inherit_spans": """
+        SELECT * FROM (VALUES
+            (-9079256848778919937, 29),
+            (-8935141660703064065, 55),
+            (-8791026472627208193, 41),
+            (-8646911284551352321, 27),
+            (-8502796096475496449, 42),
+            (-8214565720323784705, 41),
+            (-7926335344172072961, 29),
+            (-7782220156096217089, 38),
+            (-7638104968020361217, 42),
+            (-7493989779944505345, 45),
+            (-7349874591868649473, 32),
+            (-7061644215716937729, 34),
+            (-6773413839565225985, 30),
+            (-6629298651489370113, 32),
+            (-6485183463413514241, 23),
+            (-6341068275337658369, 27),
+            (-6196953087261802497, 38),
+            (-5908722711110090753, 41),
+            (-5620492334958379009, 19),
+            (-5476377146882523137, 103),
+            (-5332261958806667265, 42),
+            (-5188146770730811393, 36),
+            (-5044031582654955521, 42),
+            (-4899916394579099649, 24),
+            (144115188075855871, 322),
+            (288230376151711743, 44),
+            (432345564227567615, 43),
+            (576460752303423487, 125),
+            (720575940379279359, 42),
+            (864691128455135231, 17),
+            (1297036692682702847, 43),
+            (1441151880758558719, 39),
+            (1585267068834414591, 27),
+            (1729382256910270463, 26),
+            (1873497444986126335, 31),
+            (2161727821137838079, 38),
+            (2449958197289549823, 897),
+            (2594073385365405695, 114),
+            (2738188573441261567, 37),
+            (2882303761517117439, 33),
+            (3026418949592973311, 74),
+            (3314649325744685055, 41),
+            (3602879701896396799, 35),
+            (3746994889972252671, 105),
+            (3891110078048108543, 40),
+            (4179340454199820287, 35),
+            (4323455642275676159, 33),
+            (4467570830351532031, 28),
+            (4755801206503243775, 20),
+            (4899916394579099647, 34),
+            (5044031582654955519, 36),
+            (5332261958806667263, 50),
+            (5476377146882523135, 40),
+            (5620492334958379007, 51),
+            (5908722711110090751, 36),
+            (6052837899185946623, 126),
+            (6196953087261802495, 171),
+            (6485183463413514239, 29),
+            (6629298651489370111, 729),
+            (6773413839565225983, 77),
+            (7061644215716937727, 26),
+            (7205759403792793599, 29),
+            (7349874591868649471, 44),
+            (7493989779944505343, 38),
+            (7638104968020361215, 42),
+            (7926335344172072959, 40),
+            (8214565720323784703, 27),
+            (8358680908399640575, 42),
+            (8502796096475496447, 42),
+            (8646911284551352319, 34),
+            (8791026472627208191, 27),
+            (9079256848778919935, 62)
+        ) AS t(cell_id, n_media)
+    """,
+})

@@ -204,3 +204,62 @@ def span_sequence_fingerprint(ds: ray.data.Dataset) -> ray.data.Dataset:
                          "span_fp": pa.array(out, type=pa.string())})
 
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def inherit_media_cells(ds: "ray.data.Dataset", resolution: int = 1,
+                        spans_col: str = "spans") -> "ray.data.Dataset":
+    """Media spans inherit the cell of the NEAREST PRECEDING geo span in
+    their document (the interleaved-document context-assignment rule:
+    an image between two location mentions belongs to the last one
+    seen).  Entirely within-row — the spans of a doc live in one list
+    cell, so the last-observation-carried-forward scan is a vectorized
+    running max over flat span indices with per-document resets; no
+    explode, no shuffle, media payloads never move.
+
+    Returns span rows (doc_id, span_idx, kind, cell_id) for media spans
+    (kind image/audio) whose inherited cell exists; media spans before
+    any geo span (impossible for the synthetic generator, whose first
+    span is always geo) are dropped."""
+    from .encode import grid_for
+    from ..config import dgselect
+
+    dggs = dgselect("IGEO7", resolution=resolution)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        struct, offsets = _spans_struct(batch, spans_col)
+        n_flat = len(struct)
+        counts = np.diff(offsets)
+        kind = struct.field("kind").to_numpy(zero_copy_only=False)
+        cell = np.full(n_flat, INVALID_ID, dtype=np.int64)
+        geo_mask = pa.compute.fill_null(
+            pa.compute.equal(struct.field("kind"), "geo"), False)
+        geo = geo_mask.to_numpy(zero_copy_only=False).astype(bool)
+        if geo.any():
+            lon, lat = _parse_lonlat(struct.field("text").filter(geo_mask))
+            ok = ~(np.isnan(lon) | np.isnan(lat))
+            z = np.full(int(geo.sum()), INVALID_ID, dtype=np.int64)
+            if ok.any():
+                z[ok] = grid_for(dggs).encode(lon[ok], lat[ok],
+                                              dggs.resolution)
+            cell[geo] = z
+        # LOCF over flat indices with per-doc reset: running max of the
+        # last valid index crosses doc boundaries only backwards, so
+        # clamping at each doc's first flat index invalidates any carry
+        # from a previous doc.
+        idx = np.arange(n_flat, dtype=np.int64)
+        valid = cell != INVALID_ID
+        last = np.maximum.accumulate(np.where(valid, idx, -1))
+        seg_start = np.repeat(offsets[:-1].astype(np.int64), counts)
+        has = last >= seg_start
+        inherited = np.where(has, cell[np.maximum(last, 0)], INVALID_ID)
+        media = np.isin(kind, ("image", "audio")) & has
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        doc_rep = np.repeat(doc, counts)
+        span_idx = idx - seg_start
+        return pa.table({
+            "doc_id": pa.array(doc_rep[media], pa.string()),
+            "span_idx": pa.array(span_idx[media].astype(np.int32)),
+            "kind": pa.array(kind[media], pa.string()),
+            "cell_id": pa.array(inherited[media], pa.int64())})
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -181,3 +181,52 @@ class TestHeatmapSmooth:
         assert total >= 16 * (n_events - n_border)  # only border cells clip
         if n_border == 0:
             assert total == 16 * n_events
+
+
+class TestInheritMediaCells:
+    def _mk(self, docs):
+        """docs: list of list[(kind, text)] -> spans-table Dataset."""
+        import ray
+
+        spans = [[{"kind": k, "text": t, "media_ref": "", "offset": i}
+                  for i, (k, t) in enumerate(d)] for d in docs]
+        t = pa.table({
+            "doc_id": pa.array([f"d{i}" for i in range(len(docs))]),
+            "spans": pa.array(spans, pa.list_(pa.struct(
+                [("kind", pa.string()), ("text", pa.string()),
+                 ("media_ref", pa.string()), ("offset", pa.int32())])))})
+        return ray.data.from_arrow(t)
+
+    def test_inheritance_rule(self, ray_session):
+        from dggrid4py_ray.stages.spans import inherit_media_cells
+
+        ds = self._mk([
+            [("geo", "10.0 50.0"), ("image", "x"), ("text", "hi"),
+             ("geo", "-70.0 -30.0"), ("audio", "y")],
+            [("image", "orphan"), ("geo", "0.0 0.0"), ("image", "z")],
+            [("text", "no geo at all"), ("audio", "dropped")],
+        ])
+        out = inherit_media_cells(ds, resolution=1).to_pandas()
+        out = out.sort_values(["doc_id", "span_idx"], ignore_index=True)
+        # doc0: image@1 inherits geo@0; audio@4 inherits geo@3 (not geo@0)
+        d0 = out[out.doc_id == "d0"]
+        assert list(d0.span_idx) == [1, 4]
+        from dggrid4py_ray.config import dgselect
+        from dggrid4py_ray.stages.encode import grid_for
+        import numpy as np
+        g = grid_for(dgselect("IGEO7", resolution=1))
+        c1 = int(g.encode(np.array([10.0]), np.array([50.0]), 1)[0])
+        c2 = int(g.encode(np.array([-70.0]), np.array([-30.0]), 1)[0])
+        assert list(d0.cell_id) == [c1, c2]
+        # doc1: the orphan media BEFORE any geo span is dropped
+        d1 = out[out.doc_id == "d1"]
+        assert list(d1.span_idx) == [2]
+        # doc2: no geo spans -> nothing emitted
+        assert (out.doc_id == "d2").sum() == 0
+
+    def test_zero_span_doc(self, ray_session):
+        from dggrid4py_ray.stages.spans import inherit_media_cells
+
+        ds = self._mk([[], [("geo", "1.0 2.0"), ("image", "i")]])
+        out = inherit_media_cells(ds, resolution=1).to_pandas()
+        assert list(out.doc_id) == ["d1"]
