@@ -10847,3 +10847,233 @@ ORACLES.update({
         ) AS t(cell_id, n_media)
     """,
 })
+
+
+def hotspot_gi_events(sf_dir: str):
+    """Getis-Ord Gi* hotspot z-scores over the full 1-degree grid
+    domain (n = 64800 cells): the standard local spatial-statistics
+    operator for 'where is activity significantly clustered'.
+    Neighborhood sums come from the heatmap scatter-gather (weight-1
+    3x3 kernel, border-clipped); the global mean/variance are two
+    integer scalars (one narrow aggregate, answer-sized driver fold);
+    the z formula is then a pure deterministic float function of
+    integers — bit-exact against the SQL twin (no sum-order
+    dependence anywhere).  Emits cells whose 3x3 window is occupied
+    (S_i > 0): the occupied set plus its halo."""
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    DX = np.array([-1, 0, 1, -1, 0, 1, -1, 0, 1], dtype=np.int64)
+    DY = np.array([-1, -1, -1, 0, 0, 0, 1, 1, 1], dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        y = (eid * 104729) % 18000 // 100
+        x = (eid * 7919) % 36000 // 100
+        df = pd.DataFrame({"x": x, "y": y})
+        g = df.groupby(["x", "y"], sort=False).size().reset_index(name="n")
+        gx = g["x"].to_numpy()
+        gy = g["y"].to_numpy()
+        gn = g["n"].to_numpy()
+        tx = (gx[:, None] + DX).ravel()
+        ty = (gy[:, None] + DY).ravel()
+        tn = np.repeat(gn, 9)
+        ok = (tx >= 0) & (tx < 360) & (ty >= 0) & (ty < 180)
+        # per-batch partials: neighborhood scatter + the two global scalars
+        out = pd.DataFrame({"x": tx[ok], "y": ty[ok], "s": tn[ok]})
+        o = out.groupby(["x", "y"], sort=False)["s"].sum().reset_index()
+        o["t"] = 0
+        o["sq"] = 0
+        scal = pd.DataFrame({"x": [-1], "y": [-1], "s": [0],
+                             "t": [int(gn.sum())],
+                             "sq": [int((gn.astype(np.int64) ** 2).sum())]})
+        return pa.Table.from_pandas(pd.concat([o, scal], ignore_index=True),
+                                    preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["x", "y"])
+             .aggregate(Sum("s", alias_name="S"), Sum("t", alias_name="T"),
+                        Sum("sq", alias_name="SQ"))).materialize()
+    scal = agg.filter(lambda r: r["x"] == -1).take_all()[0]
+    T, SQ = float(scal["T"]), float(scal["SQ"])
+    N = 64800.0
+    xbar = T / N
+    s = np.sqrt(SQ / N - xbar * xbar)
+
+    def finish(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy()
+        keep = x >= 0
+        x = x[keep]
+        y = t["y"].to_numpy()[keep]
+        S = t["S"].to_numpy()[keep].astype(np.float64)
+        W = ((1.0 + (x > 0) + (x < 359))
+             * (1.0 + (y > 0) + (y < 179))).astype(np.float64)
+        z = (S - xbar * W) / (s * np.sqrt((N * W - W * W) / (N - 1.0)))
+        return pa.table({"x": pa.array(x, pa.int64()),
+                         "y": pa.array(y, pa.int64()),
+                         "gi_z_e6": _iscale(z, 1000000)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES.update({"hotspot_gi_events": hotspot_gi_events})
+
+ORACLES.update({
+    "hotspot_gi_events": """
+        WITH c AS (
+            SELECT ((event_id * 7919) % 36000 // 100) AS x,
+                   ((event_id * 104729) % 18000 // 100) AS y,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2),
+        d(dx, dy) AS (VALUES (-1,-1),(0,-1),(1,-1),(-1,0),(0,0),(1,0),
+                             (-1,1),(0,1),(1,1)),
+        s AS (
+            SELECT c.x + d.dx AS x, c.y + d.dy AS y,
+                   CAST(SUM(c.n) AS DOUBLE) AS si
+            FROM c, d
+            WHERE c.x + d.dx BETWEEN 0 AND 359
+              AND c.y + d.dy BETWEEN 0 AND 179
+            GROUP BY 1, 2),
+        g AS (SELECT CAST(SUM(n) AS DOUBLE) AS t,
+                     CAST(SUM(n * n) AS DOUBLE) AS sq FROM c)
+        SELECT s.x, s.y,
+               CAST(ROUND(
+                   (s.si - (g.t / 64800.0)
+                    * ((1.0 + (CASE WHEN s.x > 0 THEN 1 ELSE 0 END)
+                            + (CASE WHEN s.x < 359 THEN 1 ELSE 0 END))
+                       * (1.0 + (CASE WHEN s.y > 0 THEN 1 ELSE 0 END)
+                              + (CASE WHEN s.y < 179 THEN 1 ELSE 0 END))))
+                   / (SQRT(g.sq / 64800.0 - (g.t / 64800.0) * (g.t / 64800.0))
+                      * SQRT((64800.0
+                              * ((1.0 + (CASE WHEN s.x > 0 THEN 1 ELSE 0 END)
+                                      + (CASE WHEN s.x < 359 THEN 1 ELSE 0 END))
+                                 * (1.0 + (CASE WHEN s.y > 0 THEN 1 ELSE 0 END)
+                                        + (CASE WHEN s.y < 179 THEN 1 ELSE 0 END)))
+                              - ((1.0 + (CASE WHEN s.x > 0 THEN 1 ELSE 0 END)
+                                      + (CASE WHEN s.x < 359 THEN 1 ELSE 0 END))
+                                 * (1.0 + (CASE WHEN s.y > 0 THEN 1 ELSE 0 END)
+                                        + (CASE WHEN s.y < 179 THEN 1 ELSE 0 END)))
+                                * ((1.0 + (CASE WHEN s.x > 0 THEN 1 ELSE 0 END)
+                                        + (CASE WHEN s.x < 359 THEN 1 ELSE 0 END))
+                                   * (1.0 + (CASE WHEN s.y > 0 THEN 1 ELSE 0 END)
+                                          + (CASE WHEN s.y < 179 THEN 1 ELSE 0 END))))
+                             / 64799.0))
+                   * 1000000) AS BIGINT) AS gi_z_e6
+        FROM s, g
+    """,
+})
+
+
+def markov_transitions_events(sf_dir: str):
+    """Row-normalized Markov transition probabilities between 10-degree
+    regions (the mobility model on top of the OD matrix): transition
+    counts from the LAG carry chain, per-origin totals from one bounded
+    grouped_reduce (region domain <= 648), probabilities e6-scaled —
+    n/total is a pure float function of two integers, bit-exact vs the
+    SQL window twin."""
+    from ..stages.groupagg import grouped_reduce
+
+    counts = od_matrix_events(sf_dir).materialize()
+    totals = grouped_reduce(counts, key="o_cell",
+                            col_map={"n_trips": "tot"}, how="sum")
+    tot_map = {int(r["o_cell"]): int(r["tot"]) for r in totals.take_all()}
+    tref = ray.put(tot_map)
+
+    def finish(t: pa.Table) -> pa.Table:
+        lut = ray.get(tref)
+        o = t["o_cell"].to_numpy()
+        n = t["n_trips"].to_numpy().astype(np.float64)
+        tot = pd.Series(o).map(lut).to_numpy(dtype=np.float64)
+        return pa.table({"o_cell": t["o_cell"], "d_cell": t["d_cell"],
+                         "n_trips": t["n_trips"],
+                         "p_e6": _iscale(n / tot, 1000000)})
+
+    return counts.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES.update({"markov_transitions_events": markov_transitions_events})
+
+ORACLES.update({
+    "markov_transitions_events": """
+        WITH c AS (
+            SELECT user_id, ts, event_id,
+                   ((event_id * 104729) % 18000 // 1000) * 36
+                   + ((event_id * 7919) % 36000 // 1000) AS cell
+            FROM events),
+        l AS (
+            SELECT cell AS d_cell,
+                   LAG(cell) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS o_cell
+            FROM c),
+        n AS (
+            SELECT o_cell, d_cell, COUNT(*) AS n_trips
+            FROM l WHERE o_cell IS NOT NULL GROUP BY 1, 2)
+        SELECT o_cell, d_cell, n_trips,
+               CAST(ROUND(CAST(n_trips AS DOUBLE)
+                          / CAST(SUM(n_trips) OVER (PARTITION BY o_cell)
+                                 AS DOUBLE) * 1000000) AS BIGINT) AS p_e6
+        FROM n
+    """,
+})
+
+
+def mean_location_by_user(sf_dir: str):
+    """Spherical mean location per user (the 3-D unit-vector mean — the
+    correct 'average position' on a sphere, immune to dateline wrap):
+    per-user (sum ux, sum uy, sum uz) via ONE grouped_reduce at
+    unbounded user cardinality, then closed-form atan2 recovery of
+    mean lat/lon, e6-scaled."""
+    from ..stages.groupagg import grouped_reduce
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def unit(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        lon = np.radians(((eid * 7919) % 36000) / 100.0 - 180.0)
+        lat = np.radians(((eid * 104729) % 18000) / 100.0 - 90.0)
+        cl = np.cos(lat)
+        return pa.table({"user_id": t["user_id"],
+                         "ux": pa.array(cl * np.cos(lon), pa.float64()),
+                         "uy": pa.array(cl * np.sin(lon), pa.float64()),
+                         "uz": pa.array(np.sin(lat), pa.float64())})
+
+    sums = grouped_reduce(ds.map_batches(unit, batch_format="pyarrow"),
+                          key="user_id",
+                          col_map={"ux": "sx", "uy": "sy", "uz": "sz"},
+                          how="sum")
+
+    def finish(t: pa.Table) -> pa.Table:
+        sx = t["sx"].to_numpy()
+        sy = t["sy"].to_numpy()
+        sz = t["sz"].to_numpy()
+        lat_m = np.degrees(np.arctan2(sz, np.sqrt(sx * sx + sy * sy)))
+        lon_m = np.degrees(np.arctan2(sy, sx))
+        return pa.table({"user_id": t["user_id"],
+                         "mean_lat_e6": _iscale(lat_m, 1000000),
+                         "mean_lon_e6": _iscale(lon_m, 1000000)})
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES.update({"mean_location_by_user": mean_location_by_user})
+
+ORACLES.update({
+    "mean_location_by_user": """
+        WITH p AS (
+            SELECT user_id,
+                   RADIANS(((event_id * 7919) % 36000) / 100.0 - 180.0) AS lon,
+                   RADIANS(((event_id * 104729) % 18000) / 100.0 - 90.0) AS lat
+            FROM events),
+        s AS (
+            SELECT user_id,
+                   SUM(COS(lat) * COS(lon)) AS sx,
+                   SUM(COS(lat) * SIN(lon)) AS sy,
+                   SUM(SIN(lat)) AS sz
+            FROM p GROUP BY 1)
+        SELECT user_id,
+               CAST(ROUND(DEGREES(ATAN2(sz, SQRT(sx * sx + sy * sy)))
+                          * 1000000) AS BIGINT) AS mean_lat_e6,
+               CAST(ROUND(DEGREES(ATAN2(sy, sx)) * 1000000) AS BIGINT)
+                   AS mean_lon_e6
+        FROM s
+    """,
+})
