@@ -11077,3 +11077,223 @@ ORACLES.update({
         FROM s
     """,
 })
+
+
+def peak_hour_by_region(sf_dir: str):
+    """Peak activity hour per 10-degree region: counts per (region,
+    hour-of-day) then the grouped argmax (topk_per_group k=1, ties ->
+    earliest hour) — the diurnal-profile reduction."""
+    from ..stages.relational import topk_per_group
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        region = ((eid * 104729) % 18000 // 1000) * 36 \
+            + ((eid * 7919) % 36000 // 1000)
+        us = pc.cast(t["ts"], pa.int64()).to_numpy()
+        hour = us // 3600000000 % 24
+        df = pd.DataFrame({"region": region, "hour": hour})
+        g = df.groupby(["region", "hour"], sort=False).size() \
+              .reset_index(name="pn")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby(["region", "hour"])
+                .aggregate(Sum("pn", alias_name="n")))
+    top = topk_per_group(counts, "region", "n", k=1, id_col="hour",
+                         descending=True)
+    return top.map_batches(
+        lambda t: pa.table({"region": t["region"],
+                            "peak_hour": pc.cast(t["hour"], pa.int64()),
+                            "n_events": pc.cast(t["n"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+QUERIES.update({"peak_hour_by_region": peak_hour_by_region})
+
+ORACLES.update({
+    "peak_hour_by_region": """
+        WITH c AS (
+            SELECT ((event_id * 104729) % 18000 // 1000) * 36
+                   + ((event_id * 7919) % 36000 // 1000) AS region,
+                   epoch_us(ts) // 3600000000 % 24 AS hour,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2),
+        r AS (
+            SELECT region, hour, n,
+                   ROW_NUMBER() OVER (PARTITION BY region
+                                      ORDER BY n DESC, hour) AS rk
+            FROM c)
+        SELECT region, CAST(hour AS BIGINT) AS peak_hour,
+               CAST(n AS BIGINT) AS n_events
+        FROM r WHERE rk = 1
+    """,
+})
+
+
+def colocation_pairs_events(sf_dir: str):
+    """Co-presence detection (the contact-graph builder): user pairs
+    observed in the SAME 10-degree region on the SAME day, >= 2 distinct
+    co-located (region, day) occurrences.  Distinct co-presence rows
+    first (one grouped count), then within-bucket pair enumeration
+    (triu, vectorized) per (region, day) block — bucket occupancy is
+    bounded by active-users-per-region-day, the documented regime — and
+    one grouped count of pair occurrences."""
+    from ..stages.groupagg import grouped_count
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        region = ((eid * 104729) % 18000 // 1000) * 36 \
+            + ((eid * 7919) % 36000 // 1000)
+        us = pc.cast(t["ts"], pa.int64()).to_numpy()
+        day = us // 86400000000
+        return pa.table({"user_id": t["user_id"],
+                         "bk": pa.array(region * 100000 + day, pa.int64())})
+
+    pres = grouped_count(ds.map_batches(bucketize, batch_format="pyarrow"),
+                         ["bk", "user_id"], out_col="_n")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        u = np.sort(g["user_id"].to_numpy())
+        if len(u) < 2:
+            return pd.DataFrame({"user_a": np.array([], np.int64),
+                                 "user_b": np.array([], np.int64)})
+        ai, bi = np.triu_indices(len(u), k=1)
+        return pd.DataFrame({"user_a": u[ai], "user_b": u[bi]})
+
+    pp = pres.groupby("bk").map_groups(pairs, batch_format="pandas")
+    co = grouped_count(pp, ["user_a", "user_b"], out_col="n_co")
+    return co.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_co"], 2)),
+        batch_format="pyarrow")
+
+
+QUERIES.update({"colocation_pairs_events": colocation_pairs_events})
+
+ORACLES.update({
+    "colocation_pairs_events": """
+        WITH p AS (
+            SELECT DISTINCT user_id,
+                   (((event_id * 104729) % 18000 // 1000) * 36
+                    + ((event_id * 7919) % 36000 // 1000)) * 100000
+                   + epoch_us(ts) // 86400000000 AS bk
+            FROM events)
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               COUNT(*) AS n_co
+        FROM p a JOIN p b ON a.bk = b.bk AND a.user_id < b.user_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+})
+
+
+def radius_of_gyration_users(sf_dir: str):
+    """Per-user radius of gyration (Gonzalez et al. 2008, the mobility
+    footprint): sqrt(mean squared haversine distance from the user's
+    spherical mean location).  Two passes at unbounded user
+    cardinality: grouped_reduce unit-vector sums -> closed-form mean
+    point, one hash join back to events, grouped_reduce of d^2 — the
+    same derived-table two-pass shape as mad_by_flag."""
+    from ..stages.bloom import _coalesce_for_join
+    from ..stages.groupagg import grouped_reduce
+    from ..stages.join import _join_partitions
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def unit(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        lon = np.radians(((eid * 7919) % 36000) / 100.0 - 180.0)
+        lat = np.radians(((eid * 104729) % 18000) / 100.0 - 90.0)
+        cl = np.cos(lat)
+        return pa.table({"user_id": t["user_id"],
+                         "ux": pa.array(cl * np.cos(lon), pa.float64()),
+                         "uy": pa.array(cl * np.sin(lon), pa.float64()),
+                         "uz": pa.array(np.sin(lat), pa.float64()),
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    sums = grouped_reduce(ds.map_batches(unit, batch_format="pyarrow"),
+                          key="user_id",
+                          col_map={"ux": "sx", "uy": "sy", "uz": "sz",
+                                   "one": "n"}, how="sum")
+
+    def mean_pt(t: pa.Table) -> pa.Table:
+        sx = t["sx"].to_numpy()
+        sy = t["sy"].to_numpy()
+        sz = t["sz"].to_numpy()
+        lat_m = np.arctan2(sz, np.sqrt(sx * sx + sy * sy))
+        lon_m = np.arctan2(sy, sx)
+        return pa.table({"user_id": t["user_id"],
+                         "lat_m": pa.array(lat_m, pa.float64()),
+                         "lon_m": pa.array(lon_m, pa.float64())})
+
+    parts = _join_partitions()
+    means, _ = _coalesce_for_join(
+        sums.map_batches(mean_pt, batch_format="pyarrow"), parts)
+    joined = ds.join(means, join_type="inner", num_partitions=parts,
+                     on=("user_id",))
+
+    R = 6371.007180918475
+
+    def d2(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        lon = np.radians(((eid * 7919) % 36000) / 100.0 - 180.0)
+        lat = np.radians(((eid * 104729) % 18000) / 100.0 - 90.0)
+        lat_m = t["lat_m"].to_numpy()
+        lon_m = t["lon_m"].to_numpy()
+        a = (np.sin((lat - lat_m) / 2.0) ** 2
+             + np.cos(lat_m) * np.cos(lat) * np.sin((lon - lon_m) / 2.0) ** 2)
+        d = 2.0 * R * np.arcsin(np.sqrt(np.minimum(a, 1.0)))
+        return pa.table({"user_id": t["user_id"],
+                         "dsq": pa.array(d * d, pa.float64()),
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    acc = grouped_reduce(joined.map_batches(d2, batch_format="pyarrow"),
+                         key="user_id",
+                         col_map={"dsq": "ssq", "one": "n"}, how="sum")
+
+    def finish(t: pa.Table) -> pa.Table:
+        rog = np.sqrt(t["ssq"].to_numpy() / t["n"].to_numpy())
+        return pa.table({"user_id": t["user_id"],
+                         "rog_km_e3": _iscale(rog, 1000),
+                         "n_events": pc.cast(t["n"], pa.int64())})
+
+    return acc.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES.update({"radius_of_gyration_users": radius_of_gyration_users})
+
+ORACLES.update({
+    "radius_of_gyration_users": """
+        WITH p AS (
+            SELECT user_id,
+                   RADIANS(((event_id * 7919) % 36000) / 100.0 - 180.0) AS lon,
+                   RADIANS(((event_id * 104729) % 18000) / 100.0 - 90.0) AS lat
+            FROM events),
+        s AS (
+            SELECT user_id,
+                   SUM(COS(lat) * COS(lon)) AS sx,
+                   SUM(COS(lat) * SIN(lon)) AS sy,
+                   SUM(SIN(lat)) AS sz
+            FROM p GROUP BY 1),
+        m AS (
+            SELECT user_id,
+                   ATAN2(sz, SQRT(sx * sx + sy * sy)) AS lat_m,
+                   ATAN2(sy, sx) AS lon_m
+            FROM s),
+        d AS (
+            SELECT p.user_id,
+                   POW(2.0 * 6371.007180918475 * ASIN(SQRT(LEAST(
+                       POW(SIN((p.lat - m.lat_m) / 2.0), 2)
+                       + COS(m.lat_m) * COS(p.lat)
+                         * POW(SIN((p.lon - m.lon_m) / 2.0), 2), 1.0))),
+                       2) AS dsq
+            FROM p JOIN m ON p.user_id = m.user_id)
+        SELECT user_id,
+               CAST(ROUND(SQRT(SUM(dsq) / COUNT(*)) * 1000) AS BIGINT)
+                   AS rog_km_e3,
+               COUNT(*) AS n_events
+        FROM d GROUP BY 1
+    """,
+})

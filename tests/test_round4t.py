@@ -275,3 +275,49 @@ class TestBatchD:
         # densest window must be a significant hotspot; all-emitted mean > 0
         assert df["gi_z_e6"].max() > 1_000_000   # z > 1 somewhere
         assert len(df) == 53615                  # occupied set + halo
+
+
+class TestBatchE:
+    def test_colocation_synthetic(self, ray_session, tmp_path):
+        """Two users sharing a region on 3 days -> one pair with n_co=3."""
+        import pyarrow.parquet as pq
+
+        from dggrid4py_ray.pipelines.queries import colocation_pairs_events
+
+        # same event_id -> same region; vary day via ts
+        US_DAY = 86400000000
+        rows = []
+        for day in range(3):
+            for uid in (1, 2):
+                rows.append((100, day * US_DAY + uid, uid))
+        # a third user co-located only once -> filtered by n_co >= 2
+        rows.append((100, 0 * US_DAY + 99, 3))
+        eid, ts, uid = zip(*rows)
+        pq.write_table(pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(uid, pa.int64()),
+            "event_type": pa.array(["a"] * len(rows)),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows))}),
+            tmp_path / "events.parquet")
+        df = colocation_pairs_events(str(tmp_path)).to_pandas()
+        assert len(df) == 1
+        assert (df.user_a.iloc[0], df.user_b.iloc[0], df.n_co.iloc[0]) \
+            == (1, 2, 3)
+
+    def test_rog_single_location_is_zero(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from dggrid4py_ray.pipelines.queries import radius_of_gyration_users
+
+        pq.write_table(pa.table({
+            "event_id": pa.array([42, 42, 42], pa.int64()),
+            "ts": pa.array([0, 1, 2], pa.timestamp("us")),
+            "user_id": pa.array([5, 5, 5], pa.int64()),
+            "event_type": pa.array(["a"] * 3),
+            "value": pa.array([1.0] * 3),
+            "props": pa.array(["{}"] * 3)}),
+            tmp_path / "events.parquet")
+        df = radius_of_gyration_users(str(tmp_path)).to_pandas()
+        assert list(df.rog_km_e3) == [0] and list(df.n_events) == [3]
