@@ -11297,3 +11297,218 @@ ORACLES.update({
         FROM d GROUP BY 1
     """,
 })
+
+
+def readability_docs(sf_dir: str):
+    """Flesch reading-ease score per document from three RE2-counted
+    integers (words, vowel-group 'syllables', sentence-punctuation
+    groups, floored at 1 sentence): score = 206.835 - 1.015*(W/S)
+    - 84.6*(Y/W) — a pure float function of integers, bit-exact vs the
+    SQL twin.  One streaming map; text never shuffles."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"])
+        syl = pc.count_substring_regex(low, "[aeiouy]+").to_numpy() \
+                .astype(np.float64)
+        words = pc.count_substring_regex(t["text"], "[A-Za-z]+") \
+                  .to_numpy().astype(np.float64)
+        sents = pc.count_substring_regex(t["text"], "[.!?]+") \
+                  .to_numpy().astype(np.float64)
+        sents = np.maximum(sents, 1.0)
+        words_safe = np.maximum(words, 1.0)
+        flesch = 206.835 - 1.015 * (words / sents) \
+            - 84.6 * (syl / words_safe)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_words": pa.array(words.astype(np.int64)),
+                         "flesch_e6": _iscale(flesch, 1000000)})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+QUERIES.update({"readability_docs": readability_docs})
+
+ORACLES.update({
+    "readability_docs": """
+        WITH c AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                        AS DOUBLE) AS syl,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+'))
+                        AS DOUBLE) AS words,
+                   GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                                 AS DOUBLE), 1.0) AS sents
+            FROM documents)
+        SELECT doc_id, CAST(words AS BIGINT) AS n_words,
+               CAST(ROUND((206.835 - 1.015 * (words / sents)
+                           - 84.6 * (syl / GREATEST(words, 1.0)))
+                          * 1000000) AS BIGINT) AS flesch_e6
+        FROM c
+    """,
+})
+
+
+def burstiness_by_user(sf_dir: str):
+    """Goh-Barabasi burstiness B = (sigma - mu) / (sigma + mu) of
+    per-user inter-event gaps: LAG(ts) via the group_shift carry chain,
+    per-user (sum dt, sum dt^2, n) in ONE grouped_reduce, closed-form
+    population sigma — unbounded users, no per-group Python."""
+    from ..stages.groupagg import grouped_reduce
+    from ..stages.window import group_shift
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "ts_us": pc.cast(t["ts"], pa.int64())})
+
+    lag = group_shift(ds.map_batches(to_us, batch_format="pyarrow"),
+                      "user_id", ["ts_us", "event_id"], "ts_us",
+                      k=1, out_col="prev_us")
+
+    def gaps(t: pa.Table) -> pa.Table:
+        prev = t["prev_us"].to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(prev)
+        dt = (t["ts_us"].to_numpy()[ok] - prev[ok]) / 1000000.0
+        return pa.table({"user_id": t["user_id"].filter(pa.array(ok)),
+                         "dt": pa.array(dt, pa.float64()),
+                         "dt2": pa.array(dt * dt, pa.float64()),
+                         "one": pa.array(np.ones(int(ok.sum()), np.int64))})
+
+    acc = grouped_reduce(lag.map_batches(gaps, batch_format="pyarrow"),
+                         key="user_id",
+                         col_map={"dt": "s1", "dt2": "s2", "one": "n"},
+                         how="sum")
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy().astype(np.float64)
+        mu = t["s1"].to_numpy() / n
+        var = t["s2"].to_numpy() / n - mu * mu
+        sig = np.sqrt(np.maximum(var, 0.0))
+        b = (sig - mu) / (sig + mu)
+        return pa.table({"user_id": t["user_id"],
+                         "burstiness_e6": _iscale(b, 1000000),
+                         "n_gaps": pc.cast(t["n"], pa.int64())})
+
+    return acc.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES.update({"burstiness_by_user": burstiness_by_user})
+
+ORACLES.update({
+    "burstiness_by_user": """
+        WITH l AS (
+            SELECT user_id, epoch_us(ts) AS ts_us,
+                   LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY epoch_us(ts), event_id)
+                       AS prev_us
+            FROM events),
+        g AS (
+            SELECT user_id, (ts_us - prev_us) / 1000000.0 AS dt
+            FROM l WHERE prev_us IS NOT NULL),
+        a AS (
+            SELECT user_id, SUM(dt) AS s1, SUM(dt * dt) AS s2,
+                   COUNT(*) AS n
+            FROM g GROUP BY 1)
+        SELECT user_id,
+               CAST(ROUND(((SQRT(GREATEST(s2 / n - (s1/n) * (s1/n), 0.0))
+                            - s1 / n)
+                           / (SQRT(GREATEST(s2 / n - (s1/n) * (s1/n), 0.0))
+                              + s1 / n)) * 1000000) AS BIGINT)
+                   AS burstiness_e6,
+               CAST(n AS BIGINT) AS n_gaps
+        FROM a
+    """,
+})
+
+
+def zipf_slope_by_lang(sf_dir: str):
+    """Zipf-law slope per language: whitespace-token counts (vocab-
+    bounded aggregate — the generator vocabulary is ~170 words), top
+    100 tokens per lang (ties -> token asc), OLS slope of ln(count) on
+    ln(rank) folded from five sums.  Text never shuffles; the token
+    shuffle is vocab-bounded."""
+    from ..stages.groupagg import grouped_reduce
+    from ..stages.relational import topk_per_group
+
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_numpy(zero_copy_only=False)
+        split = [s.split(" ") for s in texts]
+        counts = np.array([len(x) for x in split])
+        flat = np.concatenate([np.asarray(x, object) for x in split]) \
+            if split else np.array([], object)
+        lrep = np.repeat(lang, counts)
+        keep = flat != ""
+        df = pd.DataFrame({"lang": lrep[keep], "token": flat[keep]})
+        g = df.groupby(["lang", "token"], sort=False).size() \
+              .reset_index(name="pn")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (ds.map_batches(toks, batch_format="pyarrow")
+                .groupby(["lang", "token"])
+                .aggregate(Sum("pn", alias_name="n")))
+    # topk_per_group already emits rank 1..k per group (n desc, token asc)
+    ranked = topk_per_group(counts, "lang", "n", k=100, id_col="token",
+                            descending=True)
+
+    def ols_prep(t: pa.Table) -> pa.Table:
+        x = np.log(t["rank"].to_numpy().astype(np.float64))
+        y = np.log(t["n"].to_numpy().astype(np.float64))
+        return pa.table({"lang": t["lang"],
+                         "x": pa.array(x), "y": pa.array(y),
+                         "xy": pa.array(x * y), "xx": pa.array(x * x),
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    s = grouped_reduce(ranked.map_batches(ols_prep, batch_format="pyarrow"),
+                       key="lang",
+                       col_map={"x": "sx", "y": "sy", "xy": "sxy",
+                                "xx": "sxx", "one": "n"}, how="sum")
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy().astype(np.float64)
+        sx = t["sx"].to_numpy()
+        sy = t["sy"].to_numpy()
+        slope = (n * t["sxy"].to_numpy() - sx * sy) \
+            / (n * t["sxx"].to_numpy() - sx * sx)
+        return pa.table({"lang": t["lang"],
+                         "zipf_slope_e6": _iscale(slope, 1000000),
+                         "n_tokens": pc.cast(t["n"], pa.int64())})
+
+    return s.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES.update({"zipf_slope_by_lang": zipf_slope_by_lang})
+
+ORACLES.update({
+    "zipf_slope_by_lang": """
+        WITH tok AS (
+            SELECT lang, t.tok AS token
+            FROM documents,
+                 LATERAL UNNEST(string_split(text, ' ')) AS t(tok)
+            WHERE t.tok <> ''),
+        c AS (
+            SELECT lang, token, COUNT(*) AS n
+            FROM tok GROUP BY 1, 2),
+        r AS (
+            SELECT lang, n,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY n DESC, token) AS rank
+            FROM c),
+        k AS (SELECT lang, LN(CAST(rank AS DOUBLE)) AS x,
+                     LN(CAST(n AS DOUBLE)) AS y
+              FROM r WHERE rank <= 100),
+        a AS (
+            SELECT lang, SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+                   SUM(x * x) AS sxx, COUNT(*) AS n
+            FROM k GROUP BY 1)
+        SELECT lang,
+               CAST(ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                          * 1000000) AS BIGINT) AS zipf_slope_e6,
+               CAST(n AS BIGINT) AS n_tokens
+        FROM a
+    """,
+})

@@ -321,3 +321,43 @@ class TestBatchE:
             tmp_path / "events.parquet")
         df = radius_of_gyration_users(str(tmp_path)).to_pandas()
         assert list(df.rog_km_e3) == [0] and list(df.n_events) == [3]
+
+
+class TestBatchF:
+    def test_readability_empty_text_guard(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from dggrid4py_ray.pipelines.queries import readability_docs
+
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["", "the cat sat."]),
+            "lang": pa.array(["en", "en"]),
+            "source": pa.array(["s", "s"]),
+            "n_chars": pa.array([0, 12], pa.int64())}),
+            tmp_path / "documents.parquet")
+        df = readability_docs(str(tmp_path)).to_pandas()
+        assert len(df) == 2 and np.isfinite(df.flesch_e6).all()
+        assert df[df.doc_id == 1].n_words.iloc[0] == 0
+
+    def test_burstiness_regular_vs_bursty(self, ray_session, tmp_path):
+        """Perfectly regular gaps -> B = -1; bursty gaps -> B > -1."""
+        import pyarrow.parquet as pq
+
+        from dggrid4py_ray.pipelines.queries import burstiness_by_user
+
+        reg = [(1, i * 1000000) for i in range(5)]          # equal gaps
+        bur = [(2, t) for t in [0, 1, 2, 3, 50_000_000]]    # one huge gap
+        rows = reg + bur
+        pq.write_table(pa.table({
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([t for _, t in rows], pa.timestamp("us")),
+            "user_id": pa.array([u for u, _ in rows], pa.int64()),
+            "event_type": pa.array(["a"] * len(rows)),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows))}),
+            tmp_path / "events.parquet")
+        df = burstiness_by_user(str(tmp_path)).to_pandas() \
+            .set_index("user_id")
+        assert df.loc[1, "burstiness_e6"] == -1000000
+        assert df.loc[2, "burstiness_e6"] > 0   # dominated by the outlier
