@@ -11512,3 +11512,209 @@ ORACLES.update({
         FROM a
     """,
 })
+
+
+def trend_regions_events(sf_dir: str):
+    """Mann-Kendall trend statistic per 10-degree region over monthly
+    activity counts: S = sum over month pairs (i < j) of
+    sign(n_j - n_i), the standard nonparametric 'is activity rising'
+    test.  Counts per (region, month) are one bounded aggregate
+    (region domain <= 648, months <= observed span); the pairwise fold
+    runs per-region vectorized (months are few — the documented
+    bounded regime; observed months only, absent months are NOT
+    zero-filled)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        region = ((eid * 104729) % 18000 // 1000) * 36 \
+            + ((eid * 7919) % 36000 // 1000)
+        us = pc.cast(t["ts"], pa.int64()).to_numpy()
+        month = us // 86400000000 // 30          # 30-day month buckets
+        df = pd.DataFrame({"region": region, "month": month})
+        g = df.groupby(["region", "month"], sort=False).size() \
+              .reset_index(name="pn")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby(["region", "month"])
+                .aggregate(Sum("pn", alias_name="n")))
+
+    def mk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("month")
+        n = g["n"].to_numpy().astype(np.int64)
+        i, j = np.triu_indices(len(n), k=1)
+        s = int(np.sign(n[j] - n[i]).sum())
+        return pd.DataFrame({"region": [g["region"].iloc[0]],
+                             "mk_s": [s], "n_months": [len(n)]})
+
+    out = counts.groupby("region").map_groups(mk, batch_format="pandas")
+    return out.map_batches(
+        lambda t: pa.table({"region": pc.cast(t["region"], pa.int64()),
+                            "mk_s": pc.cast(t["mk_s"], pa.int64()),
+                            "n_months": pc.cast(t["n_months"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+QUERIES.update({"trend_regions_events": trend_regions_events})
+
+ORACLES.update({
+    "trend_regions_events": """
+        WITH c AS (
+            SELECT ((event_id * 104729) % 18000 // 1000) * 36
+                   + ((event_id * 7919) % 36000 // 1000) AS region,
+                   epoch_us(ts) // 86400000000 // 30 AS month,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2),
+        s AS (
+            SELECT a.region,
+                   SUM(CASE WHEN b.n > a.n THEN 1
+                            WHEN b.n < a.n THEN -1 ELSE 0 END) AS mk_s
+            FROM c a JOIN c b
+              ON a.region = b.region AND b.month > a.month
+            GROUP BY 1),
+        m AS (SELECT region, COUNT(*) AS n_months FROM c GROUP BY 1)
+        SELECT m.region, CAST(COALESCE(s.mk_s, 0) AS BIGINT) AS mk_s,
+               CAST(m.n_months AS BIGINT) AS n_months
+        FROM m LEFT JOIN s ON m.region = s.region
+    """,
+})
+
+
+def new_cells_last_week(sf_dir: str):
+    """Spatial novelty audit: 1-degree cells whose FIRST observation
+    falls in the final 7 days of the data — one grouped_reduce
+    (min day per cell, global max day) pass, no joins."""
+    from ..stages.groupagg import grouped_reduce
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        cell = ((eid * 104729) % 18000 // 100) * 360 \
+            + ((eid * 7919) % 36000 // 100)
+        day = pc.cast(t["ts"], pa.int64()).to_numpy() // 86400000000
+        return pa.table({"cell": pa.array(cell, pa.int64()),
+                         "first_day": pa.array(day, pa.int64()),
+                         "gmax": pa.array(day, pa.int64())})
+
+    agg = grouped_reduce(ds.map_batches(prep, batch_format="pyarrow"),
+                         key="cell",
+                         col_map={"first_day": "first_day", "gmax": "last"},
+                         how={"first_day": "min", "gmax": "max"}).materialize()
+    gmax = agg.max("last")
+
+    def finish(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t["first_day"], gmax - 7)
+        t = t.filter(keep)
+        return pa.table({"cell": t["cell"],
+                         "first_day": pc.cast(t["first_day"], pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES.update({"new_cells_last_week": new_cells_last_week})
+
+ORACLES.update({
+    "new_cells_last_week": """
+        WITH c AS (
+            SELECT ((event_id * 104729) % 18000 // 100) * 360
+                   + ((event_id * 7919) % 36000 // 100) AS cell,
+                   MIN(epoch_us(ts) // 86400000000) AS first_day
+            FROM events GROUP BY 1),
+        g AS (SELECT MAX(epoch_us(ts) // 86400000000) AS gmax FROM events)
+        SELECT c.cell, CAST(c.first_day AS BIGINT) AS first_day
+        FROM c, g WHERE c.first_day > g.gmax - 7
+    """,
+})
+
+
+def home_work_cells_users(sf_dir: str):
+    """Home/work location inference (the classic CDR heuristic): per
+    user, the modal 10-degree region during night hours (22-06) and
+    during day hours (08-18), each via the grouped argmax at unbounded
+    (user x daypart) key cardinality, zipped with one user-keyed hash
+    join."""
+    from ..stages.bloom import _coalesce_for_join
+    from ..stages.join import _join_partitions
+    from ..stages.relational import topk_per_group
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        region = ((eid * 104729) % 18000 // 1000) * 36 \
+            + ((eid * 7919) % 36000 // 1000)
+        hour = pc.cast(t["ts"], pa.int64()).to_numpy() \
+            // 3600000000 % 24
+        night = (hour >= 22) | (hour < 6)
+        day = (hour >= 8) & (hour < 18)
+        part = np.where(night, 0, np.where(day, 1, -1))
+        uid = t["user_id"].to_numpy()
+        keep = part >= 0
+        df = pd.DataFrame({"upart": uid[keep] * 2 + part[keep],
+                           "region": region[keep]})
+        g = df.groupby(["upart", "region"], sort=False).size() \
+              .reset_index(name="pn")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (ds.map_batches(prep, batch_format="pyarrow")
+                .groupby(["upart", "region"])
+                .aggregate(Sum("pn", alias_name="n")))
+    top = topk_per_group(counts, "upart", "n", k=1, id_col="region",
+                         descending=True)
+
+    parts = _join_partitions()
+
+    def unpack(which: int):
+        def f(t: pa.Table) -> pa.Table:
+            up = t["upart"].to_numpy()
+            keep = (up % 2) == which
+            name = "home_region" if which == 0 else "work_region"
+            return pa.table({
+                "user_id": pa.array(up[keep] // 2, pa.int64()),
+                name: pc.cast(t["region"].filter(pa.array(keep)),
+                              pa.int64())})
+        return f
+
+    home, _ = _coalesce_for_join(
+        top.map_batches(unpack(0), batch_format="pyarrow"), parts)
+    work, _ = _coalesce_for_join(
+        top.map_batches(unpack(1), batch_format="pyarrow"), parts)
+    both = home.join(work, join_type="inner", num_partitions=parts,
+                     on=("user_id",))
+    return both.map_batches(
+        lambda t: t.select(["user_id", "home_region", "work_region"]),
+        batch_format="pyarrow")
+
+
+QUERIES.update({"home_work_cells_users": home_work_cells_users})
+
+ORACLES.update({
+    "home_work_cells_users": """
+        WITH c AS (
+            SELECT user_id,
+                   ((event_id * 104729) % 18000 // 1000) * 36
+                   + ((event_id * 7919) % 36000 // 1000) AS region,
+                   epoch_us(ts) // 3600000000 % 24 AS hour
+            FROM events),
+        p AS (
+            SELECT user_id, region,
+                   CASE WHEN hour >= 22 OR hour < 6 THEN 0
+                        WHEN hour >= 8 AND hour < 18 THEN 1
+                        ELSE -1 END AS part
+            FROM c),
+        n AS (
+            SELECT user_id, part, region, COUNT(*) AS n
+            FROM p WHERE part >= 0 GROUP BY 1, 2, 3),
+        r AS (
+            SELECT user_id, part, region,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, part
+                                      ORDER BY n DESC, region) AS rk
+            FROM n)
+        SELECT h.user_id, h.region AS home_region, w.region AS work_region
+        FROM (SELECT user_id, region FROM r WHERE part = 0 AND rk = 1) h
+        JOIN (SELECT user_id, region FROM r WHERE part = 1 AND rk = 1) w
+          ON h.user_id = w.user_id
+    """,
+})
