@@ -11718,3 +11718,270 @@ ORACLES.update({
           ON h.user_id = w.user_id
     """,
 })
+
+
+def nearest_centroid_confusion(sf_dir: str):
+    """Nearest-centroid classification audit over the embeddings table:
+    per-label centroids from ONE pass of per-batch partial vector sums
+    (vectors never shuffle; the fold is label-count x d, answer-sized),
+    broadcast back, per-batch cosine argmax (ties -> lowest label), and
+    the 10x10 confusion-matrix counts.  The supervised-geometry audit
+    every embedding corpus needs."""
+    ds = _read(sf_dir, "embeddings", ["embedding", "label"])
+
+    def partial_sums(t: pa.Table) -> pa.Table:
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        vecs = np.asarray(emb.values).reshape(t.num_rows, -1) \
+                 .astype(np.float64)
+        lab = t["label"].to_numpy()
+        df = pd.DataFrame(vecs)
+        df["label"] = lab
+        g = df.groupby("label", sort=True).agg(["sum"])
+        g.columns = [f"s{i}" for i in range(vecs.shape[1])]
+        g["n"] = pd.Series(lab).groupby(lab).size()
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    d = 64
+    sums = (ds.map_batches(partial_sums, batch_format="pyarrow")
+              .groupby("label")
+              .aggregate(*[Sum(f"s{i}", alias_name=f"s{i}")
+                           for i in range(d)],
+                         Sum("n", alias_name="n"))).take_all()
+    sums.sort(key=lambda r: r["label"])
+    labels = np.array([r["label"] for r in sums], dtype=np.int64)
+    cent = np.array([[r[f"s{i}"] for i in range(d)] for r in sums],
+                    dtype=np.float64)
+    cent /= np.array([[r["n"]] for r in sums], dtype=np.float64)
+    cnorm = np.sqrt((cent * cent).sum(axis=1))
+    cref = ray.put((labels, cent, cnorm))
+
+    def assign(t: pa.Table) -> pa.Table:
+        labs, c, cn = ray.get(cref)
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        vecs = np.asarray(emb.values).reshape(t.num_rows, -1) \
+                 .astype(np.float64)
+        vn = np.sqrt((vecs * vecs).sum(axis=1))
+        cos = (vecs @ c.T) / (vn[:, None] * cn[None, :])
+        pred = labs[np.argmax(cos, axis=1)]   # np.argmax: first max wins
+        df = pd.DataFrame({"label": t["label"].to_numpy(), "pred": pred})
+        g = df.groupby(["label", "pred"], sort=False).size() \
+              .reset_index(name="pn")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(assign, batch_format="pyarrow")
+             .groupby(["label", "pred"])
+             .aggregate(Sum("pn", alias_name="n")))
+    return agg.map_batches(
+        lambda t: pa.table({"label": pc.cast(t["label"], pa.int64()),
+                            "pred": pc.cast(t["pred"], pa.int64()),
+                            "n": pc.cast(t["n"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+QUERIES.update({"nearest_centroid_confusion": nearest_centroid_confusion})
+
+ORACLES.update({
+    "nearest_centroid_confusion": """
+        WITH e AS (
+            SELECT ROW_NUMBER() OVER () AS rid, label,
+                   CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+        comp AS (
+            SELECT e.label, e.rid, CAST(r.range AS INTEGER) + 1 AS j,
+                   v[CAST(r.range AS INTEGER) + 1] AS x
+            FROM e, range(64) r),
+        cent AS (
+            SELECT label, j, AVG(x) AS c
+            FROM comp GROUP BY 1, 2),
+        cl AS (
+            SELECT label AS clabel,
+                   array_agg(c ORDER BY j) AS cv
+            FROM cent GROUP BY 1),
+        sim AS (
+            SELECT e.rid, e.label, cl.clabel,
+                   list_dot_product(e.v, cl.cv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(cl.cv, cl.cv))) AS cos
+            FROM e, cl),
+        best AS (
+            SELECT rid, label, clabel,
+                   ROW_NUMBER() OVER (PARTITION BY rid
+                                      ORDER BY cos DESC, clabel) AS rk
+            FROM sim)
+        SELECT label, clabel AS pred, COUNT(*) AS n
+        FROM best WHERE rk = 1 GROUP BY 1, 2
+    """,
+})
+
+
+def assortativity_user_region(sf_dir: str):
+    """Degree assortativity of the bipartite user-region presence graph
+    (do heavy users visit popular regions?): distinct edges via one
+    grouped count, per-side degrees via two more, two hash joins zip
+    the degrees onto edges, and Pearson r folds from five sums —
+    every stage unbounded-key safe."""
+    from ..stages.bloom import _coalesce_for_join
+    from ..stages.groupagg import grouped_count
+    from ..stages.join import _join_partitions
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def edge(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        region = ((eid * 104729) % 18000 // 1000) * 36 \
+            + ((eid * 7919) % 36000 // 1000)
+        return pa.table({"user_id": t["user_id"],
+                         "region": pa.array(region, pa.int64())})
+
+    edges = grouped_count(ds.map_batches(edge, batch_format="pyarrow"),
+                          ["user_id", "region"], out_col="_n") \
+        .map_batches(lambda t: t.select(["user_id", "region"]),
+                     batch_format="pyarrow").materialize()
+    du = grouped_count(edges, "user_id", out_col="du")
+    dr = grouped_count(edges, "region", out_col="dr")
+
+    parts = _join_partitions()
+    du, _ = _coalesce_for_join(du, parts)
+    dr, _ = _coalesce_for_join(dr, parts)
+    j = edges.join(du, join_type="inner", num_partitions=parts,
+                   on=("user_id",)) \
+             .join(dr, join_type="inner", num_partitions=parts,
+                   on=("region",))
+
+    def sums(t: pa.Table) -> pa.Table:
+        x = t["du"].to_numpy().astype(np.float64)
+        y = t["dr"].to_numpy().astype(np.float64)
+        return pa.table({"sx": [float(x.sum())], "sy": [float(y.sum())],
+                         "sxy": [float((x * y).sum())],
+                         "sxx": [float((x * x).sum())],
+                         "syy": [float((y * y).sum())],
+                         "n": [int(len(x))]})
+
+    acc = j.map_batches(sums, batch_format="pyarrow") \
+        .sum(["sx", "sy", "sxy", "sxx", "syy", "n"])
+    n = float(acc["sum(n)"])
+    sx, sy = acc["sum(sx)"], acc["sum(sy)"]
+    sxy, sxx, syy = acc["sum(sxy)"], acc["sum(sxx)"], acc["sum(syy)"]
+    r = (n * sxy - sx * sy) / (np.sqrt(n * sxx - sx * sx)
+                               * np.sqrt(n * syy - sy * sy))
+    return pa.table({"n_edges": pa.array([int(n)], pa.int64()),
+                     "assortativity_e6": pa.array(
+                         [int(np.round(r * 1000000))], pa.int64())})
+
+
+QUERIES.update({"assortativity_user_region": assortativity_user_region})
+
+ORACLES.update({
+    "assortativity_user_region": """
+        WITH e AS (
+            SELECT DISTINCT user_id,
+                   ((event_id * 104729) % 18000 // 1000) * 36
+                   + ((event_id * 7919) % 36000 // 1000) AS region
+            FROM events),
+        du AS (SELECT user_id, COUNT(*) AS du FROM e GROUP BY 1),
+        dr AS (SELECT region, COUNT(*) AS dr FROM e GROUP BY 1),
+        j AS (
+            SELECT CAST(du.du AS DOUBLE) AS x, CAST(dr.dr AS DOUBLE) AS y
+            FROM e JOIN du ON e.user_id = du.user_id
+                   JOIN dr ON e.region = dr.region),
+        a AS (
+            SELECT SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+                   SUM(x*x) AS sxx, SUM(y*y) AS syy,
+                   CAST(COUNT(*) AS DOUBLE) AS n
+            FROM j)
+        SELECT CAST(n AS BIGINT) AS n_edges,
+               CAST(ROUND((n * sxy - sx * sy)
+                          / (SQRT(n * sxx - sx * sx)
+                             * SQRT(n * syy - sy * sy)) * 1000000)
+                    AS BIGINT) AS assortativity_e6
+        FROM a
+    """,
+})
+
+
+def semivariogram_events(sf_dir: str):
+    """Empirical semivariogram over 10-degree cells (the geostatistics
+    structure function): per-cell mean value (one bounded aggregate,
+    region domain <= 648), then all cell pairs binned by great-circle
+    distance (2000-km bins) with gamma(h) = sum (v_i - v_j)^2 / 2n —
+    the pairwise stage runs on the answer-sized cell table coalesced
+    to one block."""
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        region = ((eid * 104729) % 18000 // 1000) * 36 \
+            + ((eid * 7919) % 36000 // 1000)
+        df = pd.DataFrame({"region": region,
+                           "value": t["value"].to_numpy()})
+        g = df.groupby("region", sort=False).agg(
+            s=("value", "sum"), n=("value", "size")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby("region")
+               .aggregate(Sum("s", alias_name="s"),
+                          Sum("n", alias_name="n"))) \
+        .repartition(1)
+
+    R = 6371.007180918475
+
+    def gamma(t: pa.Table) -> pa.Table:
+        reg = t["region"].to_numpy()
+        v = t["s"].to_numpy() / t["n"].to_numpy()
+        lat = np.radians((reg // 36).astype(np.float64) * 10.0 - 90.0 + 5.0)
+        lon = np.radians((reg % 36).astype(np.float64) * 10.0 - 180.0 + 5.0)
+        i, j = np.triu_indices(len(reg), k=1)
+        a = (np.sin((lat[j] - lat[i]) / 2.0) ** 2
+             + np.cos(lat[i]) * np.cos(lat[j])
+             * np.sin((lon[j] - lon[i]) / 2.0) ** 2)
+        dkm = 2.0 * R * np.arcsin(np.sqrt(np.minimum(a, 1.0)))
+        b = np.floor(dkm / 2000.0).astype(np.int64)
+        dsq = (v[i] - v[j]) ** 2
+        df = pd.DataFrame({"bin": b, "dsq": dsq})
+        g = df.groupby("bin", sort=True).agg(
+            s=("dsq", "sum"), n=("dsq", "size")).reset_index()
+        return pa.table({
+            "dist_bin": pa.array(g["bin"].to_numpy(), pa.int64()),
+            "n_pairs": pa.array(g["n"].to_numpy(), pa.int64()),
+            "gamma_e6": _iscale(g["s"].to_numpy() / (2.0 * g["n"].to_numpy()),
+                                1000000)})
+
+    return cells.map_batches(gamma, batch_format="pyarrow")
+
+
+QUERIES.update({"semivariogram_events": semivariogram_events})
+
+ORACLES.update({
+    "semivariogram_events": """
+        WITH c AS (
+            SELECT ((event_id * 104729) % 18000 // 1000) * 36
+                   + ((event_id * 7919) % 36000 // 1000) AS region,
+                   SUM(value) / COUNT(*) AS v
+            FROM events GROUP BY 1),
+        p AS (
+            SELECT RADIANS((a.region // 36) * 10.0 - 90.0 + 5.0) AS lat1,
+                   RADIANS((a.region % 36) * 10.0 - 180.0 + 5.0) AS lon1,
+                   RADIANS((b.region // 36) * 10.0 - 90.0 + 5.0) AS lat2,
+                   RADIANS((b.region % 36) * 10.0 - 180.0 + 5.0) AS lon2,
+                   a.v AS v1, b.v AS v2
+            FROM c a JOIN c b ON a.region < b.region),
+        d AS (
+            SELECT CAST(FLOOR(2.0 * 6371.007180918475
+                       * ASIN(SQRT(LEAST(
+                             POW(SIN((lat2 - lat1) / 2.0), 2)
+                             + COS(lat1) * COS(lat2)
+                               * POW(SIN((lon2 - lon1) / 2.0), 2), 1.0)))
+                       / 2000.0) AS BIGINT) AS dist_bin,
+                   POW(v1 - v2, 2) AS dsq
+            FROM p)
+        SELECT dist_bin, COUNT(*) AS n_pairs,
+               CAST(ROUND(SUM(dsq) / (2.0 * COUNT(*)) * 1000000) AS BIGINT)
+                   AS gamma_e6
+        FROM d GROUP BY 1
+    """,
+})
