@@ -11985,3 +11985,185 @@ ORACLES.update({
         FROM d GROUP BY 1
     """,
 })
+
+
+# ---------------------------------------------------------------------------
+# round 4u: BM25 retrieval, KMV intersection sketch, trigram sequence mining
+# ---------------------------------------------------------------------------
+
+def bm25_docs(sf_dir: str):
+    """Top-10 documents by BM25 relevance for the fixed query
+    {hash, join, stream} (stages/text.bm25_topk): one integer-exact
+    stats pass (N, sum_dl, per-term df partials), broadcast idf, one
+    scoring map with per-batch top-k partials — text never shuffles,
+    only <= 10 rows per block reach the final answer-sized sort."""
+    from ..stages.text import bm25_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(ds, ["hash", "join", "stream"], k=10)
+
+
+def kmv_intersect_users(sf_dir: str):
+    """KMV (bottom-k minimum-values) distinct sketches over active
+    user-days: |click user-days|, |purchase user-days|, their union and
+    INTERSECTION estimates (the set operation HLL cannot do).  Per-batch
+    bottom-k partials, answer-sized driver merge; md5 hashing matches
+    DuckDB md5_number_upper bit-for-bit so the whole estimator — k-th
+    minimum, inclusion-exclusion rho — is recomputed exactly by the SQL
+    oracle (no pinned constants)."""
+    from ..stages.sampling import kmv_bottom_k, kmv_estimates
+
+    K = 64
+
+    def keyed(which: str):
+        def f(t: pa.Table) -> pa.Table:
+            t2 = t.filter(pc.equal(t["event_type"], which))
+            u = t2["user_id"].to_numpy(zero_copy_only=False)
+            day = t2["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) \
+                // 86400000000
+            return pa.table({"key": pa.array(u * 100000 + day)})
+        return f
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    sa = kmv_bottom_k(ds.map_batches(keyed("click"), batch_format="pyarrow"),
+                      "key", k=K)
+    sb = kmv_bottom_k(ds.map_batches(keyed("purchase"),
+                                     batch_format="pyarrow"), "key", k=K)
+    est = kmv_estimates(sa, sb, K)
+    return pa.table({
+        "k": pa.array([K], pa.int64()),
+        "est_clicks": pa.array([est["est_a"]], pa.int64()),
+        "est_purchases": pa.array([est["est_b"]], pa.int64()),
+        "est_union": pa.array([est["est_union"]], pa.int64()),
+        "est_intersection": pa.array([est["est_intersection"]], pa.int64())})
+
+
+def trigram_paths_events(sf_dir: str):
+    """Top-10 consecutive event-type trigrams across all user journeys
+    (sequential-pattern mining lite): LAG(type,1)/LAG(type,2) OVER
+    (PARTITION BY user ORDER BY ts, event_id) via two group_shift carry
+    chains on integer-coded types (strings never enter the sort), then
+    one |types|^3-bounded aggregate and an answer-sized top-10."""
+    from ..stages.window import group_shift
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    types = _distinct_strings(ds, "event_type")
+    types_pa = pa.array(types, pa.string())
+    types_np = np.array(types, dtype=object)
+
+    def enc(t: pa.Table) -> pa.Table:
+        arr = t["event_type"]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts_us": t["ts"].cast(pa.int64()),
+            "event_id": t["event_id"],
+            "code": pc.cast(pc.index_in(arr, value_set=types_pa),
+                            pa.int64())})
+
+    g1 = group_shift(ds.map_batches(enc, batch_format="pyarrow"),
+                     "user_id", ["ts_us", "event_id"], "code",
+                     k=1, out_col="p1")
+    g2 = group_shift(g1, "user_id", ["ts_us", "event_id"], "code",
+                     k=2, out_col="p2")
+
+    def tri(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t["p1"]), pc.is_valid(t["p2"])))
+        p2 = t["p2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p1 = t["p1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cur = t["code"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "t1": pa.array(types_np[p2].tolist(), pa.string()),
+            "t2": pa.array(types_np[p1].tolist(), pa.string()),
+            "t3": pa.array(types_np[cur].tolist(), pa.string()),
+            "n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    agg = (g2.map_batches(tri, batch_format="pyarrow")
+             .groupby(["t1", "t2", "t3"])
+             .aggregate(Sum("n", alias_name="n")))
+    return (agg.map_batches(lambda t: t.set_column(
+                t.schema.get_field_index("n"), "n",
+                pc.cast(t["n"], pa.int64())), batch_format="pyarrow")
+               .sort(["n", "t1", "t2", "t3"],
+                     descending=[True, False, False, False])
+               .limit(10))
+
+
+QUERIES.update({
+    "bm25_docs": bm25_docs,
+    "kmv_intersect_users": kmv_intersect_users,
+    "trigram_paths_events": trigram_paths_events,
+})
+
+ORACLES.update({
+    "bm25_docs": """
+        WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                     FROM documents),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        n AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+                     (SELECT SUM(dl) FROM dl) AS sumdl),
+        df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok
+               WHERE tok IN ('hash', 'join', 'stream') GROUP BY 1),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok
+               WHERE tok IN ('hash', 'join', 'stream') GROUP BY 1, 2),
+        s AS (SELECT tf.doc_id,
+                     SUM(ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5))
+                         * (tf.tf * 2.2)
+                         / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * n.n
+                                           / CAST(n.sumdl AS DOUBLE))))
+                         AS score
+              FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), n
+              GROUP BY 1)
+        SELECT doc_id, CAST(ROUND(score * 10000) AS BIGINT) AS score_e4
+        FROM s ORDER BY score_e4 DESC, doc_id LIMIT 10
+    """,
+    "kmv_intersect_users": """
+        WITH kk AS (
+            SELECT event_type,
+                   md5_number_upper(CAST(user_id * 100000
+                       + epoch_us(ts) // 86400000000 AS VARCHAR)) AS h
+            FROM events WHERE event_type IN ('click', 'purchase')),
+        a AS (SELECT DISTINCT h FROM kk WHERE event_type = 'click'),
+        b AS (SELECT DISTINCT h FROM kk WHERE event_type = 'purchase'),
+        ka AS (SELECT h FROM a ORDER BY h LIMIT 64),
+        kb AS (SELECT h FROM b ORDER BY h LIMIT 64),
+        ku AS (SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b)
+               ORDER BY h LIMIT 64),
+        ea AS (SELECT CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                           ELSE 63 * 18446744073709551616.0
+                                / CAST(MAX(h) AS DOUBLE) END AS e FROM ka),
+        eb AS (SELECT CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                           ELSE 63 * 18446744073709551616.0
+                                / CAST(MAX(h) AS DOUBLE) END AS e FROM kb),
+        eu AS (SELECT CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                           ELSE 63 * 18446744073709551616.0
+                                / CAST(MAX(h) AS DOUBLE) END AS e FROM ku),
+        rho AS (SELECT COUNT(*) AS nu,
+                       SUM(CASE WHEN h IN (SELECT h FROM a)
+                                 AND h IN (SELECT h FROM b)
+                            THEN 1 ELSE 0 END) AS nboth FROM ku)
+        SELECT CAST(64 AS BIGINT) AS k,
+               CAST(ROUND(ea.e) AS BIGINT) AS est_clicks,
+               CAST(ROUND(eb.e) AS BIGINT) AS est_purchases,
+               CAST(ROUND(eu.e) AS BIGINT) AS est_union,
+               CAST(ROUND(CASE WHEN rho.nu < 64
+                               THEN CAST(rho.nboth AS DOUBLE)
+                               ELSE rho.nboth / 64.0 * eu.e END) AS BIGINT)
+                   AS est_intersection
+        FROM ea, eb, eu, rho
+    """,
+    "trigram_paths_events": """
+        WITH s AS (
+            SELECT event_type,
+                   LAG(event_type, 1) OVER w AS p1,
+                   LAG(event_type, 2) OVER w AS p2
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        t AS (SELECT p2 AS t1, p1 AS t2, event_type AS t3,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM s WHERE p1 IS NOT NULL AND p2 IS NOT NULL
+              GROUP BY 1, 2, 3)
+        SELECT t1, t2, t3, n FROM t
+        ORDER BY n DESC, t1, t2, t3 LIMIT 10
+    """,
+})

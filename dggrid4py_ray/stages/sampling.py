@@ -592,3 +592,72 @@ def token_budget_cap(ds: ray.data.Dataset, group_col: str, id_col: str,
         return t.filter(pa.array(ok)).drop_columns(["_pri", "_cum"])
 
     return run.map_batches(keep, batch_format="pyarrow")
+
+
+def kmv_bottom_k(ds: ray.data.Dataset, key_col: str,
+                 k: int = 64) -> np.ndarray:
+    """k-minimum-values (bottom-k) distinct sketch of a key column: the k
+    smallest DISTINCT 64-bit md5 hashes of the key set, sorted ascending
+    (Beyer et al. 2007, "On synopses for distinct-value estimation").
+
+    A deterministic function of the key SET — invariant under row order,
+    duplication, block layout and parallelism — and, unlike HLL, it
+    supports set INTERSECTION estimation (``kmv_estimates``), because the
+    sketch keeps actual hash values that can be membership-tested against
+    another set's sketch.
+
+    Scale shape: per-batch partial bottom-k over the batch's unique
+    hashes (<= k rows leave each block), one answer-sized driver merge —
+    the corpus never shuffles.  md5 matches DuckDB ``md5_number_upper``
+    bit-for-bit, so the whole estimator is SQL-oracle-checkable (no
+    pinned constants).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.uint64())})
+        vals = t[key_col].to_numpy(zero_copy_only=False)
+        h = np.unique(_md5_u64(vals))
+        return pa.table({"h": pa.array(h[:k], pa.uint64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    h = np.unique(parts["h"].to_numpy().astype(np.uint64))
+    return h[:k]
+
+
+def _kmv_estimate(sketch: np.ndarray, k: int) -> float:
+    """Distinct-count estimate from a bottom-k sketch: exact when the set
+    has fewer than k distinct hashes, else (k-1) * 2^64 / h_(k)."""
+    if len(sketch) < k:
+        return float(len(sketch))
+    return (k - 1) * 2.0 ** 64 / float(sketch[k - 1])
+
+
+def kmv_estimates(sketch_a: np.ndarray, sketch_b: np.ndarray,
+                  k: int) -> dict:
+    """Distinct-count estimates for two keyed sets and their union /
+    intersection from bottom-k sketches (the K-th Minimum Value
+    inclusion-exclusion estimator):
+
+    * union: bottom-k of the merged hash sets, estimated like any sketch;
+    * intersection: rho = fraction of the union sketch's hashes present
+      in BOTH input sketches, est = round(rho * est_union).  When the
+      union has fewer than k distinct hashes every set is known exactly
+      and the intersection is the exact membership count.
+
+    Pure driver arithmetic over <= 3k hashes; every branch mirrors the
+    SQL oracle expression-for-expression so results compare bit-exact.
+    """
+    union = np.unique(np.concatenate([sketch_a, sketch_b]))
+    sk_u = union[:k]
+    est_a = _kmv_estimate(sketch_a, k)
+    est_b = _kmv_estimate(sketch_b, k)
+    est_u = _kmv_estimate(sk_u, k)
+    both = np.isin(sk_u, sketch_a) & np.isin(sk_u, sketch_b)
+    if len(sk_u) < k:
+        est_i = float(np.count_nonzero(both))
+    else:
+        est_i = np.count_nonzero(both) / float(k) * est_u
+    return {"est_a": int(round(est_a)), "est_b": int(round(est_b)),
+            "est_union": int(round(est_u)),
+            "est_intersection": int(round(est_i))}

@@ -979,3 +979,77 @@ def extract_pattern_stats(ds, patterns: dict, text_col: str = "text",
         return pa.table(cols)
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def bm25_topk(ds, terms: list, text_col: str = "text",
+              id_col: str = "doc_id", k: int = 10,
+              k1: float = 1.2, b: float = 0.75, scale: int = 10000):
+    """Top-k documents by BM25 relevance for a fixed query-term list
+    (Robertson/Lucene variant: idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    tf saturation k1, length normalization b) — the ranked-retrieval
+    counterpart of ``tfidf_topk``.
+
+    Scale shape: pass 1 is a pure map emitting ONE row per batch
+    (n_docs, sum_dl, per-query-term df partials — all integers, so the
+    driver-side sums are exact at any parallelism); pass 2 broadcasts
+    the m-term idf vector and scores each batch with a (docs x m)
+    bincount matrix + one vectorized expression, keeping only a
+    per-batch top-k partial — text never shuffles and only <= k rows
+    per block reach the final answer-sized sort.  Scores are emitted
+    integer-scaled with the expression tree mirrored in the SQL oracle
+    so the comparison is bit-exact."""
+    import pandas as pd
+    import ray.data
+
+    m = len(terms)
+    terms_pa = pa.array(list(terms), pa.string())
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        _, off, flat = _space_tokens(t[text_col])
+        dl = np.diff(off)
+        doc_of = np.repeat(np.arange(t.num_rows, dtype=np.int64), dl)
+        ti = pc.fill_null(pc.index_in(flat, value_set=terms_pa), -1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {"n_docs": pa.array([t.num_rows], pa.int64()),
+                "sum_dl": pa.array([int(dl.sum())], pa.int64())}
+        for j in range(m):
+            cols[f"df_{j}"] = pa.array(
+                [int(len(np.unique(doc_of[ti == j])))], pa.int64())
+        return pa.table(cols)
+
+    p = ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    n_docs = int(p["n_docs"].sum())
+    sum_dl = int(p["sum_dl"].sum())
+    df = np.array([int(p[f"df_{j}"].sum()) for j in range(m)], np.int64)
+    idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+    def score(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], t.schema.field(id_col).type),
+                          "score_e4": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        _, off, flat = _space_tokens(t[text_col])
+        dl = np.diff(off).astype(np.int64)
+        doc_of = np.repeat(np.arange(t.num_rows, dtype=np.int64), dl)
+        ti = pc.fill_null(pc.index_in(flat, value_set=terms_pa), -1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = ti >= 0
+        tfm = np.zeros((t.num_rows, m), np.float64)
+        np.add.at(tfm, (doc_of[hit], ti[hit]), 1.0)
+        # per-doc length norm mirrors SQL `dl * n / CAST(sumdl AS DOUBLE)`
+        denom = k1 * ((1.0 - b) + b * (dl * n_docs).astype(np.float64)
+                      / float(sum_dl))
+        s = ((tfm * (k1 + 1.0)) / (tfm + denom[:, None]) * idf[None, :]) \
+            .sum(axis=1)
+        keep = tfm.sum(axis=1) > 0
+        if not keep.any():
+            return empty
+        ids = t[id_col].to_numpy(zero_copy_only=False)[keep]
+        sc = np.round(s[keep] * scale).astype(np.int64)
+        order = np.lexsort((ids, -sc))[:k]
+        return pa.table({id_col: pa.array(ids[order]),
+                         "score_e4": pa.array(sc[order])})
+
+    return (ds.map_batches(score, batch_format="pyarrow")
+              .sort(["score_e4", id_col], descending=[True, False])
+              .limit(k))
