@@ -12167,3 +12167,219 @@ ORACLES.update({
         ORDER BY n DESC, t1, t2, t3 LIMIT 10
     """,
 })
+
+
+# ---------------------------------------------------------------------------
+# round 4v: KS two-sample test, item-similarity Jaccard, mutual information
+# ---------------------------------------------------------------------------
+
+def ks_value_click_purchase(sf_dir: str):
+    """Exact two-sample Kolmogorov-Smirnov D between the value
+    distributions of click vs purchase events (distribution-shift
+    testing between event populations).  Per-distinct-value (na, nb)
+    counts via one bounded-output aggregate, then
+    stages/relational.ks_two_sample: ONE range sort + the two-pass
+    parallel scan — every candidate D comes from exact int64
+    cumulatives, so the max compares bit-identical to the SQL windowed
+    SUM."""
+    from ..stages.relational import ks_two_sample
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    two = pa.array(["click", "purchase"], pa.string())
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"], value_set=two))
+        is_a = pc.equal(t["event_type"], "click").to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({"value": t["value"].to_numpy(zero_copy_only=False),
+                           "na": is_a.astype(np.int64),
+                           "nb": (~is_a).astype(np.int64)})
+        g = df.groupby("value", sort=False).agg(
+            na=("na", "sum"), nb=("nb", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("value")
+             .aggregate(Sum("na", alias_name="na"),
+                        Sum("nb", alias_name="nb")))
+    d, n_a, n_b = ks_two_sample(agg, "value", "na", "nb")
+    return pa.table({
+        "n_click": pa.array([n_a], pa.int64()),
+        "n_purchase": pa.array([n_b], pa.int64()),
+        "ks_e6": pa.array([int(np.floor(d * 1000000 + 0.5))], pa.int64())})
+
+
+def item_jaccard_parts(sf_dir: str):
+    """Item-similarity mining (collaborative-filtering style): top-20
+    part pairs by Jaccard similarity of their purchasing-customer sets,
+    over customers with 2..50 distinct parts (the degree cap bounds the
+    per-group pair blowup; hot customers carry little signal).  Shape:
+    distinct (cust, part) via grouped_count, degree filter via one hash
+    join, per-customer triu pair enumeration (bucket occupancy <= 50 by
+    construction), pair counts + part document frequencies via
+    grouped_count; the part-df table is catalog-bounded and broadcast
+    for the final Jaccard map."""
+    import ray
+    from ..stages.groupagg import grouped_count
+    from ..stages.join import _join_partitions
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j = li.join(orders, join_type="inner",
+                num_partitions=_join_partitions(),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    cp = grouped_count(
+        j.map_batches(lambda t: pa.table({"c": t["o_custkey"],
+                                          "p": t["l_partkey"]}),
+                      batch_format="pyarrow"),
+        ["c", "p"], out_col="_n") \
+        .map_batches(lambda t: t.drop_columns(["_n"]),
+                     batch_format="pyarrow")
+    deg = grouped_count(cp, ["c"], out_col="deg") \
+        .filter(expr="deg >= 2") \
+        .filter(expr="deg <= 50") \
+        .map_batches(lambda t: t.drop_columns(["deg"]),
+                     batch_format="pyarrow") \
+        .repartition(_join_partitions())
+    kept = cp.repartition(_join_partitions()).join(
+        deg, join_type="inner", num_partitions=_join_partitions(),
+        on=("c",)).materialize()          # two consumers: pairs + df
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        p = np.sort(g["p"].to_numpy())
+        ai, bi = np.triu_indices(len(p), k=1)
+        return pd.DataFrame({"pa": p[ai], "pb": p[bi]})
+
+    n_both = grouped_count(
+        kept.groupby("c").map_groups(pairs, batch_format="pandas"),
+        ["pa", "pb"], out_col="n_both")
+    df_tbl = grouped_count(kept, ["p"], out_col="df").to_pandas()
+    df_ref = ray.put(dict(zip(df_tbl["p"].astype(np.int64),
+                              df_tbl["df"].astype(np.int64))))
+
+    def jac(t: pa.Table) -> pa.Table:
+        dfm = ray.get(df_ref)
+        pa_ = t["pa"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pb_ = t["pb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = t["n_both"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dfa = np.array([dfm[x] for x in pa_], np.int64)
+        dfb = np.array([dfm[x] for x in pb_], np.int64)
+        v = nb / (dfa + dfb - nb).astype(np.float64) * 1000000
+        return pa.table({
+            "part_a": pa.array(pa_), "part_b": pa.array(pb_),
+            "n_both": pa.array(nb),
+            "jaccard_e6": pa.array(np.floor(v + 0.5).astype(np.int64))})
+
+    return (n_both.map_batches(jac, batch_format="pyarrow")
+            .sort(["jaccard_e6", "part_a", "part_b"],
+                  descending=[True, False, False])
+            .limit(20))
+
+
+def mutual_info_lang_source(sf_dir: str):
+    """Mutual information (nats) between the lang and source columns of
+    documents, plus the marginal entropies — corpus-composition audit
+    (is the language mix independent of the crawl source?).  One
+    |lang| x |source|-bounded aggregate; all information arithmetic runs
+    on the answer-sized contingency table with the expression tree
+    mirrored in SQL."""
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": t["lang"].to_numpy(zero_copy_only=False),
+            "source": t["source"].to_numpy(zero_copy_only=False)})
+        g = df.groupby(["lang", "source"], sort=False).size() \
+              .reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    c = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["lang", "source"])
+           .aggregate(Sum("n", alias_name="n"))).to_pandas()
+    n = c["n"].to_numpy(np.int64)
+    nn = int(n.sum())
+    rn = c.groupby("lang")["n"].transform("sum").to_numpy(np.int64)
+    cn = c.groupby("source")["n"].transform("sum").to_numpy(np.int64)
+    nf = float(nn)
+    mi = float(np.sum(n / nf * np.log(n * nf / (rn * cn).astype(np.float64))))
+    rl = c.groupby("lang")["n"].sum().to_numpy(np.int64)
+    cl = c.groupby("source")["n"].sum().to_numpy(np.int64)
+    h_lang = float(np.sum(-(rl / nf) * np.log(rl / nf)))
+    h_source = float(np.sum(-(cl / nf) * np.log(cl / nf)))
+
+    def e6(x: float) -> int:
+        return int(np.floor(x * 1000000 + 0.5))
+
+    return pa.table({
+        "n": pa.array([nn], pa.int64()),
+        "mi_e6": pa.array([e6(mi)], pa.int64()),
+        "h_lang_e6": pa.array([e6(h_lang)], pa.int64()),
+        "h_source_e6": pa.array([e6(h_source)], pa.int64())})
+
+
+QUERIES.update({
+    "ks_value_click_purchase": ks_value_click_purchase,
+    "item_jaccard_parts": item_jaccard_parts,
+    "mutual_info_lang_source": mutual_info_lang_source,
+})
+
+ORACLES.update({
+    "ks_value_click_purchase": """
+        WITH v AS (
+            SELECT value,
+                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS na,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS nb
+            FROM events WHERE event_type IN ('click', 'purchase')
+            GROUP BY value),
+        c AS (SELECT SUM(na) OVER (ORDER BY value) AS ca,
+                     SUM(nb) OVER (ORDER BY value) AS cb FROM v),
+        t AS (SELECT (SELECT SUM(na) FROM v) AS tna,
+                     (SELECT SUM(nb) FROM v) AS tnb)
+        SELECT CAST(t.tna AS BIGINT) AS n_click,
+               CAST(t.tnb AS BIGINT) AS n_purchase,
+               CAST(ROUND(MAX(ABS(c.ca / CAST(t.tna AS DOUBLE)
+                                  - c.cb / CAST(t.tnb AS DOUBLE)))
+                          * 1000000) AS BIGINT) AS ks_e6
+        FROM c, t GROUP BY 1, 2
+    """,
+    "item_jaccard_parts": """
+        WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        d AS (SELECT c FROM cp GROUP BY c
+              HAVING COUNT(*) BETWEEN 2 AND 50),
+        k AS (SELECT cp.c, cp.p FROM cp JOIN d USING (c)),
+        df AS (SELECT p, COUNT(*) AS df FROM k GROUP BY p),
+        pr AS (SELECT a.p AS pa, b.p AS pb, COUNT(*) AS nb
+               FROM k a JOIN k b ON a.c = b.c AND a.p < b.p
+               GROUP BY 1, 2)
+        SELECT pr.pa AS part_a, pr.pb AS part_b,
+               CAST(pr.nb AS BIGINT) AS n_both,
+               CAST(ROUND(pr.nb / CAST(fa.df + fb.df - pr.nb AS DOUBLE)
+                          * 1000000) AS BIGINT) AS jaccard_e6
+        FROM pr JOIN df fa ON pr.pa = fa.p JOIN df fb ON pr.pb = fb.p
+        ORDER BY jaccard_e6 DESC, part_a, part_b LIMIT 20
+    """,
+    "mutual_info_lang_source": """
+        WITH c AS (SELECT lang, source, COUNT(*) AS n
+                   FROM documents GROUP BY 1, 2),
+        r AS (SELECT lang, SUM(n) AS rn FROM c GROUP BY 1),
+        k AS (SELECT source, SUM(n) AS cn FROM c GROUP BY 1),
+        t AS (SELECT CAST(SUM(n) AS DOUBLE) AS nf,
+                     CAST(SUM(n) AS BIGINT) AS nn FROM c),
+        mi AS (SELECT SUM(c.n / t.nf
+                          * ln(c.n * t.nf
+                               / CAST(r.rn * k.cn AS DOUBLE))) AS mi
+               FROM c JOIN r USING (lang) JOIN k USING (source), t),
+        hl AS (SELECT SUM(-(rn / t.nf) * ln(rn / t.nf)) AS h
+               FROM r, t),
+        hs AS (SELECT SUM(-(cn / t.nf) * ln(cn / t.nf)) AS h
+               FROM k, t)
+        SELECT t.nn AS n,
+               CAST(ROUND(mi.mi * 1000000) AS BIGINT) AS mi_e6,
+               CAST(ROUND(hl.h * 1000000) AS BIGINT) AS h_lang_e6,
+               CAST(ROUND(hs.h * 1000000) AS BIGINT) AS h_source_e6
+        FROM t, mi, hl, hs
+    """,
+})

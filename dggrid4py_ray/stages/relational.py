@@ -1216,3 +1216,66 @@ def union_by_name(datasets: list, strict_types: bool = True):
     for ds in aligned[1:]:
         out = out.union(ds)
     return out
+
+
+def ks_two_sample(ds: ray.data.Dataset, value_col: str,
+                  a_col: str, b_col: str) -> tuple:
+    """Exact two-sample Kolmogorov-Smirnov statistic from a per-distinct-
+    value count table (``value_col`` ascending, ``a_col``/``b_col`` int
+    counts per sample): D = max over values of |F_a(v) - F_b(v)| with F
+    the inclusive ECDF.
+
+    Scale shape: ONE range sort of the distinct-value table, then the
+    two-pass parallel-scan pattern (per-block (sum_a, sum_b) summaries ->
+    O(#blocks) driver prefix -> block-local cumsums + the block's max D)
+    — no per-row driver work, no second sort.  Each candidate D is
+    |ca/Na - cb/Nb| from exact int64 cumulatives, so the doubles compare
+    bit-identical to SQL's windowed SUM formulation.
+
+    Returns (d_max float, n_a int, n_b int).
+    """
+    srt = ds.sort(value_col).materialize()
+
+    def block_sum(t: pa.Table) -> pa.Table:
+        first = t[value_col]
+        if isinstance(first, pa.ChunkedArray):
+            first = first.combine_chunks()
+        if t.num_rows == 0:
+            return pa.table({"_first": first.slice(0, 0),
+                             "_sa": pa.array([], pa.int64()),
+                             "_sb": pa.array([], pa.int64())})
+        a = t[a_col].to_numpy(zero_copy_only=False)
+        b = t[b_col].to_numpy(zero_copy_only=False)
+        return pa.table({"_first": first.slice(0, 1),
+                         "_sa": pa.array([int(a.sum())], pa.int64()),
+                         "_sb": pa.array([int(b.sum())], pa.int64())})
+
+    summ = srt.map_batches(block_sum, batch_format="pyarrow").take_all()
+    summ.sort(key=lambda r: r["_first"])
+    offsets = {}
+    acc_a = acc_b = 0
+    for r in summ:
+        if r["_first"] in offsets:
+            raise ValueError(
+                f"ks_two_sample requires unique {value_col!r} values "
+                f"(duplicate {r['_first']!r} spans a block boundary)")
+        offsets[r["_first"]] = (acc_a, acc_b)
+        acc_a += r["_sa"]
+        acc_b += r["_sb"]
+    n_a, n_b = acc_a, acc_b
+    if n_a == 0 or n_b == 0:
+        raise ValueError("ks_two_sample: one sample is empty")
+
+    def block_max(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"d": pa.array([], pa.float64())})
+        key = t[value_col].to_numpy(zero_copy_only=False)[0]
+        off_a, off_b = offsets[key]
+        ca = off_a + np.cumsum(t[a_col].to_numpy(zero_copy_only=False))
+        cb = off_b + np.cumsum(t[b_col].to_numpy(zero_copy_only=False))
+        d = np.abs(ca.astype(np.float64) / float(n_a)
+                   - cb.astype(np.float64) / float(n_b))
+        return pa.table({"d": pa.array([float(d.max())], pa.float64())})
+
+    d_max = srt.map_batches(block_max, batch_format="pyarrow").max("d")
+    return float(d_max), int(n_a), int(n_b)
