@@ -12383,3 +12383,278 @@ ORACLES.update({
         FROM t, mi, hl, hs
     """,
 })
+
+
+# ---------------------------------------------------------------------------
+# round 4w: Arrow-IPC roundtrip, hive partition pruning, feature hashing,
+# SAX symbolic time-series words
+# ---------------------------------------------------------------------------
+
+def feather_roundtrip_events(sf_dir: str):
+    """Arrow IPC (Feather v2) source/sink parity
+    (sources/feather.write_feather_dir / read_feather_dir): events out as
+    one .arrow file per block (atomic rename publish — the resumable
+    layout), back via read_binary_files + zero-copy ipc decode, then
+    per-type counts and integer checksums INCLUDING the microsecond
+    timestamp lane (IPC preserves Arrow types exactly where CSV/JSON
+    cannot)."""
+    import shutil
+
+    from ..sources.feather import read_feather_dir, write_feather_dir
+    from ..stages.groupagg import grouped_reduce
+
+    out_dir = _io_scratch(sf_dir, "events_ipc")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type", "value"])
+    write_feather_dir(ds, out_dir)
+    back = read_feather_dir(out_dir)
+
+    def enc(t: pa.Table) -> pa.Table:
+        ts_us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t["event_type"],
+            "event_id": t["event_id"],
+            "ts_mod": pa.array(ts_us % 1000000000),
+            "cents": pa.array(np.round(
+                t["value"].to_numpy(zero_copy_only=False) * 100)
+                .astype(np.int64)),
+            "n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    agg = grouped_reduce(back.map_batches(enc, batch_format="pyarrow"),
+                         ["event_type"],
+                         {"event_id": "sum_eids", "ts_mod": "sum_ts_mod",
+                          "cents": "sum_cents", "n": "n"}, how="sum")
+    return agg.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"],
+                            "n": pc.cast(t["n"], pa.int64()),
+                            "sum_eids": pc.cast(t["sum_eids"], pa.int64()),
+                            "sum_ts_mod": pc.cast(t["sum_ts_mod"],
+                                                  pa.int64()),
+                            "sum_cents": pc.cast(t["sum_cents"],
+                                                 pa.int64())}),
+        batch_format="pyarrow")
+
+
+def hive_partition_prune_events(sf_dir: str):
+    """Hive-partitioned sink + partition-pruned source: events written
+    with ``write_parquet(partition_cols=['event_type'])`` (one directory
+    per type — the layout that lets ANY downstream engine prune by
+    predicate at the path level), then ONLY the event_type=click
+    directory is read back — the other four partitions are never
+    opened — for per-day click counts."""
+    import shutil
+
+    out_dir = _io_scratch(sf_dir, "events_hive")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+    ds.write_parquet(out_dir, partition_cols=["event_type"])
+    back = ray.data.read_parquet(f"{out_dir}/event_type=click")
+
+    def per_day(t: pa.Table) -> pa.Table:
+        day = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) \
+            // 86400000000
+        df = pd.DataFrame({"day": day,
+                           "uid": t["user_id"].to_numpy(
+                               zero_copy_only=False)})
+        g = df.groupby("day", sort=False)["uid"] \
+              .agg(n="size", sum_uids="sum").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (back.map_batches(per_day, batch_format="pyarrow")
+           .groupby("day").aggregate(Sum("n", alias_name="n"),
+                                     Sum("sum_uids",
+                                         alias_name="sum_uids")))
+    return agg.map_batches(
+        lambda t: pa.table({"day": pc.cast(t["day"], pa.int64()),
+                            "n": pc.cast(t["n"], pa.int64()),
+                            "sum_uids": pc.cast(t["sum_uids"],
+                                                pa.int64())}),
+        batch_format="pyarrow").sort("day")
+
+
+def feature_hash_docs(sf_dir: str):
+    """Hashing-trick (feature-hashing) bag-of-words audit: every token
+    maps to dim = md5(token) mod 64; per dimension the total term count
+    and the number of documents touching it (collision load per bucket —
+    the diagnostic run before committing to a hashed feature space).
+    Per-batch: md5 over the batch's UNIQUE tokens only (vocab-bounded),
+    mapped back to the flat token stream; per-batch distinct (doc, dim)
+    counts sum exactly because each document lives in one batch."""
+    from ..stages.sampling import _md5_u64
+    from ..stages.text import _space_tokens
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "total_tf": pa.array([], pa.int64()),
+                             "n_docs": pa.array([], pa.int64())})
+        _, off, flat = _space_tokens(t["text"])
+        doc_of = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                           np.diff(off))
+        uniq = pc.unique(flat)
+        udim = (_md5_u64(np.asarray(uniq.to_pylist(), dtype=object))
+                % 64).astype(np.int64)
+        tok_dim = udim[pc.index_in(flat, value_set=uniq)
+                       .to_numpy(zero_copy_only=False).astype(np.int64)]
+        tf = np.bincount(tok_dim, minlength=64).astype(np.int64)
+        dd = np.unique(doc_of * 64 + tok_dim) % 64
+        nd = np.bincount(dd, minlength=64).astype(np.int64)
+        return pa.table({"dim": pa.array(np.arange(64, dtype=np.int64)),
+                         "total_tf": pa.array(tf),
+                         "n_docs": pa.array(nd)})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("dim").aggregate(Sum("total_tf", alias_name="total_tf"),
+                                     Sum("n_docs", alias_name="n_docs")))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "dim": pc.cast(t["dim"], pa.int64()),
+            "total_tf": pc.cast(t["total_tf"], pa.int64()),
+            "n_docs": pc.cast(t["n_docs"], pa.int64())})
+        .filter(pc.greater(t["total_tf"], 0)),
+        batch_format="pyarrow").sort("dim")
+
+
+def sax_words_users(sf_dir: str):
+    """SAX-style symbolic words per user (symbolic aggregate
+    approximation over each user's event-value series): NTILE(4)
+    segments in (ts, event_id) order, integer-cent segment averages
+    (exact at any parallelism), per-user min-max normalization to a
+    4-letter alphabet, word assembled as a positional integer
+    (grouped_reduce sum — no string aggregation in the engine), then
+    word frequencies.  Every double on the path is derived from exact
+    int64 sums by one mirrored expression, so symbols match SQL
+    bit-for-bit."""
+    from ..stages.groupagg import grouped_count, grouped_reduce
+    from ..stages.join import _join_partitions
+    from ..stages.window import group_ntile
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def enc(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts_us": t["ts"].cast(pa.int64()),
+            "event_id": t["event_id"],
+            "cents": pa.array(np.round(
+                t["value"].to_numpy(zero_copy_only=False) * 100)
+                .astype(np.int64))})
+
+    tiled = group_ntile(ds.map_batches(enc, batch_format="pyarrow"),
+                        "user_id", ["ts_us", "event_id"], 4,
+                        out_col="tile")
+    seg = (tiled.groupby(["user_id", "tile"])
+           .aggregate(Sum("cents", alias_name="s"),
+                      Count(alias_name="c")))
+
+    def avg(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"user_id": t["user_id"],
+                         "tile": pc.cast(t["tile"], pa.int64()),
+                         "avgc": pa.array(s / c),
+                         "avgc2": pa.array(s / c)})
+
+    seg = seg.map_batches(avg, batch_format="pyarrow").materialize()
+    lohi = grouped_reduce(seg, "user_id", {"avgc": "lo", "avgc2": "hi"},
+                          how={"avgc": "min", "avgc2": "max"}) \
+        .repartition(_join_partitions())
+    j = seg.drop_columns(["avgc2"]).repartition(_join_partitions()).join(
+        lohi, join_type="inner", num_partitions=_join_partitions(),
+        on=("user_id",))
+
+    def sym(t: pa.Table) -> pa.Table:
+        avgc = t["avgc"].to_numpy(zero_copy_only=False)
+        lo = t["lo"].to_numpy(zero_copy_only=False)
+        hi = t["hi"].to_numpy(zero_copy_only=False)
+        tile = t["tile"].to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = np.minimum(3.0, np.floor((avgc - lo) / (hi - lo) * 4.0))
+        c = np.where(hi == lo, 0.0, c).astype(np.int64)
+        w = np.array([1000, 100, 10, 1], np.int64)[tile - 1]
+        return pa.table({"user_id": t["user_id"],
+                         "part": pa.array(c * w)})
+
+    words = grouped_reduce(j.map_batches(sym, batch_format="pyarrow"),
+                           "user_id", {"part": "code"}, how="sum")
+
+    def to_word(t: pa.Table) -> pa.Table:
+        code = t["code"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"word": pa.array([f"{c:04d}" for c in code],
+                                          pa.string())})
+
+    return (grouped_count(words.map_batches(to_word,
+                                            batch_format="pyarrow"),
+                          ["word"], out_col="n_users")
+            .map_batches(lambda t: t.set_column(
+                t.schema.get_field_index("n_users"), "n_users",
+                pc.cast(t["n_users"], pa.int64())), batch_format="pyarrow")
+            .sort("word"))
+
+
+QUERIES.update({
+    "feather_roundtrip_events": feather_roundtrip_events,
+    "hive_partition_prune_events": hive_partition_prune_events,
+    "feature_hash_docs": feature_hash_docs,
+    "sax_words_users": sax_words_users,
+})
+
+ORACLES.update({
+    "feather_roundtrip_events": """
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(event_id) AS BIGINT) AS sum_eids,
+               CAST(SUM(epoch_us(ts) % 1000000000) AS BIGINT)
+                   AS sum_ts_mod,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM events GROUP BY event_type
+    """,
+    "hive_partition_prune_events": """
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(user_id) AS BIGINT) AS sum_uids
+        FROM events WHERE event_type = 'click'
+        GROUP BY 1 ORDER BY 1
+    """,
+    "feature_hash_docs": """
+        WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                     FROM documents),
+        h AS (SELECT doc_id,
+                     CAST(md5_number_upper(tok) % 64 AS BIGINT) AS dim
+              FROM tok)
+        SELECT dim, CAST(COUNT(*) AS BIGINT) AS total_tf,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM h GROUP BY dim ORDER BY dim
+    """,
+    "sax_words_users": """
+        WITH e AS (SELECT user_id, ts, event_id,
+                          CAST(ROUND(value * 100) AS BIGINT) AS cents
+                   FROM events),
+        r AS (SELECT user_id, cents,
+                     NTILE(4) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS tile
+              FROM e),
+        s AS (SELECT user_id, tile,
+                     SUM(cents) / CAST(COUNT(*) AS DOUBLE) AS avgc
+              FROM r GROUP BY 1, 2),
+        u AS (SELECT user_id, MIN(avgc) AS lo, MAX(avgc) AS hi
+              FROM s GROUP BY 1),
+        sym AS (SELECT s.user_id, s.tile,
+                       CASE WHEN u.hi = u.lo THEN 0
+                            ELSE CAST(LEAST(3.0, FLOOR(
+                                 (s.avgc - u.lo) / (u.hi - u.lo) * 4.0))
+                                 AS BIGINT) END AS c
+                FROM s JOIN u USING (user_id)),
+        w AS (SELECT user_id,
+                     SUM(c * CASE tile WHEN 1 THEN 1000 WHEN 2 THEN 100
+                             WHEN 3 THEN 10 ELSE 1 END) AS code
+              FROM sym GROUP BY 1)
+        SELECT lpad(CAST(code AS VARCHAR), 4, '0') AS word,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM w GROUP BY 1 ORDER BY 1
+    """,
+})
