@@ -12658,3 +12658,142 @@ ORACLES.update({
         FROM w GROUP BY 1 ORDER BY 1
     """,
 })
+
+
+# ---------------------------------------------------------------------------
+# round 4x: Ripley's K point-pattern statistic, model calibration curve
+# ---------------------------------------------------------------------------
+
+def ripley_k_events(sf_dir: str):
+    """Ripley's K spatial point-pattern statistic at 250/500/1000 km over
+    a deterministic 1-in-8 event subsample: ordered within-distance pair
+    counts via the large-large radius cogroup join
+    (stages/join.radius_join_via_buckets — self-join, ~9x bucket
+    replication, ONE exchange, no all-pairs stage), normalized by the
+    sphere area: K(r) = A * n_pairs / (n * (n - 1)).  Clustered points
+    push K above the CSR baseline pi*r^2."""
+    from ..stages.join import radius_join_via_buckets
+
+    pts = _event_points(sf_dir).map_batches(
+        lambda t: t.select(["event_id", "lon", "lat"]).filter(
+            pc.equal(pc.bit_wise_and(t["event_id"], 7), 0)),
+        batch_format="pyarrow").materialize()    # two consumers below
+    sites = pts.map_batches(
+        lambda t: pa.table({"sid": t["event_id"], "slon": t["lon"],
+                            "slat": t["lat"]}), batch_format="pyarrow")
+    j = radius_join_via_buckets(pts, sites, radius_km=1000.0)
+
+    radii = (250.0, 500.0, 1000.0)
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["dist_km"].to_numpy(zero_copy_only=False)
+        ne = t["event_id"].to_numpy(zero_copy_only=False) \
+            != t["sid"].to_numpy(zero_copy_only=False)
+        return pa.table({f"n{int(r)}": pa.array(
+            [int(((d <= r) & ne).sum())], pa.int64()) for r in radii})
+
+    sums = j.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    n = pts.count()
+    area = 4.0 * np.pi * 6371.0 * 6371.0
+    n_pairs = [int(sums[f"n{int(r)}"]) for r in radii]
+    k = [int(np.floor(area * float(np_) / float(n * (n - 1)) + 0.5))
+         for np_ in n_pairs]
+    return pa.table({
+        "r_km": pa.array([int(r) for r in radii], pa.int64()),
+        "n_pairs": pa.array(n_pairs, pa.int64()),
+        "k_km2": pa.array(k, pa.int64())})
+
+
+def calibration_embs(sf_dir: str):
+    """Model calibration curve over the embeddings table: a fixed integer
+    scoring vector w_j = (j*37) mod 13 - 6 dotted against micro-scaled
+    embedding coordinates (EXACT int64 arithmetic — no float summation
+    order anywhere), global score deciles via NTILE(10) (one range sort),
+    per-decile count / label mass / score mass.  The reliability-diagram
+    input for any scored corpus."""
+    from ..stages.window import group_ntile
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    w = ((np.arange(64, dtype=np.int64) * 37) % 13 - 6)
+
+    def score(t: pa.Table) -> pa.Table:
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = np.asarray(emb.flatten(), dtype=np.float64)
+        x = flat.reshape(t.num_rows, -1)
+        xi = (np.floor(np.abs(x * 1000000.0) + 0.5)
+              * np.sign(x * 1000000.0)).astype(np.int64)   # SQL ROUND law
+        s = (xi * w[None, :]).sum(axis=1)
+        return pa.table({
+            "g": pa.array(np.zeros(t.num_rows, np.int64)),
+            "vec_id": t["vec_id"],
+            "label": pc.cast(t["label"], pa.int64()),
+            "score": pa.array(s)})
+
+    tiled = group_ntile(ds.map_batches(score, batch_format="pyarrow"),
+                        "g", ["score", "vec_id"], 10, out_col="decile")
+    agg = (tiled.groupby("decile")
+           .aggregate(Count(alias_name="n"),
+                      Sum("label", alias_name="sum_label"),
+                      Sum("score", alias_name="sum_score")))
+    return agg.map_batches(
+        lambda t: pa.table({"decile": pc.cast(t["decile"], pa.int64()),
+                            "n": pc.cast(t["n"], pa.int64()),
+                            "sum_label": pc.cast(t["sum_label"],
+                                                 pa.int64()),
+                            "sum_score": pc.cast(t["sum_score"],
+                                                 pa.int64())}),
+        batch_format="pyarrow").sort("decile")
+
+
+QUERIES.update({
+    "ripley_k_events": ripley_k_events,
+    "calibration_embs": calibration_embs,
+})
+
+ORACLES.update({
+    "ripley_k_events": """
+        WITH pts AS (
+          SELECT event_id,
+                 CAST((event_id * 7919) % 36000 AS DOUBLE) / 100.0 - 180.0
+                     AS lon,
+                 CAST((event_id * 104729) % 18000 AS DOUBLE) / 100.0 - 90.0
+                     AS lat
+          FROM events WHERE event_id % 8 = 0),
+        n AS (SELECT COUNT(*) AS n FROM pts),
+        d AS (SELECT 2 * 6371.0 * asin(sqrt(LEAST(1.0, GREATEST(0.0,
+                  pow(sin(radians(b.lat - a.lat) / 2), 2)
+                  + cos(radians(a.lat)) * cos(radians(b.lat))
+                    * pow(sin(radians(b.lon - a.lon) / 2), 2))))) AS dist
+              FROM pts a, pts b WHERE a.event_id <> b.event_id),
+        r AS (SELECT UNNEST([250.0, 500.0, 1000.0]) AS r_km),
+        c AS (SELECT r.r_km,
+                     (SELECT COUNT(*) FROM d WHERE dist <= r.r_km) AS np
+              FROM r)
+        SELECT CAST(c.r_km AS BIGINT) AS r_km,
+               CAST(np AS BIGINT) AS n_pairs,
+               CAST(ROUND(4 * pi() * 6371.0 * 6371.0 * np
+                          / CAST(n.n * (n.n - 1) AS DOUBLE)) AS BIGINT)
+                   AS k_km2
+        FROM c, n ORDER BY r_km
+    """,
+    "calibration_embs": """
+        WITH x AS (SELECT vec_id, label, UNNEST(embedding) AS v,
+                          generate_subscripts(embedding, 1) AS j
+                   FROM embeddings),
+        s AS (SELECT vec_id, ANY_VALUE(label) AS label,
+                     SUM(((j - 1) * 37 % 13 - 6)
+                         * CAST(ROUND(CAST(v AS DOUBLE) * 1000000)
+                                AS BIGINT)) AS score
+              FROM x GROUP BY vec_id),
+        d AS (SELECT label, score,
+                     NTILE(10) OVER (ORDER BY score, vec_id) AS decile
+              FROM s)
+        SELECT CAST(decile AS BIGINT) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(label) AS BIGINT) AS sum_label,
+               CAST(SUM(score) AS BIGINT) AS sum_score
+        FROM d GROUP BY 1 ORDER BY 1
+    """,
+})
