@@ -12797,3 +12797,178 @@ ORACLES.update({
         FROM d GROUP BY 1 ORDER BY 1
     """,
 })
+
+
+# ---------------------------------------------------------------------------
+# round 4y: LOO target encoding, linear gap-fill, CUME_DIST counts
+# ---------------------------------------------------------------------------
+
+def target_encode_docs(sf_dir: str):
+    """Leave-one-out target encoding of lang -> n_chars over documents
+    (stages/normalize.target_encode_loo): per doc the integer-exact
+    (sum, count) of the OTHER docs of its language — the
+    leakage-free categorical feature.  One tiny aggregate broadcast +
+    one pure map; the corpus never shuffles."""
+    from ..stages.normalize import target_encode_loo
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    enc = target_encode_loo(ds, "lang", "n_chars")
+    return enc.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                            "loo_num": t["loo_num"],
+                            "loo_den": t["loo_den"]}),
+        batch_format="pyarrow").sort("doc_id")
+
+
+def interp_daily_value(sf_dir: str):
+    """Per-user daily resample with LINEAR interpolation between
+    observations (stages/window.group_interp_linear): daily integer-cent
+    totals on a per-user day grid (first observation day .. global max
+    day), interior gaps interpolated v0 + (v1-v0)*(d-d0)/(d1-d0) in
+    DuckDB's float op order, tail days LOCF.  The (day, cents) pair
+    rides ONE packed int64 through two carry-chain fills — two sorts,
+    no joins, no per-group Python."""
+    from ..stages.groupagg import grouped_reduce
+    from ..stages.join import _join_partitions
+    from ..stages.window import group_interp_linear
+
+    DAY = np.int64(86_400_000_000)
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def daily(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "user_id": t["user_id"],
+            "day": pa.array(ts // DAY),
+            "c": pa.array(_cents_half_up(t["value"].to_numpy()))})
+
+    obs = grouped_reduce(ds.map_batches(daily, batch_format="pyarrow"),
+                         ["user_id", "day"], {"c": "c"},
+                         how="sum").materialize()
+    bounds = grouped_reduce(obs, "user_id", {"day": "min_day"}, how="min")
+    gmax = int(obs.max("day"))
+
+    def expand(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        d0 = t["min_day"].to_numpy(zero_copy_only=False)
+        cnt = (gmax - d0 + 1).astype(np.int64)
+        rep = np.repeat(np.arange(len(u)), cnt)
+        off = (np.arange(int(cnt.sum()), dtype=np.int64)
+               - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        return pa.table({"user_id": pa.array(u[rep]),
+                         "day": pa.array(d0[rep] + off)})
+
+    grid = bounds.map_batches(expand, batch_format="pyarrow") \
+        .repartition(_join_partitions())
+    j = grid.join(
+        obs.map_batches(lambda t: t.rename_columns(["u2", "d2", "c"]),
+                        batch_format="pyarrow")
+           .repartition(_join_partitions()),
+        join_type="left_outer", num_partitions=_join_partitions(),
+        on=("user_id", "day"), right_on=("u2", "d2"))
+    filled = group_interp_linear(j, "user_id", "day", "c",
+                                 out_col="interp")
+
+    def finish(t: pa.Table) -> pa.Table:
+        v = t["interp"].to_numpy(zero_copy_only=False)
+        e6 = v * 1e6
+        out = (np.floor(np.abs(e6) + 0.5) * np.sign(e6)).astype(np.int64)
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "day": pc.cast(t["day"], pa.int64()),
+            "interp_e6": pa.array(out)})
+
+    return filled.map_batches(finish, batch_format="pyarrow") \
+        .sort(["user_id", "day"])
+
+
+def cume_dist_docs(sf_dir: str):
+    """CUME_DIST over documents' char lengths per language, emitted as
+    the integer-exact (cume_n, n_lang) pair — cume_n = docs of the
+    language with n_chars <= this doc's (ties included), the SQL
+    ``COUNT(*) OVER (PARTITION BY lang ORDER BY n_chars RANGE UNBOUNDED
+    PRECEDING)`` — via stages/window.group_cume_counts (distinct-value
+    running-sum carry chain + one hash join; the corpus never
+    range-sorts).  Language totals are a bounded broadcast."""
+    from ..stages.groupagg import grouped_count
+    from ..stages.window import group_cume_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    cume = group_cume_counts(ds, "lang", "n_chars", out_col="cume_n")
+    totals = dict(grouped_count(ds, ["lang"], out_col="n")
+                  .to_pandas().itertuples(index=False, name=None))
+    tot_ref = ray.put(totals)
+
+    def finish(t: pa.Table) -> pa.Table:
+        tot = ray.get(tot_ref)
+        nl = pd.Series(t["lang"].to_pandas()).map(tot) \
+            .to_numpy(dtype=np.int64)
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                         "cume_n": pc.cast(t["cume_n"], pa.int64()),
+                         "n_lang": pa.array(nl)})
+
+    return cume.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+QUERIES.update({
+    "target_encode_docs": target_encode_docs,
+    "interp_daily_value": interp_daily_value,
+    "cume_dist_docs": cume_dist_docs,
+})
+
+ORACLES.update({
+    "target_encode_docs": """
+        SELECT doc_id, lang,
+               CAST(SUM(n_chars) OVER (PARTITION BY lang) - n_chars
+                    AS BIGINT) AS loo_num,
+               CAST(COUNT(*) OVER (PARTITION BY lang) - 1 AS BIGINT)
+                   AS loo_den
+        FROM documents ORDER BY doc_id
+    """,
+    "interp_daily_value": """
+        WITH daily AS (
+          SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                 SUM(CAST(ROUND(value * 100) AS BIGINT)) AS c
+          FROM events GROUP BY 1, 2),
+        bounds AS (SELECT user_id, MIN(day) AS d0 FROM daily GROUP BY 1),
+        series AS (SELECT UNNEST(generate_series(
+                       (SELECT MIN(day) FROM daily),
+                       (SELECT MAX(day) FROM daily))) AS day),
+        grid AS (SELECT b.user_id, s.day FROM bounds b JOIN series s
+                 ON s.day >= b.d0),
+        j AS (SELECT grid.user_id, grid.day, daily.c
+              FROM grid LEFT JOIN daily USING (user_id, day)),
+        f AS (SELECT user_id, day, c,
+                     LAST_VALUE(CASE WHEN c IS NOT NULL THEN day END
+                                IGNORE NULLS) OVER w AS pd,
+                     LAST_VALUE(c IGNORE NULLS) OVER w AS pv,
+                     FIRST_VALUE(CASE WHEN c IS NOT NULL THEN day END
+                                 IGNORE NULLS) OVER w2 AS nd,
+                     FIRST_VALUE(c IGNORE NULLS) OVER w2 AS nv
+              FROM j
+              WINDOW w AS (PARTITION BY user_id ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW),
+                     w2 AS (PARTITION BY user_id ORDER BY day
+                            ROWS BETWEEN CURRENT ROW
+                            AND UNBOUNDED FOLLOWING))
+        SELECT user_id, day,
+               CAST(CASE WHEN c IS NOT NULL THEN c * 1000000
+                    WHEN nv IS NULL THEN pv * 1000000
+                    ELSE CAST(ROUND((pv + (nv - pv) * (day - pd)
+                                     / CAST(nd - pd AS DOUBLE))
+                                    * 1000000) AS BIGINT)
+               END AS BIGINT) AS interp_e6
+        FROM f ORDER BY user_id, day
+    """,
+    "cume_dist_docs": """
+        SELECT doc_id, lang,
+               CAST(COUNT(*) OVER (PARTITION BY lang ORDER BY n_chars
+                                   RANGE UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cume_n,
+               CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT)
+                   AS n_lang
+        FROM documents ORDER BY doc_id
+    """,
+})

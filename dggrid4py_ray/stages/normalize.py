@@ -423,3 +423,56 @@ def quantile_bucketize(ds: ray.data.Dataset, group_col: str,
         return t.append_column(out_col, pa.array(b))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def target_encode_loo(ds: ray.data.Dataset, cat_col: str, target_col: str,
+                      num_col: str = "loo_num", den_col: str = "loo_den"
+                      ) -> ray.data.Dataset:
+    """Leave-one-out target encoding (the CatBoost/Micci-Barreca
+    categorical feature): for each row, the SUM and COUNT of the integer
+    target over the OTHER rows of its category, emitted as the
+    integer-exact (num, den) pair — mean = num / den, den = 0 for
+    singleton categories (the SQL twin is the window pair
+    ``SUM(t) OVER (PARTITION BY c) - t`` / ``COUNT(*) OVER (...) - 1``).
+    Excluding the row itself is what stops the encoding from leaking the
+    row's own label into its feature.
+
+    Pass 1: per-category (sum, n) via a within-batch combiner + tiny
+    hash aggregate — bounded category cardinality (broadcast via
+    ray.put; route through a cogroup join for unbounded keys).  Pass 2
+    is a pure vectorized map; the corpus never shuffles."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({cat_col: t[cat_col],
+                             "_s": pa.array([], pa.int64()),
+                             "_n": pa.array([], pa.int64())})
+        x = t[target_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pd.DataFrame({cat_col: t[cat_col].to_pandas(), "_s": x,
+                          "_n": np.int64(1)}) \
+            .groupby(cat_col, sort=False)[["_s", "_n"]].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    stats = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(cat_col).aggregate(Sum("_s", alias_name="_s"),
+                                         Sum("_n", alias_name="_n"))
+             .to_pandas())
+    ref = ray.put((dict(zip(stats[cat_col], stats["_s"].astype(np.int64))),
+                   dict(zip(stats[cat_col], stats["_n"].astype(np.int64)))))
+
+    def encode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            t = t.append_column(num_col, pa.array([], pa.int64()))
+            return t.append_column(den_col, pa.array([], pa.int64()))
+        sums, counts = ray.get(ref)
+        k = pd.Series(t[cat_col].to_pandas())
+        s = k.map(sums).to_numpy(dtype=np.int64)
+        n = k.map(counts).to_numpy(dtype=np.int64)
+        x = t[target_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.append_column(num_col, pa.array(s - x))
+        return t.append_column(den_col, pa.array(n - 1))
+
+    return ds.map_batches(encode, batch_format="pyarrow")

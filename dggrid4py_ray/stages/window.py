@@ -621,3 +621,129 @@ def group_running_max(ds: ray.data.Dataset, group_col: str,
                               mask=mask))
 
     return srt.map_batches(local_scan, batch_format="pyarrow")
+
+
+def group_interp_linear(ds: ray.data.Dataset, group_col: str,
+                        order_col: str, value_col: str,
+                        out_col: str = "interp") -> ray.data.Dataset:
+    """Per-group LINEAR interpolation of null values over an integer
+    order axis (the daily-grid gap-fill between LOCF and splines):
+    a null row bracketed by observations gets
+
+        v_prev + (v_next - v_prev) * (o - o_prev) / (o_next - o_prev)
+
+    evaluated in DuckDB's float op order (int64 numerator product, one
+    float division, one float add) so the SQL window twin is bit-exact;
+    rows after a group's last observation carry the previous value
+    (LOCF tail); rows before the first observation stay null.
+
+    Shape: the (order, value) observation pair rides ONE packed-int64
+    lane (order * 2^32 + value + 2^31 — exact in the float64 carry while
+    0 <= order < 2^20 and |value| < 2^31, guarded) through two
+    ``group_fill_forward`` carry chains — forward, and backward via the
+    negated order — two sorts total, no joins, no per-group Python.
+    Output ``out_col`` is float64 with real nulls for never-observed
+    prefixes.  Unique (group, order) keys required."""
+    import pyarrow.compute as pc
+
+    BASE = np.int64(1) << 32
+    BIAS = np.int64(1) << 31
+
+    def pack(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            t = t.append_column("_pk", pa.array([], pa.float64()))
+            return t.append_column("_no", pa.array([], pa.int64()))
+        o = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(o) and (o.min() < 0 or o.max() >= (1 << 20)):
+            raise ValueError("group_interp_linear: order values must be "
+                             "in [0, 2^20) to ride the packed float64 "
+                             "lane exactly; rebase upstream")
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        v = np.asarray(v, dtype=np.float64)
+        obs = ~np.isnan(v)
+        if obs.any() and np.abs(v[obs]).max() >= float(BIAS):
+            raise ValueError("group_interp_linear: |value| must be "
+                             "< 2^31; rescale upstream")
+        pk = np.where(obs,
+                      o.astype(np.float64) * float(BASE)
+                      + (v + float(BIAS)),
+                      np.nan)
+        t = t.append_column("_pk", pa.array(pk, mask=~obs))
+        return t.append_column("_no", pa.array(-o))
+
+    packed = ds.map_batches(pack, batch_format="pyarrow")
+    fwd = group_fill_forward(packed, group_col, [order_col], "_pk",
+                             out_col="_fwd")
+    bwd = group_fill_forward(fwd, group_col, ["_no"], "_pk",
+                             out_col="_bwd")
+
+    def interp(t: pa.Table) -> pa.Table:
+        drop = [c for c in ("_pk", "_fwd", "_bwd", "_no")
+                if c in t.column_names]
+        if t.num_rows == 0:
+            return t.drop_columns(drop).append_column(
+                out_col, pa.array([], pa.float64()))
+        v = np.asarray(t[value_col].to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        f = t["_fwd"].to_numpy(zero_copy_only=False)
+        b = t["_bwd"].to_numpy(zero_copy_only=False)
+        o = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        have_f = ~np.isnan(f)
+        have_b = ~np.isnan(b)
+        fi = np.where(have_f, f, 0.0).astype(np.int64)
+        bi = np.where(have_b, b, 0.0).astype(np.int64)
+        o0, v0 = fi // BASE, fi % BASE - BIAS
+        o1, v1 = bi // BASE, bi % BASE - BIAS
+        den = np.where(o1 > o0, o1 - o0, 1).astype(np.float64)
+        num = ((v1 - v0) * (o - o0)).astype(np.float64)
+        lin = v0.astype(np.float64) + num / den
+        out = np.where(~np.isnan(v), v,
+                       np.where(have_b, lin, v0.astype(np.float64)))
+        null = ~have_f
+        arr = pa.array(np.where(null, np.nan, out), pa.float64(),
+                       mask=null)
+        return t.drop_columns(drop).append_column(out_col, arr)
+
+    return bwd.map_batches(interp, batch_format="pyarrow")
+
+
+def group_cume_counts(ds: ray.data.Dataset, group_col: str,
+                      value_col: str,
+                      out_col: str = "cume_n") -> ray.data.Dataset:
+    """SQL ``COUNT(*) OVER (PARTITION BY g ORDER BY v RANGE UNBOUNDED
+    PRECEDING)`` — the CUME_DIST numerator (rows of the group with value
+    <= this row's value, ties included) at unbounded group cardinality.
+
+    Shape: distinct (group, value, count) table via ``grouped_count``
+    (max group-size rows, sort + segmented reduce), ONE inclusive
+    running-sum carry chain over the distinct table, ONE hash join back
+    on (group, value) — the corpus itself never range-sorts.  Null
+    values are refused (SQL sorts them as a trailing peer class; filter
+    or fill upstream rather than silently diverging)."""
+    import pyarrow.compute as pc
+
+    from .bloom import _coalesce_for_join
+    from .groupagg import grouped_count
+    from .join import _join_partitions
+
+    def check(t: pa.Table) -> pa.Table:
+        if t.num_rows and t[value_col].null_count:
+            raise ValueError("group_cume_counts: null values are "
+                             "unsupported; filter or fill upstream")
+        return t
+
+    ds = ds.map_batches(check, batch_format="pyarrow")
+    dv = grouped_count(ds, [group_col, value_col], out_col="_cnt")
+    run = group_running_sum(dv, group_col, [value_col], "_cnt",
+                            out_col="_cume")
+    cume = run.map_batches(
+        lambda t: pa.table({
+            group_col: t[group_col],
+            value_col: t[value_col],
+            out_col: pc.cast(pc.round(t["_cume"]), pa.int64())}),
+        batch_format="pyarrow")
+    parts = _join_partitions()
+    left, _ = _coalesce_for_join(ds, parts)
+    right, _ = _coalesce_for_join(cume, parts)
+    return left.join(right, join_type="inner", num_partitions=parts,
+                     on=(group_col, value_col))
