@@ -3487,12 +3487,14 @@ def entropy_by_lang(sf_dir: str):
             .sort("lang"))
 
 
-def hotspot_gi_events(sf_dir: str):
-    """Getis-Ord Gi* hotspot z-scores over the binned event lattice
-    (stages/interp.gi_star): global moments from exact integer counts, a
-    3x3 stencil for the focal sum and occupied-neighbor count, one pure
-    map for z.  The classic spatial-statistics hotspot map, fully
-    distributed (no KDE driver pass)."""
+def hotspot_gi_occupied_events(sf_dir: str):
+    """Getis-Ord Gi* hotspot z-scores over the OCCUPIED-cell domain
+    (stages/interp.gi_star; n = occupied cells, the point-lattice
+    convention — ``hotspot_gi_events`` is the full-grid-domain twin):
+    global moments from exact integer counts, a 3x3 stencil for the
+    focal sum and occupied-neighbor count, one pure map for z.  The
+    classic spatial-statistics hotspot map, fully distributed (no KDE
+    driver pass)."""
     from ..stages.groupagg import grouped_reduce
     from ..stages.interp import gi_star
 
@@ -3570,8 +3572,10 @@ def trend_cells_events(sf_dir: str):
     return wide.map_batches(mk, batch_format="pyarrow").sort(["gx", "gy"])
 
 
-def od_matrix_events(sf_dir: str):
-    """Origin-destination matrix: per-user consecutive cell transitions
+def od_matrix_packed_events(sf_dir: str):
+    """Origin-destination matrix (packed-int cell-id variant; the
+    ``od_matrix_events`` twin keeps (gx, gy) columns): per-user
+    consecutive cell transitions
     (LAG of the packed cell id via the group_shift carry chain), counted
     per (origin, destination) pair — the trajectory-flow aggregate over
     the 648-cell lattice."""
@@ -4438,8 +4442,10 @@ def hilbert_range_events(sf_dir: str):
         batch_format="pyarrow").sort("hilbert_key")
 
 
-def semivariogram_events(sf_dir: str):
-    """Empirical semivariogram (stages/geostats.semivariogram) over a
+def semivariogram_points_events(sf_dir: str):
+    """Empirical POINT-pair semivariogram (stages/geostats.semivariogram
+    — the bucket-cover pair path; ``semivariogram_events`` is the
+    cell-aggregated twin) over a
     deterministic 1-in-5 sample of the formula-derived event coordinates:
     12 bins x 250 km, pairs enumerated by the lat-band bucket cover (no
     all-pairs stage on the Ray side; the oracle IS the all-pairs SQL)."""
@@ -5627,9 +5633,9 @@ QUERIES = {
     "pivot_event_types": pivot_event_types,
     "twap_value_by_user": twap_value_by_user,
     "entropy_by_lang": entropy_by_lang,
-    "hotspot_gi_events": hotspot_gi_events,
+    "hotspot_gi_occupied_events": hotspot_gi_occupied_events,
     "trend_cells_events": trend_cells_events,
-    "od_matrix_events": od_matrix_events,
+    "od_matrix_packed_events": od_matrix_packed_events,
     "q10_returned_revenue": q10_returned_revenue,
     "q12_priority_linestatus": q12_priority_linestatus,
     "q17_small_quantity": q17_small_quantity,
@@ -5641,7 +5647,7 @@ QUERIES = {
     "lisa_events": lisa_events,
     "morton_range_events": morton_range_events,
     "stay_segments_events": stay_segments_events,
-    "semivariogram_events": semivariogram_events,
+    "semivariogram_points_events": semivariogram_points_events,
     "rog_users_events": rog_users_events,
     "hilbert_range_events": hilbert_range_events,
     "interval_overlap_events": interval_overlap_events,
@@ -7182,7 +7188,7 @@ ORACLES = {
     # Getis-Ord Gi* over occupied cells: global moments from exact integer
     # counts, binary 3x3 weights incl. self — the z expression mirrors the
     # numpy evaluation order term by term (IEEE ops on identical doubles)
-    "hotspot_gi_events": """
+    "hotspot_gi_occupied_events": """
         WITH b AS (
             SELECT (event_id * 7919) % 36000 // 400 AS gx,
                    (event_id * 104729) % 18000 // 400 AS gy,
@@ -7234,7 +7240,7 @@ ORACLES = {
         ORDER BY gx, gy
     """,
     # origin-destination flows: LAG of the packed cell id per user
-    "od_matrix_events": """
+    "od_matrix_packed_events": """
         WITH e AS (
             SELECT user_id, ts, event_id,
                    ((event_id * 7919) % 36000 // 1000 + 1048576) * 2097152
@@ -7457,7 +7463,7 @@ ORACLES = {
     # all-pairs brute force over the 1-in-5 sample (2k pts at sf0.01) —
     # the Ray side enumerates the same pair set via the lat-band bucket
     # cover, so value equality proves the cover is exhaustive too
-    "semivariogram_events": """
+    "semivariogram_points_events": """
         WITH pts AS (
           SELECT event_id AS id, value,
                  CAST((event_id * 7919) % 36000 AS DOUBLE) / 100.0 - 180.0
