@@ -12978,3 +12978,211 @@ ORACLES.update({
         FROM documents ORDER BY doc_id
     """,
 })
+
+
+# ---------------------------------------------------------------------------
+# round 4y continued: AMS F2 sketch, global Moran's I, Hausdorff pairs
+# ---------------------------------------------------------------------------
+
+def ams_f2_users(sf_dir: str):
+    """AMS (Alon-Matias-Szegedy) second-frequency-moment sketch over the
+    event user distribution — the join/self-join size estimator: 16
+    deterministic +/-1 hash counters, each X_j = sum_u sign_j(u) c_u
+    (E[X^2] = F2), folded per batch from UNIQUE users only (md5 on the
+    batch vocabulary, not the row stream) with one bounded 16-row
+    groupby; the exact F2 = sum c_u^2 rides the sort-based
+    grouped_reduce at unbounded user cardinality for comparison.  An
+    approximate operator with an EXACT oracle: the SQL twin reproduces
+    every counter bit-for-bit from the same md5 signs."""
+    from ..stages.groupagg import grouped_reduce
+    from ..stages.sampling import _md5_u64
+
+    R = 16
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"j": pa.array([], pa.int64()),
+                             "x": pa.array([], pa.int64())})
+        u, c = np.unique(t["user_id"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        c = c.astype(np.int64)
+        xs = np.empty(R, np.int64)
+        for j in range(R):
+            h = _md5_u64(np.array([f"{int(v)}|{j}" for v in u],
+                                  dtype=object))
+            sign = np.where(h % 2 == 0, np.int64(1), np.int64(-1))
+            xs[j] = int((sign * c).sum())
+        return pa.table({"j": pa.array(np.arange(R, dtype=np.int64)),
+                         "x": pa.array(xs)})
+
+    x = (ds.map_batches(partial, batch_format="pyarrow")
+         .groupby("j").aggregate(Sum("x", alias_name="x")))
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    cnt = grouped_reduce(ds.map_batches(ones, batch_format="pyarrow"),
+                         "user_id", {"n": "n"}, how="sum")
+    f2 = int(cnt.map_batches(
+        lambda t: pa.table({"f2": pa.array(
+            [int((t["n"].to_numpy(zero_copy_only=False)
+                  .astype(np.int64) ** 2).sum())], pa.int64())}),
+        batch_format="pyarrow").to_pandas()["f2"].sum())
+
+    def finish(t: pa.Table) -> pa.Table:
+        xv = t["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "j": pc.cast(t["j"], pa.int64()),
+            "x_j": pa.array(xv),
+            "est_f2": pa.array(xv * xv),
+            "f2_exact": pa.array(np.full(len(xv), f2, np.int64))})
+
+    return x.map_batches(finish, batch_format="pyarrow").sort("j")
+
+
+def moran_events(sf_dir: str):
+    """GLOBAL Moran's I over the binned event lattice
+    (stages/interp.global_moran): queen 3x3 binary weights over occupied
+    cells, self excluded.  The whole statistic folds from seven integer
+    scalars (one stencil shift-and-aggregate + one narrow partial pass),
+    so the SQL self-join twin reproduces I bit-for-bit."""
+    from ..stages.groupagg import grouped_reduce
+    from ..stages.interp import global_moran
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def binp(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        return pa.table({"gx": pa.array((eid * 7919) % 36000 // 400),
+                         "gy": pa.array((eid * 104729) % 18000 // 400),
+                         "n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    cells = grouped_reduce(ds.map_batches(binp, batch_format="pyarrow"),
+                           ["gx", "gy"], {"n": "n"}, how="sum")
+    out = global_moran(cells, "gx", "gy", "n")
+    moran = out["moran_i"][0].as_py()
+    e9 = moran * 1e9
+    out = out.drop_columns(["moran_i"])
+    return out.append_column(
+        "i_e9", pa.array([int(np.floor(abs(e9) + 0.5) * np.sign(e9))],
+                         pa.int64()))
+
+
+def hausdorff_users_events(sf_dir: str):
+    """Symmetric discrete Hausdorff distance between the point
+    footprints of a deterministic 1-in-17 user sample
+    (stages/geostats.hausdorff_pairs): candidate sites broadcast once,
+    per-batch haversine matrix + one minimum.reduceat per key segment,
+    directed maxes folded by grouped_reduce, symmetry by the unordered
+    pair key.  The trajectory-similarity operator; oracle is the full
+    SQL min-max cross join."""
+    from ..stages.geostats import hausdorff_pairs
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def pts(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(u % 17 == 0))
+        eid = t["event_id"].to_numpy()
+        lon = ((eid * 7919) % 36000).astype(np.float64) / 100.0 - 180.0
+        lat = ((eid * 104729) % 18000).astype(np.float64) / 100.0 - 90.0
+        return pa.table({"user_id": t["user_id"],
+                         "lon": pa.array(lon), "lat": pa.array(lat)})
+
+    points = ds.map_batches(pts, batch_format="pyarrow")
+    h = hausdorff_pairs(points, "user_id")
+
+    def finish(t: pa.Table) -> pa.Table:
+        v = t["hausdorff_km"].to_numpy(zero_copy_only=False) * 1e6
+        return pa.table({
+            "p1": pc.cast(t["p1"], pa.int64()),
+            "p2": pc.cast(t["p2"], pa.int64()),
+            "h_e6": pa.array((np.floor(np.abs(v) + 0.5)
+                              * np.sign(v)).astype(np.int64))})
+
+    return h.map_batches(finish, batch_format="pyarrow") \
+        .sort(["p1", "p2"])
+
+
+QUERIES.update({
+    "ams_f2_users": ams_f2_users,
+    "moran_events": moran_events,
+    "hausdorff_users_events": hausdorff_users_events,
+})
+
+ORACLES.update({
+    "ams_f2_users": """
+        WITH c AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1),
+        j AS (SELECT UNNEST(range(16)) AS j),
+        x AS (SELECT j.j,
+                     SUM(CASE WHEN md5_number_upper(
+                               CAST(c.user_id AS VARCHAR) || '|'
+                               || CAST(j.j AS VARCHAR)) % 2 = 0
+                              THEN c.c ELSE -c.c END) AS x
+              FROM c CROSS JOIN j GROUP BY 1),
+        f2 AS (SELECT SUM(c * c) AS f2 FROM c)
+        SELECT CAST(j AS BIGINT) AS j, CAST(x AS BIGINT) AS x_j,
+               CAST(x * x AS BIGINT) AS est_f2,
+               CAST(f2.f2 AS BIGINT) AS f2_exact
+        FROM x, f2 ORDER BY j
+    """,
+    "moran_events": """
+        WITH b AS (
+            SELECT (event_id * 7919) % 36000 // 400 AS gx,
+                   (event_id * 104729) % 18000 // 400 AS gy,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2),
+        o AS (SELECT dxr.range AS dx, dyr.range AS dy
+              FROM range(-1, 2) dxr, range(-1, 2) dyr
+              WHERE NOT (dxr.range = 0 AND dyr.range = 0)),
+        f AS (SELECT c.gx, c.gy, ANY_VALUE(c.n) AS x,
+                     SUM(nb.n) AS S, COUNT(*) AS W
+              FROM b c CROSS JOIN o
+              JOIN b nb ON nb.gx = c.gx + o.dx AND nb.gy = c.gy + o.dy
+              GROUP BY c.gx, c.gy),
+        m AS (SELECT COUNT(*) AS n, SUM(n) AS s, SUM(n * n) AS ss FROM b),
+        p AS (SELECT COALESCE(SUM(x * S), 0) AS sxs,
+                     COALESCE(SUM(x * W), 0) AS sxw,
+                     COALESCE(SUM(S), 0) AS ssum,
+                     COALESCE(SUM(W), 0) AS wsum FROM f)
+        SELECT CAST(m.n AS BIGINT) AS n, CAST(m.s AS BIGINT) AS s,
+               CAST(m.ss AS BIGINT) AS ss,
+               CAST(p.sxs AS BIGINT) AS sxs,
+               CAST(p.sxw AS BIGINT) AS sxw,
+               CAST(p.ssum AS BIGINT) AS ssum,
+               CAST(p.wsum AS BIGINT) AS wsum,
+               CAST(ROUND(1.0 * m.n / p.wsum
+                    * (p.sxs - (m.s / m.n) * p.sxw
+                       - (m.s / m.n) * p.ssum
+                       + (m.s / m.n) * (m.s / m.n) * p.wsum)
+                    / (m.ss - m.n * (m.s / m.n) * (m.s / m.n))
+                    * 1000000000) AS BIGINT) AS i_e9
+        FROM m, p
+    """,
+    "hausdorff_users_events": """
+        WITH pts AS (
+          SELECT user_id, event_id,
+                 CAST((event_id * 7919) % 36000 AS DOUBLE) / 100.0 - 180.0
+                     AS lon,
+                 CAST((event_id * 104729) % 18000 AS DOUBLE) / 100.0 - 90.0
+                     AS lat
+          FROM events WHERE user_id % 17 = 0),
+        d AS (SELECT a.user_id AS ua, b.user_id AS ub, a.event_id AS eid,
+                     MIN(2 * 6371.0 * asin(sqrt(LEAST(1.0, GREATEST(0.0,
+                         pow(sin(radians(b.lat - a.lat) / 2), 2)
+                         + cos(radians(a.lat)) * cos(radians(b.lat))
+                           * pow(sin(radians(b.lon - a.lon) / 2), 2))))))
+                         AS md
+              FROM pts a JOIN pts b ON a.user_id <> b.user_id
+              GROUP BY 1, 2, 3),
+        h AS (SELECT ua, ub, MAX(md) AS h FROM d GROUP BY 1, 2),
+        s AS (SELECT LEAST(ua, ub) AS p1, GREATEST(ua, ub) AS p2,
+                     MAX(h) AS h
+              FROM h GROUP BY 1, 2)
+        SELECT CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2,
+               CAST(ROUND(h * 1000000) AS BIGINT) AS h_e6
+        FROM s ORDER BY p1, p2
+    """,
+})

@@ -141,3 +141,85 @@ def radius_of_gyration(points: ray.data.Dataset, key: str,
                          "rog_km": pa.array(np.sqrt(sd2 / n))})
 
     return j.map_batches(finish, batch_format="pyarrow")
+
+
+def hausdorff_pairs(points: ray.data.Dataset, key_col: str,
+                    lon_col: str = "lon", lat_col: str = "lat",
+                    max_sites: int = 200_000) -> ray.data.Dataset:
+    """Symmetric discrete Hausdorff distance (km) between every pair of
+    keys' point sets — the trajectory/footprint similarity measure:
+
+        H(A, B) = max( max_a min_b d(a,b),  max_b min_a d(a,b) )
+
+    Scale shape: the CANDIDATE site table (all selected keys' points —
+    the caller bounds it by filtering keys first; guarded by
+    ``max_sites``) is broadcast once via ray.put, sorted by key so each
+    per-batch haversine matrix reduces with ONE ``minimum.reduceat``
+    per key segment; the point stream itself never materializes.  Each
+    batch emits partial (key_a, key_b, max-of-min) rows; one
+    ``grouped_reduce`` max folds the directed distances, a packed
+    unordered-pair key folds symmetry.  Both directions fall out of the
+    same stream (a's rows vs B's sites gives h(A->B); b's rows vs A's
+    sites gives h(B->A)).  Distances evaluate the DuckDB haversine
+    expression term-for-term, so min/max of identical doubles is
+    bit-exact against the SQL twin."""
+    import ray
+
+    from .groupagg import grouped_reduce
+
+    sites = points.select_columns([key_col, lon_col, lat_col]).to_pandas()
+    if len(sites) > max_sites:
+        raise ValueError(f"hausdorff_pairs: {len(sites)} candidate sites "
+                         f"> max_sites={max_sites}; filter keys upstream")
+    sites = sites.sort_values([key_col, lon_col, lat_col],
+                              ignore_index=True)
+    skey = sites[key_col].to_numpy()
+    seg = np.r_[True, skey[1:] != skey[:-1]]
+    starts = np.flatnonzero(seg)
+    keys = skey[starts]
+    ref = ray.put((keys, starts,
+                   sites[lon_col].to_numpy(dtype=np.float64),
+                   sites[lat_col].to_numpy(dtype=np.float64)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"ka": pa.array([], pa.int64()),
+                             "kb": pa.array([], pa.int64()),
+                             "h": pa.array([], pa.float64())})
+        kys, st, slon, slat = ray.get(ref)
+        lon = t[lon_col].to_numpy(zero_copy_only=False)
+        lat = t[lat_col].to_numpy(zero_copy_only=False)
+        ka = t[key_col].to_numpy(zero_copy_only=False)
+        # DuckDB term order: pow(sin(radians(dlat)/2),2)
+        #   + cos(radians(a))*cos(radians(b))*pow(sin(radians(dlon)/2),2)
+        s2 = (np.sin(np.radians(slat[None, :] - lat[:, None]) / 2) ** 2
+              + np.cos(np.radians(lat))[:, None]
+              * np.cos(np.radians(slat))[None, :]
+              * np.sin(np.radians(slon[None, :] - lon[:, None]) / 2) ** 2)
+        d = 2 * 6371.0 * np.arcsin(np.sqrt(
+            np.minimum(1.0, np.maximum(0.0, s2))))
+        mins = np.minimum.reduceat(d, st, axis=1)   # (rows, n_keys)
+        df = pd.DataFrame(mins, columns=range(len(kys)))
+        df["_ka"] = ka
+        g = df.groupby("_ka", sort=False).max()
+        ga = np.repeat(g.index.to_numpy(), len(kys))
+        gb = np.tile(kys, len(g))
+        return pa.table({"ka": pa.array(ga), "kb": pa.array(gb),
+                         "h": pa.array(g.to_numpy().ravel())})
+
+    directed = grouped_reduce(
+        points.map_batches(partial, batch_format="pyarrow"),
+        ["ka", "kb"], {"h": "h"}, how="max")
+
+    def sym(t: pa.Table) -> pa.Table:
+        ka = t["ka"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kb = t["kb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ka != kb
+        ka, kb = ka[keep], kb[keep]
+        h = t["h"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({"p1": pa.array(np.minimum(ka, kb)),
+                         "p2": pa.array(np.maximum(ka, kb)),
+                         "h": pa.array(h)})
+
+    return grouped_reduce(directed.map_batches(sym, batch_format="pyarrow"),
+                          ["p1", "p2"], {"h": "hausdorff_km"}, how="max")

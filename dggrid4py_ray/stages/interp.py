@@ -272,3 +272,64 @@ def local_moran(cells: ray.data.Dataset, x_col: str, y_col: str,
             i_col: pa.array(mi)})
 
     return foc.map_batches(finish, batch_format="pyarrow")
+
+
+def global_moran(cells: ray.data.Dataset, x_col: str, y_col: str,
+                 val_col: str, radius: int = 1) -> pa.Table:
+    """GLOBAL Moran's I spatial-autocorrelation statistic over the
+    OCCUPIED cells of an integer lattice, binary (2r+1)^2 weights with
+    self excluded (the classic companion to ``local_moran``):
+
+        I = (n / W) * sum_i (x_i - m)(S_i - m W'_i) / sum_i (x_i - m)^2
+
+    where S_i / W'_i are the occupied-neighbor value sum / count.  The
+    whole statistic folds from SEVEN integer scalars (n, s, ss,
+    sum x_i S_i, sum x_i W'_i, sum S_i, sum W'_i) — so a SQL twin that
+    accumulates the same integers reproduces I bit-for-bit regardless of
+    either engine's summation order.  Scale shape: one stencil_smooth
+    shift-and-aggregate + one narrow partial pass; the driver folds an
+    answer-sized scalar row.  Values must be integers.  Returns a 1-row
+    Arrow table with the seven partials and ``moran_i``."""
+    def ones(t: pa.Table) -> pa.Table:
+        return t.append_column("_one", pa.array(np.ones(t.num_rows,
+                                                        np.int64)))
+
+    foc = stencil_smooth(cells.map_batches(ones, batch_format="pyarrow"),
+                         x_col, y_col, {val_col: "_G", "_one": "_W"},
+                         radius=radius)
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t[f"own_{val_col}"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        G = t["_G"].to_numpy(zero_copy_only=False).astype(np.int64)
+        W = t["_W"].to_numpy(zero_copy_only=False).astype(np.int64)
+        S, Wp = G - x, W - 1
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "s": pa.array([int(x.sum())], pa.int64()),
+            "ss": pa.array([int((x * x).sum())], pa.int64()),
+            "sxs": pa.array([int((x * S).sum())], pa.int64()),
+            "sxw": pa.array([int((x * Wp).sum())], pa.int64()),
+            "ssum": pa.array([int(S.sum())], pa.int64()),
+            "wsum": pa.array([int(Wp.sum())], pa.int64())})
+
+    tot = foc.map_batches(partial, batch_format="pyarrow") \
+        .to_pandas().sum()
+    n, s, ss = int(tot["n"]), int(tot["s"]), int(tot["ss"])
+    sxs, sxw = int(tot["sxs"]), int(tot["sxw"])
+    ssum, wsum = int(tot["ssum"]), int(tot["wsum"])
+    if n < 2 or wsum == 0:
+        raise ValueError("global_moran needs >= 2 occupied cells with "
+                         "at least one neighboring pair")
+    m = s / n
+    num = sxs - m * sxw - m * ssum + m * m * wsum
+    den = ss - n * m * m
+    moran = 1.0 * n / wsum * num / den
+    return pa.table({
+        "n": pa.array([n], pa.int64()), "s": pa.array([s], pa.int64()),
+        "ss": pa.array([ss], pa.int64()),
+        "sxs": pa.array([sxs], pa.int64()),
+        "sxw": pa.array([sxw], pa.int64()),
+        "ssum": pa.array([ssum], pa.int64()),
+        "wsum": pa.array([wsum], pa.int64()),
+        "moran_i": pa.array([moran], pa.float64())})

@@ -126,3 +126,75 @@ def test_target_encode_loo_vs_duckdb(ray_session):
                                   want["num"].to_numpy(dtype=np.int64))
     np.testing.assert_array_equal(got["loo_den"].to_numpy(),
                                   want["den"].to_numpy(dtype=np.int64))
+
+
+def test_global_moran_vs_bruteforce(ray_session):
+    from dggrid4py_ray.stages.interp import global_moran
+
+    rng = np.random.default_rng(5)
+    pts = {(int(x), int(y)) for x, y in zip(rng.integers(0, 12, 60),
+                                            rng.integers(0, 12, 60))}
+    df = pd.DataFrame({"x": [p[0] for p in pts],
+                       "y": [p[1] for p in pts],
+                       "n": rng.integers(1, 9, len(pts))})
+    got = global_moran(ray_session.data.from_pandas(df).repartition(5),
+                       "x", "y", "n").to_pandas().iloc[0]
+    # brute force
+    xs = df[["x", "y"]].to_numpy()
+    v = df["n"].to_numpy(dtype=float)
+    m = v.mean()
+    num = den = W = 0.0
+    for i in range(len(df)):
+        den += (v[i] - m) ** 2
+        for k in range(len(df)):
+            if i != k and max(abs(xs[i, 0] - xs[k, 0]),
+                              abs(xs[i, 1] - xs[k, 1])) <= 1:
+                num += (v[i] - m) * (v[k] - m)
+                W += 1
+    want = len(df) / W * num / den
+    assert abs(got["moran_i"] - want) < 1e-9
+
+
+def test_hausdorff_vs_bruteforce(ray_session):
+    from dggrid4py_ray.stages.geostats import hausdorff_pairs
+
+    def hav(a, b):
+        la1, lo1 = np.radians(a[:, 1]), np.radians(a[:, 0])
+        la2, lo2 = np.radians(b[:, 1]), np.radians(b[:, 0])
+        s = (np.sin((la2[None] - la1[:, None]) / 2) ** 2
+             + np.cos(la1)[:, None] * np.cos(la2)[None]
+             * np.sin((lo2[None] - lo1[:, None]) / 2) ** 2)
+        return 2 * 6371.0 * np.arcsin(np.sqrt(np.clip(s, 0, 1)))
+
+    rng = np.random.default_rng(9)
+    frames = []
+    for u in range(6):
+        n = rng.integers(3, 30)
+        frames.append(pd.DataFrame({
+            "u": u, "lon": rng.uniform(-170, 170, n),
+            "lat": rng.uniform(-80, 80, n)}))
+    df = pd.concat(frames, ignore_index=True)
+    got = (hausdorff_pairs(ray_session.data.from_pandas(df)
+                           .repartition(7), "u")
+           .to_pandas().sort_values(["p1", "p2"], ignore_index=True))
+    rows = []
+    for a in range(6):
+        for b in range(a + 1, 6):
+            A = df[df.u == a][["lon", "lat"]].to_numpy()
+            B = df[df.u == b][["lon", "lat"]].to_numpy()
+            d = hav(A, B)
+            rows.append((a, b, max(d.min(axis=1).max(),
+                                   d.min(axis=0).max())))
+    want = pd.DataFrame(rows, columns=["p1", "p2", "h"])
+    np.testing.assert_allclose(got["hausdorff_km"].to_numpy(),
+                               want["h"].to_numpy(), rtol=1e-12)
+
+
+def test_hausdorff_site_guard(ray_session):
+    from dggrid4py_ray.stages.geostats import hausdorff_pairs
+
+    df = pd.DataFrame({"u": [0, 1] * 10, "lon": np.zeros(20),
+                       "lat": np.zeros(20)})
+    with pytest.raises(Exception, match="max_sites"):
+        hausdorff_pairs(ray_session.data.from_pandas(df), "u",
+                        max_sites=5).to_pandas()
