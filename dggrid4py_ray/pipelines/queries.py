@@ -9016,7 +9016,7 @@ def hard_negatives_embs(sf_dir: str):
     from ..stages.search import hard_negatives
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
-    qdf = ds.filter(lambda r: r["vec_id"] < 5).to_pandas()
+    qdf = ds.filter(expr="vec_id < 5").to_pandas()
     qdf = qdf.sort_values("vec_id", ignore_index=True)
     Q = np.stack([np.asarray(v, dtype=np.float64)
                   for v in qdf["embedding"]])
@@ -9937,16 +9937,9 @@ def hilbert_pushdown_events(sf_dir: str):
 
     # bbox: gx in [20, 40], gy in [10, 25] -> exact Hilbert key
     # ranges -> DISTINCT zone-overlapping files (union across ranges)
-    import json as _json
-    import os as _os
-    with open(_os.path.join(out_dir, "_zonemap.json")) as f:
-        man = _json.load(f)
+    from ..state.checkpoint import zonemap_pruned_files
     ranges = hilbert_bbox_ranges(20, 40, 10, 25)
-    keep = sorted({e["file"] for e in man["files"]
-                   for lo, hi in ranges
-                   if e["zones"]["hilbert_key"][0] < hi
-                   and e["zones"]["hilbert_key"][1] >= lo})
-    n_total = len(man["files"])
+    keep, n_total = zonemap_pruned_files(out_dir, "hilbert_key", ranges)
     if n_total > 4 and len(keep) >= n_total:
         raise RuntimeError(
             f"hilbert pushdown degenerated to a full scan "
@@ -9955,7 +9948,7 @@ def hilbert_pushdown_events(sf_dir: str):
         return pa.table({"event_type": pa.array([], pa.string()),
                          "n": pa.array([], pa.int64()),
                          "sum_val4": pa.array([], pa.int64())})
-    u = ray.data.read_parquet([_os.path.join(out_dir, f) for f in keep])
+    u = ray.data.read_parquet(keep)
 
     def residual(t: pa.Table) -> pa.Table:
         gx = t["gx"].to_numpy()
@@ -10329,8 +10322,7 @@ def dbscan_cells_events(sf_dir: str):
 
     counts = (ds.map_batches(partial, batch_format="pyarrow")
                 .groupby("cell").aggregate(Sum("pn", alias_name="n")))
-    core = counts.filter(
-        lambda r: r["n"] >= MINPTS).materialize()
+    core = counts.filter(expr=f"n >= {MINPTS}").materialize()
     if core.count() == 0:
         # typed empty result — no core cells at this minpts
         return ray.data.from_arrow(pa.table({
@@ -10899,7 +10891,7 @@ def hotspot_gi_events(sf_dir: str):
              .groupby(["x", "y"])
              .aggregate(Sum("s", alias_name="S"), Sum("t", alias_name="T"),
                         Sum("sq", alias_name="SQ"))).materialize()
-    scal = agg.filter(lambda r: r["x"] == -1).take_all()[0]
+    scal = agg.filter(expr="x == -1").take_all()[0]
     T, SQ = float(scal["T"]), float(scal["SQ"])
     N = 64800.0
     xbar = T / N
@@ -12537,7 +12529,7 @@ def sax_words_users(sf_dir: str):
     bit-for-bit."""
     from ..stages.groupagg import grouped_count, grouped_reduce
     from ..stages.join import _join_partitions
-    from ..stages.window import group_ntile
+    from ..stages.window import group_ntile_sorted
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
@@ -12550,9 +12542,9 @@ def sax_words_users(sf_dir: str):
                 t["value"].to_numpy(zero_copy_only=False) * 100)
                 .astype(np.int64))})
 
-    tiled = group_ntile(ds.map_batches(enc, batch_format="pyarrow"),
-                        "user_id", ["ts_us", "event_id"], 4,
-                        out_col="tile")
+    tiled = group_ntile_sorted(
+        ds.map_batches(enc, batch_format="pyarrow"),
+        "user_id", ["ts_us", "event_id"], 4, out_col="tile")
     seg = (tiled.groupby(["user_id", "tile"])
            .aggregate(Sum("cents", alias_name="s"),
                       Count(alias_name="c")))

@@ -7,9 +7,12 @@ training-data pipeline that hands blocks to another Arrow-native system
 (DuckDB, polars, a feature store) round-trips through it losslessly.
 
 Scale shape: the sink is a pure ``map_batches`` stage — each block
-writes its own ``.arrow`` file named by a content-independent block
-token (the resumable-partition layout: rerunning a block overwrites
-only its own file); the source is ``ray.data.read_binary_files`` (one
+writes its own ``.arrow`` file and reports its filename upward; the
+driver commits a ``_manifest.json`` listing exactly the files whose
+writer task's output was actually consumed, so a task retried after a
+worker crash leaves only an orphan file that no read ever sees
+(the ``write_clustered`` exactly-once pattern).  The source is
+``ray.data.read_binary_files`` over the manifest's file list (one
 streaming read task per file, no driver materialization) + a zero-copy
 ``pa.ipc.open_file`` decode per file.
 """
@@ -17,6 +20,7 @@ streaming read task per file, no driver materialization) + a zero-copy
 from __future__ import annotations
 
 import io
+import json
 import os
 import uuid
 
@@ -26,27 +30,46 @@ import ray.data
 
 def write_feather_dir(ds: ray.data.Dataset, out_dir: str) -> int:
     """Write every block of ``ds`` as its own Arrow IPC file under
-    ``out_dir``; returns the number of rows written.  Runs as a
-    streaming consumer (no driver-side collection)."""
+    ``out_dir`` and commit a ``_manifest.json``; returns the number of
+    rows written.  Runs as a streaming consumer (no driver-side row
+    collection — only the answer-sized (file, rows) manifest)."""
     os.makedirs(out_dir, exist_ok=True)
 
     def sink(t: pa.Table) -> pa.Table:
-        path = os.path.join(out_dir, f"block-{uuid.uuid4().hex}.arrow")
+        fname = f"block-{uuid.uuid4().hex}.arrow"
+        path = os.path.join(out_dir, fname)
         tmp = path + ".tmp"
         with pa.ipc.new_file(tmp, t.schema) as w:
             w.write_table(t)
-        os.rename(tmp, path)          # atomic publish (resume-safe)
-        return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
+        os.rename(tmp, path)          # atomic publish
+        return pa.table({"file": pa.array([fname]),
+                         "rows": pa.array([t.num_rows], pa.int64())})
 
     manifest = ds.map_batches(sink, batch_format="pyarrow").to_pandas()
+    # Exactly-once: a retried sink task may have published an orphan
+    # .arrow file, but only the consumed attempt's filename reaches this
+    # manifest — readers see each block exactly once.
+    tmp = os.path.join(out_dir, "._manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"files": manifest["file"].tolist()}, f)
+    os.replace(tmp, os.path.join(out_dir, "_manifest.json"))
     return int(manifest["rows"].sum())
 
 
 def read_feather_dir(path: str,
                      columns: list | None = None) -> ray.data.Dataset:
-    """Read a directory of Arrow IPC files as a Dataset — one read task
-    per file via ``read_binary_files``, decoded zero-copy per batch."""
-    raw = ray.data.read_binary_files(path, file_extensions=["arrow"])
+    """Read a feather dir as a Dataset — manifest-listed files only
+    (orphans from retried sink tasks are ignored); one read task per
+    file via ``read_binary_files``, decoded zero-copy per batch.
+    Falls back to globbing ``*.arrow`` for foreign dirs without a
+    manifest."""
+    man = os.path.join(path, "_manifest.json")
+    if os.path.exists(man):
+        with open(man) as f:
+            files = [os.path.join(path, x) for x in json.load(f)["files"]]
+        raw = ray.data.read_binary_files(files)
+    else:
+        raw = ray.data.read_binary_files(path, file_extensions=["arrow"])
 
     def decode(t: pa.Table) -> pa.Table:
         tables = []

@@ -31,6 +31,11 @@ from ..dggs.sphere import haversine_km
 from .groupagg import grouped_reduce
 from .join import _join_partitions, radius_join_via_buckets
 
+# per-temporary budget for hausdorff_pairs' dense (rows x sites)
+# haversine matrices (module-level so tests can shrink it to exercise
+# the row-chunking path on small inputs)
+_HAUS_CHUNK_BYTES = 64 << 20
+
 
 def semivariogram(points: ray.data.Dataset, lag_width_km: float,
                   n_bins: int, id_col: str = "id", lon_col: str = "lon",
@@ -145,7 +150,9 @@ def radius_of_gyration(points: ray.data.Dataset, key: str,
 
 def hausdorff_pairs(points: ray.data.Dataset, key_col: str,
                     lon_col: str = "lon", lat_col: str = "lat",
-                    max_sites: int = 200_000) -> ray.data.Dataset:
+                    max_sites: int = 200_000,
+                    chunk_bytes: int = _HAUS_CHUNK_BYTES
+                    ) -> ray.data.Dataset:
     """Symmetric discrete Hausdorff distance (km) between every pair of
     keys' point sets — the trajectory/footprint similarity measure:
 
@@ -190,16 +197,26 @@ def hausdorff_pairs(points: ray.data.Dataset, key_col: str,
         lon = t[lon_col].to_numpy(zero_copy_only=False)
         lat = t[lat_col].to_numpy(zero_copy_only=False)
         ka = t[key_col].to_numpy(zero_copy_only=False)
-        # DuckDB term order: pow(sin(radians(dlat)/2),2)
-        #   + cos(radians(a))*cos(radians(b))*pow(sin(radians(dlon)/2),2)
-        s2 = (np.sin(np.radians(slat[None, :] - lat[:, None]) / 2) ** 2
-              + np.cos(np.radians(lat))[:, None]
-              * np.cos(np.radians(slat))[None, :]
-              * np.sin(np.radians(slon[None, :] - lon[:, None]) / 2) ** 2)
-        d = 2 * 6371.0 * np.arcsin(np.sqrt(
-            np.minimum(1.0, np.maximum(0.0, s2))))
-        mins = np.minimum.reduceat(d, st, axis=1)   # (rows, n_keys)
-        df = pd.DataFrame(mins, columns=range(len(kys)))
+        # Row-chunk so the dense (chunk x n_sites) haversine temporaries
+        # stay ~64 MB regardless of batch size or site count (max_sites
+        # bounds the broadcast, not this matrix).
+        chunk = max(1, chunk_bytes // (max(1, len(slon)) * 8))
+        pieces = []
+        for off in range(0, len(lon), chunk):
+            lo, la = lon[off:off + chunk], lat[off:off + chunk]
+            # DuckDB term order: pow(sin(radians(dlat)/2),2)
+            #   + cos(radians(a))*cos(radians(b))
+            #     *pow(sin(radians(dlon)/2),2)
+            s2 = (np.sin(np.radians(slat[None, :] - la[:, None]) / 2) ** 2
+                  + np.cos(np.radians(la))[:, None]
+                  * np.cos(np.radians(slat))[None, :]
+                  * np.sin(np.radians(slon[None, :] - lo[:, None]) / 2)
+                  ** 2)
+            d = 2 * 6371.0 * np.arcsin(np.sqrt(
+                np.minimum(1.0, np.maximum(0.0, s2))))
+            pieces.append(np.minimum.reduceat(d, st, axis=1))
+        mins = np.concatenate(pieces) if len(pieces) > 1 else pieces[0]
+        df = pd.DataFrame(mins, columns=range(len(kys)))  # (rows, n_keys)
         df["_ka"] = ka
         g = df.groupby("_ka", sort=False).max()
         ga = np.repeat(g.index.to_numpy(), len(kys))

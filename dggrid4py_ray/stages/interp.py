@@ -324,6 +324,10 @@ def global_moran(cells: ray.data.Dataset, x_col: str, y_col: str,
     m = s / n
     num = sxs - m * sxw - m * ssum + m * m * wsum
     den = ss - n * m * m
+    if den == 0:
+        raise ValueError("global_moran: every occupied cell holds the "
+                         "same value (zero variance) — Moran's I is "
+                         "undefined for a constant field")
     moran = 1.0 * n / wsum * num / den
     return pa.table({
         "n": pa.array([n], pa.int64()), "s": pa.array([s], pa.int64()),

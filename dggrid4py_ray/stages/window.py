@@ -173,6 +173,43 @@ def group_ntile(ds: ray.data.Dataset, group_col: str, order_cols: list,
     return ranked.map_batches(tile, batch_format="pyarrow")
 
 
+def group_ntile_sorted(ds: ray.data.Dataset, group_col: str,
+                       order_cols: list, n: int,
+                       out_col: str = "bucket",
+                       num_partitions: int | None = None
+                       ) -> ray.data.Dataset:
+    """``NTILE(n) OVER (PARTITION BY group ORDER BY ...)`` at UNBOUNDED
+    group cardinality — the scale complement to ``group_ntile``'s
+    broadcast-size-dict variant: ONE range sort (the ``group_row_number``
+    carry chain), per-group sizes folded from the already-sorted
+    row-number output (presorted ``grouped_reduce`` max — no second
+    sort), one group-sized hash join back.  Unique (group, *order) keys
+    required."""
+    from .groupagg import grouped_reduce
+    from .join import _join_partitions
+
+    ranked = group_row_number(ds, group_col, list(order_cols),
+                              out_col="_rn").materialize()
+    parts = num_partitions or _join_partitions()
+    sizes = grouped_reduce(ranked.select_columns([group_col, "_rn"]),
+                           group_col, {"_rn": "_sz"}, how="max",
+                           presorted=True).repartition(parts)
+    j = ranked.join(sizes, join_type="inner", num_partitions=parts,
+                    on=(group_col,))
+
+    def tile(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return (t.append_column(out_col, pa.array([], pa.int64()))
+                     .drop_columns(["_rn", "_sz"]))
+        rank = t["_rn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        size = t["_sz"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return (t.append_column(out_col,
+                                pa.array(_ntile_from_rank(rank, size, n)))
+                 .drop_columns(["_rn", "_sz"]))
+
+    return j.map_batches(tile, batch_format="pyarrow")
+
+
 def group_running_sum(ds: ray.data.Dataset, group_col: str, order_cols: list,
                       value_col: str, out_col: str = "running") -> ray.data.Dataset:
     """SQL ``SUM(value) OVER (PARTITION BY g ORDER BY ... ROWS UNBOUNDED
@@ -664,6 +701,11 @@ def group_interp_linear(ds: ray.data.Dataset, group_col: str,
         if obs.any() and np.abs(v[obs]).max() >= float(BIAS):
             raise ValueError("group_interp_linear: |value| must be "
                              "< 2^31; rescale upstream")
+        if obs.any() and (np.mod(v[obs], 1.0) != 0.0).any():
+            raise ValueError("group_interp_linear: observation values "
+                             "must be integral — the packed lane "
+                             "truncates fractions silently; scale to "
+                             "integers upstream (e.g. value*1000)")
         pk = np.where(obs,
                       o.astype(np.float64) * float(BASE)
                       + (v + float(BIAS)),

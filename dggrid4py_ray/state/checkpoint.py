@@ -297,6 +297,26 @@ def write_clustered(ds, out_dir: str, cluster_col: str,
     return manifest
 
 
+def zonemap_pruned_files(out_dir: str, col: str,
+                         ranges: list) -> tuple:
+    """File-level zone-map pruning for a ``write_clustered`` table: the
+    DISTINCT files whose [min, max] zone on ``col`` intersects ANY of
+    the half-open ``[lo, hi)`` ranges.  This is the ONE home of the
+    overlap predicate (``zone_min < hi and zone_max >= lo``) — the
+    single-range reader and the multi-range (Hilbert bbox) callers all
+    route through it.  Returns (sorted file paths, n_files_total)."""
+    with open(os.path.join(out_dir, "_zonemap.json")) as f:
+        manifest = json.load(f)
+    if col not in manifest["zone_cols"]:
+        raise ValueError(f"no zone map for column {col!r} "
+                         f"(have {manifest['zone_cols']})")
+    keep = sorted({e["file"] for e in manifest["files"]
+                   for lo, hi in ranges
+                   if e["zones"][col][0] < hi and e["zones"][col][1] >= lo})
+    return ([os.path.join(out_dir, f) for f in keep],
+            len(manifest["files"]))
+
+
 def read_zonemap_pruned(out_dir: str, col: str, lo: int, hi: int):
     """Range-predicate read against a ``write_clustered`` table: keep only
     files whose zone [min, max] intersects [lo, hi) (file-level skip —
@@ -304,19 +324,12 @@ def read_zonemap_pruned(out_dir: str, col: str, lo: int, hi: int):
     residual filter.  Returns (dataset, n_files_read, n_files_total)."""
     import ray.data
 
-    with open(os.path.join(out_dir, "_zonemap.json")) as f:
-        manifest = json.load(f)
-    if col not in manifest["zone_cols"]:
-        raise ValueError(f"no zone map for column {col!r} "
-                         f"(have {manifest['zone_cols']})")
-    keep = [e["file"] for e in manifest["files"]
-            if e["zones"][col][0] < hi and e["zones"][col][1] >= lo]
-    total = len(manifest["files"])
-    if not keep:
+    paths, total = zonemap_pruned_files(out_dir, col, [(lo, hi)])
+    if not paths:
         return None, 0, total
-    ds = ray.data.read_parquet([os.path.join(out_dir, f) for f in keep])
+    ds = ray.data.read_parquet(paths)
     return ds.filter(expr=f"{col} >= {int(lo)} and {col} < {int(hi)}"), \
-        len(keep), total
+        len(paths), total
 
 
 def compact_clustered(out_dir: str, delta, rows_per_file: int = 1 << 20
@@ -396,6 +409,7 @@ def compact_clustered(out_dir: str, delta, rows_per_file: int = 1 << 20
         return out
 
     cursor = 0
+    to_delete = []
     for e in touched:
         lo, hi = e["zones"][key]
         i0 = max(int(np.searchsorted(dkeys, lo, side="left")), cursor)
@@ -407,16 +421,13 @@ def compact_clustered(out_dir: str, delta, rows_per_file: int = 1 << 20
             [old, dtab.slice(i0, i1 - i0).select(old.column_names)])
         merged = merged.sort_by([(key, "ascending")])
         new_entries.extend(_write(merged))
-        os.remove(os.path.join(out_dir, e["file"]))
+        to_delete.append(os.path.join(out_dir, e["file"]))
 
     if (~covered).any():
         rest = dtab.filter(pa.array(~covered))
         if kept or touched:
             ref = (kept or touched)[0]["file"]
-            # a touched file is deleted by now; fall back to rest's own
-            # column order when no kept file remains
-            names = (pq.read_schema(os.path.join(out_dir, ref)).names
-                     if kept else rest.column_names)
+            names = pq.read_schema(os.path.join(out_dir, ref)).names
         else:
             names = rest.column_names
         new_entries.extend(_write(rest.select(names)))
@@ -427,4 +438,9 @@ def compact_clustered(out_dir: str, delta, rows_per_file: int = 1 << 20
     with open(tmp, "w") as f:
         json.dump(man2, f, indent=1)
     os.replace(tmp, os.path.join(out_dir, "_zonemap.json"))
+    # Old files are removed only AFTER the new manifest is live: a crash
+    # anywhere above leaves the previous manifest pointing at files that
+    # all still exist (new files are mere orphans, cleaned next run).
+    for p in to_delete:
+        os.remove(p)
     return man2

@@ -216,9 +216,8 @@ def main():
         import shutil
         from dggrid4py_ray.stages.sfc import (add_hilbert_key,
                                               hilbert_bbox_ranges)
-        from dggrid4py_ray.state.checkpoint import write_clustered
-        import json as _json
-        import os as _os
+        from dggrid4py_ray.state.checkpoint import (write_clustered,
+                                                    zonemap_pruned_files)
         n = 50_000_000
         d = "/tmp/hpd_events"
         shutil.rmtree(d, ignore_errors=True)
@@ -237,14 +236,8 @@ def main():
                         rows_per_file=1 << 19)
         t0 = time.time()
         ranges = hilbert_bbox_ranges(100, 160, 80, 120)
-        with open(_os.path.join(d, "_zonemap.json")) as f:
-            man = _json.load(f)
-        keep = sorted({e["file"] for e in man["files"]
-                       for lo, hi in ranges
-                       if e["zones"]["hilbert_key"][0] < hi
-                       and e["zones"]["hilbert_key"][1] >= lo})
-        sub = ray.data.read_parquet(
-            [_os.path.join(d, f) for f in keep])
+        keep, _n_total = zonemap_pruned_files(d, "hilbert_key", ranges)
+        sub = ray.data.read_parquet(keep)
         n_hit = sub.map_batches(
             lambda t: t.filter(pa.array(
                 (t["gx"].to_numpy() >= 100) & (t["gx"].to_numpy() <= 160)
@@ -252,10 +245,9 @@ def main():
                 & (t["gy"].to_numpy() <= 120))),
             batch_format="pyarrow").count()
         _emit("hilbert_pushdown", n, t0, files_read=len(keep),
-              files_total=len(man["files"]), rows_hit=n_hit,
+              files_total=_n_total, rows_hit=n_hit,
               n_ranges=len(ranges))
-        assert len(keep) < len(man["files"]) * 0.5, (len(keep),
-                                                     len(man["files"]))
+        assert len(keep) < _n_total * 0.5, (len(keep), _n_total)
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree("/tmp/zmj_a", ignore_errors=True)
         shutil.rmtree("/tmp/zmj_b", ignore_errors=True)
