@@ -13178,3 +13178,72 @@ ORACLES.update({
         FROM s ORDER BY p1, p2
     """,
 })
+
+
+def knn_join_big_events(sf_dir: str):
+    """LARGE-LARGE kNN join: every event tagged with its 2 nearest
+    "site" events (event_id % 40 == 7 — the site side scales with the
+    corpus, so no broadcast is possible) by great-circle distance, via
+    the expanding-radius bucket-cogroup path (knn_join_via_buckets):
+    radius join -> row-number carry chain -> resolved points peel off,
+    stragglers retry at 4x radius.  Exact at every radius (a point with
+    >= k candidates inside r cannot gain a nearer site later); oracle
+    is the full cross-join ROW_NUMBER."""
+    from ..stages.join import knn_join_via_buckets
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def coords(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        lon = ((eid * 7919) % 36000).astype(np.float64) / 100.0 - 180.0
+        lat = ((eid * 104729) % 18000).astype(np.float64) / 100.0 - 90.0
+        return pa.table({"event_id": t["event_id"],
+                         "lon": pa.array(lon), "lat": pa.array(lat)})
+
+    def site_rows(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        eid = eid[(eid % 40) == 7]
+        lon = ((eid * 7919) % 36000).astype(np.float64) / 100.0 - 180.0
+        lat = ((eid * 104729) % 18000).astype(np.float64) / 100.0 - 90.0
+        return pa.table({"site_id": pa.array(eid),
+                         "slon": pa.array(lon), "slat": pa.array(lat)})
+
+    pts = ds.map_batches(coords, batch_format="pyarrow")
+    sites = ds.map_batches(site_rows, batch_format="pyarrow")
+    out = knn_join_via_buckets(pts, sites, k=2, r0_km=300.0)
+    return (out.map_batches(
+        lambda t: t.select(["event_id", "site_id", "rank"]),
+        batch_format="pyarrow").sort(["event_id", "rank"]))
+
+
+QUERIES.update({
+    "knn_join_big_events": knn_join_big_events,
+})
+
+ORACLES.update({
+    "knn_join_big_events": """
+        WITH pts AS (
+            SELECT event_id,
+                   CAST((event_id * 7919) % 36000 AS DOUBLE) / 100.0
+                       - 180.0 AS lon,
+                   CAST((event_id * 104729) % 18000 AS DOUBLE) / 100.0
+                       - 90.0 AS lat
+            FROM events),
+        s AS (SELECT event_id AS site_id, lon AS slon, lat AS slat
+              FROM pts WHERE event_id % 40 = 7),
+        d AS (SELECT p.event_id, s.site_id,
+                     2 * 6371.0 * asin(sqrt(LEAST(1.0, GREATEST(0.0,
+                         pow(sin(radians(slat - lat) / 2), 2)
+                         + cos(radians(lat)) * cos(radians(slat))
+                           * pow(sin(radians(slon - lon) / 2), 2)))))
+                         AS dist
+              FROM pts p CROSS JOIN s),
+        r AS (SELECT event_id, site_id,
+                     ROW_NUMBER() OVER (PARTITION BY event_id
+                                        ORDER BY dist, site_id) AS rank
+              FROM d)
+        SELECT event_id, site_id, CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 2
+        ORDER BY event_id, rank
+    """,
+})

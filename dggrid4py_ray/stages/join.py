@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -366,6 +367,115 @@ def radius_join_via_buckets(points: ray.data.Dataset,
         return out.append_column(dist_col, pa.array(d[keep]))
 
     return joined.map_batches(exact, batch_format="pyarrow")
+
+
+def knn_join_via_buckets(points: ray.data.Dataset,
+                         sites: ray.data.Dataset,
+                         k: int,
+                         id_col: str = "event_id",
+                         point_lon: str = "lon", point_lat: str = "lat",
+                         site_id_col: str = "site_id",
+                         site_lon: str = "slon", site_lat: str = "slat",
+                         r0_km: float = 500.0, growth: float = 4.0,
+                         num_partitions: int | None = None
+                         ) -> ray.data.Dataset:
+    """EXACT geographic k-nearest-neighbor join of two LARGE sides —
+    the scale complement to ``knn_join_broadcast`` (which ships the
+    whole site table to every task) for site sets beyond ~10^4.
+
+    Expanding-radius rounds over the ``radius_join_via_buckets`` cover:
+
+    1. radius-join the unresolved points against sites at radius r
+       (ONE bucket-cogroup shuffle; ~9x site replication);
+    2. rank candidates per point with the ``group_row_number`` carry
+       chain (ONE range sort, no per-group Python) ordered by
+       (dist, site_id) — the SQL ``ROW_NUMBER ... ORDER BY dist, sid``
+       tie-break;
+    3. a point with >= k candidates inside r is EXACTLY resolved: every
+       unseen site is farther than r >= its k-th candidate distance.
+       Points with < k candidates (or none) carry to the next round at
+       r *= growth; the frontier SHRINKS geometrically, and the final
+       round's radius covers the sphere, so termination is
+       unconditional (if n_sites < k each point just gets n_sites
+       rows, like the SQL twin).
+
+    Frontiers after round 1 are materialized (straggler-sized, not
+    corpus-sized); round 1 streams the input lazily.  Requires unique
+    point ids.  Emits (id_col, site_id_col, rank, dist_km)."""
+    from .groupagg import grouped_reduce
+    from .window import group_row_number
+
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    GLOBAL_R = 20016.0                   # > max great-circle km
+    parts = num_partitions or _join_partitions()
+    frontier = points.select_columns([id_col, point_lon, point_lat])
+    sites = sites.select_columns([site_id_col, site_lon, site_lat])
+    r = float(r0_km)
+    rounds = []
+    while True:
+        final = r >= GLOBAL_R
+        cand = radius_join_via_buckets(
+            frontier, sites, r, point_lon=point_lon, point_lat=point_lat,
+            site_lon=site_lon, site_lat=site_lat,
+            num_partitions=parts)
+        rn = group_row_number(
+            cand.select_columns([id_col, site_id_col, "dist_km"]),
+            id_col, ["dist_km", site_id_col], out_col="rank")
+        topk = rn.filter(expr=f"rank <= {int(k)}")
+        if final:
+            rounds.append(topk.materialize())
+            break
+        # per-point candidate count folded from the already-sorted rank
+        # output — no second sort.  Every hash-join input below goes
+        # through _coalesce_for_join: reduce/filter-derived sides can
+        # carry schema-less empty blocks that poison the join shuffle.
+        from .bloom import _coalesce_for_join
+        counts, n_counts = _coalesce_for_join(
+            grouped_reduce(rn.select_columns([id_col, "rank"]),
+                           id_col, {"rank": "_n"}, how="max",
+                           presorted=True), parts)
+        if n_counts > 0:
+            resolved, n_res = _coalesce_for_join(
+                counts.filter(expr=f"_n >= {int(k)}")
+                      .select_columns([id_col]), parts)
+            if n_res > 0:
+                topk_c, _ = _coalesce_for_join(topk, parts)
+                rounds.append(topk_c.join(
+                    resolved, join_type="inner", num_partitions=parts,
+                    on=(id_col,)))
+            # next frontier: points with < k candidates inside r — the
+            # left-outer join keeps zero-candidate points (null _n)
+            fr2 = frontier.repartition(parts).join(
+                counts, join_type="left_outer", num_partitions=parts,
+                on=(id_col,))
+
+            def unres(t: pa.Table) -> pa.Table:
+                n = t["_n"].to_numpy(zero_copy_only=False)
+                keep = ~(n >= k)         # null -> NaN -> kept
+                return t.filter(pa.array(keep)).drop_columns(["_n"])
+
+            frontier = fr2.map_batches(unres,
+                                       batch_format="pyarrow") \
+                .materialize()
+            if frontier.count() == 0:
+                break
+        # n_counts == 0: not a single candidate inside r — the whole
+        # frontier carries to the next radius unchanged
+        r = min(r * growth, GLOBAL_R)
+
+    out = rounds[0]
+    for extra in rounds[1:]:
+        out = out.union(extra)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t[id_col],
+            site_id_col: t[site_id_col],
+            "rank": pc.cast(t["rank"], pa.int64()),
+            "dist_km": t["dist_km"]})
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def zonemap_merge_join(dir_a: str, dir_b: str, key: str,

@@ -85,9 +85,12 @@ def group_row_number(ds: ray.data.Dataset, group_col: str, order_cols: list,
         })
         return pa.table(cols)
 
-    summ = (srt.map_batches(summarize, batch_format="pyarrow").to_pandas()
-            .sort_values([f"_k{i}" for i in range(len(keys))],
-                         ignore_index=True))
+    summ = srt.map_batches(summarize, batch_format="pyarrow").to_pandas()
+    if "_key" in summ.columns:
+        summ = summ.sort_values([f"_k{i}" for i in range(len(keys))],
+                                ignore_index=True)
+    # else: a fully empty input sorted to ZERO blocks — to_pandas has no
+    # columns and there are no offsets to fold
     # blocks tile the sorted (group, *order) order, so ordering the block
     # summaries by their typed first-row key IS the global block order
     offsets = {}
@@ -241,9 +244,12 @@ def group_running_sum(ds: ray.data.Dataset, group_col: str, order_cols: list,
         })
         return pa.table(cols)
 
-    summ = (srt.map_batches(summarize, batch_format="pyarrow").to_pandas()
-            .sort_values([f"_k{i}" for i in range(len(keys))],
-                         ignore_index=True))
+    summ = srt.map_batches(summarize, batch_format="pyarrow").to_pandas()
+    if "_key" in summ.columns:
+        summ = summ.sort_values([f"_k{i}" for i in range(len(keys))],
+                                ignore_index=True)
+    # else: a fully empty input sorted to ZERO blocks — to_pandas has no
+    # columns and there are no offsets to fold
     offsets = {}
     carry_g, carry_s = None, 0.0
     for _, r in summ.iterrows():
@@ -371,9 +377,12 @@ def _tail_carry(srt: ray.data.Dataset, keys: list, group_col: str,
         })
         return pa.table(cols)
 
-    summ = (srt.map_batches(summarize, batch_format="pyarrow").to_pandas()
-            .sort_values([f"_k{i}" for i in range(len(keys))],
-                         ignore_index=True))
+    summ = srt.map_batches(summarize, batch_format="pyarrow").to_pandas()
+    if "_key" in summ.columns:
+        summ = summ.sort_values([f"_k{i}" for i in range(len(keys))],
+                                ignore_index=True)
+    # else: a fully empty input sorted to ZERO blocks — to_pandas has no
+    # columns and there are no offsets to fold
     tails = {}
     carry_g, carry_t = None, np.zeros(0, np.float64)
     for _, r in summ.iterrows():
@@ -615,9 +624,12 @@ def group_running_max(ds: ray.data.Dataset, group_col: str,
         })
         return pa.table(cols)
 
-    summ = (srt.map_batches(summarize, batch_format="pyarrow").to_pandas()
-            .sort_values([f"_k{i}" for i in range(len(keys))],
-                         ignore_index=True))
+    summ = srt.map_batches(summarize, batch_format="pyarrow").to_pandas()
+    if "_key" in summ.columns:
+        summ = summ.sort_values([f"_k{i}" for i in range(len(keys))],
+                                ignore_index=True)
+    # else: a fully empty input sorted to ZERO blocks — to_pandas has no
+    # columns and there are no offsets to fold
     offsets = {}
     carry_g, carry_m = None, None
     for _, r in summ.iterrows():            # O(#blocks) driver rows
