@@ -13247,3 +13247,149 @@ ORACLES.update({
         ORDER BY event_id, rank
     """,
 })
+
+
+def manifest_agg_events(sf_dir: str):
+    """Metadata-only range aggregation: events clustered on epoch-us
+    timestamp with per-file (rows, sum-of-cents) recorded in the zone-map
+    manifest (write_clustered stats_cols); COUNT + SUM over a two-week
+    window is then answered from the manifest for every file fully
+    inside the range — only the <= 2 boundary files are scanned
+    (manifest_range_agg; guarded here).  The Iceberg/Snowflake
+    metadata-pruning trick at file granularity."""
+    import hashlib
+
+    from ..state.checkpoint import manifest_range_agg, write_clustered
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def enc(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "ts_us": t["ts"].cast(pa.int64()),
+            "cents": pa.array(_cents_half_up(
+                t["value"].to_numpy(zero_copy_only=False)))})
+
+    d = "/tmp/magg_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    write_clustered(ds.map_batches(enc, batch_format="pyarrow"), d,
+                    "ts_us", ["ts_us"], rows_per_file=1 << 11,
+                    stats_cols=["cents"])
+    lo = 1704672000000000            # 2024-01-08 00:00:00 UTC, epoch us
+    hi = 1705881600000000            # 2024-01-22
+    r = manifest_range_agg(d, "ts_us", lo, hi, "cents")
+    if r["files_total"] > 4 and r["files_scanned"] > 2:
+        raise RuntimeError(
+            f"manifest agg degenerated to a scan: "
+            f"{r['files_scanned']}/{r['files_total']} files read")
+    return pa.table({"n": pa.array([r["n"]], pa.int64()),
+                     "sum_cents": pa.array([r["sum"]], pa.int64())})
+
+
+QUERIES.update({
+    "manifest_agg_events": manifest_agg_events,
+})
+
+ORACLES.update({
+    "manifest_agg_events": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM events
+        WHERE epoch_us(ts) >= 1704672000000000
+          AND epoch_us(ts) < 1705881600000000
+    """,
+})
+
+
+def hits_custsupp(sf_dir: str):
+    """Two-iteration HITS hubs/authorities over the customer->supplier
+    purchase graph (same edge set as pagerank_custsupp: lineitem JOIN
+    orders, supplier ids offset by 1e6).  Unnormalized integer
+    recurrence (stages/graph.hits_scores) so hub/auth scores are
+    int64-exact against the SQL twin."""
+    from ..stages.graph import hits_scores
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = li.join(orders.repartition(8), join_type="inner",
+                     num_partitions=8, on=("l_orderkey",),
+                     right_on=("o_orderkey",))
+    edges = joined.map_batches(
+        lambda t: pa.table({
+            "u": t["o_custkey"].combine_chunks().cast(pa.int64()),
+            "v": pc.add(t["l_suppkey"].combine_chunks().cast(pa.int64()),
+                        1000000)}),
+        batch_format="pyarrow")
+    return hits_scores(edges).sort("node")
+
+
+QUERIES.update({
+    "hits_custsupp": hits_custsupp,
+})
+
+ORACLES.update({
+    "hits_custsupp": """
+        WITH e AS (
+            SELECT o_custkey AS u, l_suppkey + 1000000 AS v
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        a1 AS (SELECT v, COUNT(*) AS a1 FROM e GROUP BY 1),
+        h1 AS (SELECT e.u, SUM(a1.a1) AS h1
+               FROM e JOIN a1 ON e.v = a1.v GROUP BY 1),
+        a2 AS (SELECT e.v, SUM(h1.h1) AS a2
+               FROM e JOIN h1 ON e.u = h1.u GROUP BY 1),
+        n AS (SELECT DISTINCT u AS node FROM e
+              UNION SELECT DISTINCT v FROM e)
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(COALESCE(h1.h1, 0) AS BIGINT) AS hub,
+               CAST(COALESCE(a2.a2, 0) AS BIGINT) AS auth
+        FROM n LEFT JOIN h1 ON n.node = h1.u
+               LEFT JOIN a2 ON n.node = a2.v
+        ORDER BY node
+    """,
+})
+
+
+def k_anonymity_events(sf_dir: str):
+    """k-anonymity audit over events: quasi-identifier = (event_type,
+    user age-band surrogate user_id % 100, UTC day); combos held by
+    fewer than 5 rows are re-identification risks
+    (stages/validate.k_anonymity_audit — one sort-based grouped count
+    over the unbounded combo space + a size filter)."""
+    from ..stages.validate import k_anonymity_audit
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def quasi(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t["event_type"],
+            "band": pa.array(t["user_id"].to_numpy(zero_copy_only=False)
+                             % 100),
+            "day": pa.array(us // 86400000000)})
+
+    out = k_anonymity_audit(ds.map_batches(quasi, batch_format="pyarrow"),
+                            ["event_type", "band", "day"], k=5)
+    return out.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"],
+                            "band": pc.cast(t["band"], pa.int64()),
+                            "day": pc.cast(t["day"], pa.int64()),
+                            "n": pc.cast(t["n"], pa.int64())}),
+        batch_format="pyarrow").sort(["event_type", "band", "day"])
+
+
+QUERIES.update({
+    "k_anonymity_events": k_anonymity_events,
+})
+
+ORACLES.update({
+    "k_anonymity_events": """
+        SELECT event_type,
+               CAST(user_id % 100 AS BIGINT) AS band,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY 1, 2, 3
+        HAVING COUNT(*) < 5
+        ORDER BY 1, 2, 3
+    """,
+})

@@ -568,3 +568,85 @@ def sssp_bounded(edges: ray.data.Dataset, sources, max_hops: int = 8,
             "node": pa.array(list(best.keys()), pa.int64()),
             "dist": pa.array(list(best.values()), pa.int64())}))
     return best_ds
+
+
+def hits_scores(edges: ray.data.Dataset,
+                u_col: str = "u", v_col: str = "v",
+                num_partitions: int | None = None) -> ray.data.Dataset:
+    """Unnormalized two-iteration HITS (Kleinberg 1999) over an edge
+    list — hub/authority sufficient statistics, INTEGER-EXACT so a SQL
+    twin reproduces them bit-for-bit (the repo's pagerank convention,
+    minus the float lane: skipping the per-step normalization keeps the
+    recurrence in int64 and changes only the scale, not the ranking):
+
+        h0(u) = 1
+        a1(v) = sum_{u->v} m(u,v) * h0(u)   (weighted in-degree)
+        h1(u) = sum_{u->v} m(u,v) * a1(v)
+        a2(v) = sum_{u->v} m(u,v) * h1(u)
+
+    Duplicate (u, v) rows count with multiplicity m (multigraph).
+    Scale shape: ONE multiplicity fold of the edge list, then each
+    half-iteration is one hash join of a NODE-sized score table onto
+    the folded edges + one ``grouped_reduce`` — the Pregel exchange
+    pair; the raw edge list is read once.  Returns (node, hub, auth) =
+    (h1, a2) for every node, 0 where a node has no out/in edges."""
+    from .bloom import _coalesce_for_join
+
+    parts = num_partitions or _join_parts()
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({
+            u_col: t[u_col].combine_chunks().cast(pa.int64()),
+            v_col: t[v_col].combine_chunks().cast(pa.int64()),
+            "_one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    em, n_e = _coalesce_for_join(
+        grouped_reduce(edges.map_batches(ones, batch_format="pyarrow"),
+                       [u_col, v_col], {"_one": "m"}, how="sum"), parts)
+    if n_e == 0:
+        raise ValueError("hits_scores: empty edge list")
+
+    def _mul(score_col: str):
+        def f(t: pa.Table) -> pa.Table:
+            m = t["m"].to_numpy(zero_copy_only=False).astype(np.int64)
+            s = t[score_col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return pa.table({u_col: t[u_col], v_col: t[v_col],
+                             "_w": pa.array(m * s)})
+        return f
+
+    # a1 = weighted in-degree (h0 = 1 needs no join)
+    a1, _ = _coalesce_for_join(
+        grouped_reduce(em.select_columns([v_col, "m"]),
+                       v_col, {"m": "_a1"}, how="sum"), parts)
+    j1 = em.join(a1, join_type="inner", num_partitions=parts,
+                 on=(v_col,))
+    h1, _ = _coalesce_for_join(
+        grouped_reduce(j1.map_batches(_mul("_a1"),
+                                      batch_format="pyarrow"),
+                       u_col, {"_w": "_h1"}, how="sum"), parts)
+    j2 = em.join(h1, join_type="inner", num_partitions=parts,
+                 on=(u_col,))
+    a2, _ = _coalesce_for_join(
+        grouped_reduce(j2.map_batches(_mul("_h1"),
+                                      batch_format="pyarrow"),
+                       v_col, {"_w": "_a2"}, how="sum"), parts)
+
+    nodes = _distinct_nodes(edges, u_col, v_col) \
+        .repartition(max(2, parts // 4)).materialize()
+    out = nodes.join(h1, join_type="left_outer", num_partitions=parts,
+                     on=("node",), right_on=(u_col,)) \
+        .join(a2, join_type="left_outer", num_partitions=parts,
+              on=("node",), right_on=(v_col,))
+
+    def finish(t: pa.Table) -> pa.Table:
+        h = t["_h1"].to_numpy(zero_copy_only=False)
+        a = t["_a2"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": t["node"],
+            "hub": pa.array(np.nan_to_num(
+                np.asarray(h, np.float64)).astype(np.int64)),
+            "auth": pa.array(np.nan_to_num(
+                np.asarray(a, np.float64)).astype(np.int64))})
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -307,3 +307,25 @@ def contingency_counts(ds: ray.data.Dataset, row_col: str,
     obs = obs.rename(columns={"r": row_col, "c": col_col}) \
         .sort_values([row_col, col_col], ignore_index=True)
     return pa.Table.from_pandas(obs, preserve_index=False)
+
+
+def k_anonymity_audit(ds: ray.data.Dataset, quasi_cols: list, k: int,
+                      out_col: str = "n") -> ray.data.Dataset:
+    """k-anonymity violation audit (Sweeney 2002): the quasi-identifier
+    value combinations held by FEWER than ``k`` rows — each such combo
+    re-identifies its members within a group smaller than the privacy
+    threshold.  Returns (quasi_cols..., n) for every violating combo.
+
+    Scale shape: one ``grouped_count`` (sort-based, unbounded combo
+    cardinality — exactly where k-anonymity matters, since violations
+    live in the long tail of rare combos a hash aggregate would blow
+    up on) + a vectorized size filter.  Null quasi values are a single
+    anonymity class per SQL GROUP BY semantics — but the underlying
+    carry chain refuses null group keys (engine contract); fill
+    sentinel values upstream."""
+    from .groupagg import grouped_count
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2 for a meaningful audit, got {k}")
+    counts = grouped_count(ds, list(quasi_cols), out_col=out_col)
+    return counts.filter(expr=f"{out_col} < {int(k)}")

@@ -229,7 +229,8 @@ def write_dataset_checkpointed(ds, out_dir: str, lineage: dict | None = None,
 
 def write_clustered(ds, out_dir: str, cluster_col: str,
                     zone_cols: list | None = None,
-                    rows_per_file: int = 1 << 20) -> dict:
+                    rows_per_file: int = 1 << 20,
+                    stats_cols: list | None = None) -> dict:
     """Cluster-and-zone-map sink: range-sort by ``cluster_col`` (give it a
     locality key — a Morton/Hilbert key, a DGGS cell id, a timestamp — so
     spatially/temporally close rows land in the same files), stream each
@@ -244,6 +245,13 @@ def write_clustered(ds, out_dir: str, cluster_col: str,
     happens BEFORE tasks are scheduled — no footer reads, no task
     startup for pruned files.)
 
+    ``stats_cols`` (INTEGER-valued columns only — the exactness
+    contract of the engine's other int64 lanes) additionally records a
+    per-file SUM, enabling ``manifest_range_agg`` to answer COUNT/SUM
+    range queries from the manifest alone: files fully inside the
+    predicate range contribute their pre-computed (rows, sum) with NO
+    data read; only the <= 2 boundary files are scanned.
+
     Returns the manifest dict.  Writing is streaming (each block written
     as it flows; only (file, min, max, rows) summaries return to the
     driver); the manifest is written last as the commit marker."""
@@ -252,6 +260,7 @@ def write_clustered(ds, out_dir: str, cluster_col: str,
     import numpy as np
 
     zone_cols = list(zone_cols or [cluster_col])
+    stats_cols = list(stats_cols or [])
     os.makedirs(out_dir, exist_ok=True)
     for f in os.listdir(out_dir):
         if f.endswith(".parquet") or f == "_zonemap.json":
@@ -266,7 +275,9 @@ def write_clustered(ds, out_dir: str, cluster_col: str,
                              **{f"_min_{c}": pa.array([], pa.int64())
                                 for c in zone_cols},
                              **{f"_max_{c}": pa.array([], pa.int64())
-                                for c in zone_cols}})
+                                for c in zone_cols},
+                             **{f"_sum_{c}": pa.array([], pa.int64())
+                                for c in stats_cols}})
         fname = f"clustered-{uuid.uuid4().hex[:12]}.parquet"
         tmp = os.path.join(out_dir, "." + fname + ".tmp")
         pq.write_table(batch, tmp)
@@ -277,6 +288,10 @@ def write_clustered(ds, out_dir: str, cluster_col: str,
             v = batch[c].to_numpy(zero_copy_only=False)
             cols[f"_min_{c}"] = pa.array([int(np.min(v))], pa.int64())
             cols[f"_max_{c}"] = pa.array([int(np.max(v))], pa.int64())
+        for c in stats_cols:
+            v = batch[c].to_numpy(zero_copy_only=False)
+            cols[f"_sum_{c}"] = pa.array(
+                [int(v.astype(np.int64).sum())], pa.int64())
         return pa.table(cols)
 
     summaries = srt.map_batches(write_block, batch_size=rows_per_file,
@@ -284,10 +299,13 @@ def write_clustered(ds, out_dir: str, cluster_col: str,
     manifest = {
         "cluster_col": cluster_col,
         "zone_cols": zone_cols,
+        "stats_cols": stats_cols,
         "files": [
             {"file": s["file"], "rows": int(s["rows"]),
              "zones": {c: [int(s[f"_min_{c}"]), int(s[f"_max_{c}"])]
-                       for c in zone_cols}}
+                       for c in zone_cols},
+             **({"sums": {c: int(s[f"_sum_{c}"]) for c in stats_cols}}
+                if stats_cols else {})}
             for s in summaries],
     }
     tmp = os.path.join(out_dir, "._zonemap.json.tmp")
@@ -315,6 +333,61 @@ def zonemap_pruned_files(out_dir: str, col: str,
                    if e["zones"][col][0] < hi and e["zones"][col][1] >= lo})
     return ([os.path.join(out_dir, f) for f in keep],
             len(manifest["files"]))
+
+
+def manifest_range_agg(out_dir: str, col: str, lo: int, hi: int,
+                       stats_col: str) -> dict:
+    """COUNT(*) + SUM(stats_col) over ``col in [lo, hi)`` answered
+    mostly from the ``write_clustered`` manifest: a file whose zone on
+    the cluster column lies FULLY inside the range contributes its
+    pre-computed (rows, sum) with zero IO; only the boundary files
+    (zone straddles lo or hi — after a cluster sort, at most a couple)
+    are scanned and filtered exactly.  The metadata-only aggregation
+    trick of Iceberg/Snowflake pruning, at file granularity.
+
+    Returns {"n": ..., "sum": ..., "files_scanned": ...,
+    "files_total": ...}.  Exact because file zones partition the sorted
+    key space: full-inside files hold ONLY in-range rows."""
+    import numpy as np
+    import ray.data
+
+    with open(os.path.join(out_dir, "_zonemap.json")) as f:
+        man = json.load(f)
+    if stats_col not in man.get("stats_cols", []):
+        raise ValueError(f"no per-file sums for column {stats_col!r} "
+                         f"(have {man.get('stats_cols', [])}); pass "
+                         "stats_cols= to write_clustered")
+    n = s = 0
+    boundary = []
+    for e in man["files"]:
+        zmin, zmax = e["zones"][col]
+        if zmin >= hi or zmax < lo:
+            continue                      # fully outside — pruned
+        if zmin >= lo and zmax < hi:
+            n += e["rows"]                # fully inside — metadata only
+            s += e["sums"][stats_col]
+        else:
+            boundary.append(e["file"])
+    if boundary:
+        ds = ray.data.read_parquet(
+            [os.path.join(out_dir, f) for f in boundary],
+            columns=[col, stats_col])
+
+        def part(t: pa.Table) -> pa.Table:
+            v = t[col].to_numpy(zero_copy_only=False)
+            keep = (v >= lo) & (v < hi)
+            x = t[stats_col].to_numpy(zero_copy_only=False)[keep]
+            return pa.table({
+                "n": pa.array([int(keep.sum())], pa.int64()),
+                "s": pa.array([int(x.astype(np.int64).sum())],
+                              pa.int64())})
+
+        res = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+        n += int(res["n"].sum())
+        s += int(res["s"].sum())
+    return {"n": int(n), "sum": int(s),
+            "files_scanned": len(boundary),
+            "files_total": len(man["files"])}
 
 
 def read_zonemap_pruned(out_dir: str, col: str, lo: int, hi: int):
@@ -363,6 +436,7 @@ def compact_clustered(out_dir: str, delta, rows_per_file: int = 1 << 20
         man = json.load(f)
     key = man["cluster_col"]
     zone_cols = man["zone_cols"]
+    stats_cols = man.get("stats_cols", [])
 
     # 1. collect the delta sorted by key.  The delta materializes on
     # the driver: compaction is a MAINTENANCE op over the small recent
@@ -404,8 +478,14 @@ def compact_clustered(out_dir: str, delta, rows_per_file: int = 1 << 20
             for c in zone_cols:
                 v = part[c].to_numpy(zero_copy_only=False)
                 zones[c] = [int(np.min(v)), int(np.max(v))]
-            out.append({"file": fname, "rows": part.num_rows,
-                        "zones": zones})
+            entry = {"file": fname, "rows": part.num_rows,
+                     "zones": zones}
+            if stats_cols:
+                entry["sums"] = {
+                    c: int(part[c].to_numpy(zero_copy_only=False)
+                           .astype(np.int64).sum())
+                    for c in stats_cols}
+            out.append(entry)
         return out
 
     cursor = 0
@@ -433,6 +513,7 @@ def compact_clustered(out_dir: str, delta, rows_per_file: int = 1 << 20
         new_entries.extend(_write(rest.select(names)))
 
     man2 = {"cluster_col": key, "zone_cols": zone_cols,
+            "stats_cols": stats_cols,
             "files": kept + new_entries}
     tmp = os.path.join(out_dir, "._zonemap.json.tmp")
     with open(tmp, "w") as f:
