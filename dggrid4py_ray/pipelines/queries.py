@@ -13393,3 +13393,229 @@ ORACLES.update({
         ORDER BY 1, 2, 3
     """,
 })
+
+
+def labelprop_custsupp(sf_dir: str):
+    """Two synchronous rounds of min-label propagation over the
+    (undirected) customer-supplier purchase graph — the bounded-round
+    community primitive (stages/graph.label_propagation_min): each node
+    ends with the minimum node id within its 2-hop neighborhood.
+    Deterministic and SQL-exact per round (connected components covers
+    the converged case; this oracle pins the per-round semantics)."""
+    from ..stages.graph import label_propagation_min
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = li.join(orders.repartition(8), join_type="inner",
+                     num_partitions=8, on=("l_orderkey",),
+                     right_on=("o_orderkey",))
+    edges = joined.map_batches(
+        lambda t: pa.table({
+            "u": t["o_custkey"].combine_chunks().cast(pa.int64()),
+            "v": pc.add(t["l_suppkey"].combine_chunks().cast(pa.int64()),
+                        1000000)}),
+        batch_format="pyarrow")
+    return label_propagation_min(edges, rounds=2).sort("node")
+
+
+QUERIES.update({
+    "labelprop_custsupp": labelprop_custsupp,
+})
+
+ORACLES.update({
+    "labelprop_custsupp": """
+        WITH e0 AS (
+            SELECT o_custkey AS u, l_suppkey + 1000000 AS v
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        e AS (SELECT DISTINCT u AS a, v AS b FROM e0
+              UNION SELECT DISTINCT v AS a, u AS b FROM e0),
+        l0 AS (SELECT DISTINCT a AS node, a AS label FROM e),
+        m1 AS (SELECT e.a, MIN(l0.label) AS nm
+               FROM e JOIN l0 ON e.b = l0.node GROUP BY 1),
+        l1 AS (SELECT l0.node,
+                      LEAST(l0.label, COALESCE(m1.nm, l0.label)) AS label
+               FROM l0 LEFT JOIN m1 ON l0.node = m1.a),
+        m2 AS (SELECT e.a, MIN(l1.label) AS nm
+               FROM e JOIN l1 ON e.b = l1.node GROUP BY 1),
+        l2 AS (SELECT l1.node,
+                      LEAST(l1.label, COALESCE(m2.nm, l1.label)) AS label
+               FROM l1 LEFT JOIN m2 ON l1.node = m2.a)
+        SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+        FROM l2 ORDER BY node
+    """,
+})
+
+
+def rolling_corr_7d_events(sf_dir: str):
+    """Trailing 7-day correlation inputs between daily event count and
+    daily value mass, per event type: daily integer pre-aggregation,
+    bounded 7-fold window expansion (each daily row feeds the windows
+    ending on day..day+6 — the rolling_median_7d shape), grouped_reduce
+    integer sums of (1, x, y, x^2, y^2, xy), and one join against the
+    existing (type, day) set so only real days emit.  Output is the
+    int64-exact sufficient-statistic six-tuple; Pearson r falls out of
+    it in one expression with no float summation anywhere in the
+    pipeline."""
+    from ..stages.groupagg import grouped_reduce
+    from ..stages.join import _join_partitions
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def day_cents(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t["event_type"],
+            "day": pa.array(us // 86400000000),
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+            "cents": pa.array(_cents_half_up(
+                t["value"].to_numpy(zero_copy_only=False)))})
+
+    daily = grouped_reduce(
+        ds.map_batches(day_cents, batch_format="pyarrow"),
+        ["event_type", "day"], {"one": "n", "cents": "s"},
+        how="sum").materialize()
+
+    def expand(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "tday": pa.array([], pa.int64()),
+                             "w1": pa.array([], pa.int64()),
+                             "wx": pa.array([], pa.int64()),
+                             "wy": pa.array([], pa.int64()),
+                             "wxx": pa.array([], pa.int64()),
+                             "wyy": pa.array([], pa.int64()),
+                             "wxy": pa.array([], pa.int64())})
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        day = t["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.repeat(np.arange(t.num_rows), 7)
+        off = np.tile(np.arange(7, dtype=np.int64), t.num_rows)
+        return pa.table({
+            "event_type": pa.array(et[idx]),
+            "tday": pa.array(day[idx] + off),
+            "w1": pa.array(np.ones(len(idx), np.int64)),
+            "wx": pa.array(n[idx]), "wy": pa.array(s[idx]),
+            "wxx": pa.array(n[idx] * n[idx]),
+            "wyy": pa.array(s[idx] * s[idx]),
+            "wxy": pa.array(n[idx] * s[idx])})
+
+    sums = grouped_reduce(
+        daily.map_batches(expand, batch_format="pyarrow"),
+        ["event_type", "tday"],
+        {"w1": "wn", "wx": "sx", "wy": "sy",
+         "wxx": "sxx", "wyy": "syy", "wxy": "sxy"}, how="sum")
+    parts = _join_partitions()
+    out = sums.repartition(parts).join(
+        daily.select_columns(["event_type", "day"]).repartition(parts),
+        join_type="inner", num_partitions=parts,
+        on=("event_type", "tday"), right_on=("event_type", "day"))
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"],
+            "day": pc.cast(t["tday"], pa.int64()),
+            "wn": pc.cast(t["wn"], pa.int64()),
+            "sx": pc.cast(t["sx"], pa.int64()),
+            "sy": pc.cast(t["sy"], pa.int64()),
+            "sxx": pc.cast(t["sxx"], pa.int64()),
+            "syy": pc.cast(t["syy"], pa.int64()),
+            "sxy": pc.cast(t["sxy"], pa.int64())}),
+        batch_format="pyarrow").sort(["event_type", "day"])
+
+
+QUERIES.update({
+    "rolling_corr_7d_events": rolling_corr_7d_events,
+})
+
+ORACLES.update({
+    "rolling_corr_7d_events": """
+        WITH daily AS (
+            SELECT event_type,
+                   epoch_us(ts) // 86400000000 AS day,
+                   COUNT(*) AS n,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s
+            FROM events GROUP BY 1, 2)
+        SELECT d.event_type, CAST(d.day AS BIGINT) AS day,
+               CAST(COUNT(*) AS BIGINT) AS wn,
+               CAST(SUM(w.n) AS BIGINT) AS sx,
+               CAST(SUM(w.s) AS BIGINT) AS sy,
+               CAST(SUM(w.n * w.n) AS BIGINT) AS sxx,
+               CAST(SUM(w.s * w.s) AS BIGINT) AS syy,
+               CAST(SUM(w.n * w.s) AS BIGINT) AS sxy
+        FROM daily d JOIN daily w
+          ON w.event_type = d.event_type
+         AND w.day BETWEEN d.day - 6 AND d.day
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+})
+
+
+def time_travel_orders(sf_dir: str):
+    """Iceberg-style snapshot time travel on a clustered table: orders
+    with o_orderkey % 10 != 0 committed as snapshot v1, the remaining
+    tenth merged in by a history-retaining compaction as v2
+    (state/checkpoint: versioned _zonemap.vNNNNN ledger +
+    read_clustered_version), then each snapshot aggregated AS OF its
+    version — COUNT + exact total cents.  The oracle recomputes both
+    epochs straight from the orders table."""
+    import hashlib
+
+    from ..state.checkpoint import (compact_clustered,
+                                    read_clustered_version,
+                                    write_clustered)
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def enc(keep_mod):
+        def f(t: pa.Table) -> pa.Table:
+            k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+            m = (k % 10 != 0) if keep_mod else (k % 10 == 0)
+            p = t["o_totalprice"].to_numpy(zero_copy_only=False)[m]
+            return pa.table({"k": pa.array(k[m]),
+                             "cents": pa.array(_cents_half_up(p))})
+        return f
+
+    d = "/tmp/ttrav_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    write_clustered(ds.map_batches(enc(True), batch_format="pyarrow"),
+                    d, "k", ["k"], rows_per_file=1 << 11)
+    compact_clustered(d, ds.map_batches(enc(False),
+                                        batch_format="pyarrow"),
+                      rows_per_file=1 << 11, retain_history=True)
+
+    rows = []
+    for v in (1, 2):
+        snap, man = read_clustered_version(d, v)
+
+        def agg(t: pa.Table) -> pa.Table:
+            c = t["cents"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "n": pa.array([t.num_rows], pa.int64()),
+                "s": pa.array([int(c.astype(np.int64).sum())],
+                              pa.int64())})
+
+        r = snap.map_batches(agg, batch_format="pyarrow").to_pandas()
+        rows.append((v, int(r["n"].sum()), int(r["s"].sum())))
+    return pa.table({
+        "version": pa.array([r[0] for r in rows], pa.int64()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "sum_cents": pa.array([r[2] for r in rows], pa.int64())})
+
+
+QUERIES.update({
+    "time_travel_orders": time_travel_orders,
+})
+
+ORACLES.update({
+    "time_travel_orders": """
+        SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS sum_cents
+        FROM orders WHERE o_orderkey % 10 <> 0
+        UNION ALL
+        SELECT 2 AS version, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS sum_cents
+        FROM orders
+        ORDER BY version
+    """,
+})

@@ -650,3 +650,71 @@ def hits_scores(edges: ray.data.Dataset,
                 np.asarray(a, np.float64)).astype(np.int64))})
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def label_propagation_min(edges: ray.data.Dataset, rounds: int = 2,
+                          u_col: str = "u", v_col: str = "v",
+                          num_partitions: int | None = None
+                          ) -> ray.data.Dataset:
+    """Synchronous min-label propagation over the UNDIRECTED graph —
+    the bounded-round community-detection primitive (label = node id at
+    round 0; each round every node takes the min of its own label and
+    its neighbors' PREVIOUS labels).  Deterministic at any parallelism
+    and SQL-exact per round, which is what distinguishes it from
+    ``connected_components`` (star contraction to the exact fixpoint —
+    use that when you need converged components; use this when you need
+    the round-r neighborhood structure, e.g. r-hop min-id sketches).
+
+    Scale shape: the symmetrized edge list is folded to distinct pairs
+    ONCE; each round is one hash join of the node-sized label table
+    onto it + one ``grouped_reduce`` min + one label-table merge join —
+    the Pregel exchange pair, edges never re-read.  Returns
+    (node, label)."""
+    from .bloom import _coalesce_for_join
+
+    parts = num_partitions or _join_parts()
+
+    def sym(t: pa.Table) -> pa.Table:
+        u = t[u_col].combine_chunks().cast(pa.int64())
+        v = t[v_col].combine_chunks().cast(pa.int64())
+        return pa.table({"a": pa.concat_arrays([u, v]),
+                         "b": pa.concat_arrays([v, u]),
+                         "_one": pa.array(np.ones(2 * t.num_rows,
+                                                  np.int64))})
+
+    und, n_e = _coalesce_for_join(
+        grouped_reduce(edges.map_batches(sym, batch_format="pyarrow"),
+                       ["a", "b"], {"_one": "_m"}, how="sum")
+        .drop_columns(["_m"]), parts)
+    if n_e == 0:
+        raise ValueError("label_propagation_min: empty edge list")
+
+    labels, _ = _coalesce_for_join(
+        _distinct_nodes(edges, u_col, v_col).map_batches(
+            lambda t: t.append_column(
+                "label", t["node"].combine_chunks().cast(pa.int64())),
+            batch_format="pyarrow"), parts)
+
+    for _ in range(int(rounds)):
+        j = und.join(labels, join_type="inner", num_partitions=parts,
+                     on=("b",), right_on=("node",))
+        nbr_min, _ = _coalesce_for_join(
+            grouped_reduce(j.select_columns(["a", "label"]),
+                           "a", {"label": "_nm"}, how="min"), parts)
+        merged = labels.join(nbr_min, join_type="left_outer",
+                             num_partitions=parts,
+                             on=("node",), right_on=("a",))
+
+        def take_min(t: pa.Table) -> pa.Table:
+            own = t["label"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            nm = np.asarray(t["_nm"].to_numpy(zero_copy_only=False),
+                            np.float64)
+            new = np.where(np.isnan(nm), own,
+                           np.minimum(own, nm.astype(np.int64)))
+            return pa.table({"node": t["node"], "label": pa.array(new)})
+
+        labels, _ = _coalesce_for_join(
+            merged.map_batches(take_min, batch_format="pyarrow"), parts)
+
+    return labels

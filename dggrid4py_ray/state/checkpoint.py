@@ -263,7 +263,8 @@ def write_clustered(ds, out_dir: str, cluster_col: str,
     stats_cols = list(stats_cols or [])
     os.makedirs(out_dir, exist_ok=True)
     for f in os.listdir(out_dir):
-        if f.endswith(".parquet") or f == "_zonemap.json":
+        if f.endswith(".parquet") or f == "_zonemap.json" \
+                or (f.startswith("_zonemap.v") and f.endswith(".json")):
             os.remove(os.path.join(out_dir, f))
 
     srt = ds.sort(cluster_col)
@@ -300,6 +301,7 @@ def write_clustered(ds, out_dir: str, cluster_col: str,
         "cluster_col": cluster_col,
         "zone_cols": zone_cols,
         "stats_cols": stats_cols,
+        "version": 1,
         "files": [
             {"file": s["file"], "rows": int(s["rows"]),
              "zones": {c: [int(s[f"_min_{c}"]), int(s[f"_max_{c}"])]
@@ -312,7 +314,60 @@ def write_clustered(ds, out_dir: str, cluster_col: str,
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
     os.replace(tmp, os.path.join(out_dir, "_zonemap.json"))
+    _write_version_manifest(out_dir, manifest)
     return manifest
+
+
+def _write_version_manifest(out_dir: str, manifest: dict) -> None:
+    """Snapshot a manifest as ``_zonemap.vNNNNN.json`` (the Iceberg-style
+    version ledger ``read_clustered_version`` time-travels over)."""
+    v = int(manifest.get("version", 1))
+    tmp = os.path.join(out_dir, f"._zonemap.v{v:05d}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(out_dir, f"_zonemap.v{v:05d}.json"))
+
+
+def list_clustered_versions(out_dir: str) -> list:
+    """Sorted snapshot versions available for time travel."""
+    out = []
+    for f in os.listdir(out_dir):
+        if f.startswith("_zonemap.v") and f.endswith(".json"):
+            out.append(int(f[len("_zonemap.v"):-len(".json")]))
+    return sorted(out)
+
+
+def read_clustered_version(out_dir: str, version: int | None = None):
+    """Time-travel read of a ``write_clustered`` table: the Dataset of
+    the snapshot manifest ``version`` (default: the current manifest).
+    Requires the versions to still exist — compactions run with
+    ``retain_history=True`` keep superseded files on disk; the default
+    destructive compaction invalidates older snapshots (their manifest
+    stays as a record, but files may be gone — raises here).
+    Returns (dataset, manifest)."""
+    import ray.data
+
+    if version is None:
+        path = os.path.join(out_dir, "_zonemap.json")
+    else:
+        path = os.path.join(out_dir, f"_zonemap.v{int(version):05d}.json")
+    if not os.path.exists(path):
+        raise ValueError(
+            f"no snapshot version {version!r} in {out_dir} "
+            f"(have {list_clustered_versions(out_dir)})")
+    with open(path) as f:
+        man = json.load(f)
+    paths = [os.path.join(out_dir, e["file"]) for e in man["files"]]
+    missing = [p for p in paths if not os.path.exists(p)]
+    if missing:
+        raise ValueError(
+            f"snapshot v{man.get('version')} is no longer readable: "
+            f"{len(missing)} of its files were removed by a destructive "
+            "compaction (pass retain_history=True to compact_clustered "
+            "to keep time travel valid)")
+    if not paths:
+        return None, man
+    return ray.data.read_parquet(paths), man
 
 
 def zonemap_pruned_files(out_dir: str, col: str,
@@ -405,8 +460,8 @@ def read_zonemap_pruned(out_dir: str, col: str, lo: int, hi: int):
         len(paths), total
 
 
-def compact_clustered(out_dir: str, delta, rows_per_file: int = 1 << 20
-                      ) -> dict:
+def compact_clustered(out_dir: str, delta, rows_per_file: int = 1 << 20,
+                      retain_history: bool = False) -> dict:
     """LSM-style delta compaction into a ``write_clustered`` table: merge
     new rows into the clustered layout while PRESERVING the cluster
     order and zone-map invariants — without rewriting the whole table.
@@ -514,14 +569,19 @@ def compact_clustered(out_dir: str, delta, rows_per_file: int = 1 << 20
 
     man2 = {"cluster_col": key, "zone_cols": zone_cols,
             "stats_cols": stats_cols,
+            "version": int(man.get("version", 1)) + 1,
             "files": kept + new_entries}
     tmp = os.path.join(out_dir, "._zonemap.json.tmp")
     with open(tmp, "w") as f:
         json.dump(man2, f, indent=1)
     os.replace(tmp, os.path.join(out_dir, "_zonemap.json"))
+    _write_version_manifest(out_dir, man2)
     # Old files are removed only AFTER the new manifest is live: a crash
     # anywhere above leaves the previous manifest pointing at files that
     # all still exist (new files are mere orphans, cleaned next run).
-    for p in to_delete:
-        os.remove(p)
+    # retain_history=True keeps them permanently, so every snapshot in
+    # the _zonemap.vNNNNN.json ledger stays time-travel-readable.
+    if not retain_history:
+        for p in to_delete:
+            os.remove(p)
     return man2
