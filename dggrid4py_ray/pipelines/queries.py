@@ -13619,3 +13619,209 @@ ORACLES.update({
         ORDER BY version
     """,
 })
+
+
+def ann_ivfpq_top10(sf_dir: str):
+    """IVF-PQ ANN (stages/ann.ivfpq_*, Jegou et al. 2011): coarse
+    centroids partition the corpus into inverted lists; vectors store
+    2 bytes of list id + 4 bytes of residual PQ codes; the query probes
+    the nprobe nearest lists and scores with one base term + ADC
+    lookup-table sums — the billion-vector production index shape.
+    Deterministic end to end (sampled coarse k-means + distinct-row
+    Lloyd residual codebooks), so the oracle pins the top-10; recall
+    and partition invariance are pytest-gated."""
+    from ..stages.ann import ivfpq_build, ivfpq_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    C, books, codes = ivfpq_build(ds, n_centroids=16, n_sub=4,
+                                  pq_centroids=16)
+    codes = codes.materialize()
+    q = _query_vec(_read(sf_dir, "embeddings", ["vec_id", "embedding"]))
+    t = ivfpq_topk(codes, q, C, books, k=10, nprobe=4)
+    return pa.table({"rank": t["rank"], "vec_id": t["vec_id"],
+                     "score": _iscale(
+                         t["score"].to_numpy(zero_copy_only=False),
+                         1000000)})
+
+
+QUERIES.update({
+    "ann_ivfpq_top10": ann_ivfpq_top10,
+})
+
+
+ORACLES.update({
+    # deterministic pipeline (sampled coarse k-means + distinct-row Lloyd
+    # residual books + ADC): pinned golden top-10, verified stable across
+    # fresh sessions at different CPU counts
+    "ann_ivfpq_top10": """
+        SELECT * FROM (VALUES
+            (1, 0, 533676),
+            (2, 235, 389415),
+            (3, 57, 358143),
+            (4, 165, 355010),
+            (5, 257, 334773),
+            (6, 51, 282101),
+            (7, 73, 280628),
+            (8, 131, 269225),
+            (9, 185, 268976),
+            (10, 273, 268976)
+        ) AS t(rank, vec_id, score)
+        ORDER BY rank
+    """,
+})
+
+
+def mase_inputs_events(sf_dir: str):
+    """Seasonal-naive forecast-error inputs (the MASE denominator /
+    numerator pair, Hyndman-Koehler 2006) per event type: daily integer
+    value mass, then sum-of-absolute-errors against the lag-7
+    (seasonal-naive) and lag-1 (naive) forecasts — two self-joins of the
+    day-keyed aggregate on shifted days, all int64-exact."""
+    from ..stages.groupagg import grouped_reduce
+    from ..stages.join import _join_partitions
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def day_cents(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t["event_type"],
+            "day": pa.array(us // 86400000000),
+            "cents": pa.array(_cents_half_up(
+                t["value"].to_numpy(zero_copy_only=False)))})
+
+    daily = grouped_reduce(
+        ds.map_batches(day_cents, batch_format="pyarrow"),
+        ["event_type", "day"], {"cents": "s"}, how="sum").materialize()
+    parts = _join_partitions()
+
+    def lag_err(lag: int, nc: str, ec: str):
+        shifted = daily.map_batches(
+            lambda t, lag=lag: pa.table({
+                "event_type": t["event_type"],
+                "lday": pc.add(pc.cast(t["day"], pa.int64()), lag),
+                "ls": pc.cast(t["s"], pa.int64())}),
+            batch_format="pyarrow").repartition(parts)
+        j = daily.repartition(parts).join(
+            shifted, join_type="inner", num_partitions=parts,
+            on=("event_type", "day"), right_on=("event_type", "lday"))
+
+        def err(t: pa.Table) -> pa.Table:
+            s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ls = t["ls"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "event_type": t["event_type"],
+                "_n": pa.array(np.ones(t.num_rows, np.int64)),
+                "_e": pa.array(np.abs(s - ls))})
+
+        return grouped_reduce(j.map_batches(err, batch_format="pyarrow"),
+                              "event_type", {"_n": nc, "_e": ec},
+                              how="sum").repartition(parts)
+
+    out = lag_err(7, "n7", "sae7").join(
+        lag_err(1, "n1", "sae1"), join_type="inner",
+        num_partitions=parts, on=("event_type",))
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"],
+            "n7": pc.cast(t["n7"], pa.int64()),
+            "sae7": pc.cast(t["sae7"], pa.int64()),
+            "n1": pc.cast(t["n1"], pa.int64()),
+            "sae1": pc.cast(t["sae1"], pa.int64())}),
+        batch_format="pyarrow").sort("event_type")
+
+
+def auc_embs(sf_dir: str):
+    """EXACT ROC AUC of the deterministic linear score (the
+    calibration_embs scorer) against the embeddings label, as integer
+    sufficient statistics: with midranks r_i over the pooled scores,
+    AUC = (sum_pos r - P(P+1)/2) / (P*N).  Doubled midranks keep
+    everything int64: 2*midrank of a tie class = 2*(count below) +
+    (count within) + 1.  Scale shape: ONE grouped_reduce to (score,
+    pos, neg) tie classes, one running sum over the distinct-score
+    table, answer-sized fold — no per-row ranking, no float."""
+    from ..stages.groupagg import grouped_reduce
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    w = ((np.arange(64, dtype=np.int64) * 37) % 13 - 6)
+
+    def score(t: pa.Table) -> pa.Table:
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = np.asarray(emb.flatten(), dtype=np.float64)
+        x = flat.reshape(t.num_rows, -1)
+        xi = (np.floor(np.abs(x * 1000000.0) + 0.5)
+              * np.sign(x * 1000000.0)).astype(np.int64)
+        s = (xi * w[None, :]).sum(axis=1)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"score": pa.array(s),
+                         "pos": pa.array(lab),
+                         "neg": pa.array(1 - lab)})
+
+    classes = grouped_reduce(
+        ds.map_batches(score, batch_format="pyarrow"),
+        "score", {"pos": "p", "neg": "q"}, how="sum") \
+        .sort("score").to_pandas()
+    p = classes["p"].to_numpy().astype(np.int64)
+    q = classes["q"].to_numpy().astype(np.int64)
+    cnt = p + q
+    below = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    r2 = 2 * below + cnt + 1              # doubled midrank per tie class
+    P, N = int(p.sum()), int(q.sum())
+    u2 = int((p * r2).sum()) - P * (P + 1)   # 2*(sum_pos r - P(P+1)/2)
+    return pa.table({"p": pa.array([P], pa.int64()),
+                     "n": pa.array([N], pa.int64()),
+                     "u2": pa.array([u2], pa.int64())})
+
+
+QUERIES.update({
+    "mase_inputs_events": mase_inputs_events,
+    "auc_embs": auc_embs,
+})
+
+ORACLES.update({
+    "mase_inputs_events": """
+        WITH daily AS (
+            SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s
+            FROM events GROUP BY 1, 2),
+        l7 AS (SELECT a.event_type, COUNT(*) AS n7,
+                      SUM(ABS(a.s - b.s)) AS sae7
+               FROM daily a JOIN daily b
+                 ON a.event_type = b.event_type AND b.day = a.day - 7
+               GROUP BY 1),
+        l1 AS (SELECT a.event_type, COUNT(*) AS n1,
+                      SUM(ABS(a.s - b.s)) AS sae1
+               FROM daily a JOIN daily b
+                 ON a.event_type = b.event_type AND b.day = a.day - 1
+               GROUP BY 1)
+        SELECT l7.event_type,
+               CAST(n7 AS BIGINT) AS n7, CAST(sae7 AS BIGINT) AS sae7,
+               CAST(n1 AS BIGINT) AS n1, CAST(sae1 AS BIGINT) AS sae1
+        FROM l7 JOIN l1 ON l7.event_type = l1.event_type
+        ORDER BY 1
+    """,
+    "auc_embs": """
+        WITH x AS (SELECT vec_id, label, UNNEST(embedding) AS v,
+                          generate_subscripts(embedding, 1) AS j
+                   FROM embeddings),
+        s AS (SELECT CAST(ANY_VALUE(label) AS BIGINT) AS label,
+                     SUM(((j - 1) * 37 % 13 - 6)
+                         * CAST(ROUND(CAST(v AS DOUBLE) * 1000000)
+                                AS BIGINT)) AS score
+              FROM x GROUP BY vec_id),
+        r AS (SELECT label,
+                     CAST(2 * RANK() OVER (ORDER BY score)
+                          + COUNT(*) OVER (PARTITION BY score) - 1
+                          AS BIGINT) AS r2
+              FROM s),
+        agg AS (SELECT SUM(label) AS p,
+                       SUM(1 - label) AS n,
+                       SUM(label * r2) AS spr2
+                FROM r)
+        SELECT CAST(p AS BIGINT) AS p, CAST(n AS BIGINT) AS n,
+               CAST(spr2 - p * (p + 1) AS BIGINT) AS u2
+        FROM agg
+    """,
+})

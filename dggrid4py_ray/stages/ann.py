@@ -258,9 +258,18 @@ def pq_train(ds: ray.data.Dataset, n_sub: int = 4, n_centroids: int = 16,
         raise ValueError("pq_train: empty embedding dataset")
     X = np.concatenate(rows)[:sample]
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    return _train_subspace_books(X, n_sub, n_centroids, iters,
+                                 who="pq_train")
+
+
+def _train_subspace_books(X: np.ndarray, n_sub: int, n_centroids: int,
+                          iters: int, who: str = "pq") -> list[np.ndarray]:
+    """Deterministic per-subspace Lloyd k-means (distinct-row init, fixed
+    iterations) — shared by pq_train (normalized vectors) and
+    ivfpq_build (coarse-centroid residuals)."""
     d = X.shape[1]
     if d % n_sub:
-        raise ValueError(f"pq_train: dim {d} not divisible by {n_sub}")
+        raise ValueError(f"{who}: dim {d} not divisible by {n_sub}")
     dsub = d // n_sub
     books = []
     for s in range(n_sub):
@@ -349,6 +358,130 @@ def pq_topk(codes: ray.data.Dataset, query: np.ndarray,
             # total order (score desc, id asc): ADC scores tie en masse
             # (identical codes), and a tie-broken partial top-k is what
             # makes the global result partition-invariant
+            top = np.lexsort((ids, -sims))[:kk]
+            return pa.table({id_col: pa.array(ids[top]),
+                             "score": pa.array(sims[top])})
+
+    import pandas as pd
+    part = codes.map_batches(Scan, batch_format="pyarrow",
+                             concurrency=(1, 32)).to_pandas()
+    part = part.sort_values(["score", id_col],
+                            ascending=[False, True]).head(k)
+    part["rank"] = np.arange(1, len(part) + 1, dtype=np.int64)
+    return pa.table({"rank": pa.array(part["rank"].to_numpy()),
+                     id_col: pa.array(part[id_col].to_numpy()),
+                     "score": pa.array(part["score"].to_numpy())})
+
+
+def ivfpq_build(ds: ray.data.Dataset, n_centroids: int = 16,
+                n_sub: int = 4, pq_centroids: int = 16,
+                sample: int = 2048, iters: int = 8,
+                emb_col: str = "embedding",
+                id_col: str = "vec_id"):
+    """Build an IVF-PQ index (Jegou et al. 2011, the production ANN
+    architecture for billion-vector corpora): coarse centroids partition
+    the corpus into inverted lists; each vector stores only its list id
+    plus the PQ codes of its RESIDUAL (x - centroid) — n_sub bytes + 2
+    per vector, and queries touch just the probed lists' codes.
+
+    All-deterministic (train_centroids + distinct-row-init Lloyd on a
+    deterministic residual sample), so the whole index is a pure
+    function of the data — same reproducibility contract as pq_train.
+    Returns (C, books, codes_ds) with codes_ds = (id, list_id, codes)."""
+    C = train_centroids(ds, n_centroids, emb_col).astype(np.float64)
+
+    rows = []
+    need = sample
+    for b in ds.iter_batches(batch_size=1024, batch_format="pyarrow"):
+        X = _emb_matrix(b, emb_col, dtype=np.float64)
+        if X.size:
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                               1e-12)
+            rows.append(X - C[np.argmax(X @ C.T, axis=1)])
+            need -= X.shape[0]
+            if need <= 0:
+                break
+    if not rows:
+        raise ValueError("ivfpq_build: empty embedding dataset")
+    books = _train_subspace_books(np.concatenate(rows)[:sample], n_sub,
+                                  pq_centroids, iters, who="ivfpq_build")
+
+    cref = ray.put(C)
+    bref = ray.put([np.asarray(b, np.float64) for b in books])
+
+    class Enc:
+        def __init__(self):
+            self.C = ray.get(cref)
+            self.books = ray.get(bref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            X = _emb_matrix(t, emb_col, dtype=np.float64)
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                               1e-12)
+            assign = np.argmax(X @ self.C.T, axis=1)
+            R = X - self.C[assign]
+            dsub = self.books[0].shape[1]
+            codes = np.empty((X.shape[0], len(self.books)), np.uint8)
+            for s, B in enumerate(self.books):
+                Rs = R[:, s * dsub:(s + 1) * dsub]
+                d2 = (Rs ** 2).sum(1)[:, None] - 2 * Rs @ B.T \
+                    + (B ** 2).sum(1)[None, :]
+                codes[:, s] = d2.argmin(1).astype(np.uint8)
+            return pa.table({id_col: t[id_col],
+                             "list_id": pa.array(assign.astype(np.int64)),
+                             "codes": pa.array(list(codes),
+                                               pa.list_(pa.uint8()))})
+
+    codes_ds = ds.map_batches(Enc, batch_format="pyarrow",
+                              concurrency=(1, 32))
+    return C, books, codes_ds
+
+
+def ivfpq_topk(codes: ray.data.Dataset, query: np.ndarray,
+               C: np.ndarray, books: list[np.ndarray],
+               k: int = 10, nprobe: int = 4,
+               id_col: str = "vec_id") -> pa.Table:
+    """ADC scan over an IVF-PQ index: probe the ``nprobe`` coarse lists
+    nearest the query; within a probed list, similarity decomposes as
+
+        q . x  ~=  q . C[list]  +  sum_s LUT_s[code_s]
+
+    (base term per list + one residual lookup-table sum — no float
+    vector touched at query time).  Rows outside probed lists are
+    filtered vectorized BEFORE any scoring; partial top-k per batch with
+    the (score desc, id asc) total order, answer-sized driver merge."""
+    q = np.asarray(query, np.float64)
+    q = q / np.linalg.norm(q)
+    Cd = np.asarray(C, np.float64)
+    base = q @ Cd.T                              # (n_centroids,)
+    probe = np.argsort(-base)[:nprobe]
+    dsub = books[0].shape[1]
+    lut = np.stack([q[s * dsub:(s + 1) * dsub] @ np.asarray(b).T
+                    for s, b in enumerate(books)])
+    ref = ray.put((set(probe.tolist()), base, lut))
+
+    class Scan:
+        def __init__(self):
+            self.probe, self.base, self.lut = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            lids = t["list_id"].to_numpy(zero_copy_only=False)
+            m = np.isin(lids, list(self.probe))
+            if not m.any():
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "score": pa.array([], pa.float64())})
+            t = t.filter(pa.array(m))
+            arr = t["codes"]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            flat = np.asarray(arr.flatten(), np.int64)
+            n = t.num_rows
+            S = self.lut.shape[0]
+            c = flat.reshape(n, S)
+            sims = (self.base[t["list_id"].to_numpy(zero_copy_only=False)]
+                    + self.lut[np.arange(S)[None, :], c].sum(1))
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            kk = min(k, n)
             top = np.lexsort((ids, -sims))[:kk]
             return pa.table({id_col: pa.array(ids[top]),
                              "score": pa.array(sims[top])})

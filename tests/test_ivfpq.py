@@ -1,0 +1,51 @@
+"""IVF-PQ index: recall against brute force and partition invariance."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from dggrid4py_ray.stages.ann import (brute_force_topk, ivfpq_build,
+                                      ivfpq_topk)
+
+
+def _clustered_embeddings(n=400, d=16, n_clusters=5, seed=9):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    lab = np.arange(n) % n_clusters
+    X = centers[lab] + 0.08 * rng.normal(size=(n, d))
+    return pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [x.astype(np.float64).tolist() for x in X]}), centers
+
+
+def test_ivfpq_recall_vs_brute_force():
+    df, centers = _clustered_embeddings()
+    ds = ray.data.from_pandas(df)
+    C, books, codes = ivfpq_build(ds, n_centroids=8, n_sub=4,
+                                  pq_centroids=16)
+    codes = codes.materialize()
+    q = centers[2]
+    got = ivfpq_topk(codes, q, C, books, k=20, nprobe=4).to_pandas()
+    ref = brute_force_topk(ds, q[None, :], k=20).to_pandas()
+    # exact member overlap is ill-posed here (an 80-member cluster is
+    # nearly equidistant to its own center, so the true top-20 boundary
+    # is noise) — the meaningful ANN property is CLUSTER identity: every
+    # returned vector belongs to the query's cluster, like brute force
+    assert (ref["vec_id"].to_numpy() % 5 == 2).all()
+    assert (got["vec_id"].to_numpy() % 5 == 2).mean() >= 0.95
+
+
+def test_ivfpq_partition_invariant():
+    df, centers = _clustered_embeddings(seed=11)
+    C, books, codes = ivfpq_build(ray.data.from_pandas(df), n_centroids=8,
+                                  n_sub=4, pq_centroids=16)
+    codes = codes.materialize()
+    q = centers[0]
+    a = ivfpq_topk(codes.repartition(3), q, C, books, k=10,
+                   nprobe=3).to_pandas()
+    b = ivfpq_topk(codes.repartition(11), q, C, books, k=10,
+                   nprobe=3).to_pandas()
+    assert a["vec_id"].tolist() == b["vec_id"].tolist()
+    np.testing.assert_allclose(a["score"], b["score"], rtol=0, atol=0)
