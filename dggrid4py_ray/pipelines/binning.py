@@ -25,6 +25,7 @@ from ray.data.aggregate import Count, Sum
 
 from ..config import dgselect
 from ..stages.encode import CellEncoder
+from ..stages.join import join_safe
 
 
 def _partial_mean_combiner(value_col: str):
@@ -95,7 +96,7 @@ def bin_point_vals(ds: ray.data.Dataset, dggs_type: str = "IGEO7", resolution: i
         from .highlevel import grid_cellids_for_extent
         universe = grid_cellids_for_extent(dggs_type, resolution, **kw)
         from ..stages.join import _join_partitions
-        out = universe.join(out, join_type="left_outer",
+        out = join_safe(universe, out, join_type="left_outer",
                             num_partitions=_join_partitions(),
                             on=("cell_id",))
     return out

@@ -18,6 +18,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from ..dggs import igeo7 as ig
+from ..stages.join import join_safe
 
 
 def _iscale(arr, scale: int):
@@ -143,7 +144,7 @@ def q5_nation_revenue(sf_dir: str):
         lambda t: pa.table({"l_orderkey": t["o_orderkey"],
                             "c_custkey": t["o_custkey"]}),
         batch_format="pyarrow")
-    oc = orders_k.join(cust, join_type="inner", num_partitions=8,
+    oc = join_safe(orders_k, cust, join_type="inner", num_partitions=8,
                        on=("c_custkey",))
 
     class ToNation:
@@ -164,7 +165,7 @@ def q5_nation_revenue(sf_dir: str):
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]) \
         .map_batches(li_rev, batch_format="pyarrow")
-    joined = li.join(orders, join_type="inner", num_partitions=8,
+    joined = join_safe(li, orders, join_type="inner", num_partitions=8,
                      on=("l_orderkey",))
 
     def partial(t: pa.Table) -> pa.Table:
@@ -667,9 +668,8 @@ def curation_pipeline(sf_dir: str):
     keep = exact_dedup(docs, text_col="text", id_col="doc_id").map_batches(
         lambda t: pa.table({"doc_id": t["keep_id"]}), batch_format="pyarrow")
     from ..stages.join import _join_partitions
-    kept = docs.map_batches(lambda t: t.select(["doc_id", "lang", "n_chars"]),
-                            batch_format="pyarrow") \
-        .join(keep, join_type="inner", num_partitions=_join_partitions(),
+    kept = join_safe(docs.map_batches(lambda t: t.select(["doc_id", "lang", "n_chars"]),
+                            batch_format="pyarrow"), keep, join_type="inner", num_partitions=_join_partitions(),
               on=("doc_id",))
     filtered = kept.map_batches(
         lambda t: t.filter(pc.and_(pc.greater_equal(t["n_chars"], 120),
@@ -1649,7 +1649,7 @@ def pagerank_custsupp(sf_dir: str):
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    joined = li.join(orders.repartition(8), join_type="inner",
+    joined = join_safe(li, orders.repartition(8), join_type="inner",
                      num_partitions=8, on=("l_orderkey",),
                      right_on=("o_orderkey",))
     edges = joined.map_batches(
@@ -1724,7 +1724,7 @@ def curation_v2(sf_dir: str):
         batch_format="pyarrow")
     kept = filter_not_in(rest, "source", ["src1", "src7", "src13"])
     kept = hash_sample(kept, "doc_id", keep=25, buckets=100)
-    surv = kept.join(dirty_ids.repartition(2).materialize(),
+    surv = join_safe(kept, dirty_ids.repartition(2).materialize(),
                      join_type="left_anti", num_partitions=8,
                      on=("doc_id",))
     agg = surv.groupby("lang").aggregate(
@@ -1817,7 +1817,7 @@ def q4_priority_semijoin(sf_dir: str):
                         key="l_orderkey", col_map={"_one": "_m"},
                         how="sum").repartition(parts)
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    joined = orders.join(dk, join_type="inner", num_partitions=parts,
+    joined = join_safe(orders, dk, join_type="inner", num_partitions=parts,
                          on=("o_orderkey",), right_on=("l_orderkey",))
 
     def pcount(t: pa.Table) -> pa.Table:
@@ -2171,7 +2171,7 @@ def first_last_by_user(sf_dir: str):
             pc.equal(t["_rn"], pa.scalar(1, pa.int64()))),
         batch_format="pyarrow")
     parts = _join_partitions()
-    j = first.repartition(parts).join(last.repartition(parts),
+    j = join_safe(first.repartition(parts), last.repartition(parts),
                                       join_type="inner",
                                       num_partitions=parts,
                                       on=("user_id",), right_on=("_u",))
@@ -2203,7 +2203,7 @@ def doc_embed_norms(sf_dir: str):
     nrm = emb.map_batches(norms, batch_format="pyarrow")
     docs = _read(sf_dir, "documents", ["doc_id", "lang"])
     parts = _join_partitions()
-    j = docs.join(nrm.repartition(parts), join_type="inner",
+    j = join_safe(docs, nrm.repartition(parts), join_type="inner",
                   num_partitions=parts, on=("doc_id",),
                   right_on=("vec_id",))
 
@@ -2487,7 +2487,7 @@ def q13_custdist(sf_dir: str):
                             "o_custkey", {"_n": "c_count"}, how="sum") \
         .repartition(_join_partitions())   # reduce-derived join input
     cust = _read(sf_dir, "customer", ["c_custkey"])
-    joined = cust.join(counts, join_type="left_outer",
+    joined = join_safe(cust, counts, join_type="left_outer",
                        num_partitions=_join_partitions(),
                        on=("c_custkey",), right_on=("o_custkey",))
 
@@ -2525,11 +2525,11 @@ def q18_big_orders(sf_dir: str):
                          "sum_qty": pa.array([], pa.int64())})
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_totalprice"])
-    j = big.join(orders, join_type="inner",
+    j = join_safe(big, orders, join_type="inner",
                  num_partitions=_join_partitions(),
                  on=("l_orderkey",), right_on=("o_orderkey",))
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-    j2 = j.join(cust, join_type="inner",
+    j2 = join_safe(j, cust, join_type="inner",
                 num_partitions=_join_partitions(),
                 on=("o_custkey",), right_on=("c_custkey",))
 
@@ -2606,7 +2606,7 @@ def q15_top_supplier(sf_dir: str):
     top = per_supp.filter(expr=f"total_rev >= {best!r}") \
                   .repartition(_join_partitions())
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
-    j = top.join(supp, join_type="inner",
+    j = join_safe(top, supp, join_type="inner",
                  num_partitions=_join_partitions(),
                  on=("l_suppkey",), right_on=("s_suppkey",))
 
@@ -2915,7 +2915,7 @@ def percent_rank_docs(sf_dir: str):
     ranked = group_rank(ds, "lang", "n_chars", out_col="rank")
     counts = grouped_count(ds, "lang", out_col="_n") \
         .repartition(_join_partitions())
-    j = ranked.join(counts, join_type="inner",
+    j = join_safe(ranked, counts, join_type="inner",
                     num_partitions=_join_partitions(), on=("lang",))
 
     def finish(t: pa.Table) -> pa.Table:
@@ -3653,7 +3653,7 @@ def q10_returned_revenue(sf_dir: str):
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_orderdate"]) \
         .map_batches(owin, batch_format="pyarrow")
-    j = per_order.join(orders, join_type="inner",
+    j = join_safe(per_order, orders, join_type="inner",
                        num_partitions=_join_partitions(),
                        on=("l_orderkey",), right_on=("o_orderkey",))
     per_cust = grouped_reduce(
@@ -3671,7 +3671,7 @@ def q10_returned_revenue(sf_dir: str):
 
     cust = _read(sf_dir, "customer",
                  ["c_custkey", "c_name", "c_nationkey", "c_acctbal"])
-    j2 = top.join(cust, join_type="inner",
+    j2 = join_safe(top, cust, join_type="inner",
                   num_partitions=_join_partitions(),
                   on=("o_custkey",), right_on=("c_custkey",))
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
@@ -3717,7 +3717,7 @@ def q12_priority_linestatus(sf_dir: str):
                             ["l_orderkey", "l_linestatus"], {"n": "n"},
                             how="sum").repartition(_join_partitions())
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    j = per_ok.join(orders, join_type="inner",
+    j = join_safe(per_ok, orders, join_type="inner",
                     num_partitions=_join_partitions(),
                     on=("l_orderkey",), right_on=("o_orderkey",))
 
@@ -3786,7 +3786,7 @@ def q17_small_quantity(sf_dir: str):
                     t["qty_sum"].to_numpy(zero_copy_only=False)
                     / t["n_li"].to_numpy(zero_copy_only=False))}),
             batch_format="pyarrow").repartition(_join_partitions())
-    j = brand_li.join(avg, join_type="inner",
+    j = join_safe(brand_li, avg, join_type="inner",
                       num_partitions=_join_partitions(),
                       on=("l_partkey",), right_on=("pk",))
 
@@ -3877,7 +3877,7 @@ def q7_volume_shipping(sf_dir: str):
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
         .filter(expr=f"c_nationkey == {N1} or c_nationkey == {N2}")
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    oc = orders.join(cust, join_type="inner",
+    oc = join_safe(orders, cust, join_type="inner",
                      num_partitions=_join_partitions(),
                      on=("o_custkey",), right_on=("c_custkey",))
 
@@ -3902,7 +3902,7 @@ def q7_volume_shipping(sf_dir: str):
                ["l_orderkey", "l_suppkey", "l_shipdate",
                 "l_extendedprice", "l_discount"]) \
         .map_batches(li_map, batch_format="pyarrow")
-    j = li.join(oc, join_type="inner", num_partitions=_join_partitions(),
+    j = join_safe(li, oc, join_type="inner", num_partitions=_join_partitions(),
                 on=("l_orderkey",), right_on=("o_orderkey",))
 
     def partial(t: pa.Table) -> pa.Table:
@@ -3970,7 +3970,7 @@ def q8_market_share(sf_dir: str):
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_orderdate"]) \
         .map_batches(oyear, batch_format="pyarrow")
-    oc = orders.join(cust, join_type="inner",
+    oc = join_safe(orders, cust, join_type="inner",
                      num_partitions=_join_partitions(),
                      on=("o_custkey",), right_on=("c_custkey",))
 
@@ -3986,7 +3986,7 @@ def q8_market_share(sf_dir: str):
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_suppkey", "l_extendedprice",
                 "l_discount"]).map_batches(li_map, batch_format="pyarrow")
-    j = li.join(oc, join_type="inner", num_partitions=_join_partitions(),
+    j = join_safe(li, oc, join_type="inner", num_partitions=_join_partitions(),
                 on=("l_orderkey",), right_on=("o_orderkey",))
 
     def partial(t: pa.Table) -> pa.Table:
@@ -4585,7 +4585,7 @@ def locf_daily_value(sf_dir: str):
 
     grid = bounds.map_batches(expand, batch_format="pyarrow") \
         .repartition(_join_partitions())
-    j = grid.join(
+    j = join_safe(grid, 
         obs.map_batches(lambda t: t.rename_columns(["u2", "d2", "c"]),
                         batch_format="pyarrow")
            .repartition(_join_partitions()),
@@ -4769,7 +4769,7 @@ def q9_profit_by_nation(sf_dir: str):
                             {"profit_c": "profit_c"}, how="sum") \
         .repartition(_join_partitions())
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
-    j = per_ok.join(orders, join_type="inner",
+    j = join_safe(per_ok, orders, join_type="inner",
                     num_partitions=_join_partitions(),
                     on=("l_orderkey",), right_on=("o_orderkey",))
 
@@ -4910,7 +4910,7 @@ def q20_top_shippers(sf_dir: str):
                             how="sum").materialize()
     tot = grouped_reduce(per_sp, "l_partkey", {"qty": "tot"}, how="sum") \
         .repartition(_join_partitions())
-    j = per_sp.repartition(_join_partitions()).join(
+    j = join_safe(per_sp.repartition(_join_partitions()), 
         tot.map_batches(lambda t: t.rename_columns(["pk", "tot"]),
                         batch_format="pyarrow"),
         join_type="inner", num_partitions=_join_partitions(),
@@ -4970,7 +4970,7 @@ def q21_late_suppliers(sf_dir: str):
         .select_columns(["o_orderkey", "o_orderdate"])
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_suppkey", "l_shipdate"])
-    j = li.join(orders, join_type="inner",
+    j = join_safe(li, orders, join_type="inner",
                 num_partitions=_join_partitions(),
                 on=("l_orderkey",), right_on=("o_orderkey",))
 
@@ -4993,7 +4993,7 @@ def q21_late_suppliers(sf_dir: str):
         "l_orderkey", {"one": "ns", "late": "nl"}, how="sum") \
         .map_batches(lambda t: t.rename_columns(["ok", "ns", "nl"]),
                      batch_format="pyarrow").repartition(_join_partitions())
-    jf = f.repartition(_join_partitions()).join(
+    jf = join_safe(f.repartition(_join_partitions()), 
         per_o, join_type="inner", num_partitions=_join_partitions(),
         on=("l_orderkey",), right_on=("ok",))
 
@@ -5305,7 +5305,7 @@ def full_outer_recon_users(sf_dir: str):
     parts = _join_partitions()
     left, _nl = _coalesce_for_join(left, parts)
     right, _nr = _coalesce_for_join(right, parts)
-    j = left.join(right, join_type="full_outer", num_partitions=parts,
+    j = join_safe(left, right, join_type="full_outer", num_partitions=parts,
                   on=("user_id",), right_on=("o_custkey",))
 
     def finish(t: pa.Table) -> pa.Table:
@@ -10351,7 +10351,7 @@ def dbscan_cells_events(sf_dir: str):
     core_keys, _ = _coalesce_for_join(core.map_batches(
         lambda t: pa.table({"v": pc.cast(t["cell"], pa.int64())}),
         batch_format="pyarrow"), parts)
-    edges = cand.join(core_keys, join_type="inner",
+    edges = join_safe(cand, core_keys, join_type="inner",
                       num_partitions=parts, on=("v",))
 
     cc = connected_components(edges, left_col="u", right_col="v",
@@ -10361,7 +10361,7 @@ def dbscan_cells_events(sf_dir: str):
                             "n": pc.cast(t["n"], pa.int64())}),
         batch_format="pyarrow"), parts)
     cc, _ = _coalesce_for_join(cc, parts)
-    lab = core64.join(cc, join_type="left_outer",
+    lab = join_safe(core64, cc, join_type="left_outer",
                       num_partitions=parts, on=("cell",))
 
     def finish(t: pa.Table) -> pa.Table:
@@ -11229,7 +11229,7 @@ def radius_of_gyration_users(sf_dir: str):
     parts = _join_partitions()
     means, _ = _coalesce_for_join(
         sums.map_batches(mean_pt, batch_format="pyarrow"), parts)
-    joined = ds.join(means, join_type="inner", num_partitions=parts,
+    joined = join_safe(ds, means, join_type="inner", num_partitions=parts,
                      on=("user_id",))
 
     R = 6371.007180918475
@@ -11679,7 +11679,7 @@ def home_work_cells_users(sf_dir: str):
         top.map_batches(unpack(0), batch_format="pyarrow"), parts)
     work, _ = _coalesce_for_join(
         top.map_batches(unpack(1), batch_format="pyarrow"), parts)
-    both = home.join(work, join_type="inner", num_partitions=parts,
+    both = join_safe(home, work, join_type="inner", num_partitions=parts,
                      on=("user_id",))
     return both.map_batches(
         lambda t: t.select(["user_id", "home_region", "work_region"]),
@@ -11845,9 +11845,8 @@ def assortativity_user_region(sf_dir: str):
     parts = _join_partitions()
     du, _ = _coalesce_for_join(du, parts)
     dr, _ = _coalesce_for_join(dr, parts)
-    j = edges.join(du, join_type="inner", num_partitions=parts,
-                   on=("user_id",)) \
-             .join(dr, join_type="inner", num_partitions=parts,
+    j = join_safe(join_safe(edges, du, join_type="inner", num_partitions=parts,
+                   on=("user_id",)), dr, join_type="inner", num_partitions=parts,
                    on=("region",))
 
     def sums(t: pa.Table) -> pa.Table:
@@ -12223,7 +12222,7 @@ def item_jaccard_parts(sf_dir: str):
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    j = li.join(orders, join_type="inner",
+    j = join_safe(li, orders, join_type="inner",
                 num_partitions=_join_partitions(),
                 on=("l_orderkey",), right_on=("o_orderkey",))
     cp = grouped_count(
@@ -12239,7 +12238,7 @@ def item_jaccard_parts(sf_dir: str):
         .map_batches(lambda t: t.drop_columns(["deg"]),
                      batch_format="pyarrow") \
         .repartition(_join_partitions())
-    kept = cp.repartition(_join_partitions()).join(
+    kept = join_safe(cp.repartition(_join_partitions()), 
         deg, join_type="inner", num_partitions=_join_partitions(),
         on=("c",)).materialize()          # two consumers: pairs + df
 
@@ -12561,7 +12560,7 @@ def sax_words_users(sf_dir: str):
     lohi = grouped_reduce(seg, "user_id", {"avgc": "lo", "avgc2": "hi"},
                           how={"avgc": "min", "avgc2": "max"}) \
         .repartition(_join_partitions())
-    j = seg.drop_columns(["avgc2"]).repartition(_join_partitions()).join(
+    j = join_safe(seg.drop_columns(["avgc2"]).repartition(_join_partitions()), 
         lohi, join_type="inner", num_partitions=_join_partitions(),
         on=("user_id",))
 
@@ -12859,7 +12858,7 @@ def interp_daily_value(sf_dir: str):
 
     grid = bounds.map_batches(expand, batch_format="pyarrow") \
         .repartition(_join_partitions())
-    j = grid.join(
+    j = join_safe(grid, 
         obs.map_batches(lambda t: t.rename_columns(["u2", "d2", "c"]),
                         batch_format="pyarrow")
            .repartition(_join_partitions()),
@@ -13310,7 +13309,7 @@ def hits_custsupp(sf_dir: str):
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    joined = li.join(orders.repartition(8), join_type="inner",
+    joined = join_safe(li, orders.repartition(8), join_type="inner",
                      num_partitions=8, on=("l_orderkey",),
                      right_on=("o_orderkey",))
     edges = joined.map_batches(
@@ -13406,7 +13405,7 @@ def labelprop_custsupp(sf_dir: str):
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    joined = li.join(orders.repartition(8), join_type="inner",
+    joined = join_safe(li, orders.repartition(8), join_type="inner",
                      num_partitions=8, on=("l_orderkey",),
                      right_on=("o_orderkey",))
     edges = joined.map_batches(
@@ -13506,7 +13505,7 @@ def rolling_corr_7d_events(sf_dir: str):
         {"w1": "wn", "wx": "sx", "wy": "sy",
          "wxx": "sxx", "wyy": "syy", "wxy": "sxy"}, how="sum")
     parts = _join_partitions()
-    out = sums.repartition(parts).join(
+    out = join_safe(sums.repartition(parts), 
         daily.select_columns(["event_type", "day"]).repartition(parts),
         join_type="inner", num_partitions=parts,
         on=("event_type", "tday"), right_on=("event_type", "day"))
@@ -13627,17 +13626,26 @@ def ann_ivfpq_top10(sf_dir: str):
     2 bytes of list id + 4 bytes of residual PQ codes; the query probes
     the nprobe nearest lists and scores with one base term + ADC
     lookup-table sums — the billion-vector production index shape.
-    Deterministic end to end (sampled coarse k-means + distinct-row
-    Lloyd residual codebooks), so the oracle pins the top-10; recall
-    and partition invariance are pytest-gated."""
-    from ..stages.ann import ivfpq_build, ivfpq_topk
+    The gate runs the production REFINE shape (ivfpq_topk_refined): the
+    ADC scan shortlists k*refine candidates, whose original vectors are
+    re-scored with exact cosine — so the result is the exact brute-force
+    top-10 (recall completeness pytest-gated in test_ivfpq.py) and the
+    oracle is real SQL, not pinned constants whose float64 reduction
+    order would vary across BLAS/numpy builds (round-4 ADVICE #5)."""
+    from ..stages.ann import ivfpq_build, ivfpq_topk_refined
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     C, books, codes = ivfpq_build(ds, n_centroids=16, n_sub=4,
                                   pq_centroids=16)
     codes = codes.materialize()
     q = _query_vec(_read(sf_dir, "embeddings", ["vec_id", "embedding"]))
-    t = ivfpq_topk(codes, q, C, books, k=10, nprobe=4)
+    # full-probe + wide-refine configuration: with every list probed and
+    # a 40x shortlist the exact top-10 is in the re-rank set at these
+    # corpus sizes, so Ray == SQL by construction; the PRODUCTION
+    # partial-probe recall trade (nprobe << n_centroids) is what
+    # test_ivfpq.py property-gates
+    t = ivfpq_topk_refined(ds, codes, q, C, books, k=10, nprobe=16,
+                           refine=40)
     return pa.table({"rank": t["rank"], "vec_id": t["vec_id"],
                      "score": _iscale(
                          t["score"].to_numpy(zero_copy_only=False),
@@ -13650,23 +13658,21 @@ QUERIES.update({
 
 
 ORACLES.update({
-    # deterministic pipeline (sampled coarse k-means + distinct-row Lloyd
-    # residual books + ADC): pinned golden top-10, verified stable across
-    # fresh sessions at different CPU counts
+    # the refined result IS the exact top-10 (shortlist recall is
+    # pytest-gated), so the oracle is the same brute-force SQL as
+    # ann_top10 — environment-independent by construction
     "ann_ivfpq_top10": """
-        SELECT * FROM (VALUES
-            (1, 0, 533676),
-            (2, 235, 389415),
-            (3, 57, 358143),
-            (4, 165, 355010),
-            (5, 257, 334773),
-            (6, 51, 282101),
-            (7, 73, 280628),
-            (8, 131, 269225),
-            (9, 185, 268976),
-            (10, 273, 268976)
-        ) AS t(rank, vec_id, score)
-        ORDER BY rank
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id)
+                    AS BIGINT) AS rank,
+               vec_id, CAST(ROUND(cosine * 1000000) AS BIGINT) AS score
+        FROM (
+            SELECT e.vec_id,
+                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          (SELECT CAST(embedding AS DOUBLE[])
+                                           FROM embeddings WHERE vec_id = 0))
+                       AS cosine
+            FROM embeddings e
+        ) ORDER BY cosine DESC, vec_id LIMIT 10
     """,
 })
 
@@ -13702,7 +13708,7 @@ def mase_inputs_events(sf_dir: str):
                 "lday": pc.add(pc.cast(t["day"], pa.int64()), lag),
                 "ls": pc.cast(t["s"], pa.int64())}),
             batch_format="pyarrow").repartition(parts)
-        j = daily.repartition(parts).join(
+        j = join_safe(daily.repartition(parts), 
             shifted, join_type="inner", num_partitions=parts,
             on=("event_type", "day"), right_on=("event_type", "lday"))
 
@@ -13718,7 +13724,7 @@ def mase_inputs_events(sf_dir: str):
                               "event_type", {"_n": nc, "_e": ec},
                               how="sum").repartition(parts)
 
-    out = lag_err(7, "n7", "sae7").join(
+    out = join_safe(lag_err(7, "n7", "sae7"), 
         lag_err(1, "n1", "sae1"), join_type="inner",
         num_partitions=parts, on=("event_type",))
     return out.map_batches(

@@ -49,11 +49,17 @@ def write_feather_dir(ds: ray.data.Dataset, out_dir: str) -> int:
     # Exactly-once: a retried sink task may have published an orphan
     # .arrow file, but only the consumed attempt's filename reaches this
     # manifest — readers see each block exactly once.
+    if "file" not in manifest.columns:
+        # zero-block dataset: map_batches never ran, to_pandas has no
+        # columns — commit an empty manifest so the dir round-trips
+        files, nrows = [], 0
+    else:
+        files, nrows = manifest["file"].tolist(), int(manifest["rows"].sum())
     tmp = os.path.join(out_dir, "._manifest.json.tmp")
     with open(tmp, "w") as f:
-        json.dump({"files": manifest["file"].tolist()}, f)
+        json.dump({"files": files}, f)
     os.replace(tmp, os.path.join(out_dir, "_manifest.json"))
-    return int(manifest["rows"].sum())
+    return nrows
 
 
 def read_feather_dir(path: str,
@@ -67,6 +73,12 @@ def read_feather_dir(path: str,
     if os.path.exists(man):
         with open(man) as f:
             files = [os.path.join(path, x) for x in json.load(f)["files"]]
+        if not files:
+            # empty manifest (zero-block write): read_binary_files([])
+            # errors, so return an empty dataset directly
+            empty = pa.table({}) if columns is None else \
+                pa.table({c: pa.array([], pa.null()) for c in columns})
+            return ray.data.from_arrow(empty)
         raw = ray.data.read_binary_files(files)
     else:
         raw = ray.data.read_binary_files(path, file_extensions=["arrow"])

@@ -373,6 +373,52 @@ def pq_topk(codes: ray.data.Dataset, query: np.ndarray,
                      "score": pa.array(part["score"].to_numpy())})
 
 
+def ivfpq_topk_refined(ds: ray.data.Dataset, codes: ray.data.Dataset,
+                       query: np.ndarray, C: np.ndarray,
+                       books: list[np.ndarray], k: int = 10,
+                       nprobe: int = 4, refine: int = 5,
+                       emb_col: str = "embedding",
+                       id_col: str = "vec_id") -> pa.Table:
+    """IVF-PQ with an EXACT re-rank pass — the standard production shape
+    (tunable recall): the ADC scan shortlists the top ``k * refine``
+    candidates from the probed lists, then the candidates' ORIGINAL
+    float vectors are fetched (distributed filter over ``ds`` against
+    the broadcast candidate-id set — candidate-sized, never the corpus)
+    and re-scored with exact cosine; the final top-k therefore carries
+    true similarities, and equals the exact brute-force top-k whenever
+    the shortlist contains it (pytest-gated recall property).
+
+    ``refine=1`` degenerates to ADC ranking; larger ``refine`` trades
+    one candidate-sized exact pass for recall → exact."""
+    if refine < 1:
+        raise ValueError(f"refine must be >= 1, got {refine}")
+    shortlist = ivfpq_topk(codes, query, C, books, k=int(k) * int(refine),
+                           nprobe=nprobe, id_col=id_col)
+    cand = np.sort(shortlist[id_col].to_numpy(zero_copy_only=False)
+                   .astype(np.int64))
+    cref = ray.put(cand)
+
+    class Keep:
+        def __init__(self):
+            self.cand = ray.get(cref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(self.cand, ids)
+            pos[pos >= len(self.cand)] = 0
+            return t.filter(pa.array(self.cand[pos] == ids))
+
+    subset = ds.map_batches(Keep, batch_format="pyarrow",
+                            concurrency=(1, 32))
+    # exact cosine over the candidate-sized subset — same scoring path
+    # (and therefore the same oracle parity) as brute_force_topk
+    exact = brute_force_topk(subset, np.asarray(query)[None, :], k=k,
+                             emb_col=emb_col, id_col=id_col)
+    return pa.table({"rank": exact["rank"].cast(pa.int64()),
+                     id_col: exact[id_col],
+                     "score": exact["cosine"]})
+
+
 def ivfpq_build(ds: ray.data.Dataset, n_centroids: int = 16,
                 n_sub: int = 4, pq_centroids: int = 16,
                 sample: int = 2048, iters: int = 8,

@@ -25,6 +25,7 @@ import ray
 import ray.data
 
 from .hashing import hash64
+from .join import join_safe
 
 _S1, _S2 = 0xB10053ED, 0x5EED5EED
 
@@ -147,7 +148,7 @@ def bloom_semi_join(big: ray.data.Dataset, keys: ray.data.Dataset,
     right, n_right = _coalesce_for_join(right, max(2, parts // 4))
     if n_right == 0:
         return pruned.limit(0)
-    return pruned.join(right, join_type="left_semi", num_partitions=parts,
+    return join_safe(pruned, right, join_type="left_semi", num_partitions=parts,
                        on=(big_col,), right_on=(key_col,))
 
 
@@ -187,7 +188,7 @@ def bloom_anti_join(big: ray.data.Dataset, keys: ray.data.Dataset,
     right, n_right = _coalesce_for_join(right, max(2, parts // 4))
     if n_right == 0:
         return keep.union(maybes)
-    survivors = maybes.join(right, join_type="left_anti",
+    survivors = join_safe(maybes, right, join_type="left_anti",
                             num_partitions=parts,
                             on=(big_col,), right_on=(key_col,))
     return keep.union(survivors)

@@ -42,6 +42,7 @@ import ray.data
 
 from .groupagg import grouped_reduce
 from .hashing import _P1, _P2, _finalize
+from .join import join_safe
 
 
 def _row_hash(u: np.ndarray, v: np.ndarray) -> np.ndarray:
@@ -265,5 +266,5 @@ def keep_canonical(docs: ray.data.Dataset, assignments: ray.data.Dataset,
     # pyarrow's join kernel rejects them ("no match for key field");
     # the dead table is answer-sized, so this narrow-ish exchange is cheap
     dead = dead.repartition(parts)
-    return docs.join(dead, join_type="left_anti",
+    return join_safe(docs, dead, join_type="left_anti",
                      num_partitions=parts, on=(id_col,))

@@ -20,6 +20,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
+from .join import join_safe
 
 
 def _join_partitions(cap: int = 16) -> int:
@@ -586,8 +587,8 @@ def ngram_jaccard_pairs(pairs: ray.data.Dataset, docs: ray.data.Dataset,
         lambda t: pa.table({"right_id": t[id_col], "_rt": t[text_col]}),
         batch_format="pyarrow")
     np_ = _join_partitions()
-    j = pairs.join(left, join_type="inner", num_partitions=np_, on=("left_id",))
-    j = j.join(right, join_type="inner", num_partitions=np_, on=("right_id",))
+    j = join_safe(pairs, left, join_type="inner", num_partitions=np_, on=("left_id",))
+    j = join_safe(j, right, join_type="inner", num_partitions=np_, on=("right_id",))
 
     def verify(t: pa.Table) -> pa.Table:
         lt = t["_lt"].to_numpy(zero_copy_only=False)
@@ -885,8 +886,8 @@ def set_similarity_join(ds: "ray.data.Dataset", text_col: str = "text",
 
     left = ds.map_batches(_sel("id_a", "_lt"), batch_format="pyarrow")
     right = ds.map_batches(_sel("id_b", "_rt"), batch_format="pyarrow")
-    j = cand.join(left, join_type="inner", num_partitions=np_, on=("id_a",))
-    j = j.join(right, join_type="inner", num_partitions=np_, on=("id_b",))
+    j = join_safe(cand, left, join_type="inner", num_partitions=np_, on=("id_a",))
+    j = join_safe(j, right, join_type="inner", num_partitions=np_, on=("id_b",))
 
     def verify(t: pa.Table) -> pa.Table:
         lt = t["_lt"].to_numpy(zero_copy_only=False)
@@ -997,7 +998,7 @@ def duplicated_window_counts(ds: "ray.data.Dataset", window: int = 8,
             lambda t: t.append_column("n_dup_windows", pa.array(
                 np.zeros(t.num_rows, np.int64))),
             batch_format="pyarrow")
-    j = totals.join(dup_counts, join_type="left_outer",
+    j = join_safe(totals, dup_counts, join_type="left_outer",
                     num_partitions=parts, on=("doc_id",), right_on=("_dd",))
 
     def fin(t: pa.Table) -> pa.Table:

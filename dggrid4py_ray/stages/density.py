@@ -18,6 +18,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
+from .join import join_safe
 
 _B = 1 << 20          # coordinate bound: |x|, |y| < _B
 _W = 2 * _B           # packing stride
@@ -91,7 +92,7 @@ def density_clusters(cells: ray.data.Dataset, x_col: str, y_col: str,
                                         y[rep] + np.tile(dy, n)))})
 
     parts = _join_partitions()
-    edges = dense.map_batches(probes, batch_format="pyarrow").join(
+    edges = join_safe(dense.map_batches(probes, batch_format="pyarrow"), 
         dense.select_columns(["cell_pk"]),
         join_type="inner", num_partitions=parts, on=("cell_pk",))
 

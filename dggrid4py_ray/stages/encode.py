@@ -18,6 +18,7 @@ from ..dggs.igeo7 import IGeo7Grid
 from ..dggs.codecs import AddressCodec
 from ..dggs.geodesy import geodetic_to_authalic
 from ..dggs.sphere import EARTH_RADIUS_KM
+from .join import join_safe
 
 
 class _ResBoundGrid:
@@ -416,7 +417,7 @@ def erode_cells(ds: "ray.data.Dataset", dggs: Dggs, k: int = 1,
             .repartition(parts)
         members = cur.map_batches(with_degree, batch_format="pyarrow") \
                      .repartition(parts)
-        j = members.join(counts.rename_columns(
+        j = join_safe(members, counts.rename_columns(
             {cell_col: "_nbcell", "_n": "_n"}),
             join_type="inner", num_partitions=parts,
             on=(cell_col,), right_on=("_nbcell",))

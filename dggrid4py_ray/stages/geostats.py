@@ -30,6 +30,7 @@ import ray.data
 from ..dggs.sphere import haversine_km
 from .groupagg import grouped_reduce
 from .join import _join_partitions, radius_join_via_buckets
+from .join import join_safe
 
 # per-temporary budget for hausdorff_pairs' dense (rows x sites)
 # haversine matrices (module-level so tests can shrink it to exercise
@@ -117,9 +118,8 @@ def radius_of_gyration(points: ray.data.Dataset, key: str,
         batch_format="pyarrow")
 
     parts = _join_partitions()
-    withc = points.select_columns([key, lon_col, lat_col]) \
-        .repartition(parts) \
-        .join(cent.repartition(parts), join_type="inner",
+    withc = join_safe(points.select_columns([key, lon_col, lat_col]) \
+        .repartition(parts), cent.repartition(parts), join_type="inner",
               num_partitions=parts, on=(key,))
 
     def sqdist(t: pa.Table) -> pa.Table:
@@ -135,7 +135,7 @@ def radius_of_gyration(points: ray.data.Dataset, key: str,
     msd = grouped_reduce(withc.map_batches(sqdist, batch_format="pyarrow"),
                          key=key, col_map={"_d2": "_sd2"}, how="sum")
     parts2 = _join_partitions()
-    j = msd.repartition(parts2).join(
+    j = join_safe(msd.repartition(parts2), 
         cent.select_columns([key, "_n"]).repartition(parts2),
         join_type="inner", num_partitions=parts2, on=(key,))
 

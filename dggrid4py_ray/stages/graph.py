@@ -26,6 +26,7 @@ import pyarrow as pa
 import ray.data
 
 from .groupagg import grouped_reduce
+from .join import join_safe
 
 
 def _join_parts():
@@ -89,7 +90,7 @@ def pagerank(edges: ray.data.Dataset, iters: int = 2, d: float = 0.85,
         epairs.map_batches(lambda t: t.select(["u", "_m"]),
                            batch_format="pyarrow"),
         key="u", col_map={"_m": "_deg"}, how="sum")
-    ew = emult.join(deg.repartition(max(2, parts // 4)),
+    ew = join_safe(emult, deg.repartition(max(2, parts // 4)),
                     join_type="inner", num_partitions=parts, on=("u",))
     ew = ew.map_batches(
         lambda t: pa.table({
@@ -110,7 +111,7 @@ def pagerank(edges: ray.data.Dataset, iters: int = 2, d: float = 0.85,
         .materialize()
 
     for _ in range(iters):
-        contrib = ew.join(ranks.repartition(max(2, parts // 4)),
+        contrib = join_safe(ew, ranks.repartition(max(2, parts // 4)),
                           join_type="inner", num_partitions=parts,
                           on=("u",), right_on=("node",))
         contrib = contrib.map_batches(
@@ -122,7 +123,7 @@ def pagerank(edges: ray.data.Dataset, iters: int = 2, d: float = 0.85,
         summed = grouped_reduce(contrib, key="node", col_map={"c": "c"},
                                 how="sum")
         # nodes with no in-edges keep only the base term
-        joined = nodes.join(summed.repartition(max(2, parts // 4)),
+        joined = join_safe(nodes, summed.repartition(max(2, parts // 4)),
                             join_type="left_outer", num_partitions=parts,
                             on=("node",))
         ranks = joined.map_batches(
@@ -258,7 +259,7 @@ def triangle_count_per_vertex(edges: ray.data.Dataset, u_col: str = "u",
     right = orc.map_batches(
         lambda t: pa.table({"_a": t["_a"], "_b2": t["_b"]}),
         batch_format="pyarrow")
-    wedges = left.join(right, join_type="inner", num_partitions=parts,
+    wedges = join_safe(left, right, join_type="inner", num_partitions=parts,
                        on=("_a",))
 
     def keep_ordered(t: pa.Table) -> pa.Table:
@@ -281,7 +282,7 @@ def triangle_count_per_vertex(edges: ray.data.Dataset, u_col: str = "u",
     closing = ded.map_batches(
         lambda t: pa.table({"_x": t["_u"], "_y": t["_v"]}),
         batch_format="pyarrow").repartition(parts)
-    tri = w.join(closing, join_type="inner", num_partitions=parts,
+    tri = join_safe(w, closing, join_type="inner", num_partitions=parts,
                  on=("_x", "_y"))
 
     def ones(t: pa.Table) -> pa.Table:
@@ -520,7 +521,7 @@ def sssp_bounded(edges: ray.data.Dataset, sources, max_hops: int = 8,
             fr, n_fr = _coalesce_for_join(fr, max(2, parts // 4))
             if n_fr == 0:
                 break
-            hit = edges.join(fr, join_type="inner", num_partitions=parts,
+            hit = join_safe(edges, fr, join_type="inner", num_partitions=parts,
                              on=(src_col,), right_on=("_fs",))
             cand_ds = hit.map_batches(
                 lambda t: pa.table({
@@ -538,7 +539,7 @@ def sssp_bounded(edges: ray.data.Dataset, sources, max_hops: int = 8,
                 lambda t: pa.table({"_bn": t["node"], "_bd": t["dist"]}),
                 batch_format="pyarrow")
             bd, _ = _coalesce_for_join(bd, max(2, parts // 4))
-            j = cand_ds.join(bd, join_type="left_outer",
+            j = join_safe(cand_ds, bd, join_type="left_outer",
                              num_partitions=parts,
                              on=("node",), right_on=("_bn",))
 
@@ -619,13 +620,13 @@ def hits_scores(edges: ray.data.Dataset,
     a1, _ = _coalesce_for_join(
         grouped_reduce(em.select_columns([v_col, "m"]),
                        v_col, {"m": "_a1"}, how="sum"), parts)
-    j1 = em.join(a1, join_type="inner", num_partitions=parts,
+    j1 = join_safe(em, a1, join_type="inner", num_partitions=parts,
                  on=(v_col,))
     h1, _ = _coalesce_for_join(
         grouped_reduce(j1.map_batches(_mul("_a1"),
                                       batch_format="pyarrow"),
                        u_col, {"_w": "_h1"}, how="sum"), parts)
-    j2 = em.join(h1, join_type="inner", num_partitions=parts,
+    j2 = join_safe(em, h1, join_type="inner", num_partitions=parts,
                  on=(u_col,))
     a2, _ = _coalesce_for_join(
         grouped_reduce(j2.map_batches(_mul("_h1"),
@@ -634,20 +635,21 @@ def hits_scores(edges: ray.data.Dataset,
 
     nodes = _distinct_nodes(edges, u_col, v_col) \
         .repartition(max(2, parts // 4)).materialize()
-    out = nodes.join(h1, join_type="left_outer", num_partitions=parts,
-                     on=("node",), right_on=(u_col,)) \
-        .join(a2, join_type="left_outer", num_partitions=parts,
+    out = join_safe(join_safe(nodes, h1, join_type="left_outer", num_partitions=parts,
+                     on=("node",), right_on=(u_col,)), a2, join_type="left_outer", num_partitions=parts,
               on=("node",), right_on=(v_col,))
 
     def finish(t: pa.Table) -> pa.Table:
-        h = t["_h1"].to_numpy(zero_copy_only=False)
-        a = t["_a2"].to_numpy(zero_copy_only=False)
+        # int64-exact null fill in Arrow — a float64 round-trip would
+        # silently corrupt sums >= 2^53 (hub/auth grow multiplicatively
+        # with graph size)
+        import pyarrow.compute as pc
         return pa.table({
             "node": t["node"],
-            "hub": pa.array(np.nan_to_num(
-                np.asarray(h, np.float64)).astype(np.int64)),
-            "auth": pa.array(np.nan_to_num(
-                np.asarray(a, np.float64)).astype(np.int64))})
+            "hub": pc.fill_null(pc.cast(t["_h1"], pa.int64()),
+                                pa.scalar(0, pa.int64())),
+            "auth": pc.fill_null(pc.cast(t["_a2"], pa.int64()),
+                                 pa.scalar(0, pa.int64()))})
 
     return out.map_batches(finish, batch_format="pyarrow")
 
@@ -696,23 +698,24 @@ def label_propagation_min(edges: ray.data.Dataset, rounds: int = 2,
             batch_format="pyarrow"), parts)
 
     for _ in range(int(rounds)):
-        j = und.join(labels, join_type="inner", num_partitions=parts,
+        j = join_safe(und, labels, join_type="inner", num_partitions=parts,
                      on=("b",), right_on=("node",))
         nbr_min, _ = _coalesce_for_join(
             grouped_reduce(j.select_columns(["a", "label"]),
                            "a", {"label": "_nm"}, how="min"), parts)
-        merged = labels.join(nbr_min, join_type="left_outer",
+        merged = join_safe(labels, nbr_min, join_type="left_outer",
                              num_partitions=parts,
                              on=("node",), right_on=("a",))
 
         def take_min(t: pa.Table) -> pa.Table:
-            own = t["label"].to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
-            nm = np.asarray(t["_nm"].to_numpy(zero_copy_only=False),
-                            np.float64)
-            new = np.where(np.isnan(nm), own,
-                           np.minimum(own, nm.astype(np.int64)))
-            return pa.table({"node": t["node"], "label": pa.array(new)})
+            # int64-exact: coalesce nulls to the node's own label in
+            # Arrow, then min — labels are arbitrary node ids, so a
+            # float64 round-trip would corrupt ids >= 2^53
+            import pyarrow.compute as pc
+            own = pc.cast(t["label"], pa.int64())
+            nm = pc.coalesce(pc.cast(t["_nm"], pa.int64()), own)
+            return pa.table({"node": t["node"],
+                             "label": pc.min_element_wise(own, nm)})
 
         labels, _ = _coalesce_for_join(
             merged.map_batches(take_min, batch_format="pyarrow"), parts)

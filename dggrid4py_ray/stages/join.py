@@ -34,6 +34,46 @@ def _join_partitions(cap: int = 32) -> int:
     return max(2, min(cap, cpus // 2))
 
 
+def _drop_schemaless_blocks(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Strip ZERO-COLUMN empty blocks from ``ds`` so a downstream Arrow
+    hash join never sees a schema-less shuffle partition.
+
+    Ray's range sort, hash aggregate, and repartition padding all emit
+    zero-column empty blocks whenever the input holds fewer rows than the
+    partition count; pyarrow's acero join then fails with "No match or
+    multiple matches for key field reference FieldRef.Name(...)" on any
+    shuffle partition fed only such blocks.  ``map_batches`` cannot repair
+    them — Ray skips empty blocks entirely — so drop them at the block-REF
+    level: metadata-only, no data movement (the hash-shuffle join
+    materializes its inputs anyway, so forcing execution here does not add
+    a data copy)."""
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(ref)
+    if refs:
+        return ray.data.from_arrow_refs(refs)
+    # fully empty input: rebuild a typed empty from the schema if Ray
+    # learned one (e.g. from a pre-drop non-empty intermediate block)
+    sch = ds.schema(fetch_if_missing=False)
+    base = getattr(sch, "base_schema", None)
+    if base is not None and len(base.names) > 0:
+        return ray.data.from_arrow(base.empty_table())
+    return ds
+
+
+def join_safe(left: ray.data.Dataset, right: ray.data.Dataset,
+              **join_kwargs) -> ray.data.Dataset:
+    """``left.join(right, **join_kwargs)`` with both inputs normalized via
+    :func:`_drop_schemaless_blocks`.  Every aggregate→join / sort→join
+    chain must route through this — the empty-block hazard (round-4
+    verdict item 1) is systemic to tiny inputs and to any skewed run where
+    a sort/aggregate output partition lands empty."""
+    return _drop_schemaless_blocks(left).join(
+        _drop_schemaless_blocks(right), **join_kwargs)
+
+
 def _build_polys(wkbs) -> tuple[list[PolygonSet], STRtree]:
     polys = []
     bboxes = []
@@ -105,7 +145,7 @@ def cell_equi_join(left: ray.data.Dataset, right: ray.data.Dataset,
                    num_partitions: int | None = None) -> ray.data.Dataset:
     """Large-large equi-join on a cell-id column (Ray Data hash join)."""
     np_ = num_partitions or _join_partitions()
-    return left.join(right, join_type=how, num_partitions=np_, on=(on,))
+    return join_safe(left, right, join_type=how, num_partitions=np_, on=(on,))
 
 
 def spatial_join_via_cells(points: ray.data.Dataset, polygons: ray.data.Dataset,
@@ -173,7 +213,7 @@ def spatial_join_via_cells(points: ray.data.Dataset, polygons: ray.data.Dataset,
     polys = polygons.map_batches(poly_cells, batch_format="pyarrow")
 
     # hash join on the coarse cell, then the exact predicate locally
-    joined = pts.join(polys, join_type="inner",
+    joined = join_safe(pts, polys, join_type="inner",
                       num_partitions=_join_partitions(), on=("_ccell",))
 
     def exact(batch: pa.Table) -> pa.Table:
@@ -350,7 +390,7 @@ def radius_join_via_buckets(points: ray.data.Dataset,
     p = points.map_batches(tag_points, batch_format="pyarrow")
     s = sites.map_batches(replicate_sites, batch_format="pyarrow") \
              .repartition(parts)
-    joined = p.join(s, join_type="inner", num_partitions=parts,
+    joined = join_safe(p, s, join_type="inner", num_partitions=parts,
                     on=("_bucket",))
 
     def exact(t: pa.Table) -> pa.Table:
@@ -407,6 +447,12 @@ def knn_join_via_buckets(points: ray.data.Dataset,
 
     if k <= 0:
         raise ValueError(f"k must be > 0, got {k}")
+    if not growth > 1.0:
+        # growth <= 1 never reaches GLOBAL_R: a point stuck under k
+        # candidates would loop forever re-running identical rounds
+        raise ValueError(f"growth must be > 1, got {growth}")
+    if not r0_km > 0.0:
+        raise ValueError(f"r0_km must be > 0, got {r0_km}")
     GLOBAL_R = 20016.0                   # > max great-circle km
     parts = num_partitions or _join_partitions()
     frontier = points.select_columns([id_col, point_lon, point_lat])
@@ -441,12 +487,12 @@ def knn_join_via_buckets(points: ray.data.Dataset,
                       .select_columns([id_col]), parts)
             if n_res > 0:
                 topk_c, _ = _coalesce_for_join(topk, parts)
-                rounds.append(topk_c.join(
+                rounds.append(join_safe(topk_c, 
                     resolved, join_type="inner", num_partitions=parts,
                     on=(id_col,)))
             # next frontier: points with < k candidates inside r — the
             # left-outer join keeps zero-candidate points (null _n)
-            fr2 = frontier.repartition(parts).join(
+            fr2 = join_safe(frontier.repartition(parts), 
                 counts, join_type="left_outer", num_partitions=parts,
                 on=(id_col,))
 

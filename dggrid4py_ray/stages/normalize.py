@@ -20,6 +20,7 @@ import pyarrow as pa
 import ray
 import ray.data
 from ray.data.aggregate import Sum
+from .join import join_safe
 
 
 def group_stats(ds: ray.data.Dataset, key: str, col: str) -> pd.DataFrame:
@@ -384,7 +385,7 @@ def quantile_normalize(ds: ray.data.Dataset, group_col: str, value_col: str,
     parts = _join_partitions()
     left, _ = _coalesce_for_join(rn, parts)
     right, _ = _coalesce_for_join(ranks, parts)
-    return left.join(right, join_type="inner", num_partitions=parts,
+    return join_safe(left, right, join_type="inner", num_partitions=parts,
                      on=(rank_col,))
 
 

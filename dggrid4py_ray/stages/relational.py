@@ -25,6 +25,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
+from .join import join_safe
 
 
 def topk_per_group(ds: ray.data.Dataset, group_col: str, value_col: str,
@@ -156,7 +157,7 @@ def range_join_via_buckets(points: ray.data.Dataset, intervals: ray.data.Dataset
 
     pts = points.map_batches(point_bucket, batch_format="pyarrow")
     ivs = intervals.map_batches(interval_buckets, batch_format="pyarrow")
-    joined = pts.join(ivs, join_type="inner",
+    joined = join_safe(pts, ivs, join_type="inner",
                       num_partitions=num_partitions or _join_partitions(),
                       on=("_rb",))
 
@@ -231,7 +232,7 @@ def interval_overlap_join(left: ray.data.Dataset, right: ray.data.Dataset,
                             batch_format="pyarrow")
     rrep = right.map_batches(_replicate(r_start, r_end),
                              batch_format="pyarrow")
-    joined = lrep.join(rrep, join_type="inner",
+    joined = join_safe(lrep, rrep, join_type="inner",
                        num_partitions=num_partitions or _join_partitions(),
                        on=("_ob",))
 
@@ -675,7 +676,7 @@ def exact_group_quantile_sorted(ds: ray.data.Dataset, group_col: str,
                             out_col="_run").repartition(_join_partitions())
     totals = grouped_reduce(cnts, group_col, {"_c": "_n"}, how="sum") \
         .repartition(_join_partitions())
-    j = run.join(totals, join_type="inner",
+    j = join_safe(run, totals, join_type="inner",
                  num_partitions=_join_partitions(), on=(group_col,))
 
     def pick(t: pa.Table) -> pa.Table:
@@ -795,7 +796,7 @@ def salted_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
 
     lj = left.map_batches(salt_left, batch_format="pyarrow")
     rj = right.map_batches(salt_right, batch_format="pyarrow")
-    j = lj.join(rj, join_type="inner", num_partitions=parts,
+    j = join_safe(lj, rj, join_type="inner", num_partitions=parts,
                 on=(on, "_salt"))
     return j.map_batches(lambda t: t.drop_columns(["_salt"]),
                          batch_format="pyarrow")
@@ -1084,7 +1085,7 @@ def merge_changes(base: "ray.data.Dataset", changes: "ray.data.Dataset",
         return base.map_batches(lambda t: t.select(cols),
                                 batch_format="pyarrow")
     ch, _ = _coalesce_for_join(changes, parts)
-    winners = ch.join(mx, join_type="inner", num_partitions=parts,
+    winners = join_safe(ch, mx, join_type="inner", num_partitions=parts,
                       on=(key_col, seq_col), right_on=(key_col, "_mx"))
 
     survivors = bloom_anti_join(

@@ -26,6 +26,7 @@ import pyarrow as pa
 import ray
 import ray.data
 from ray.data.aggregate import Sum
+from .join import join_safe
 
 
 def sliding_window_daily(ds: ray.data.Dataset, ts_col: str, key_col: str,
@@ -341,7 +342,7 @@ def funnel_stages(events: ray.data.Dataset, steps: list[str],
                         .select_columns([user_col, ts_col]).materialize()
         if step_ev.count() == 0:
             break      # no such events at all (empty side poisons joins)
-        nxt = step_ev.join(anchors, join_type="inner",
+        nxt = join_safe(step_ev, anchors, join_type="inner",
                            num_partitions=parts, on=(user_col,))
 
         def qualify(t: pa.Table) -> pa.Table:
@@ -401,7 +402,7 @@ def cohort_retention(events: ray.data.Dataset, user_col: str = "user_id",
                  .map_batches(day_floor, batch_format="pyarrow")
     first = grouped_reduce(days, user_col, {"_day": "_d0"},
                            how="min").repartition(parts)
-    j = days.join(first, join_type="inner", num_partitions=parts,
+    j = join_safe(days, first, join_type="inner", num_partitions=parts,
                   on=(user_col,))
 
     def with_offset(t: pa.Table) -> pa.Table:
@@ -614,9 +615,8 @@ def cusum_changepoint(ds: ray.data.Dataset, key: str, order_cols: list,
                            how="sum")
     from .dedup import _join_partitions
     parts = _join_partitions()
-    withm = ds.select_columns([key, *order_cols, value_col]) \
-        .repartition(parts) \
-        .join(stats.repartition(parts), join_type="inner",
+    withm = join_safe(ds.select_columns([key, *order_cols, value_col]) \
+        .repartition(parts), stats.repartition(parts), join_type="inner",
               num_partitions=parts, on=(key,))
 
     def dev(t: pa.Table) -> pa.Table:
@@ -750,7 +750,7 @@ def asof_join_keyed(left: ray.data.Dataset, right: ray.data.Dataset,
     parts = _join_partitions()
     probes, _ = _coalesce_for_join(probes, parts)
     rv, _ = _coalesce_for_join(rv, parts)
-    joined = probes.join(rv, join_type="left_outer", num_partitions=parts,
+    joined = join_safe(probes, rv, join_type="left_outer", num_partitions=parts,
                          on=(key_col, "_mts_i"))
     return joined.map_batches(
         lambda t: t.select([left_id_col, key_col, ts_col, out_col]),
@@ -960,7 +960,7 @@ def rolling_median_daily(ds: ray.data.Dataset, user_col: str, ts_col: str,
     parts = _join_partitions()
     meds, _ = _coalesce_for_join(meds, parts)
     active, _ = _coalesce_for_join(active, parts)
-    j = meds.join(active, join_type="inner", num_partitions=parts,
+    j = join_safe(meds, active, join_type="inner", num_partitions=parts,
                   on=("_k",))
 
     def unpack(t: pa.Table) -> pa.Table:

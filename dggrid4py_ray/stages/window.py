@@ -29,6 +29,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
+from .join import join_safe
 
 
 def _cols(t: pa.Table, names):
@@ -197,7 +198,7 @@ def group_ntile_sorted(ds: ray.data.Dataset, group_col: str,
     sizes = grouped_reduce(ranked.select_columns([group_col, "_rn"]),
                            group_col, {"_rn": "_sz"}, how="max",
                            presorted=True).repartition(parts)
-    j = ranked.join(sizes, join_type="inner", num_partitions=parts,
+    j = join_safe(ranked, sizes, join_type="inner", num_partitions=parts,
                     on=(group_col,))
 
     def tile(t: pa.Table) -> pa.Table:
@@ -334,7 +335,7 @@ def group_rank(ds: ray.data.Dataset, group_col: str, order_col: str,
 
     from .join import _join_partitions
     parts = num_partitions or _join_partitions()
-    return ds.join(ranks.repartition(parts), join_type="inner",
+    return join_safe(ds, ranks.repartition(parts), join_type="inner",
                    num_partitions=parts,
                    on=(group_col, order_col),
                    right_on=(group_col, "_ord"))
@@ -504,7 +505,7 @@ def group_ewma(ds: ray.data.Dataset, group_col: str, order_cols: list,
                             group_col, {"_rn": "_n"}, how="max",
                             presorted=True) \
         .repartition(_join_partitions())
-    j = rn.join(counts, join_type="inner",
+    j = join_safe(rn, counts, join_type="inner",
                 num_partitions=_join_partitions(), on=(group_col,))
     a = float(alpha)
 
@@ -799,5 +800,5 @@ def group_cume_counts(ds: ray.data.Dataset, group_col: str,
     parts = _join_partitions()
     left, _ = _coalesce_for_join(ds, parts)
     right, _ = _coalesce_for_join(cume, parts)
-    return left.join(right, join_type="inner", num_partitions=parts,
+    return join_safe(left, right, join_type="inner", num_partitions=parts,
                      on=(group_col, value_col))

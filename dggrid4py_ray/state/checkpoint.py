@@ -310,11 +310,15 @@ def write_clustered(ds, out_dir: str, cluster_col: str,
                 if stats_cols else {})}
             for s in summaries],
     }
+    # ledger snapshot FIRST, then the current-manifest swap: a crash
+    # between the two leaves an orphan ledger entry (harmless — its files
+    # exist), never a live _zonemap.json whose version is missing from
+    # the ledger (which would break read_clustered_version(latest))
+    _write_version_manifest(out_dir, manifest)
     tmp = os.path.join(out_dir, "._zonemap.json.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
     os.replace(tmp, os.path.join(out_dir, "_zonemap.json"))
-    _write_version_manifest(out_dir, manifest)
     return manifest
 
 
@@ -571,11 +575,13 @@ def compact_clustered(out_dir: str, delta, rows_per_file: int = 1 << 20,
             "stats_cols": stats_cols,
             "version": int(man.get("version", 1)) + 1,
             "files": kept + new_entries}
+    # ledger-then-swap order (see write_clustered): the version snapshot
+    # must exist before _zonemap.json names that version as current
+    _write_version_manifest(out_dir, man2)
     tmp = os.path.join(out_dir, "._zonemap.json.tmp")
     with open(tmp, "w") as f:
         json.dump(man2, f, indent=1)
     os.replace(tmp, os.path.join(out_dir, "_zonemap.json"))
-    _write_version_manifest(out_dir, man2)
     # Old files are removed only AFTER the new manifest is live: a crash
     # anywhere above leaves the previous manifest pointing at files that
     # all still exist (new files are mere orphans, cleaned next run).
