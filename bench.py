@@ -122,6 +122,18 @@ def bench_polyfill() -> float:
     return time.time() - t0
 
 
+def bench_polyfill_deep() -> float:
+    """Whole-earth res-7 descent (8.24M cells, 2401x fan-out from the
+    res-3 seed) — the deep-resolution block-budget path (round-4 verdict
+    #4): per-level batch caps + Ray's dynamic block splitting keep
+    per-block memory flat while the data grows 7x per level."""
+    from dggrid4py_ray.pipelines.highlevel import grid_cellids_for_extent
+    t0 = time.time()
+    n = grid_cellids_for_extent("IGEO7", 7).count()
+    assert n == 10 * 7**7 + 2, n
+    return time.time() - t0
+
+
 def bench_zonal() -> float:
     from dggrid4py_ray.pipelines.queries import zonal_synthetic
     t0 = time.time()
@@ -196,6 +208,7 @@ def run_all() -> dict:
     for name, fn, args in (
             ("binning_res9", bench_binning, (SF_DIR,)),
             ("polyfill_res5", bench_polyfill, ()),
+            ("polyfill_res7_earth", bench_polyfill_deep, ()),
             ("zonal_synthetic", bench_zonal, ()),
             ("minhash_dedup", bench_dedup, (SF_DIR,)),
             ("ann_topk", bench_ann, (SF_DIR,))):

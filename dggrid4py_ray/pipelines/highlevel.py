@@ -36,6 +36,10 @@ _STATE_COLS = ["cell_id", "flat_id", "s", "px", "py", "pz"]
 
 from ..stages.encode import grid_for as _grid_for
 
+# rows per descent UDF call: 7x expansion of this is ~3.2 MB of int64
+# cell ids + unit-vector state per call — bounded at any depth
+DESCEND_BATCH_ROWS = 65536
+
 
 def _state_table(z7, flat, s, pos) -> pa.Table:
     return pa.table({
@@ -192,11 +196,28 @@ def _polyfill(dggs: Dggs, clip: PolygonSet | None, output_address_type: str = "Z
     seed = _seed_table(grid, res, clip)
     ds = ray.data.from_arrow(seed)
     start = min(res, 3)
+    nblocks = 1
     if res > start:
         # keep block counts healthy as the fan-out grows 7x per level
-        ds = ds.repartition(max(2, min(64, seed.num_rows // 8 or 2)))
+        nblocks = max(2, min(64, seed.num_rows // 8 or 2))
+        ds = ds.repartition(nblocks)
+    # Per-level block budget (round-4 verdict #4): each descent level
+    # multiplies rows 7x.  Once the EXPECTED per-block input exceeds
+    # DESCEND_BATCH_ROWS, cap the UDF batch — per-call memory stays at
+    # ~7 x DESCEND_BATCH_ROWS rows and Ray's dynamic output-block
+    # splitting (target_max_block_size) grows the BLOCK count with the
+    # data instead of rows-per-block growing 7x per level (res-7/8
+    # whole-earth scale check in BASELINE.md).  While blocks are still
+    # SMALL, batch_size must stay None: Ray reuses it as
+    # min_rows_per_bundled_input, and a 64-block 3432-row seed would be
+    # bundled into ONE task — serializing the whole descent.
+    rows_per_block = max(1, seed.num_rows // nblocks)
     for level in range(start, res):
-        ds = ds.map_batches(_Descend(dggs, level, clip), batch_format="pyarrow")
+        cap = DESCEND_BATCH_ROWS if rows_per_block > DESCEND_BATCH_ROWS \
+            else None
+        ds = ds.map_batches(_Descend(dggs, level, clip),
+                            batch_format="pyarrow", batch_size=cap)
+        rows_per_block *= 7
     if clip is not None:
         ds = ds.map_batches(_ExactClip(dggs, clip), batch_format="pyarrow")
     if output_address_type.upper() != "Z7":

@@ -353,9 +353,11 @@ def codec_roundtrip(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def dedup_exact_docs(sf_dir: str):
+    # hash="md5" pinned: the oracle compares the text_md5 VALUE itself
+    # (library default is the vectorized "fast" lane)
     from ..stages.dedup import exact_dedup
     return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
-                       text_col="text", id_col="doc_id")
+                       text_col="text", id_col="doc_id", hash="md5")
 
 
 def text_stats_by_lang(sf_dir: str):
@@ -665,7 +667,8 @@ def curation_pipeline(sf_dir: str):
     from ..stages.dedup import exact_dedup
     from ..stages.sampling import hash_sample
     docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
-    keep = exact_dedup(docs, text_col="text", id_col="doc_id").map_batches(
+    keep = exact_dedup(docs, text_col="text", id_col="doc_id",
+                       hash="md5").map_batches(
         lambda t: pa.table({"doc_id": t["keep_id"]}), batch_format="pyarrow")
     from ..stages.join import _join_partitions
     kept = join_safe(docs.map_batches(lambda t: t.select(["doc_id", "lang", "n_chars"]),
@@ -675,7 +678,9 @@ def curation_pipeline(sf_dir: str):
         lambda t: t.filter(pc.and_(pc.greater_equal(t["n_chars"], 120),
                                    pc.less(t["n_chars"], 400))),
         batch_format="pyarrow")
-    sampled = hash_sample(filtered, key_col="doc_id", keep=50, buckets=100)
+    # md5 pinned: the SQL twin filters on md5_number_upper membership
+    sampled = hash_sample(filtered, key_col="doc_id", keep=50, buckets=100,
+                          hash="md5")
 
     def partial(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({"lang": t["lang"].to_numpy(zero_copy_only=False),
@@ -828,7 +833,8 @@ def hash_sample_docs(sf_dir: str):
     bit-identical to the DuckDB md5_number_upper oracle."""
     from ..stages.sampling import hash_sample
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
-    return hash_sample(ds, key_col="doc_id", keep=5, buckets=100)
+    return hash_sample(ds, key_col="doc_id", keep=5, buckets=100,
+                       hash="md5")
 
 
 def hll_distinct_users(sf_dir: str):
@@ -1723,7 +1729,7 @@ def curation_v2(sf_dir: str):
         lambda t: t.filter(pc.greater(t["n_hits"], 0)).select(["doc_id"]),
         batch_format="pyarrow")
     kept = filter_not_in(rest, "source", ["src1", "src7", "src13"])
-    kept = hash_sample(kept, "doc_id", keep=25, buckets=100)
+    kept = hash_sample(kept, "doc_id", keep=25, buckets=100, hash="md5")
     surv = join_safe(kept, dirty_ids.repartition(2).materialize(),
                      join_type="left_anti", num_partitions=8,
                      on=("doc_id",))
@@ -4046,7 +4052,9 @@ def q11_important_parts(sf_dir: str):
         .map_batches(li_map, batch_format="pyarrow")
     per_part = grouped_reduce(li, "l_partkey", {"value_c": "value_c"},
                               how="sum").materialize()
-    total = per_part.sum("value_c")
+    # Dataset.sum of an empty dataset returns None — treat as 0 so the
+    # threshold filter stays well-defined on empty inputs
+    total = per_part.sum("value_c") or 0
     thr = total * FRACTION
     out = per_part.filter(expr=f"value_c > {thr!r}")
     return out.map_batches(
@@ -4524,7 +4532,7 @@ def dedup_normalized_docs(sf_dir: str):
         return pa.table({"doc_id": t["doc_id"], "text": out})
 
     out = normalized_dedup(ds.map_batches(perturb, batch_format="pyarrow"),
-                           text_col="text", id_col="doc_id")
+                           text_col="text", id_col="doc_id", hash="md5")
     return out.map_batches(
         lambda t: pa.table({"text_md5": t["text_md5"],
                             "keep_id": pc.cast(t["keep_id"], pa.int64())}),
@@ -11863,8 +11871,10 @@ def assortativity_user_region(sf_dir: str):
     n = float(acc["sum(n)"])
     sx, sy = acc["sum(sx)"], acc["sum(sy)"]
     sxy, sxx, syy = acc["sum(sxy)"], acc["sum(sxx)"], acc["sum(syy)"]
-    r = (n * sxy - sx * sy) / (np.sqrt(n * sxx - sx * sx)
-                               * np.sqrt(n * syy - sy * sy))
+    denom = (np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy))
+    # degenerate variance (tiny inputs, or all-equal degrees): r is
+    # undefined — report 0 instead of NaN->int crashing
+    r = (n * sxy - sx * sy) / denom if denom > 0 else 0.0
     return pa.table({"n_edges": pa.array([int(n)], pa.int64()),
                      "assortativity_e6": pa.array(
                          [int(np.round(r * 1000000))], pa.int64())})
@@ -12447,7 +12457,17 @@ def hive_partition_prune_events(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
                                   "event_type"])
     ds.write_parquet(out_dir, partition_cols=["event_type"])
-    back = ray.data.read_parquet(f"{out_dir}/event_type=click")
+    import os as _os
+    click_dir = f"{out_dir}/event_type=click"
+    if _os.path.isdir(click_dir):
+        back = ray.data.read_parquet(click_dir)
+    else:
+        # no click rows in the input: the partition directory was never
+        # written — the pruned read is an empty typed table
+        back = ray.data.from_arrow(pa.table(
+            {"event_id": pa.array([], pa.int64()),
+             "ts": pa.array([], pa.timestamp("ns")),
+             "user_id": pa.array([], pa.int64())}))
 
     def per_day(t: pa.Table) -> pa.Table:
         day = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) \
@@ -12693,7 +12713,9 @@ def ripley_k_events(sf_dir: str):
     n = pts.count()
     area = 4.0 * np.pi * 6371.0 * 6371.0
     n_pairs = [int(sums[f"n{int(r)}"]) for r in radii]
-    k = [int(np.floor(area * float(np_) / float(n * (n - 1)) + 0.5))
+    # n < 2 points: K is 0 by convention (no ordered pairs exist)
+    denom = float(n * (n - 1)) if n > 1 else 1.0
+    k = [int(np.floor(area * float(np_) / denom + 0.5))
          for np_ in n_pairs]
     return pa.table({
         "r_km": pa.array([int(r) for r in radii], pa.int64()),
@@ -13829,5 +13851,93 @@ ORACLES.update({
         SELECT CAST(p AS BIGINT) AS p, CAST(n AS BIGINT) AS n,
                CAST(spr2 - p * (p + 1) AS BIGINT) AS u2
         FROM agg
+    """,
+})
+
+
+# ---------------------------------------------------------------------------
+# round 5: zone-mapped checkpointed flagship sink (verdict #5)
+# ---------------------------------------------------------------------------
+
+def checkpoint_pruned_day_counts(sf_dir: str):
+    """The round-4 verdict #5 'done' criterion: the FLAGSHIP checkpoint
+    sink (write_dataset_checkpointed) now writes zone-map-clustered
+    partitions — per-file [min, max] of the zone columns in the lineage
+    manifests — and a clipped-region read back touches a STRICT SUBSET
+    of the data files (asserted here), never opening pruned files.
+
+    Pipeline: events sorted by day (pay-the-sort-once clustering),
+    checkpoint-written with zone_cols=['day'] across 4 deterministic
+    partitions, then days [30, 60) are read back zone-pruned and
+    aggregated per event_type."""
+    import shutil
+
+    from ..stages.groupagg import grouped_reduce
+    from ..state.checkpoint import (read_checkpointed_pruned,
+                                    write_dataset_checkpointed)
+
+    out_dir = _io_scratch(sf_dir, "events_ckpt_zoned")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def enc(t: pa.Table) -> pa.Table:
+        day = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // 86400000000)
+        return pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "day": pa.array(day.astype(np.int64)),
+            "part_id": pa.array(
+                (t["event_id"].to_numpy(zero_copy_only=False) % 4)
+                .astype(np.int64))})
+
+    # post-sort split repartition PRESERVES order: each of the 16
+    # blocks covers a narrow day range, so each written file's zone is
+    # tight and the clipped read can actually skip files
+    clustered = (ds.map_batches(enc, batch_format="pyarrow")
+                 .sort("day").repartition(16))
+    write_dataset_checkpointed(clustered, out_dir,
+                               lineage={"source": "events",
+                                        "cluster": "day"},
+                               zone_cols=["day"])
+
+    # events span epoch days ~[19723, 19752]: prune to a 10-day window
+    sub, n_read, n_total = read_checkpointed_pruned(out_dir, "day",
+                                                    19730, 19740)
+    if n_total > 8 and n_read >= n_total:
+        raise RuntimeError(
+            f"zone-pruned checkpoint read degenerated to a full scan "
+            f"({n_read}/{n_total} files)")
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "n": pa.array(np.ones(t.num_rows, np.int64)),
+                         "sum_eid": t["event_id"].to_numpy(
+                             zero_copy_only=False).astype(np.int64)})
+
+    agg = grouped_reduce(sub.map_batches(ones, batch_format="pyarrow"),
+                         ["event_type"], {"n": "n", "sum_eid": "sum_eid"},
+                         how="sum")
+    return agg.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"],
+                            "n": pc.cast(t["n"], pa.int64()),
+                            "sum_eid": pc.cast(t["sum_eid"],
+                                               pa.int64())}),
+        batch_format="pyarrow").sort("event_type")
+
+
+QUERIES.update({
+    "checkpoint_pruned_day_counts": checkpoint_pruned_day_counts,
+})
+
+ORACLES.update({
+    "checkpoint_pruned_day_counts": """
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(event_id) AS BIGINT) AS sum_eid
+        FROM events
+        WHERE epoch_us(ts) // 86400000000 >= 19730
+          AND epoch_us(ts) // 86400000000 < 19740
+        GROUP BY event_type ORDER BY event_type
     """,
 })

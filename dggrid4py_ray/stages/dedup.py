@@ -39,7 +39,7 @@ def _md5_hex(texts: np.ndarray) -> np.ndarray:
 
 
 def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
-                id_col: str = "doc_id", hash: str = "md5") -> ray.data.Dataset:
+                id_col: str = "doc_id", hash: str = "fast") -> ray.data.Dataset:
     """Keep the smallest id per exact text.
 
     Ray shape: project to (hash, id) in map_batches -> grouped_reduce(min):
@@ -48,18 +48,21 @@ def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
     where the hash Aggregate burns 150-370 CPU-s per million keys
     (measured, ROUND2_NOTES; see stages/groupagg).
 
-    ``hash`` selects the key (VERDICT r3 #6):
+    ``hash`` selects the key (VERDICT r3 #6, r4 #7):
 
-    * ``"md5"`` (default) — per-row hashlib (~1.5 us/row; no vectorized md5
-      exists in numpy/pyarrow), bit-identical to the DuckDB oracle.
-      Output columns (text_md5, keep_id).  128-bit: no collision risk.
-    * ``"fast"`` — stages/hashing.hash128: fully vectorized polynomial hash
-      straight off the Arrow UTF-8 buffer, no per-row Python; two
-      independent 64-bit lanes, so collision-merge risk stays ~1e-14 even
-      at 10^12 docs.  Output columns (h1, h2, keep_id); the keep-SET is
-      identical to md5's (same text <=> same 128-bit key, up to that
-      negligible collision bound).  This is the 10^12-doc path where the
-      md5 Python loop would dominate the whole pipeline."""
+    * ``"fast"`` (default — the 10^12-doc path never pays per-row Python) —
+      stages/hashing.hash128: fully vectorized polynomial hash straight off
+      the Arrow UTF-8 buffer, no per-row Python; two independent 64-bit
+      lanes, so collision-merge risk stays ~1e-14 even at 10^12 docs.
+      Output columns (h1, h2, keep_id).
+    * ``"md5"`` — per-row hashlib (~1.5 us/row; no vectorized md5 exists in
+      numpy/pyarrow), bit-identical to the DuckDB md5 oracle — pass it
+      explicitly where SQL parity of the HASH VALUE matters (the driver
+      gate queries do).  Output columns (text_md5, keep_id).
+
+    The keep-SET is identical under either hash (same text <=> same
+    128-bit key, up to the negligible collision bound) — only the exposed
+    hash columns differ."""
     from .groupagg import grouped_reduce
 
     if hash == "fast":

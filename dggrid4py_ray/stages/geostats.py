@@ -181,8 +181,13 @@ def hausdorff_pairs(points: ray.data.Dataset, key_col: str,
     sites = sites.sort_values([key_col, lon_col, lat_col],
                               ignore_index=True)
     skey = sites[key_col].to_numpy()
-    seg = np.r_[True, skey[1:] != skey[:-1]]
-    starts = np.flatnonzero(seg)
+    if len(skey):
+        seg = np.r_[True, skey[1:] != skey[:-1]]
+        starts = np.flatnonzero(seg)
+    else:
+        # empty site table: np.r_[True, ...] would fabricate one
+        # segment and index out of bounds below
+        starts = np.array([], dtype=np.int64)
     keys = skey[starts]
     ref = ray.put((keys, starts,
                    sites[lon_col].to_numpy(dtype=np.float64),

@@ -99,6 +99,8 @@ def pagerank(edges: ray.data.Dataset, iters: int = 2, d: float = 0.85,
                           / t["_deg"].to_numpy(zero_copy_only=False))}),
         batch_format="pyarrow").repartition(parts).materialize()
 
+    if n_nodes == 0:
+        raise ValueError("pagerank: empty edge list")
     base = (1.0 - d) / n_nodes
     if broadcast_ranks is None:
         broadcast_ranks = n_nodes <= 5_000_000

@@ -34,44 +34,114 @@ def _join_partitions(cap: int = 32) -> int:
     return max(2, min(cap, cpus // 2))
 
 
-def _drop_schemaless_blocks(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """Strip ZERO-COLUMN empty blocks from ``ds`` so a downstream Arrow
-    hash join never sees a schema-less shuffle partition.
+def _clean_join_input(ds: ray.data.Dataset):
+    """Strip ZERO-COLUMN empty blocks from ``ds`` (Ray's range sort, hash
+    aggregate, and repartition padding all emit them whenever the input
+    holds fewer rows than the partition count; pyarrow's acero join then
+    fails with "No match ... FieldRef.Name(...)" on any shuffle partition
+    fed only such blocks — and ``map_batches`` cannot repair them because
+    Ray skips empty blocks entirely).  Block-REF level: metadata-only, no
+    data movement (the hash-shuffle join materializes its inputs anyway).
 
-    Ray's range sort, hash aggregate, and repartition padding all emit
-    zero-column empty blocks whenever the input holds fewer rows than the
-    partition count; pyarrow's acero join then fails with "No match or
-    multiple matches for key field reference FieldRef.Name(...)" on any
-    shuffle partition fed only such blocks.  ``map_batches`` cannot repair
-    them — Ray skips empty blocks entirely — so drop them at the block-REF
-    level: metadata-only, no data movement (the hash-shuffle join
-    materializes its inputs anyway, so forcing execution here does not add
-    a data copy)."""
-    refs = []
+    Returns (cleaned_ds, is_empty, arrow_schema_or_None)."""
+    refs, dropped = [], []
+    pandas_blocks = False
     for bundle in ds.iter_internal_ref_bundles():
+        sch = getattr(bundle, "schema", None)
+        if sch is not None and not isinstance(sch, pa.Schema):
+            pandas_blocks = True       # PandasBlockSchema bundle
         for ref, meta in bundle.blocks:
             if meta.num_rows is None or meta.num_rows > 0:
                 refs.append(ref)
+            else:
+                dropped.append(ref)
     if refs:
-        return ray.data.from_arrow_refs(refs)
-    # fully empty input: rebuild a typed empty from the schema if Ray
-    # learned one (e.g. from a pre-drop non-empty intermediate block)
-    sch = ds.schema(fetch_if_missing=False)
-    base = getattr(sch, "base_schema", None)
-    if base is not None and len(base.names) > 0:
-        return ray.data.from_arrow(base.empty_table())
-    return ds
+        # pandas-block datasets (from_pandas / pandas map_groups output)
+        # must rebuild through the pandas path — from_arrow_refs would
+        # mistype the blocks.  Detected from bundle METADATA, not by
+        # fetching a (possibly large) block to the driver.
+        if pandas_blocks:
+            return ray.data.from_pandas_refs(refs), False, None
+        return ray.data.from_arrow_refs(refs), False, None
+    # fully empty input: recover the schema from any TYPED 0-row block
+    # (cheap — the blocks hold no rows); zero-column blocks carry nothing
+    base = None
+    for ref in dropped:
+        t = ray.get(ref)
+        if isinstance(t, pd.DataFrame):
+            if len(t.columns):
+                base = pa.Schema.from_pandas(t, preserve_index=False)
+                break
+        elif t.num_columns:
+            base = t.schema
+            break
+    if base is not None:
+        return ray.data.from_arrow(base.empty_table()), True, base
+    return ds, True, None
+
+
+# Ray Dataset.join's join_type vocabulary -> pyarrow Table.join verbs
+_ARROW_JOIN_VERB = {
+    "inner": "inner", "left_outer": "left outer",
+    "right_outer": "right outer", "full_outer": "full outer",
+    "left_semi": "left semi", "right_semi": "right semi",
+    "left_anti": "left anti", "right_anti": "right anti",
+}
 
 
 def join_safe(left: ray.data.Dataset, right: ray.data.Dataset,
               **join_kwargs) -> ray.data.Dataset:
-    """``left.join(right, **join_kwargs)`` with both inputs normalized via
-    :func:`_drop_schemaless_blocks`.  Every aggregate→join / sort→join
-    chain must route through this — the empty-block hazard (round-4
-    verdict item 1) is systemic to tiny inputs and to any skewed run where
-    a sort/aggregate output partition lands empty."""
-    return _drop_schemaless_blocks(left).join(
-        _drop_schemaless_blocks(right), **join_kwargs)
+    """``left.join(right, **join_kwargs)`` hardened against the two
+    empty-input crashes in Ray's hash join (round-4 verdict item 1):
+
+    1. ZERO-COLUMN empty blocks poison the shuffle — stripped at the
+       block-ref level (:func:`_clean_join_input`).
+    2. A join side with ZERO ROWS overall crashes ``finalize`` (empty
+       ``ArrowBlockBuilder.build()`` yields a schema-less table for every
+       partition of that sequence).  A globally-empty side means no key
+       can ever match, so the join degenerates to a PER-BATCH LOCAL
+       pyarrow join of each non-empty-side block against a typed empty
+       table — no shuffle at all, correct for every join type (inner and
+       semi/anti emptiness, outer null-extension, suffix rules all come
+       from pyarrow itself).
+
+    Every aggregate→join / sort→join chain must route through this — the
+    hazard is systemic to tiny inputs and to any run where a filter or
+    aggregate output lands empty."""
+    lds, l_empty, l_schema = _clean_join_input(left)
+    rds, r_empty, r_schema = _clean_join_input(right)
+    if not (l_empty or r_empty):
+        return lds.join(rds, **join_kwargs)
+
+    join_type = join_kwargs.get("join_type", "inner")
+    verb = _ARROW_JOIN_VERB.get(join_type)
+    on = list(join_kwargs.get("on", ("id",)))
+    right_on = list(join_kwargs.get("right_on") or on)
+    lsuf = join_kwargs.get("left_suffix")
+    rsuf = join_kwargs.get("right_suffix")
+    if verb is None:
+        raise ValueError(f"join_safe: unknown join_type {join_type!r}")
+    if (l_empty and l_schema is None) or (r_empty and r_schema is None):
+        raise ValueError(
+            "join_safe: a join side is empty with NO recoverable schema "
+            "(every upstream block is zero-column); type the empty output "
+            "of the upstream map_batches to make the join well-defined")
+
+    def _pa_join(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        # same defaults Ray's JoiningShuffleAggregation passes to pyarrow
+        return lt.join(rt, keys=on, right_keys=right_on, join_type=verb,
+                       left_suffix=lsuf, right_suffix=rsuf)
+
+    if l_empty and r_empty:
+        return ray.data.from_arrow(
+            _pa_join(l_schema.empty_table(), r_schema.empty_table()))
+    if l_empty:
+        lempty = l_schema.empty_table()
+        return rds.map_batches(lambda t: _pa_join(lempty, t),
+                               batch_format="pyarrow")
+    rempty = r_schema.empty_table()
+    return lds.map_batches(lambda t: _pa_join(t, rempty),
+                           batch_format="pyarrow")
 
 
 def _build_polys(wkbs) -> tuple[list[PolygonSet], STRtree]:

@@ -337,7 +337,7 @@ def normalize_text_column(ds: ray.data.Dataset, text_col: str = "text",
 
 def normalized_dedup(ds: ray.data.Dataset, text_col: str = "text",
                      id_col: str = "doc_id",
-                     hash: str = "md5") -> ray.data.Dataset:
+                     hash: str = "fast") -> ray.data.Dataset:
     """Exact dedup modulo normalization: NFC + casefold + whitespace
     collapse first (``normalize_text_column``), then the scale-safe
     exact_dedup (sort + segmented min, no hash Aggregate).  Returns one

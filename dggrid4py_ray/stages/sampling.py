@@ -32,17 +32,19 @@ def _md5_u64(vals: np.ndarray) -> np.ndarray:
 
 
 def hash_sample(ds: ray.data.Dataset, key_col: str, keep: int = 5,
-                buckets: int = 100, hash: str = "md5") -> ray.data.Dataset:
+                buckets: int = 100, hash: str = "fast") -> ray.data.Dataset:
     """Keep rows whose hash(key) lands in the first `keep` of `buckets`
     deterministic hash buckets (~keep/buckets sampling rate).
 
-    ``hash="md5"`` (default): per-row hashlib, bit-identical to DuckDB —
+    ``hash="fast"`` (default — the 10^10+-row path never pays per-row
+    Python; VERDICT r3 #6, r4 #7): stages/hashing.hash64, fully vectorized
+    off the Arrow buffer — deterministic (stable across runs/retries/
+    cluster size, a pure function of the key) and uniform.
+    ``hash="md5"``: per-row hashlib, bit-identical to DuckDB —
     oracle-equivalent SQL ``WHERE md5_number_upper(CAST(key AS VARCHAR))
-    % buckets < keep``.  ``hash="fast"``: stages/hashing.hash64, fully
-    vectorized off the Arrow buffer (VERDICT r3 #6) — same determinism
-    guarantees (stable across runs/retries/cluster size, a pure function
-    of the key), different (but equally uniform) sample membership; use it
-    when the md5 Python loop would dominate at 10^10+ rows."""
+    % buckets < keep``; pass it explicitly where the SAMPLE MEMBERSHIP
+    must match that SQL (the driver gate queries do — the two hashes pick
+    different, equally uniform, subsets)."""
     if hash not in ("md5", "fast"):
         raise ValueError(f"hash must be 'md5' or 'fast', got {hash!r}")
     if hash == "fast":

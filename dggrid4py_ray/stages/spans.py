@@ -142,18 +142,75 @@ def explode_spans(ds: ray.data.Dataset, spans_col: str = "spans") -> ray.data.Da
 
 
 def reassemble_spans(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """Span rows -> doc rows, restoring the exact span order (groupby doc_id,
-    sort by span_idx).  The shuffle is keyed on doc_id (SURVEY §7.3)."""
+    """Span rows -> doc rows, restoring the exact span order.
 
-    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
-        did = g["doc_id"].iloc[0]
-        g = g.sort_values("span_idx")
-        g = g[g["span_idx"] >= 0]          # zero-span-doc marker rows
-        spans = [{"kind": k, "text": t, "media_ref": m, "offset": int(o)}
-                 for k, t, m, o in zip(g["kind"], g["text"], g["media_ref"], g["offset"])]
-        return pd.DataFrame({"doc_id": [did], "spans": [spans]})
+    Scale shape (round-4 verdict #8 — the sessionize carry-chain
+    treatment, replacing per-doc ``map_groups``): ONE range sort on
+    (doc_id, span_idx), then a vectorized block-local rebuild
+    (segment offsets + ``ListArray.from_arrays`` — no per-doc Python),
+    then a tiny boundary pass: a doc can only straddle ADJACENT sorted
+    blocks, so each block flags its first/last doc partials and only
+    those (<= 2 per block, independent of doc count) are re-merged in a
+    second block-count-sized grouped pass."""
+    import pyarrow.compute as pc
 
-    return ds.groupby("doc_id").map_groups(rebuild, batch_format="pandas")
+    fields = ["kind", "text", "media_ref", "offset"]
+    srt = ds.sort(["doc_id", "span_idx"])
+
+    def local(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            styp = pa.struct([(f, t.schema.field(f).type) for f in fields])
+            return pa.table({"doc_id": pa.array([], pa.string()),
+                             "spans": pa.array([], pa.list_(styp)),
+                             "_first": pa.array([], pa.int64()),
+                             "_b": pa.array([], pa.bool_())})
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        new = np.r_[True, doc[1:] != doc[:-1]]
+        starts = np.flatnonzero(new)
+        nseg = len(starts)
+        sidx = t["span_idx"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = sidx >= 0                   # zero-span-doc marker rows
+        cnt = np.add.reduceat(keep.astype(np.int64), starts)
+        offsets = np.zeros(nseg + 1, np.int64)
+        np.cumsum(cnt, out=offsets[1:])
+        sel = t.filter(pa.array(keep))
+        struct = pa.StructArray.from_arrays(
+            [sel[f].combine_chunks() for f in fields], names=fields)
+        spans = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), struct)
+        b = np.zeros(nseg, bool)
+        b[0] = True
+        b[-1] = True
+        return pa.table({"doc_id": pa.array(doc[starts], pa.string()),
+                         "spans": spans,
+                         "_first": pa.array(sidx[starts]),
+                         "_b": pa.array(b)})
+
+    parts = srt.map_batches(local, batch_format="pyarrow").materialize()
+    interior = parts.map_batches(
+        lambda t: t.filter(pc.invert(t["_b"]))
+        .drop_columns(["_first", "_b"]), batch_format="pyarrow")
+    boundary = parts.map_batches(
+        lambda t: t.filter(t["_b"]).drop_columns(["_b"]),
+        batch_format="pyarrow")
+
+    def merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 1:
+            return g.drop_columns(["_first"])
+        # partials are concatenated in ascending first-span_idx order —
+        # the blocks tile the sorted order, so this IS the block order
+        order = np.argsort(g["_first"].to_numpy(zero_copy_only=False),
+                           kind="stable")
+        lists = g["spans"].combine_chunks().take(pa.array(order))
+        flat = lists.flatten()
+        out = pa.ListArray.from_arrays(
+            pa.array([0, len(flat)], pa.int32()), flat)
+        return pa.table({"doc_id": g["doc_id"].slice(0, 1), "spans": out})
+
+    merged = boundary.groupby("doc_id").map_groups(
+        merge, batch_format="pyarrow")
+    return interior.union(merged)
 
 
 def doc_cell_assignments(ds: ray.data.Dataset, resolution: int = 9,

@@ -129,7 +129,8 @@ def clean_incomplete_partitions(out_dir: str):
 
 
 def write_dataset_checkpointed(ds, out_dir: str, lineage: dict | None = None,
-                               part_col: str = "part_id"):
+                               part_col: str = "part_id",
+                               zone_cols: list[str] | None = None):
     """STREAMING partitioned parquet sink with per-partition lineage
     manifests.
 
@@ -148,6 +149,14 @@ def write_dataset_checkpointed(ds, out_dir: str, lineage: dict | None = None,
     source.  NOTE: partitions are written on the worker that processes them
     — on a multi-node cluster ``out_dir`` must be a shared filesystem (or
     object-store URI via an fsspec-compatible path).
+
+    ``zone_cols`` (round-4 verdict #5 — the zone-map clustered layout
+    promoted into the flagship sink): when given, every data file is
+    written SORTED by ``zone_cols[0]`` and its per-file [min, max] of
+    each zone column is recorded in the partition manifest
+    (``file_zones``), so a resumed 100-TB output is pruned-readable by
+    default — ``read_checkpointed_pruned`` skips whole files whose zone
+    cannot intersect the predicate, without opening them.
     """
     import uuid
 
@@ -157,11 +166,13 @@ def write_dataset_checkpointed(ds, out_dir: str, lineage: dict | None = None,
     def write_batch(batch: pa.Table) -> pa.Table:
         pids = batch[part_col].to_numpy(zero_copy_only=False)
         out_pids, out_rows, out_files = [], [], []
-        out_bytes, out_secs = [], []
+        out_bytes, out_secs, out_zones = [], [], []
         import numpy as np
         for pid in np.unique(pids):
             t0 = time.time()
             sl = batch.filter(pa.array(pids == pid))
+            if zone_cols:
+                sl = sl.sort_by([(zone_cols[0], "ascending")])
             pdir = os.path.join(out_dir, f"part-{int(pid):05d}")
             os.makedirs(pdir, exist_ok=True)
             fname = f"data-{uuid.uuid4().hex[:12]}.parquet"
@@ -173,11 +184,20 @@ def write_dataset_checkpointed(ds, out_dir: str, lineage: dict | None = None,
             out_files.append(fname)
             out_bytes.append(os.path.getsize(os.path.join(pdir, fname)))
             out_secs.append(time.time() - t0)
-        return pa.table({"part_id": pa.array(out_pids, type=pa.int64()),
-                         "rows": pa.array(out_rows, type=pa.int64()),
-                         "file": pa.array(out_files, type=pa.string()),
-                         "bytes": pa.array(out_bytes, type=pa.int64()),
-                         "secs": pa.array(out_secs, type=pa.float64())})
+            if zone_cols:
+                import pyarrow.compute as _pc
+                out_zones.append(json.dumps({
+                    c: [int(_pc.min(sl[c]).as_py()),
+                        int(_pc.max(sl[c]).as_py())]
+                    for c in zone_cols} if sl.num_rows else {}))
+        cols = {"part_id": pa.array(out_pids, type=pa.int64()),
+                "rows": pa.array(out_rows, type=pa.int64()),
+                "file": pa.array(out_files, type=pa.string()),
+                "bytes": pa.array(out_bytes, type=pa.int64()),
+                "secs": pa.array(out_secs, type=pa.float64())}
+        if zone_cols:
+            cols["zones"] = pa.array(out_zones, type=pa.string())
+        return pa.table(cols)
 
     summaries = ds.map_batches(write_batch, batch_format="pyarrow") \
                   .take_all()   # tiny: one row per (batch, partition)
@@ -185,11 +205,13 @@ def write_dataset_checkpointed(ds, out_dir: str, lineage: dict | None = None,
     for row in summaries:
         p = per_part.setdefault(int(row["part_id"]),
                                 {"rows": 0, "files": [], "bytes": 0,
-                                 "write_secs": 0.0})
+                                 "write_secs": 0.0, "file_zones": {}})
         p["rows"] += int(row["rows"])
         p["files"].append(row["file"])
         p["bytes"] += int(row["bytes"])
         p["write_secs"] += float(row["secs"])
+        if zone_cols:
+            p["file_zones"][row["file"]] = json.loads(row["zones"])
     for pid, info in per_part.items():
         pdir = os.path.join(out_dir, f"part-{pid:05d}")
         manifest = {
@@ -204,6 +226,9 @@ def write_dataset_checkpointed(ds, out_dir: str, lineage: dict | None = None,
             "written_at": time.time(),
             "lineage": dict(lineage or {}, partition=pid),
         }
+        if zone_cols:
+            manifest["zone_cols"] = list(zone_cols)
+            manifest["file_zones"] = info["file_zones"]
         mtmp = os.path.join(pdir, ".manifest.json.tmp")
         with open(mtmp, "w") as f:
             json.dump(manifest, f)
@@ -225,6 +250,52 @@ def write_dataset_checkpointed(ds, out_dir: str, lineage: dict | None = None,
                    "written_this_run": sorted(per_part)}, f)
     os.replace(tmp, os.path.join(out_dir, "_dataset_manifest.json"))
     return out_dir
+
+
+def read_checkpointed_pruned(out_dir: str, col: str, lo: int, hi: int,
+                             columns: list | None = None):
+    """Zone-map-pruned read of a ``write_dataset_checkpointed(...,
+    zone_cols=[...])`` table: keep only data files whose manifest-recorded
+    [min, max] of ``col`` intersects [lo, hi) — pruned files are never
+    opened — then apply the exact residual filter.  Returns
+    (dataset, n_files_read, n_files_total)."""
+    import ray.data
+
+    paths, total = [], 0
+    for name in sorted(os.listdir(out_dir)):
+        pdir = os.path.join(out_dir, name)
+        man = os.path.join(pdir, "manifest.json")
+        if not (name.startswith("part-") and os.path.exists(man)):
+            continue
+        with open(man) as f:
+            m = json.load(f)
+        zones = m.get("file_zones", {})
+        for fname in m["files"]:
+            total += 1
+            z = zones.get(fname, {}).get(col)
+            if z is None or (z[0] < hi and z[1] >= lo):
+                paths.append(os.path.join(pdir, fname))
+    if not paths:
+        schema = None
+        for name in sorted(os.listdir(out_dir)):
+            pdir = os.path.join(out_dir, name)
+            man = os.path.join(pdir, "manifest.json")
+            if name.startswith("part-") and os.path.exists(man):
+                with open(man) as f:
+                    m = json.load(f)
+                if m["files"]:
+                    schema = pq.read_schema(
+                        os.path.join(pdir, m["files"][0]))
+                    break
+        import ray.data as _rd
+        empty = schema.empty_table() if schema is not None \
+            else pa.table({})
+        if columns and schema is not None:
+            empty = empty.select(columns)
+        return _rd.from_arrow(empty), 0, total
+    ds = ray.data.read_parquet(paths, columns=columns)
+    return ds.filter(expr=f"{col} >= {int(lo)} and {col} < {int(hi)}"), \
+        len(paths), total
 
 
 def write_clustered(ds, out_dir: str, cluster_col: str,
@@ -458,7 +529,17 @@ def read_zonemap_pruned(out_dir: str, col: str, lo: int, hi: int):
 
     paths, total = zonemap_pruned_files(out_dir, col, [(lo, hi)])
     if not paths:
-        return None, 0, total
+        # every file pruned: return a TYPED empty dataset (schema from
+        # any table file) so downstream stages keep working — None broke
+        # every caller on legitimately-empty ranges
+        with open(os.path.join(out_dir, "_zonemap.json")) as f:
+            man = json.load(f)
+        if man["files"]:
+            import pyarrow.parquet as _pq
+            schema = _pq.read_schema(
+                os.path.join(out_dir, man["files"][0]["file"]))
+            return ray.data.from_arrow(schema.empty_table()), 0, total
+        return ray.data.from_arrow(pa.table({})), 0, total
     ds = ray.data.read_parquet(paths)
     return ds.filter(expr=f"{col} >= {int(lo)} and {col} < {int(hi)}"), \
         len(paths), total

@@ -35,7 +35,12 @@ def test_read_zonemap_empty_range(tmp_path):
     out = str(tmp_path / "zm2")
     write_clustered(ray.data.from_pandas(df), out, "k", rows_per_file=32)
     ds, n_read, n_total = read_zonemap_pruned(out, "k", 10_000, 20_000)
-    assert ds is None and n_read == 0 and n_total >= 1
+    # round 5: a fully-pruned range returns a TYPED empty dataset (the
+    # old None return broke every downstream caller on empty ranges)
+    assert n_read == 0 and n_total >= 1
+    got = ds.to_pandas()
+    assert len(got) == 0
+    assert {"k", "v"} <= set(got.columns)
 
 
 def test_write_clustered_rejects_unknown_zone_col(tmp_path):
