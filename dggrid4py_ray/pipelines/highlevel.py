@@ -171,7 +171,14 @@ def _clip_from(clip_geom=None, clip_bbox=None) -> PolygonSet | None:
         return PolygonSet.from_wkb([bytes(clip_geom)])
     if isinstance(clip_geom, (list, np.ndarray)):
         return PolygonSet.from_wkb(clip_geom)
-    raise ValueError("clip_geom must be WKB bytes / list of WKB / PolygonSet")
+    if isinstance(clip_geom, str):
+        # file path: Shapefile / GeoJSON / GeoPackage, read without GDAL
+        # (reference: gpd.read_file of the clip file,
+        # dggrid_runner.py:1328-1335)
+        from ..sources.clipfiles import read_clip_file
+        return PolygonSet.from_wkb(read_clip_file(clip_geom))
+    raise ValueError("clip_geom must be WKB bytes / list of WKB / "
+                     "PolygonSet / a .shp/.geojson/.gpkg path")
 
 
 def grid_cellids_for_extent(dggs_type: str = "IGEO7", resolution: int = 5,

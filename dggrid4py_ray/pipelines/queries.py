@@ -13941,3 +13941,62 @@ ORACLES.update({
         GROUP BY event_type ORDER BY event_type
     """,
 })
+
+
+# ---------------------------------------------------------------------------
+# round 5: file-based clip regions (reference dggrid_runner.py:1328-1335)
+# ---------------------------------------------------------------------------
+
+def polyfill_clip_shapefile(sf_dir: str):
+    """Same conformance clip as ``polyfill_clip_box`` but the region
+    arrives as an ESRI SHAPEFILE (written here, read back through the
+    no-GDAL parser in sources/clipfiles) — the reference's file-based
+    clip input path.  Oracle: the identical 16 pinned Z7_STRING ids."""
+    import shutil
+    import struct
+
+    from .highlevel import grid_cellids_for_extent
+
+    out_dir = _io_scratch(sf_dir, "clip_shp")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    import os as _os
+    _os.makedirs(out_dir, exist_ok=True)
+    path = _os.path.join(out_dir, "region.shp")
+
+    ring = np.array([(27.2, 57.5), (29.3, 57.5), (29.3, 59.2),
+                     (27.2, 59.2), (27.2, 57.5)])
+    body = struct.pack("<i", 5)
+    body += struct.pack("<4d", ring[:, 0].min(), ring[:, 1].min(),
+                        ring[:, 0].max(), ring[:, 1].max())
+    body += struct.pack("<ii", 1, len(ring))
+    body += struct.pack("<i", 0)
+    body += ring.astype("<f8").tobytes()
+    rec = struct.pack(">ii", 1, len(body) // 2) + body
+    header = (struct.pack(">i", 9994) + b"\x00" * 20
+              + struct.pack(">i", (100 + len(rec)) // 2)
+              + struct.pack("<ii", 1000, 5)
+              + struct.pack("<4d", ring[:, 0].min(), ring[:, 1].min(),
+                            ring[:, 0].max(), ring[:, 1].max())
+              + struct.pack("<4d", 0, 0, 0, 0))
+    with open(path, "wb") as f:
+        f.write(header + rec)
+
+    ds = grid_cellids_for_extent("IGEO7", 5, clip_geom=path,
+                                 output_address_type="Z7_STRING")
+    return ds.map_batches(
+        lambda t: pa.table({"z7_string": t["z7_string"]}),
+        batch_format="pyarrow")
+
+
+QUERIES.update({"polyfill_clip_shapefile": polyfill_clip_shapefile})
+
+ORACLES.update({
+    "polyfill_clip_shapefile": """
+        SELECT * FROM (VALUES
+            ('0001002'), ('0001020'), ('0001021'), ('0001022'), ('0001023'),
+            ('0001025'), ('0001030'), ('0001032'), ('0001034'), ('0001035'),
+            ('0001036'), ('0001241'), ('0001250'), ('0001251'), ('0001254'),
+            ('0001255')
+        ) AS t(z7_string)
+    """,
+})

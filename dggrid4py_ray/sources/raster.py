@@ -186,3 +186,51 @@ def zonal_from_raster(meta: RasterMeta, read_window, dggs_type: str = "IGEO7",
         resolution = propose_res_for_pixel_size(pixel_edge_len_m(meta))
     ds = windows_dataset(meta, read_window, max_mb=max_mb)
     return zonal_mean(ds, dggs_type, resolution, value_col="data")
+
+
+def meta_from_rasterio(path: str, band: int = 1):
+    """GeoTIFF (or any rasterio-readable) file -> (meta, read_window):
+    the thin adapter a rasterio-equipped deployment plugs into
+    ``windows_dataset`` / ``zonal_from_raster`` (reference:
+    ``igeo7_ext.py:182-240`` reads via rasterio directly).
+
+    Requires ``rasterio`` (absent from this sandbox — gated behind the
+    import so the rest of the raster machinery, which is fully tested
+    over in-memory/.npy grids, never depends on it).  Geographic
+    (EPSG:4326) rasters map to :class:`RasterMeta`; EPSG:3857 and UTM
+    zones map to :class:`ProjectedRasterMeta` (the in-repo CRS math
+    converts pixel centers, no pyproj).  ``read_window`` re-opens the
+    file per task — rasterio dataset handles don't pickle, paths do."""
+    try:
+        import rasterio  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "meta_from_rasterio needs the 'rasterio' package; in this "
+            "environment use windows_dataset over .npy/in-memory grids "
+            "instead (sources/raster.py module docstring)") from e
+    import rasterio as rio
+
+    with rio.open(path) as src:
+        t = src.transform
+        if t.b or t.d:
+            raise ValueError(f"{path}: rotated/skewed transform "
+                             "unsupported (north-up rasters only)")
+        nodata = src.nodata
+        epsg = src.crs.to_epsg() if src.crs else 4326
+        if epsg == 4326:
+            meta = RasterMeta(width=src.width, height=src.height,
+                              lon0=t.c, lat0=t.f, px=t.a, py=-t.e,
+                              nodata=nodata)
+        else:
+            meta = ProjectedRasterMeta(width=src.width, height=src.height,
+                                       x0=t.c, y0=t.f, px=t.a, py=-t.e,
+                                       crs=f"EPSG:{int(epsg)}",
+                                       nodata=nodata)
+
+    def read_window(row0: int, nrows: int) -> np.ndarray:
+        import rasterio as _rio
+        from rasterio.windows import Window
+        with _rio.open(path) as s:
+            return s.read(band, window=Window(0, row0, s.width, nrows))
+
+    return meta, read_window
