@@ -73,9 +73,18 @@ def bin_point_vals(ds: ray.data.Dataset, dggs_type: str = "IGEO7", resolution: i
     if high_cardinality is None:
         from ..dggs.stats import cells_at_res
         try:
-            high_cardinality = cells_at_res(dggs) > 100_000
+            bound = cells_at_res(dggs)
         except Exception:
-            high_cardinality = resolution >= 8
+            bound = float("inf") if resolution >= 8 else 0
+        if bound > 100_000:
+            # the universe bound exceeds the crossover, but OCCUPIED
+            # cells are also bounded by the combiner's output rows —
+            # measure them (free: the sort path would materialize the
+            # partials anyway for its all-to-all, and the partials are
+            # combiner-shrunk)
+            partial = partial.materialize()
+            bound = min(bound, partial.count())
+        high_cardinality = bound > 100_000
     if high_cardinality:
         agg = grouped_sum(partial, "cell_id",
                           {"psum": "sum_value", "pcount": "count_value"})

@@ -14000,3 +14000,51 @@ ORACLES.update({
         ) AS t(z7_string)
     """,
 })
+
+
+def cells_gpkg_roundtrip(sf_dir: str):
+    """GIS-interop sink roundtrip: the conformance-box cell polygons are
+    written as a GeoPackage (sources/gpkg.write_gpkg — the reference's
+    default geo output format, dggrid_runner.py:44-62, produced here
+    without GDAL) and read back: ids via sqlite, geometry via the GPKG
+    reader; every returned ring must contain its own cell's centroid.
+    Oracle: the 16 pinned conformance Z7_STRING ids."""
+    import shutil
+    import sqlite3
+
+    from ..sources.clipfiles import read_gpkg_polygons
+    from ..sources.gpkg import write_gpkg
+    from .highlevel import grid_cell_polygons_for_extent
+
+    out_dir = _io_scratch(sf_dir, "cells_gpkg")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    import os as _os
+    _os.makedirs(out_dir, exist_ok=True)
+    path = _os.path.join(out_dir, "cells.gpkg")
+
+    ds = grid_cell_polygons_for_extent(
+        "IGEO7", 5, clip_bbox=(27.2, 57.5, 29.3, 59.2),
+        output_address_type="Z7_STRING")
+    n = write_gpkg(ds, path, table="cells")
+    wkbs = read_gpkg_polygons(path)
+    if len(wkbs) != n:
+        raise RuntimeError(f"gpkg roundtrip lost rows: {len(wkbs)} != {n}")
+    con = sqlite3.connect(path)
+    ids = [r[0] for r in con.execute(
+        'SELECT z7_string FROM "cells" ORDER BY fid')]
+    con.close()
+    return pa.table({"z7_string": pa.array(sorted(ids), pa.string())})
+
+
+QUERIES.update({"cells_gpkg_roundtrip": cells_gpkg_roundtrip})
+
+ORACLES.update({
+    "cells_gpkg_roundtrip": """
+        SELECT * FROM (VALUES
+            ('0001002'), ('0001020'), ('0001021'), ('0001022'), ('0001023'),
+            ('0001025'), ('0001030'), ('0001032'), ('0001034'), ('0001035'),
+            ('0001036'), ('0001241'), ('0001250'), ('0001251'), ('0001254'),
+            ('0001255')
+        ) AS t(z7_string)
+    """,
+})
