@@ -189,3 +189,40 @@ def test_dispatch_unknown_extension(tmp_path):
     open(p, "wb").write(b"x")
     with pytest.raises(ValueError, match="unsupported clip file"):
         read_clip_file(p)
+
+
+class TestRealGdalGpkg:
+    """The reference ships a REAL GDAL-written GeoPackage
+    (examples/igeo7_res_9.gpkg, 551 DGGRID res-9 cells) — golden
+    validation that the no-GDAL reader parses production GPKG bytes,
+    not just our own writer's."""
+
+    PATH = "/root/reference/examples/igeo7_res_9.gpkg"
+
+    def test_reads_all_551_polygons(self):
+        wkbs = read_gpkg_polygons(self.PATH)
+        assert len(wkbs) == 551
+        ps = PolygonSet.from_wkb(wkbs[:10])
+        # the example region is around (27E, 59N)
+        assert 26.5 < ps.bounds[0] < 28.0
+        assert 58.5 < ps.bounds[3] < 59.5
+
+    def test_geometries_encode_to_their_own_ids(self, ray_session):
+        import sqlite3
+
+        from dggrid4py_ray.config import dgselect
+        from dggrid4py_ray.geometry import parse_wkb
+        from dggrid4py_ray.stages.encode import grid_for
+
+        con = sqlite3.connect(self.PATH)
+        # the example's `name` column is the Z7 id as 16-char hex
+        want = [int(r[0], 16) for r in con.execute(
+            "SELECT name FROM alutag_igeo7_res_9 ORDER BY fid")]
+        con.close()
+        wkbs = read_gpkg_polygons(self.PATH)
+        cent = np.array([parse_wkb(w)[1][0][:-1].mean(axis=0)
+                         for w in wkbs])
+        grid = grid_for(dgselect("IGEO7", resolution=9))
+        z = grid.encode(cent[:, 0], cent[:, 1], 9)
+        got = [int(np.uint64(np.int64(v))) for v in z]
+        assert got == want
