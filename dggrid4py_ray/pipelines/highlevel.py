@@ -426,7 +426,8 @@ def post_process_split_dateline(ds: ray.data.Dataset,
 
 
 def run_flagship_checkpointed(in_path: str, out_dir: str, resolution: int = 9,
-                              lineage: dict | None = None) -> str:
+                              lineage: dict | None = None,
+                              zone_on_cell: bool = False) -> str:
     """The north-star pipeline with resumable output: read interleaved docs
     (parquet/Lance-shaped), per-span cell assignment, write partitioned
     parquet with per-partition lineage manifests.
@@ -468,10 +469,48 @@ def run_flagship_checkpointed(in_path: str, out_dir: str, resolution: int = 9,
 
     out = doc_cell_assignments(ds.map_batches(add_part, batch_format="pyarrow"),
                                resolution=resolution)
+    zone_cols = None
+    if zone_on_cell:
+        # per-doc representative cell (first valid span cell) as the
+        # zone key: files inherit the input's spatial locality and a
+        # region read prunes at the file level (read_checkpointed_pruned)
+        # with zero extra shuffle — zones are only as tight as the
+        # input's clustering, by design
+        from ..dggs.igeo7 import INVALID_ID
+
+        def rep_cell(batch: pa.Table) -> pa.Table:
+            arr = batch["span_cell_ids"]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            off = arr.offsets.to_numpy().astype(np.int64)
+            off = off - off[0]
+            flat = np.asarray(arr.values[arr.offsets[0].as_py():],
+                              dtype=np.int64)[:off[-1]]
+            n = batch.num_rows
+            rep = np.full(n, INVALID_ID, dtype=np.int64)
+            counts = np.diff(off)
+            nz = counts > 0
+            if nz.any() and len(flat):
+                # first valid id per segment: min over positional index
+                # with invalid slots pushed past the end (reduceat over
+                # the non-empty segment starts — empty segments span
+                # nothing between consecutive starts)
+                sentinel = len(flat)
+                midx = np.where(flat != INVALID_ID,
+                                np.arange(sentinel), sentinel)
+                firsts = np.minimum.reduceat(midx, off[:-1][nz])
+                valid = firsts < sentinel
+                rows = np.flatnonzero(nz)[valid]
+                rep[rows] = flat[firsts[valid]]
+            return batch.append_column("rep_cell", pa.array(rep))
+
+        out = out.map_batches(rep_cell, batch_format="pyarrow")
+        zone_cols = ["rep_cell"]
     return write_dataset_checkpointed(
         out, out_dir, dict(lineage or {}, input=in_path, resolution=resolution,
                            n_input_files=len(files),
-                           pipeline="span_cell_assignment"))
+                           pipeline="span_cell_assignment"),
+        zone_cols=zone_cols)
 
 
 def address_transform(cell_ids_or_values, dggs_type: str = "IGEO7", resolution: int = 9,

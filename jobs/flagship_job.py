@@ -35,6 +35,11 @@ def main() -> int:
     ap.add_argument("--out", required=True,
                     help="output directory (shared filesystem on clusters)")
     ap.add_argument("--resolution", type=int, default=9)
+    ap.add_argument("--zone-on-cell", action="store_true",
+                    help="record per-file [min,max] representative-cell "
+                         "zones in the lineage manifests so regional "
+                         "reads of the output prune at the file level "
+                         "(read_checkpointed_pruned)")
     args = ap.parse_args()
 
     import ray
@@ -50,7 +55,8 @@ def main() -> int:
 
     t0 = time.time()
     out_dir = run_flagship_checkpointed(args.input, args.out,
-                                        resolution=args.resolution)
+                                        resolution=args.resolution,
+                                        zone_on_cell=args.zone_on_cell)
     sec = time.time() - t0
     manifests = glob.glob(os.path.join(out_dir, "part-*", "manifest.json"))
     rows = 0

@@ -62,3 +62,38 @@ def test_pruned_read_empty_range_returns_typed_empty(ray_session,
     out = sub.to_pandas()
     assert len(out) == 0
     assert "event_id" in out.columns
+
+
+def test_flagship_zone_on_cell(ray_session, tmp_path):
+    """run_flagship_checkpointed(zone_on_cell=True): per-file rep_cell
+    zones land in the manifests and the representative cell equals the
+    doc's first VALID span cell (vectorized reduceat path)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dggrid4py_ray.dggs.igeo7 import INVALID_ID
+    from dggrid4py_ray.pipelines.highlevel import run_flagship_checkpointed
+    from dggrid4py_ray.sources.spans_table import spans_dataset
+
+    src = str(tmp_path / "docs")
+    spans_dataset(400, batch_rows=100).write_parquet(src)
+    out = str(tmp_path / "out")
+    run_flagship_checkpointed(src, out, resolution=5, zone_on_cell=True)
+
+    mans = [json.load(open(os.path.join(out, p, "manifest.json")))
+            for p in sorted(os.listdir(out)) if p.startswith("part-")]
+    assert mans
+    zoned = [m for m in mans if m.get("file_zones")]
+    assert zoned, "no file zones recorded"
+    for m in zoned:
+        for z in m["file_zones"].values():
+            if z:                          # all-invalid files carry {}
+                lo, hi = z["rep_cell"]
+                assert lo <= hi
+
+    # rep_cell correctness on the written data
+    back = rd.read_parquet(out, file_extensions=["parquet"]).to_pandas()
+    assert "rep_cell" in back.columns
+    for cells, rep in zip(back["span_cell_ids"], back["rep_cell"]):
+        good = [c for c in cells if c != INVALID_ID]
+        assert rep == (good[0] if good else INVALID_ID)
