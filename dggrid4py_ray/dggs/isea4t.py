@@ -95,6 +95,49 @@ class ISEA4TGrid:
         cen = (A + B + C) / 3.0
         return self.proj.inverse(face, cen[:, 0], cen[:, 1])
 
+    def corners_plane(self, ids: np.ndarray, res: int):
+        """Cell id -> (face, A, B, C) plane corners of the sub-triangle
+        (the same replay as decode, exposed for boundary output)."""
+        ids = np.asarray(ids, dtype=np.int64)
+        face = ids >> 58
+        n = len(ids)
+        A = np.broadcast_to(self.corners[0], (n, 2)).copy()
+        B = np.broadcast_to(self.corners[1], (n, 2)).copy()
+        C = np.broadcast_to(self.corners[2], (n, 2)).copy()
+        for k in range(res - 1, -1, -1):
+            digit = ((ids >> (2 * k)) & 0x3)[:, None]
+            mab = (A + B) / 2
+            mbc = (B + C) / 2
+            mca = (C + A) / 2
+            nA = np.where(digit == 1, A, np.where(digit == 2, mab,
+                          np.where(digit == 3, mca, mbc)))
+            nB = np.where(digit == 1, mab, np.where(digit == 2, B,
+                          np.where(digit == 3, mbc, mca)))
+            nC = np.where(digit == 1, mca, np.where(digit == 2, mbc,
+                          np.where(digit == 3, C, mab)))
+            A, B, C = nA, nB, nC
+        return face, A, B, C
+
+    def cell_corners(self, ids: np.ndarray, res: int):
+        """Cell id -> (lon, lat) corner arrays of shape (n, 3) — the exact
+        triangle boundary (reference: DGGRID cell geometry output for
+        ISEA4T, dggrid_runner.py:800-950 GENERATE_GRID)."""
+        face, A, B, C = self.corners_plane(ids, res)
+        lons = np.empty((len(ids), 3))
+        lats = np.empty((len(ids), 3))
+        for k, P in enumerate((A, B, C)):
+            lon, lat = self.proj.inverse(face, P[:, 0], P[:, 1])
+            lons[:, k] = lon
+            lats[:, k] = lat
+        return lons, lats
+
+    @staticmethod
+    def enumerate_cells(res: int) -> np.ndarray:
+        """All cell ids at `res` (every 2-bit path is valid: 20*4^res)."""
+        paths = np.arange(4**res, dtype=np.int64)
+        faces = np.arange(20, dtype=np.int64)
+        return ((faces[:, None] << 58) | paths[None, :]).ravel()
+
     @staticmethod
     def parent(ids: np.ndarray) -> np.ndarray:
         ids = np.asarray(ids, dtype=np.int64)
@@ -187,8 +230,11 @@ class ISEA4DGrid:
         i = (ids >> 28) & ((1 << 28) - 1)
         j = ids & ((1 << 28) - 1)
         size = 1 << res
-        u = (i + 0.5) / size
-        v = (j + 0.5) / size
+        return self._uv_to_lonlat(quad, (i + 0.5) / size, (j + 0.5) / size)
+
+    def _uv_to_lonlat(self, quad, u, v):
+        """Rhombus-frame (u, v) in [0, 1]^2 -> (lon, lat) — the decode
+        body, reusable for cell CORNERS."""
         second = (u + v) > 1.0
         # face of this half of the quad
         first_face = np.where(quad < 5, quad, 15 + (quad - 5))
@@ -199,8 +245,8 @@ class ISEA4DGrid:
         wa = 1.0 - w1 - w2
         # slot weights -> plane coords via canonical corners (slot order
         # (v0, v1, v2) maps to plane corners (0, 2, 1))
-        ar = np.arange(len(ids))
-        wslot = np.zeros((len(ids), 3))
+        ar = np.arange(len(quad))
+        wslot = np.zeros((len(quad), 3))
         wslot[ar, self.face_apex[face]] = np.abs(wa)
         wslot[ar, self.face_v1[face]] += w1
         wslot[ar, self.face_v2[face]] += w2
@@ -209,6 +255,36 @@ class ISEA4DGrid:
         x = plane_w @ corners[:, 0]
         y = plane_w @ corners[:, 1]
         return self.tri.proj.inverse(face, x, y)
+
+    def cell_corners(self, ids: np.ndarray, res: int):
+        """Cell id -> (lon, lat) corner arrays of shape (n, 4): the
+        rhombus-frame corners (i,j),(i+1,j),(i+1,j+1),(i,j+1) mapped
+        through the quad chart — the exact diamond boundary."""
+        ids = np.asarray(ids, dtype=np.int64)
+        quad = ids >> 56
+        i = (ids >> 28) & ((1 << 28) - 1)
+        j = ids & ((1 << 28) - 1)
+        size = 1 << res
+        eps = 0.25 / size          # keep corners strictly inside a face
+        cu = [(i + eps), (i + 1 - eps), (i + 1 - eps), (i + eps)]
+        cv = [(j + eps), (j + eps), (j + 1 - eps), (j + 1 - eps)]
+        lons = np.empty((len(ids), 4))
+        lats = np.empty((len(ids), 4))
+        for k in range(4):
+            lon, lat = self._uv_to_lonlat(quad, cu[k] / size, cv[k] / size)
+            lons[:, k] = lon
+            lats[:, k] = lat
+        return lons, lats
+
+    @staticmethod
+    def enumerate_cells(res: int) -> np.ndarray:
+        """All cell ids at `res` (10 quads x 2^res x 2^res)."""
+        size = 1 << res
+        i, j = np.meshgrid(np.arange(size, dtype=np.int64),
+                           np.arange(size, dtype=np.int64), indexing="ij")
+        quads = np.arange(10, dtype=np.int64)
+        flat = (i.ravel() << 28) | j.ravel()
+        return ((quads[:, None] << 56) | flat[None, :]).ravel()
 
     @staticmethod
     def parent(ids: np.ndarray) -> np.ndarray:

@@ -185,10 +185,101 @@ def grid_cellids_for_extent(dggs_type: str = "IGEO7", resolution: int = 5,
                             clip_geom=None, clip_bbox=None,
                             output_address_type: str = "Z7", **kw) -> ray.data.Dataset:
     """Polyfill -> Dataset[cell_id] (reference grid_cellids_for_extent,
-    dggrid_runner.py:1775-1856)."""
+    dggrid_runner.py:1775-1856).
+
+    Aperture-7 grids (IGEO7/ISEA7H/FULLER7H) run the hierarchical
+    descent; the other families (ISEA4T/4D/4H/3H/43H) run the
+    enumeration path (``_family_extent``) with exact corner clipping for
+    triangles/diamonds and centroid-inclusion for the hex lattices."""
     dggs = dgselect(dggs_type, resolution=resolution, **kw)
-    return _polyfill(dggs, _clip_from(clip_geom, clip_bbox),
+    clip = _clip_from(clip_geom, clip_bbox)
+    if _is_family(dggs):
+        return _family_extent(dggs, clip, want="ids")
+    return _polyfill(dggs, clip,
                      output_address_type).select_columns(_id_cols(output_address_type))
+
+
+def _is_family(dggs: Dggs) -> bool:
+    from ..stages.encode import _ResBoundGrid
+    return isinstance(_grid_for(dggs), _ResBoundGrid)
+
+
+def _family_extent(dggs: Dggs, clip: PolygonSet | None,
+                   want: str = "ids") -> ray.data.Dataset:
+    """Extent generation for the non-aperture-7 families: enumerate all
+    cell ids at ``resolution`` (driver-side O(num_cells) — fine through
+    ~res 10; the aperture-7 grids use the hierarchical descent instead),
+    then clip DISTRIBUTED per batch:
+
+    * ISEA4T / ISEA4D — exact: a cell is kept when its centroid lies in
+      the clip or its (exact) corner ring intersects it;
+    * hex lattices (ISEA4H/3H/43H) — centroid-inclusion semantics
+      (documented deviation: DGGRID keeps boundary-intersecting hexes;
+      corner geometry for these lattices is not implemented).
+
+    ``want``: "ids" -> cell_id; "centroids" -> + lon/lat;
+    "polygons" -> + WKB geometry (triangle/diamond only)."""
+    from ..geometry import wkb_polygon
+
+    grid = _grid_for(dggs)
+    inner, res = grid.inner, dggs.resolution
+    if not hasattr(inner, "enumerate_cells"):
+        raise NotImplementedError(
+            f"{dggs.dggs_type}: no extent enumeration for this family")
+    has_corners = hasattr(inner, "cell_corners")
+    if want == "polygons" and not has_corners:
+        raise NotImplementedError(
+            f"{dggs.dggs_type}: polygon boundaries are implemented for "
+            "ISEA4T/ISEA4D and the aperture-7 grids; use "
+            "grid_cellids_for_extent / centroids for the hex lattices")
+    ids = inner.enumerate_cells(res)
+    ds = ray.data.from_arrow(pa.table({"cell_id": pa.array(ids, pa.int64())}))
+    ds = ds.repartition(int(min(64, max(2, len(ids) // 4096))))
+
+    def work(t: pa.Table) -> pa.Table:
+        z = t["cell_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = _grid_for(dggs)            # per-process cache
+        lon, lat = g.inner.decode(z, res)
+        corners = g.inner.cell_corners(z, res) if has_corners else None
+        if clip is not None:
+            keep = clip.contains(lon, lat)
+            if corners is not None:
+                lons, lats = corners
+                # dateline-crossing rings (corner-lon span > 180) must be
+                # tested in a continuous frame — raw [-180, 180] corners
+                # would bbox-overlap EVERY clip and misfire the exact test
+                crossing = (lons.max(1) - lons.min(1)) > 180.0
+                lons = np.where(crossing[:, None] & (lons < 0),
+                                lons + 360.0, lons)
+                minx, miny, maxx, maxy = clip.bounds
+                near = (~keep
+                        & (lons.min(1) <= maxx + 1.0)
+                        & (lons.max(1) >= minx - 1.0)
+                        & (lats.min(1) <= maxy + 1.0)
+                        & (lats.max(1) >= miny - 1.0))
+                for i in np.flatnonzero(near):      # boundary sliver only
+                    ring = np.column_stack([lons[i], lats[i]])
+                    if clip.intersects_ring(ring):
+                        keep[i] = True
+            z, lon, lat = z[keep], lon[keep], lat[keep]
+            if corners is not None:
+                corners = (corners[0][keep], corners[1][keep])
+        cols = {"cell_id": pa.array(z, pa.int64())}
+        if want in ("centroids", "polygons"):
+            cols["lon"] = pa.array(lon)
+            cols["lat"] = pa.array(lat)
+        if want == "polygons":
+            lons, lats = corners
+            wkbs = [wkb_polygon([np.column_stack([lons[i], lats[i]])])
+                    for i in range(len(z))]
+            cols["geometry"] = pa.array(wkbs, pa.binary())
+        out = pa.table(cols)
+        if want == "centroids" or want == "ids":
+            return out.select(["cell_id"] if want == "ids"
+                              else ["cell_id", "lon", "lat"])
+        return out.select(["cell_id", "geometry"])
+
+    return ds.map_batches(work, batch_format="pyarrow")
 
 
 def _id_cols(output_address_type: str) -> list[str]:
@@ -241,6 +332,9 @@ def grid_cell_centroids_for_extent(dggs_type: str = "IGEO7", resolution: int = 5
                                    output_address_type: str = "Z7", **kw) -> ray.data.Dataset:
     """Reference grid_cell_centroids_for_extent (dggrid_runner.py:1403-1495)."""
     dggs = dgselect(dggs_type, resolution=resolution, **kw)
+    if _is_family(dggs):
+        return _family_extent(dggs, _clip_from(clip_geom, clip_bbox),
+                              want="centroids")
     ds = _polyfill(dggs, _clip_from(clip_geom, clip_bbox), output_address_type)
 
     def add_centroid(batch: pa.Table) -> pa.Table:
@@ -261,6 +355,9 @@ def grid_cell_polygons_for_extent(dggs_type: str = "IGEO7", resolution: int = 5,
                                   output_address_type: str = "Z7", **kw) -> ray.data.Dataset:
     """Reference grid_cell_polygons_for_extent (dggrid_runner.py:1304-1400)."""
     dggs = dgselect(dggs_type, resolution=resolution, **kw)
+    if _is_family(dggs):
+        return _family_extent(dggs, _clip_from(clip_geom, clip_bbox),
+                              want="polygons")
     ds = _polyfill(dggs, _clip_from(clip_geom, clip_bbox), output_address_type)
     ds = ds.map_batches(BoundaryKernel(dggs, split_dateline=split_dateline),
                         batch_format="pyarrow", concurrency=None)
@@ -278,18 +375,27 @@ def _ids_to_dataset(cell_ids, dggs: Dggs, input_address_type: str) -> ray.data.D
     return ray.data.from_arrow(pa.table({"cell_id": pa.array(z, type=pa.int64())}))
 
 
-def grid_cell_polygons_from_cellids(cell_ids, dggs_type: str = "IGEO7",
+def grid_cell_polygons_from_cellids(cell_ids=None, dggs_type: str = "IGEO7",
                                     resolution: int = 5,
                                     clip_subset_type: str = "WHOLE_EARTH",
                                     clip_cell_res: int = 1,
                                     input_address_type: str = "Z7",
                                     output_address_type: str = "Z7",
-                                    split_dateline: bool = False, **kw) -> ray.data.Dataset:
+                                    split_dateline: bool = False,
+                                    cell_id_list=None, **kw) -> ray.data.Dataset:
     """Geometry for an explicit id list (reference dggrid_runner.py:1498-1643).
+
+    ``cell_id_list`` is accepted as an alias for ``cell_ids`` (the
+    reference's COARSE_CELLS examples use that keyword).
 
     clip_subset_type='COARSE_CELLS': ids are at `clip_cell_res` and are
     expanded to all descendants at `resolution` (reference :1547-1561) —
     here a pure flat-map of Z7 children per level, no shuffle."""
+    if cell_ids is None:
+        cell_ids = cell_id_list
+    if cell_ids is None:
+        raise ValueError("grid_cell_polygons_from_cellids: pass cell_ids "
+                         "(or the reference's cell_id_list=)")
     dggs = dgselect(dggs_type, resolution=resolution, **kw)
     ds = _cells_maybe_expand(cell_ids, dggs, clip_subset_type, clip_cell_res,
                              input_address_type)

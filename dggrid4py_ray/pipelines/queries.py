@@ -14048,3 +14048,39 @@ ORACLES.update({
         ) AS t(z7_string)
     """,
 })
+
+
+def family_extent_cells(sf_dir: str):
+    """Extent polyfill for the non-aperture-7 grid families (round 5 —
+    the reference demo's ISEA4T/ISEA3H grid-for-extent calls): cell
+    counts + id checksums over the demo's Estonia box for the triangle,
+    diamond, and aperture-3 hex grids.  The enumeration + corner-clip
+    path is deterministic integer/elementwise-float math, so the values
+    pin as literals (no BLAS reduction-order sensitivity)."""
+    from .highlevel import grid_cellids_for_extent
+
+    box = (20.2, 57.0, 28.4, 60.0)
+    rows = []
+    for fam, res in (("ISEA4T", 5), ("ISEA4D", 5), ("ISEA3H", 6)):
+        df = grid_cellids_for_extent(fam, res, clip_bbox=box).to_pandas()
+        rows.append((fam, len(df), int(df["cell_id"].sum())))
+    return pa.table({
+        "family": pa.array([r[0] for r in rows], pa.string()),
+        "n_cells": pa.array([r[1] for r in rows], pa.int64()),
+        "sum_ids": pa.array([r[2] for r in rows], pa.int64())})
+
+
+QUERIES.update({"family_extent_cells": family_extent_cells})
+
+ORACLES.update({
+    "family_extent_cells": """
+        SELECT * FROM (VALUES
+            ('ISEA4T', CAST(19 AS BIGINT),
+             CAST(4035225266123970967 AS BIGINT)),
+            ('ISEA4D', CAST(11 AS BIGINT),
+             CAST(576460757672132621 AS BIGINT)),
+            ('ISEA3H', CAST(3 AS BIGINT),
+             CAST(144115207134773253 AS BIGINT))
+        ) AS t(family, n_cells, sum_ids)
+    """,
+})
