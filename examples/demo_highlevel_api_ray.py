@@ -13,7 +13,7 @@ Differences from the reference (by design):
 * no DGGRID subprocess exists, so there is no ``DGGRIDv7(executable=...)``
   instance — functions are imported directly.
 
-Run:  python examples/demo_highlevel_api.py
+Run:  python examples/demo_highlevel_api_ray.py
 """
 
 import os
