@@ -195,3 +195,47 @@ def test_schemaless_blocks_dropped_before_join(ray_session):
     out = join_safe(ds, right, join_type="inner", num_partitions=8,
                     on=("k",)).to_pandas()
     assert out.to_dict("records") == [{"k": 2, "x": 2.0, "v": 5}]
+
+
+class TestJoinSafeOuterVerbs:
+    """right_outer / full_outer with an empty side — the per-batch local
+    join must null-extend exactly like a populated join would."""
+
+    def _sides(self):
+        left = ray.data.from_arrow(pa.table(
+            {"k": pa.array([1, 3], pa.int64()),
+             "x": pa.array([7, 8], pa.int64())}))
+        rempty = ray.data.from_arrow(pa.table(
+            {"k": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}))
+        lempty = ray.data.from_arrow(pa.table(
+            {"k": pa.array([], pa.int64()), "x": pa.array([], pa.int64())}))
+        right = ray.data.from_arrow(pa.table(
+            {"k": pa.array([2], pa.int64()), "v": pa.array([9], pa.int64())}))
+        return left, right, lempty, rempty
+
+    def test_full_outer_empty_right_keeps_left(self, ray_session):
+        left, _, _, rempty = self._sides()
+        out = join_safe(left, rempty, join_type="full_outer",
+                        num_partitions=4, on=("k",)).to_pandas()
+        assert sorted(out["k"]) == [1, 3]
+        assert out["v"].isna().all()
+
+    def test_full_outer_empty_left_keeps_right(self, ray_session):
+        _, right, lempty, _ = self._sides()
+        out = join_safe(lempty, right, join_type="full_outer",
+                        num_partitions=4, on=("k",)).to_pandas()
+        assert sorted(out["k"]) == [2]
+        assert out["x"].isna().all()
+
+    def test_right_outer_empty_left_keeps_right(self, ray_session):
+        _, right, lempty, _ = self._sides()
+        out = join_safe(lempty, right, join_type="right_outer",
+                        num_partitions=4, on=("k",)).to_pandas()
+        assert sorted(out["k"]) == [2]
+        assert out["x"].isna().all()
+
+    def test_right_outer_empty_right_is_empty(self, ray_session):
+        left, _, _, rempty = self._sides()
+        out = join_safe(left, rempty, join_type="right_outer",
+                        num_partitions=4, on=("k",)).to_pandas()
+        assert len(out) == 0
